@@ -1,0 +1,276 @@
+"""Aggregation operators — SURVEY.md §2.4 (O-21..O-29) plus rollup.
+
+Determinism: all money math happens in exact DECIMAL (products carry scale
+s1+s2, sums are associative), cast to DOUBLE only at the output boundary.
+Ratios are single IEEE divisions of bit-identical inputs. See functions.py.
+
+Scale: every groupBy here plans partial (map-side) + final hash aggregation —
+the shuffle carries one row per (task, group), not raw input. Grand-total
+aggregates reduce to one row per partition before the single-row exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import money_avg, money_sum, sql_money_avg, sql_money_sum
+from ..io import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# O-21/O-22/O-23 + F-6: TPC-H Q1-shaped pricing summary (two-level grouping,
+# conditional aggregates, derived measures in exact decimal).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           {sql_money_sum('l_extendedprice')} AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           {sql_money_avg('l_quantity')} AS avg_qty,
+           {sql_money_avg('l_extendedprice')} AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(l_discount)
+               AS avg_disc,
+           COUNT(*) AS count_order,
+           COUNT(CASE WHEN l_discount > 0 THEN 1 END) AS n_discounted
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="O-21/O-22/O-23 grouped multi-aggregate with conditional count "
+        "(ref: advanced_monitoring.py:54-68, :98). Shaped like TPC-H Q1. "
+        "Derived measures price*(1-disc)*(1+tax) computed in exact DECIMAL "
+        "(scales 2+2+2) so sums are order-insensitive.",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+        F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
+        money_avg(F.col("l_quantity")).alias("avg_qty"),
+        money_avg(F.col("l_extendedprice")).alias("avg_price"),
+        (F.sum(disc).cast("double") / F.count("l_discount")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+        F.count(F.when(F.col("l_discount") > 0, 1)).alias("n_discounted"),
+    )
+
+
+@register(
+    "rollup_priority_status",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    doc="ROLLUP grouping-sets (built-in extension; the circle×date reports of "
+        "the reference are a natural rollup, SURVEY §2.4 note). One pass, "
+        "Expand + single shuffle — not N separate scans.",
+)
+def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        money_sum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-24 + O-18: grand-total battery assembled as one row (scalar-subquery style)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "global_aggs",
+    oracle=f"""
+    SELECT (SELECT COUNT(*) FROM orders) AS n_orders,
+           (SELECT COUNT(*) FROM lineitem) AS n_lineitems,
+           (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_active_customers,
+           (SELECT {sql_money_sum('o_totalprice')} FROM orders) AS total_order_value,
+           (SELECT {sql_money_sum('l_extendedprice')} FROM lineitem) AS total_revenue
+    """,
+    doc="O-24 global aggregates ×5 laid side-by-side via cross join of 1-row "
+        "aggs (ref: completeness battery advanced_monitoring.py:113-125 and "
+        "compare CTEs monday_etl_automated.py:605-627 = O-18). Each agg is a "
+        "partial+final reduction to a single row; the cross joins are 1×1.",
+)
+def global_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    a = o.agg(F.count("*").alias("n_orders"))
+    b = li.agg(F.count("*").alias("n_lineitems"))
+    c = o.agg(F.countDistinct("o_custkey").alias("n_active_customers"))
+    d = o.agg(money_sum(F.col("o_totalprice")).alias("total_order_value"))
+    e = li.agg(money_sum(F.col("l_extendedprice")).alias("total_revenue"))
+    return a.crossJoin(b).crossJoin(c).crossJoin(d).crossJoin(e)
+
+
+# ---------------------------------------------------------------------------
+# O-25: duplicate detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "duplicate_detection",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM lineitem) AS n_rows,
+           (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS n_unique_keys,
+           (SELECT COUNT(*) FROM (
+               SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1
+           ) d) AS n_duplicate_keys
+    """,
+    doc="O-25 duplicate detection (ref: GROUP BY subitem_id HAVING cnt>1, "
+        "advanced_monitoring.py:146-154). groupBy(key).count().filter('count>1') "
+        "— map-side partial counts keep the shuffle near |distinct keys|.",
+)
+def duplicate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    n_rows = li.agg(F.count("*").alias("n_rows"))
+    n_unique = li.agg(F.countDistinct("l_orderkey").alias("n_unique_keys"))
+    dups = (
+        li.groupBy("l_orderkey")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.count("*").alias("n_duplicate_keys"))
+    )
+    return n_rows.crossJoin(n_unique).crossJoin(dups)
+
+
+# ---------------------------------------------------------------------------
+# O-26: freshness
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "freshness",
+    oracle="""
+    SELECT MAX(CAST(l_shipdate AS DATE)) AS last_ship_date,
+           date_diff('day', MAX(CAST(l_shipdate AS DATE)), DATE '2002-12-31')
+               AS days_stale
+    FROM lineitem
+    """,
+    doc="O-26 freshness aggregate (ref: MAX(extraction_date) + DATE_DIFF, "
+        "advanced_monitoring.py:163-168). Fixed 'today' literal keeps the "
+        "query deterministic (SURVEY F-9 note). MAX(date) is answerable from "
+        "parquet footer stats via aggregate pushdown.",
+)
+def freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    last = F.max(F.col("l_shipdate").cast("date"))
+    return li.agg(
+        last.alias("last_ship_date"),
+        F.datediff(F.lit("2002-12-31").cast("date"), last).alias("days_stale"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-28: derived KPI ratios
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ratio_kpi",
+    oracle=f"""
+    WITH t AS (
+        SELECT {sql_money_sum('l_extendedprice')} AS total_revenue,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_tax AS DECIMAL(4,2))) AS DOUBLE) AS total_tax,
+               COUNT(*) AS n_items,
+               COUNT(CASE WHEN l_discount > 0 THEN 1 END) AS n_discounted
+        FROM lineitem
+    )
+    SELECT total_revenue, total_tax,
+           total_revenue - total_tax AS net_revenue,
+           CASE WHEN total_revenue > 0
+                THEN ((total_revenue - total_tax) / total_revenue) * 100 END
+               AS net_margin_pct,
+           (CAST(n_discounted AS DOUBLE) / n_items) * 100 AS discount_coverage_pct
+    FROM t
+    """,
+    doc="O-28 ratio/derived KPI with divide-by-zero guard (ref: revenue "
+        "coverage % and net margin, advanced_monitoring.py:140, :244-248). "
+        "Column arithmetic over a 1-row metrics DF.",
+)
+def ratio_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.agg(
+        money_sum(F.col("l_extendedprice")).alias("total_revenue"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * F.col("l_tax").cast("decimal(4,2)")
+        ).cast("double").alias("total_tax"),
+        F.count("*").alias("n_items"),
+        F.count(F.when(F.col("l_discount") > 0, 1)).alias("n_discounted"),
+    )
+    rev, tax = F.col("total_revenue"), F.col("total_tax")
+    return t.select(
+        "total_revenue",
+        "total_tax",
+        (rev - tax).alias("net_revenue"),
+        F.when(rev > 0, ((rev - tax) / rev) * 100).alias("net_margin_pct"),
+        ((F.col("n_discounted").cast("double") / F.col("n_items")) * 100).alias(
+            "discount_coverage_pct"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-29: week-over-week threshold alert
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weekly_threshold",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS d,
+               {sql_money_sum('l_extendedprice')} AS revenue
+        FROM lineitem GROUP BY CAST(l_shipdate AS DATE)
+    ), latest AS (SELECT MAX(d) AS latest_date FROM daily)
+    SELECT l.latest_date,
+           (SELECT revenue FROM daily WHERE d = l.latest_date) AS latest_revenue,
+           (SELECT revenue FROM daily WHERE d = l.latest_date - 7) AS prev_week_revenue,
+           COALESCE((SELECT revenue FROM daily WHERE d = l.latest_date)
+                    < 0.95 * (SELECT revenue FROM daily WHERE d = l.latest_date - 7),
+                    FALSE) AS alert
+    FROM latest l
+    """,
+    doc="O-29 week-over-week threshold (ref: alert if latest < 95% of "
+        "7-days-ago, advanced_monitoring.py:398-405). Daily pre-aggregate "
+        "first, then two 1-row lookups — the big table is touched once.",
+)
+def weekly_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
+        money_sum(F.col("l_extendedprice")).alias("revenue")
+    )
+    latest = daily.agg(F.max("d").alias("latest_date"))
+    cur = latest.join(daily, latest.latest_date == daily.d).select(
+        "latest_date", F.col("revenue").alias("latest_revenue")
+    )
+    prev = latest.join(
+        daily, F.date_sub(latest.latest_date, 7) == daily.d, "left"
+    ).select(F.col("latest_date").alias("ld2"), F.col("revenue").alias("prev_week_revenue"))
+    return cur.join(prev, cur.latest_date == prev.ld2).select(
+        "latest_date",
+        "latest_revenue",
+        "prev_week_revenue",
+        F.coalesce(
+            F.col("latest_revenue") < F.lit(0.95) * F.col("prev_week_revenue"),
+            F.lit(False),
+        ).alias("alert"),
+    )

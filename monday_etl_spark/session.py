@@ -48,6 +48,9 @@ def get_spark(app_name: str = DEFAULT_APP, shuffle_partitions: int | None = None
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus, 8)))
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
+        # rejects outright; read nanos as LongType and convert in io.load_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # -- scan efficiency --
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
