@@ -1,0 +1,222 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+n-gram Jaccard verification, SimHash.
+
+Design for 100 TB:
+- exact dedup: hash-groupBy on a 32-byte fingerprint, not on raw text — the
+  shuffle carries digests, not documents;
+- MinHash+LSH: per-doc signature is a pure map; candidate generation is a
+  self-join on (band_index, band_hash) buckets — only same-bucket pairs meet,
+  so the join is linear-ish in practice instead of O(n²);
+- Jaccard verification runs only on LSH candidates (tiny);
+- hashes are md5-based (not Spark's murmur3) so every engine — and the DuckDB
+  oracle — derives bit-identical signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_WS = r"\s+"
+
+
+def _norm_text(col: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(col)), _WS, " ")
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Lift tiny single-file inputs to cluster parallelism before per-row-
+    heavy compute (md5 signatures). A small parquet arrives as ONE input
+    partition, which would serialize the whole signature build onto one core
+    (observed: 163s -> ~6s at sf0.1). No-op when the scan is already at least
+    as parallel as the cluster — so at 100 TB (thousands of input splits)
+    this never adds a shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup by normalized-text md5: every doc keyed by its group's
+    keeper (min doc_id) — ``is_duplicate`` marks losers to drop."""
+    keyed = spread(df).select("doc_id", F.md5(_norm_text(F.col(text_col))).alias("fp"))
+    keepers = keyed.groupBy("fp").agg(F.min("doc_id").alias("keep_doc_id"))
+    return (
+        keyed.join(keepers, "fp")
+        .select(
+            "doc_id",
+            "fp",
+            "keep_doc_id",
+            (F.col("doc_id") != F.col("keep_doc_id")).alias("is_duplicate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of normalized text (array<string>).
+    Documents shorter than k words contribute their whole text as one
+    shingle so they still participate."""
+    toks = F.split(_norm_text(col), _WS)
+    n = F.size(toks)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.array_distinct(shingles)
+
+
+def minhash_signature(col: Column, num_hashes: int = 16, k: int = 3) -> Column:
+    """MinHash signature as array<string>: element j is the minimum of
+    md5(j || '|' || shingle) over the doc's shingles. String-min over hex
+    digests is engine-portable (no 128-bit integer math needed); the usual
+    (a*x+b) mod p permutations are replaced by seed-prefixed md5."""
+    sh = word_shingles(col, k=k)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat_ws("|", j.cast("string"), s)))
+        ),
+    )
+
+
+def minhash_bands(sig: Column, num_bands: int = 4, rows_per_band: int = 4) -> Column:
+    """LSH bands: array of (band_index, band_hash) structs; band_hash is the
+    md5 of the band's signature slice."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.md5(F.concat_ws("|", F.slice(sig, b * rows_per_band + 1, rows_per_band)))
+            .alias("band_hash"),
+        ),
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing ≥1 LSH band, with their
+    estimated Jaccard (fraction of agreeing minhashes). Returns
+    (doc_a, doc_b, est_jaccard), doc_a < doc_b, distinct."""
+    rows_per_band = num_hashes // num_bands
+    sigs = spread(df).select(
+        "doc_id", minhash_signature(F.col(text_col), num_hashes, k).alias("sig")
+    )
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(minhash_bands(F.col("sig"), num_bands, rows_per_band)).alias("b"),
+    ).select("doc_id", "sig", F.col("b.band").alias("band"), F.col("b.band_hash").alias("bh"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x
+        )
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        (agree.cast("double") / F.lit(16).cast("double")).alias("est_jaccard"),
+    )
+
+
+def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
+                  k: int = 3) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs (the verify stage after
+    LSH): |A∩B| / |A∪B| over distinct k-word shingles."""
+    sh = spread(df).select("doc_id", word_shingles(F.col(text_col), k).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.select("doc_a", "doc_b").join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        F.when(union > 0, inter.cast("double") / union).otherwise(0.0).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, md5-derived — engine-portable)
+# ---------------------------------------------------------------------------
+
+
+def simhash16(col: Column) -> Column:
+    """16-bit SimHash over whitespace tokens: bit i is 1 when the sum of
+    (+1/-1) votes from each token's md5-derived 16-bit value is positive.
+    Integer-only arithmetic → exactly reproducible anywhere."""
+    toks = F.split(_norm_text(col), _WS)
+    # per-token 16-bit value from the first 4 hex digits of md5
+    tok_vals = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int"))
+
+    # bit i of v, with a Column-valued i (shiftright needs a literal int):
+    # v / 2^i is exact in double for v < 2^16, so floor-div-mod is safe
+    def bit(v, i):
+        return F.floor(v / F.pow(F.lit(2.0), i.cast("double"))).cast("int") % 2
+
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda i: F.when(
+            F.aggregate(
+                tok_vals,
+                F.lit(0),
+                lambda acc, v: acc + F.when(bit(v, i) == 1, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    # fold bits into one integer: sum of bit_i * 2^i
+    return F.aggregate(
+        F.zip_with(
+            bits,
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda b, i: b * F.pow(F.lit(2.0), i.cast("double")).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Docs sharing an identical 16-bit simhash bucket, paired for review
+    (hamming-distance banding generalizes this at scale)."""
+    h = spread(df).select("doc_id", simhash16(F.col(text_col)).alias("simhash"))
+    a, b = h.alias("a"), h.alias("b")
+    return a.join(
+        b,
+        (F.col("a.simhash") == F.col("b.simhash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.simhash").alias("simhash"),
+    )

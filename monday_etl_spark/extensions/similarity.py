@@ -1,0 +1,168 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two paths, mirroring what a production vector pipeline needs:
+- ``brute_force_topk``: exact cosine top-k of every query vector against the
+  corpus. The per-pair math is built-in expressions (zip_with/aggregate in
+  double precision) — JVM-side, no Python. Scale shape: queries are a small
+  broadcast side against a partitioned corpus; per-partition top-k then a
+  k·|queries| merge (TakeOrderedAndProject-like via ranked window).
+- ``lsh_bucket_topk``: random-hyperplane (sign) LSH — each vector gets a
+  b-bit bucket from deterministic md5-derived hyperplanes; queries only score
+  against their own bucket. The scale path: bucket count grows 2^b, turning
+  the all-pairs scan into a bucket-local scan (tunable recall/cost).
+
+Both are deterministic: hyperplanes come from md5-seeded integers, all dots
+fold left-to-right in double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _to_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right double fold of elementwise products (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query (cosine), excluding self-matches.
+    Returns (query_id, neighbor_id, rank, cosine_sim)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
+    )
+    # queries are few: broadcast them so the corpus never shuffles
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("sim"), 4).alias("cosine_sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def _hyperplane(dim: int, bit: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: component j is derived from
+    md5(f"{bit}:{j}") mapped into [-1, 1). Pure Python (driver-side,
+    dim×bits values) — broadcast as literals into the plan."""
+    import hashlib
+
+    comps = []
+    for j in range(dim):
+        h = hashlib.md5(f"{bit}:{j}".encode()).hexdigest()
+        comps.append(int(h[:8], 16) / float(2**31) - 1.0)
+    return comps
+
+
+def bucket_bits(vec: Column, dim: int, bits: int = 8) -> Column:
+    """b-bit LSH bucket id: bit i = sign(v · h_i)."""
+    acc = F.lit(0)
+    for i in range(bits):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, i)])
+        acc = acc + F.when(dot(vec, plane) > 0, F.shiftleft(F.lit(1), i)).otherwise(0)
+    return acc
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: score only within the query's LSH bucket.
+    Returns (query_id, neighbor_id, rank, cosine_sim) — a subset of the
+    brute-force result with tunable recall."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
+    ).withColumn("bucket", bucket_bits(F.col("cv"), dim, bits))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+    ).withColumn("bucket", bucket_bits(F.col("qv"), dim, bits))
+
+    scored = c.join(
+        F.broadcast(q), (c.bucket == q.bucket) & (F.col("neighbor_id") != F.col("query_id"))
+    ).select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("sim"), 4).alias("cosine_sim"),
+        )
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets: only same-
+    bucket pairs are scored; pairs above the cosine threshold survive.
+    Returns (id_a, id_b, cosine_sim)."""
+    v = df.select(
+        F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", bucket_bits(F.col("v"), dim, bits))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("sim"),
+        )
+        .filter(F.col("sim") > threshold)
+        .select("id_a", "id_b", F.round("sim", 4).alias("cosine_sim"))
+    )

@@ -1,0 +1,145 @@
+"""Text-analysis operators over the ``documents`` table — the text half of a
+large-scale training-data pipeline (language ID, quality scoring, token
+counting, fingerprinting).
+
+All built from pyspark.sql.functions only (split/regexp/aggregate/
+array_intersect) — JVM-side, whole-stage-codegen, no Python in the hot path.
+At 100 TB each of these is a pure map: no shuffle, scales with executors,
+and the parquet scan reads only ``doc_id``/``text`` (column pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# whitespace tokenizer shared by every operator (and mirrored in oracle SQL)
+_WS = r"\s+"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of trimmed text; empty text → empty array."""
+    return F.split(F.trim(col), _WS)
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(col))
+    )
+
+
+# A BPE-ish approximation: words, digit runs, or single non-space symbols —
+# the token count an LLM tokenizer would land near (same regex both engines).
+_BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(_BPE_RE)))
+
+
+def char_stats(col: Column) -> dict[str, Column]:
+    """Building blocks for quality scoring, all via length-difference counting
+    (portable across engines, no regex-dialect surprises)."""
+    n = F.length(col)
+    no_space = F.length(F.regexp_replace(col, r"\s", ""))
+    no_punct = F.length(F.regexp_replace(col, r"[.,;:!?'\"()\[\]{}-]", ""))
+    no_upper = F.length(F.regexp_replace(col, r"[A-Z]", ""))
+    no_digit = F.length(F.regexp_replace(col, r"[0-9]", ""))
+    return {
+        "n_chars": n,
+        "n_space": n - no_space,
+        "n_punct": n - no_punct,
+        "n_upper": n - no_upper,
+        "n_digit": n - no_digit,
+    }
+
+
+_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "this",
+)
+
+
+def stopword_hits(col: Column) -> Column:
+    """Number of tokens that are English stopwords (count, not distinct)."""
+    toks = tokens(F.lower(col))
+    return F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [0,1]: length band, punctuation ratio,
+    stopword ratio, mean word length band. Deterministic ratio arithmetic:
+    every ratio is one IEEE division of exact integers.
+    """
+    c = F.col(text_col)
+    stats = char_stats(c)
+    ntok = token_count(c)
+    nchars = stats["n_chars"]
+    punct_ratio = F.when(nchars > 0, stats["n_punct"].cast("double") / nchars).otherwise(0.0)
+    stop_ratio = F.when(ntok > 0, stopword_hits(c).cast("double") / ntok).otherwise(0.0)
+    mean_wordlen = F.when(
+        ntok > 0, (nchars - stats["n_space"]).cast("double") / ntok
+    ).otherwise(0.0)
+
+    length_ok = (nchars >= 100) & (nchars <= 20000)
+    punct_ok = punct_ratio < 0.1
+    words_ok = (mean_wordlen >= 2.0) & (mean_wordlen <= 12.0)
+    stop_ok = stop_ratio >= 0.05
+
+    score = (
+        length_ok.cast("int") + punct_ok.cast("int")
+        + words_ok.cast("int") + stop_ok.cast("int")
+    ).cast("double") / 4
+    return df.select(
+        "doc_id",
+        ntok.alias("n_tokens"),
+        nchars.alias("n_chars"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_wordlen.alias("mean_word_len"),
+        score.alias("quality_score"),
+    )
+
+
+# language-ID marker words (tiny deterministic n-gram-free heuristic); the
+# distinct-intersection count is the score, ties broken by fixed language order
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "for", "on"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"),
+    "es": ("el", "la", "los", "las", "es", "y", "que", "por", "una", "para"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"),
+}
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: distinct marker hits per language, argmax
+    with deterministic tie order (en>de>fr>es>zh), 'und' when no hits."""
+    toks = tokens(F.lower(F.col(text_col)))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(list(_LANG_MARKERS)):  # earlier langs win ties
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    out = df.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in _LANG_MARKERS],
+        pred.alias("predicted_lang"),
+    )
+    return out
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of casefolded, whitespace-collapsed text —
+    identical bytes on every engine, so it doubles as the exact-dedup key."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), _WS, " ")
+    return df.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.substring(F.md5(norm), 1, 8).alias("fingerprint_short"),
+    )

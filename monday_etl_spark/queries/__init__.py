@@ -1,4 +1,12 @@
 """Import every query module so the registry is fully populated on import."""
 
-from . import aggregates, metrics, normalize_queries, relational, windows  # noqa: F401
+from . import (  # noqa: F401
+    aggregates,
+    extensions_queries,
+    metrics,
+    multimodal_streaming_queries,
+    normalize_queries,
+    relational,
+    windows,
+)
 from .registry import REGISTRY, oracle_sql, queries  # noqa: F401

@@ -1,0 +1,281 @@
+"""Registry entries for the training-data pipeline extensions: dedup,
+text analysis, similarity search. Oracle SQL mirrors the md5-derived hashing
+so DuckDB reproduces signatures bit-for-bit; ops whose oracle would require
+replicating LSH hyperplanes in SQL are registered rows-only and verified by
+unit tests against pure-Python oracles instead (tests/test_extensions.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..extensions.dedup import (
+    exact_dedup,
+    minhash_candidates,
+    ngram_jaccard,
+    simhash_dedup,
+)
+from ..extensions.similarity import brute_force_topk, embedding_near_dup, lsh_bucket_topk
+from ..extensions.textanalysis import fingerprint, lang_id, quality_score
+from ..io import load_table
+from .registry import register
+
+# normalized text + whitespace tokens, as DuckDB SQL fragments (single source
+# for every oracle below)
+_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH keyed AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+    keepers AS (SELECT fp, MIN(doc_id) AS keep_doc_id FROM keyed GROUP BY fp)
+    SELECT k.doc_id, k.fp, p.keep_doc_id, k.doc_id <> p.keep_doc_id AS is_duplicate
+    FROM keyed k JOIN keepers p USING (fp)
+    """,
+    doc="Exact dedup by normalized-text md5; shuffle carries 32-byte digests "
+        "not documents — the 100 TB-safe exact pass.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5({_NORM}) AS fingerprint,
+           substr(md5({_NORM}), 1, 8) AS fingerprint_short
+    FROM documents
+    """,
+    doc="Document fingerprinting (md5 of casefolded, space-collapsed text).",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+_STOP_SQL = "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','this']"
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS n_tokens,
+           length(text) AS n_chars,
+           CASE WHEN length(text) > 0 THEN
+             CAST(length(text) - length(regexp_replace(text,
+                  '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE) / length(text)
+           ELSE 0.0 END AS punct_ratio,
+           CASE WHEN len({_TOKS}) > 0 AND length(trim(text)) > 0 THEN
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                  t -> list_contains({_STOP_SQL}, t))) AS DOUBLE) / len({_TOKS})
+           ELSE 0.0 END AS stopword_ratio,
+           CASE WHEN len({_TOKS}) > 0 AND length(trim(text)) > 0 THEN
+             CAST(length(text) - (length(text) - length(regexp_replace(text,
+                  '\\s', '', 'g'))) AS DOUBLE) / len({_TOKS})
+           ELSE 0.0 END AS mean_word_len,
+           CAST((CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1 ELSE 0 END
+               + CASE WHEN (CASE WHEN length(text) > 0 THEN
+                     CAST(length(text) - length(regexp_replace(text,
+                          '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE)
+                     / length(text) ELSE 0.0 END) < 0.1 THEN 1 ELSE 0 END
+               + CASE WHEN (CASE WHEN len({_TOKS}) > 0 AND length(trim(text)) > 0 THEN
+                     CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                     / len({_TOKS}) ELSE 0.0 END) BETWEEN 2.0 AND 12.0
+                 THEN 1 ELSE 0 END
+               + CASE WHEN (CASE WHEN len({_TOKS}) > 0 AND length(trim(text)) > 0 THEN
+                     CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                          t -> list_contains({_STOP_SQL}, t))) AS DOUBLE) / len({_TOKS})
+                     ELSE 0.0 END) >= 0.05 THEN 1 ELSE 0 END) AS DOUBLE) / 4
+               AS quality_score
+    FROM documents
+    """,
+    doc="Quality scoring: length band, punctuation ratio, stopword ratio, "
+        "mean word length — integer counting + single IEEE divisions, "
+        "pure map at any scale.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+_MARKER_SQL = {
+    "en": "['the','and','of','to','is','in','that','it','for','on']",
+    "de": "['der','die','das','und','ist','nicht','mit','ein','zu','den']",
+    "fr": "['le','la','les','et','est','pas','pour','que','une','dans']",
+    "es": "['el','la','los','las','es','y','que','por','una','para']",
+    "zh": "['的','是','了','在','我','有','和','不','这','人']",
+}
+_LTOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+_SCORES = ",\n".join(
+    f"len(list_distinct(list_intersect({_LTOKS}, {words}))) AS score_{lang}"
+    for lang, words in _MARKER_SQL.items()
+)
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, {_SCORES} FROM documents)
+    SELECT doc_id, score_en, score_de, score_fr, score_es, score_zh,
+           CASE WHEN greatest(score_en, score_de, score_fr, score_es, score_zh) = 0
+                THEN 'und'
+                WHEN score_en = greatest(score_en, score_de, score_fr, score_es, score_zh) THEN 'en'
+                WHEN score_de = greatest(score_en, score_de, score_fr, score_es, score_zh) THEN 'de'
+                WHEN score_fr = greatest(score_en, score_de, score_fr, score_es, score_zh) THEN 'fr'
+                WHEN score_es = greatest(score_en, score_de, score_fr, score_es, score_zh) THEN 'es'
+                ELSE 'zh' END AS predicted_lang
+    FROM s
+    """,
+    doc="Marker-word language ID with deterministic tie order (en>de>fr>es>zh).",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+# -- MinHash/LSH: the oracle re-derives the identical md5 signatures in SQL --
+
+_SHINGLES = (
+    f"list_distinct([array_to_string(t.toks[i:i+2], ' ') "
+    f"for i in range(1, greatest(len(t.toks)-2, 1) + 1)])"
+)
+_SIG = (
+    "[list_min([md5(concat(CAST(j AS VARCHAR), '|', s)) for s in sh]) "
+    "for j in range(0, 16)]"
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split_regex({_NORM}, '\\s+') AS toks
+               FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+    sigs AS (SELECT doc_id, {_SIG} AS sig FROM sh),
+    banded AS (
+        SELECT doc_id, sig, b,
+               md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bh
+        FROM sigs, UNNEST(range(0, 4)) AS u(b)
+    ),
+    pairs AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                        l.sig AS sig_a, r.sig AS sig_b
+        FROM banded l JOIN banded r
+          ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len([i for i in range(1, 17) if sig_a[i] = sig_b[i]]) AS DOUBLE)
+               / 16.0 AS est_jaccard
+    FROM pairs
+    """,
+    doc="MinHash+LSH near-dup candidates: 16 md5-derived minhashes over "
+        "3-word shingles, 4 bands × 4 rows; candidates share ≥1 band bucket. "
+        "Signature build is a pure map; candidate join meets only within "
+        "buckets — the O(n²) pair space never materializes.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_candidates(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split_regex({_NORM}, '\\s+') AS toks
+               FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+    sigs AS (SELECT doc_id, {_SIG} AS sig FROM sh),
+    banded AS (
+        SELECT doc_id, b, md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bh
+        FROM sigs, UNNEST(range(0, 4)) AS u(b)
+    ),
+    pairs AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM banded l JOIN banded r
+          ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0 THEN
+             CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh)))
+           ELSE 0.0 END AS jaccard
+    FROM pairs p
+    JOIN sh a ON a.doc_id = p.doc_a
+    JOIN sh b ON b.doc_id = p.doc_b
+    """,
+    doc="n-gram Jaccard verify stage: exact shingle Jaccard computed only "
+        "for LSH candidate pairs (the cheap-verify-after-approx pattern).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard(docs, minhash_candidates(docs))
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # 16-bit md5 bit-vote arithmetic isn't reasonably SQL-portable;
+    # verified against a pure-Python oracle in tests/test_extensions.py
+    doc="SimHash near-dup pairing: 16-bit md5-derived simhash, identical-"
+        "bucket pairs. Rows-only driver check; unit-tested vs Python oracle.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_dedup(load_table(spark, sf_dir, "documents"))
+
+
+# -- similarity search ------------------------------------------------------
+
+_QUERY_IDS = (0, 1, 2, 3, 4)
+
+
+@register(
+    "ann_brute_force",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM c WHERE vec_id IN {_QUERY_IDS}),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.v, c.v) AS sim
+        FROM c JOIN q ON c.vec_id <> q.vec_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(sim, 4) AS cosine_sim
+    FROM ranked WHERE rank <= 10
+    """,
+    doc="Brute-force cosine top-10 for 5 query vectors — the exact ANN "
+        "baseline. Queries broadcast; corpus scored in place; per-partition "
+        "top-k via ranked window. Similarity rounded to 4dp for cross-engine "
+        "hash stability (rank gaps >> double noise).",
+)
+def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*_QUERY_IDS))
+    return brute_force_topk(emb, queries, k=10)
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=None,  # hyperplane constants in SQL would be a page of literals;
+    # recall vs brute force is unit-tested instead
+    doc="LSH-bucketed ANN (scale path): 8-bit random-hyperplane buckets, "
+        "score only within the query's bucket (~1/256 of the corpus).",
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*_QUERY_IDS))
+    return lsh_bucket_topk(emb, queries, dim=64, k=10, bits=8)
+
+
+@register(
+    "embedding_near_dup",
+    oracle=None,  # bucket-pruned pair set; threshold property unit-tested
+    doc="Embedding-cosine near-duplicate pairs above 0.4 within LSH buckets "
+        "(threshold chosen to produce candidates in this corpus; production "
+        "would use ~0.95).",
+)
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, dim=64, threshold=0.4, bits=4)

@@ -1,0 +1,98 @@
+"""Registry entries: multimodal decode plumbing + Structured Streaming rollup.
+
+The multimodal decode runs through a real mapInPandas (Arrow-batched Python)
+with a deterministic md5-derived fake decoder, so its oracle can re-derive
+the exact same features in SQL — the Spark-side plumbing (binary columns,
+UDF batch shape, schema) is what's actually under test.
+
+The streaming rollup executes a real Structured Streaming query
+(Trigger.AvailableNow, watermark, dropDuplicatesWithinWatermark) whose
+drained result equals the batch aggregate — giving it a plain SQL oracle.
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..extensions.multimodal import attach_payload, decoded_features, frame_sample_plan
+from ..functions import sql_money_sum
+from ..io import load_table
+from .registry import register
+
+# hex nibble fold: DuckDB twin of Python's int(hex_str, 16)
+def _hex2int(expr: str) -> str:
+    return (
+        f"list_reduce(list_transform(string_split({expr}, ''), "
+        f"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+        f"(a, b) -> a * 16 + b)"
+    )
+
+
+@register(
+    "multimodal_decode",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           CAST(1 + {_hex2int("substr(md5(text), 1, 4)")} % 2048 AS INTEGER) AS width,
+           CAST(1 + {_hex2int("substr(md5(text), 5, 4)")} % 2048 AS INTEGER) AS height,
+           CAST(1 + {_hex2int("substr(md5(text), 9, 2)")} % 16 AS INTEGER) AS n_frames
+    FROM documents
+    """,
+    doc="Multimodal decode plumbing: binary payload + metadata struct → "
+        "mapInPandas (Arrow batches) → typed features. The decoder is a "
+        "deterministic md5 fake (container has no media libs; the real-"
+        "decoder seam is decode_image_real). Pure map, no shuffle.",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decoded_features(attach_payload(docs))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(1 + {_hex2int("substr(md5(text), 9, 2)")} % 16 AS INTEGER)
+                   AS n_frames
+        FROM documents
+    )
+    SELECT doc_id, n_frames, CAST(u.f AS INTEGER) AS frame_index
+    FROM d, UNNEST(range(0, n_frames, 4)) AS u(f)
+    """,
+    doc="Frame-sampling grid: every-4th frame index per document, exploded "
+        "JVM-side (the per-frame decode fans out from this at scale).",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample_plan(decoded_features(attach_payload(docs)), every_nth=4)
+
+
+_stream_counter = itertools.count()
+
+
+@register(
+    "streaming_daily_rollup",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS event_date, event_type,
+           COUNT(*) AS n_events,
+           {sql_money_sum('value')} AS total_value
+    FROM events
+    GROUP BY CAST(ts AS DATE), event_type
+    """,
+    doc="Structured Streaming daily rollup (SURVEY §2.10): AvailableNow "
+        "drain, 1-day watermark, dropDuplicatesWithinWatermark(event_id), "
+        "1-day tumbling window per event_type. Drained result == the batch "
+        "daily aggregate, which is the oracle.",
+)
+def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.snapshot_stream import run_available_now
+
+    name = f"daily_rollup_stream_{next(_stream_counter)}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        df = run_available_now(spark, sf_dir, ckpt, out_table=name)
+        # materialize before the checkpoint dir vanishes
+        return spark.createDataFrame(df.collect(), df.schema)

@@ -1,0 +1,87 @@
+"""Structured Streaming flavor of the snapshot pipeline (SURVEY.md §2.10).
+
+The reference's temporal model — one batch per day appended to a historical
+table — is the batch analogue of a daily tumbling window. This module gives
+the streaming equivalent over the ``events`` table:
+
+- ``Trigger.AvailableNow``: drain everything currently in the source, then
+  stop — the streaming version of a scheduled daily batch, with checkpointed
+  exactly-once progress across runs;
+- watermark + ``dropDuplicatesWithinWatermark`` replaces the reference's
+  detect-but-not-prevent duplicate handling (O-25) with prevention;
+- windowed aggregation = the daily snapshot rollup.
+
+Scale: state is bounded by the watermark horizon (1 day of event ids for
+dedup, open windows for the agg); partitioned by window start when written.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import money_sum
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos, as in the parquet
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (new files in the directory
+    would be picked up incrementally — the ingest-directory pattern)."""
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def daily_rollup(events: DataFrame) -> DataFrame:
+    """Watermarked, dedup-protected daily tumbling rollup per event_type —
+    the streaming twin of the daily snapshot aggregate (O-21)."""
+    return (
+        events.withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy(
+            F.window("ts", "1 day").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            money_sum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("day.start").cast("date").alias("event_date"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(spark: SparkSession, sf_dir: str, checkpoint_dir: str,
+                      out_table: str = "daily_rollup_stream") -> DataFrame:
+    """Drain the source with Trigger.AvailableNow into an in-memory sink and
+    return the result table. Complete mode: windows re-emit on update, exactly
+    like re-running the reference's daily report."""
+    q = (
+        daily_rollup(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(out_table)
