@@ -20,7 +20,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from .normalize import (
     extract_personnel_costs,
@@ -71,8 +72,12 @@ def run_daily_etl(
 
     stats: dict = {"run_date": run_date, "tables": {}}
     for name, df in tables.items():
-        dual_write(df, base_path, name)
-        stats["tables"][name] = spark.read.parquet(f"{base_path}/{name}").count()
+        # O-27 as df.observe: run stats piggyback on the write pass instead
+        # of a separate count scan (ref keeps driver-side fold stats,
+        # monday_etl_automated.py:326-328; SURVEY §2.4 suggests observe)
+        obs = Observation(f"stats_{name}_{run_date}")
+        dual_write(df.observe(obs, F.count(F.lit(1)).alias("n")), base_path, name)
+        stats["tables"][name] = obs.get["n"]
 
     dod = compare_with_previous_day(
         read_historical(spark, base_path, "project_subitems"),

@@ -2,6 +2,7 @@
 
 from . import (  # noqa: F401
     aggregates,
+    analytics,
     extensions_queries,
     metrics,
     multimodal_streaming_queries,
