@@ -1,0 +1,146 @@
+"""Declarative table catalog — the reference's explicit BigQuery schemas as
+StructTypes (O-33, monday_etl_automated.py:64-146; etl_final_fix.py:230-261).
+
+The reference supports two schema modes (SURVEY §1.3): explicit declaration
+(these StructTypes — the production path, etl_final_fix) and autodetect
+(schema inference; Spark's inferSchema / createDataFrame-from-pandas). The
+normalize layer's outputs are validated against this catalog in tests, so the
+transform and the declared contract can't drift apart.
+
+``ensure_table`` is the create-if-not-exists analogue: parquet needs no DDL,
+so "creating" a historical table means materializing an empty day-partitioned
+dataset with the declared schema (idempotent, like the reference's
+get-or-create at :159-170).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+
+def _lineage() -> list[T.StructField]:
+    return [
+        T.StructField("extraction_date", T.DateType()),
+        T.StructField("extraction_timestamp", T.TimestampType()),
+    ]
+
+
+def _audit() -> list[T.StructField]:
+    return [
+        T.StructField("created_at", T.TimestampType()),
+        T.StructField("updated_at", T.TimestampType()),
+    ]
+
+
+PROJECTS = T.StructType(
+    _lineage()
+    + [
+        T.StructField("project_id", T.StringType()),
+        T.StructField("project_name", T.StringType()),
+        T.StructField("po", T.StringType()),
+        T.StructField("data_avvio", T.DateType()),
+        T.StructField("var_non_var", T.StringType()),
+        T.StructField("circolo", T.StringType()),
+        T.StructField("tipologia", T.StringType()),
+        T.StructField("stato_pipeline", T.StringType()),
+        T.StructField("aperto_chiuso", T.StringType()),
+    ]
+    + _audit()
+)
+
+PROJECT_SUBITEMS = T.StructType(
+    _lineage()
+    + [
+        T.StructField("subitem_id", T.StringType()),
+        T.StructField("project_id", T.StringType()),
+        T.StructField("subitem_name", T.StringType()),
+        T.StructField("po", T.StringType()),
+        T.StructField("timeline_start", T.DateType()),
+        T.StructField("timeline_end", T.DateType()),
+        T.StructField("revenue_amount", T.DoubleType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("tipologia", T.StringType()),
+    ]
+    + _audit()
+)
+
+PERSONNEL_COSTS = T.StructType(
+    _lineage()
+    + [
+        T.StructField("cost_id", T.StringType()),
+        T.StructField("cost_name", T.StringType()),
+        T.StructField("person", T.StringType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("linked_subitem_id", T.StringType()),
+        T.StructField("linked_subitem_name", T.StringType()),
+    ]
+    + _audit()
+)
+
+TRAVEL_COSTS = T.StructType(
+    _lineage()
+    + [
+        T.StructField("cost_id", T.StringType()),
+        T.StructField("cost_name", T.StringType()),
+        T.StructField("person", T.StringType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("date", T.DateType()),
+        T.StructField("stato", T.StringType()),
+        T.StructField("pagata_con", T.StringType()),
+        T.StructField("linked_subitem_id", T.StringType()),
+        T.StructField("linked_subitem_name", T.StringType()),
+    ]
+    + _audit()
+)
+
+SUPPLIER_COSTS = T.StructType(
+    _lineage()
+    + [
+        T.StructField("cost_id", T.StringType()),
+        T.StructField("cost_name", T.StringType()),
+        T.StructField("imponibile", T.DoubleType()),
+        T.StructField("tipologia", T.StringType()),
+        T.StructField("stato_ordine", T.StringType()),
+        T.StructField("iva", T.DoubleType()),
+        T.StructField("linked_subitem_id", T.StringType()),
+        T.StructField("linked_subitem_name", T.StringType()),
+    ]
+    + _audit()
+)
+
+CATALOG: dict[str, T.StructType] = {
+    "projects": PROJECTS,
+    "project_subitems": PROJECT_SUBITEMS,
+    "personnel_costs": PERSONNEL_COSTS,
+    "travel_costs": TRAVEL_COSTS,
+    "supplier_costs": SUPPLIER_COSTS,
+}
+
+
+def read_table(spark: SparkSession, base_path: str, table: str,
+               historical: bool = True):
+    """Read with the declared schema — required for freshly-created empty
+    partitioned datasets (no files to infer from), and a guard against
+    drift for populated ones."""
+    suffix = "_historical" if historical else ""
+    return spark.read.schema(CATALOG[table]).parquet(
+        os.path.join(base_path, f"{table}{suffix}")
+    )
+
+
+def ensure_table(spark: SparkSession, base_path: str, table: str,
+                 historical: bool = True) -> str:
+    """Idempotent create-if-not-exists: materialize an empty dataset with the
+    declared schema (and day partitioning for historical) when absent."""
+    suffix = "_historical" if historical else ""
+    path = os.path.join(base_path, f"{table}{suffix}")
+    if not os.path.exists(path):
+        empty = spark.createDataFrame([], CATALOG[table])
+        writer = empty.write.mode("overwrite")
+        if historical:
+            writer = writer.partitionBy("extraction_date")
+        writer.parquet(path)
+    return path

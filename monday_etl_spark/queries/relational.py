@@ -361,33 +361,25 @@ def scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id, no range-join explosion, linear in events at 100 TB.",
 )
 def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal_ops import asof_join as asof
+
     ev = load_table(spark, sf_dir, "events")
-    both = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols={"ts": "last_click_ts"},
+    )
+    return out.select(
         "event_id",
         "user_id",
-        "ts",
-        "event_type",
-        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
-    )
-    # clicks sort before purchases at identical ts => ">= same-instant" semantics
-    order = [F.col("ts"), F.when(F.col("event_type") == "click", 0).otherwise(1)]
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        both.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            "event_id",
-            "user_id",
-            # timestamps leave the query as epoch microseconds: the source
-            # parquet is nanosecond-precision, so raw timestamp output would
-            # compare differently across engines (SURVEY §1.3 type notes)
-            F.unix_micros("ts").alias("purchase_ts_us"),
-            F.unix_micros("last_click_ts").alias("last_click_ts_us"),
-        )
+        # timestamps leave the query as epoch microseconds: the source
+        # parquet is nanosecond-precision, so raw timestamp output would
+        # compare differently across engines (SURVEY §1.3 type notes)
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.unix_micros("last_click_ts").alias("last_click_ts_us"),
     )
 
 
@@ -413,17 +405,10 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "starts — integer-only logic, deterministic; one shuffle on user_id.",
 )
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    # exact microsecond arithmetic (casting ts to long would truncate to
-    # seconds and disagree with the oracle on sub-second boundary gaps)
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(prev)
-    is_new = F.when(prev.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
-    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (
-        ev.select("user_id", "event_id", "ts")
-        .withColumn("is_new", is_new)
-        .withColumn("session_no", F.sum("is_new").over(wc))
-        .select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "session_no")
+    from ..operators.temporal_ops import sessionize as sess
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    out = sess(ev, key="user_id", ts="ts", gap=30 * 60, order_tiebreak="event_id")
+    return out.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "session_no"
     )

@@ -1,0 +1,91 @@
+"""Spark 4 Python Data Source for Monday-style GraphQL boards — the
+partition-parallel scale path of the connector (SURVEY §2.1 O-1 note).
+
+``source_graphql.MondayConnector`` fetches driver-side, which is right for
+one small board. This DataSource moves the fetch onto executors: one
+InputPartition per board, each task pulling its board's pages independently —
+the shape that scales to thousands of boards. Pages are emitted as raw JSON
+strings; parsing happens JVM-side via ``from_json`` (so the Python task does
+I/O, not row-by-row decoding).
+
+Offline contract as everywhere in this repo: the "endpoint" is a JSON file
+(board_id → list of page responses). A production HTTP variant would swap
+``_load_pages`` for paginated POSTs using exactly the retry/cursor logic of
+``MondayConnector`` — per-executor, no driver bottleneck.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from .normalize import MONDAY_SCHEMA
+
+RAW_SCHEMA = "board_id string, page_index int, payload string"
+
+
+class BoardPartition(InputPartition):
+    def __init__(self, board_id: str):
+        self.board_id = board_id
+
+
+class MondayDataSource(DataSource):
+    """Usage:
+        spark.dataSource.register(MondayDataSource)
+        spark.read.format("monday")
+             .option("fixture_path", path).option("boards", "b1,b2").load()
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "monday"
+
+    def schema(self) -> str:
+        return RAW_SCHEMA
+
+    def reader(self, schema) -> "MondayBoardReader":
+        return MondayBoardReader(self.options)
+
+
+class MondayBoardReader(DataSourceReader):
+    def __init__(self, options):
+        self.fixture_path = options.get("fixture_path")
+        boards = options.get("boards", "")
+        self.boards = [b for b in boards.split(",") if b]
+        if not self.fixture_path or not self.boards:
+            raise ValueError("monday source requires 'fixture_path' and 'boards' options")
+
+    def partitions(self):
+        # O-4: one partition per board — board fetches run concurrently on
+        # executors; at thousands of boards this is the parallelism unit
+        return [BoardPartition(b) for b in self.boards]
+
+    def read(self, partition: BoardPartition):
+        # executes on an executor; self-contained (no driver state)
+        with open(self.fixture_path) as f:
+            fixtures = json.load(f)
+        for i, page in enumerate(fixtures.get(partition.board_id, [])):
+            yield (partition.board_id, i, json.dumps(page))
+
+
+def read_monday_items(spark: SparkSession, fixture_path: str,
+                      boards: list[str]) -> DataFrame:
+    """Register + read + JVM-side parse: raw page JSON → flat item rows with
+    their board_id. The from_json/explode pipeline is the same O-5 flatten
+    as the driver-side path — only the fetch layer differs."""
+    spark.dataSource.register(MondayDataSource)
+    raw = (
+        spark.read.format("monday")
+        .option("fixture_path", fixture_path)
+        .option("boards", ",".join(boards))
+        .load()
+    )
+    return (
+        raw.select("board_id", F.from_json("payload", MONDAY_SCHEMA).alias("r"))
+        .select("board_id", F.explode("r.data.boards").alias("board"))
+        .select("board_id", F.explode("board.items_page.items").alias("item"))
+        .select("board_id", "item.*")
+    )
