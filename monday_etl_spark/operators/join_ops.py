@@ -1,0 +1,49 @@
+"""Join strategy builders for scale: broadcast hints and salted joins.
+
+AQE's skew-join splitting (on in session.py) handles most skew at runtime;
+``salted_join`` is the explicit fallback for the pathological case AQE can't
+fix — a *single* hot key whose one hash bucket exceeds an executor. Salting
+splits each hot probe row across SALT buckets and replicates the matching
+build rows into every bucket, so the hot key's work spreads over SALT tasks.
+
+Correctness: salting an inner/left equi-join is a pure partitioning change —
+each (probe row, build row) pair still meets exactly once, because the build
+side is replicated across exactly the buckets the probe rows hash into.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def broadcast_dim(fact: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Dimension-join idiom: force-broadcast the dim side so the fact never
+    shuffles (O-16/O-17 scale note — the reference's projects table is the
+    dim)."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Equi-join with the left (large/skewed) side salted and the right
+    (smaller) side replicated ``salt`` times.
+
+    left gets a random-but-deterministic bucket per row (hash of all columns,
+    not a true random — keeps the plan re-computable under task retries,
+    which ``rand()`` would break); right is exploded once per bucket. The
+    join key becomes (key, bucket), splitting any hot key across ``salt``
+    shuffle partitions.
+    """
+    bucket = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(salt))
+    lsalted = left.withColumn("__salt", bucket)
+    rsalted = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = lsalted.join(rsalted, [on, "__salt"], how)
+    return out.drop("__salt")

@@ -89,6 +89,44 @@ def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cube_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping-sets: all 4 grouping combinations in one pass "
+        "(Expand + single shuffle), completing the rollup/cube family the "
+        "reference's reports imply (SURVEY §2.4 note).",
+)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "approx_distinct_users",
+    oracle=None,  # HLL sketches differ per engine by construction; the 5%
+    # error bound vs exact is asserted in tests/test_join_ops.py
+    doc="approx_count_distinct (HyperLogLog++) per event_type — the sketch "
+        "path for distinct counts whose exact form (O-21 countDistinct) "
+        "needs a full shuffle of the key at 100 TB. Rows-only check: sketch "
+        "estimates are engine-specific by design.",
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # O-24 + O-18: grand-total battery assembled as one row (scalar-subquery style)
 # ---------------------------------------------------------------------------
