@@ -72,15 +72,30 @@ def word_shingles(col: Column, k: int = 3) -> Column:
 
 
 def minhash_signature(col: Column, num_hashes: int = 16, k: int = 3) -> Column:
-    """MinHash signature as array<string>: element j is the minimum of
-    md5(j || '|' || shingle) over the doc's shingles. String-min over hex
-    digests is engine-portable (no 128-bit integer math needed); the usual
-    (a*x+b) mod p permutations are replaced by seed-prefixed md5."""
+    """MinHash signature as array<string>: hash function j is the 8-hex-char
+    slice ``md5(seed || '|' || shingle)[8*(j%4) : +8]`` with seed = j//4 —
+    4 md5 calls per shingle yield 16 independent 32-bit hash values (slicing
+    one digest is 4x cheaper than 16 seeded md5s; the min over 8-hex strings
+    is an engine-portable stand-in for (a*x+b) mod p permutations).
+    Requires num_hashes % 4 == 0."""
+    assert num_hashes % 4 == 0
+    n_seeds = num_hashes // 4
     sh = word_shingles(col, k=k)
+    digests = F.transform(
+        sh,
+        lambda s: F.array(
+            *[F.md5(F.concat_ws("|", F.lit(str(seed)), s)) for seed in range(n_seeds)]
+        ),
+    )
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda j: F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat_ws("|", j.cast("string"), s)))
+            F.transform(
+                digests,
+                lambda d: F.element_at(d, F.floor(j / 4).cast("int") + 1).substr(
+                    F.lit(1) + (j % 4) * 8, F.lit(8)
+                ),
+            )
         ),
     )
 
@@ -117,6 +132,12 @@ def minhash_candidates(
         "sig",
         F.explode(minhash_bands(F.col("sig"), num_bands, rows_per_band)).alias("b"),
     ).select("doc_id", "sig", F.col("b.band").alias("band"), F.col("b.band_hash").alias("bh"))
+    # both sides of the self-join read `banded`; without persist, Catalyst
+    # re-derives the whole shingle+signature tree per side (no CSE across
+    # self-join branches) — the dominant cost. The persisted frame is tiny:
+    # (doc_id, 16x8-char sig, band, hash) per band. At 100 TB this becomes a
+    # materialized signature table (SCALE.md).
+    banded = banded.persist()
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -152,6 +173,7 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     """Exact shingle-Jaccard for candidate pairs (the verify stage after
     LSH): |A∩B| / |A∪B| over distinct k-word shingles."""
     sh = spread(df).select("doc_id", word_shingles(F.col(text_col), k).alias("sh"))
+    sh = sh.persist()  # joined twice (doc_a and doc_b sides)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     joined = pairs.select("doc_a", "doc_b").join(a, "doc_a").join(b, "doc_b")
@@ -210,6 +232,7 @@ def simhash_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Docs sharing an identical 16-bit simhash bucket, paired for review
     (hamming-distance banding generalizes this at scale)."""
     h = spread(df).select("doc_id", simhash16(F.col(text_col)).alias("simhash"))
+    h = h.persist()  # self-joined: avoid recomputing the bit votes per side
     a, b = h.alias("a"), h.alias("b")
     return a.join(
         b,

@@ -151,6 +151,7 @@ def embedding_near_dup(
     v = df.select(
         F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
     ).withColumn("bucket", bucket_bits(F.col("v"), dim, bits))
+    v = v.persist()  # self-joined: bucket_bits is 'bits' 64-dim dot folds per row
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(

@@ -140,8 +140,14 @@ _SHINGLES = (
     f"list_distinct([array_to_string(t.toks[i:i+2], ' ') "
     f"for i in range(1, greatest(len(t.toks)-2, 1) + 1)])"
 )
+# 4 md5 digests per shingle, sliced into 16 8-hex hash values (mirrors
+# extensions/dedup.minhash_signature exactly)
+_DIGS = (
+    "[[md5(concat('0', '|', s)), md5(concat('1', '|', s)), "
+    "md5(concat('2', '|', s)), md5(concat('3', '|', s))] for s in sh]"
+)
 _SIG = (
-    "[list_min([md5(concat(CAST(j AS VARCHAR), '|', s)) for s in sh]) "
+    "[list_min([substr(d[j // 4 + 1], 1 + 8 * (j % 4), 8) for d in digs]) "
     "for j in range(0, 16)]"
 )
 
@@ -152,7 +158,8 @@ _SIG = (
     WITH t AS (SELECT doc_id, string_split_regex({_NORM}, '\\s+') AS toks
                FROM documents),
     sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
-    sigs AS (SELECT doc_id, {_SIG} AS sig FROM sh),
+    digs AS (SELECT doc_id, {_DIGS} AS digs FROM sh),
+    sigs AS (SELECT doc_id, {_SIG} AS sig FROM digs),
     banded AS (
         SELECT doc_id, sig, b,
                md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bh
@@ -184,7 +191,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT doc_id, string_split_regex({_NORM}, '\\s+') AS toks
                FROM documents),
     sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
-    sigs AS (SELECT doc_id, {_SIG} AS sig FROM sh),
+    digs AS (SELECT doc_id, {_DIGS} AS digs FROM sh),
+    sigs AS (SELECT doc_id, {_SIG} AS sig FROM digs),
     banded AS (
         SELECT doc_id, b, md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bh
         FROM sigs, UNNEST(range(0, 4)) AS u(b)
