@@ -31,6 +31,9 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .session import ensure_session_confs
+
+    ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # ts arrives as raw nanos (LongType) via spark.sql.legacy.parquet.

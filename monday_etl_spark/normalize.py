@@ -106,6 +106,9 @@ MONDAY_SCHEMA = T.StructType(
 
 def board_df(spark: SparkSession, response: dict) -> DataFrame:
     """One GraphQL response (dict) → a 1-row nested DataFrame."""
+    from .session import ensure_session_confs
+
+    ensure_session_confs(spark)
     return spark.createDataFrame([response], schema=MONDAY_SCHEMA)
 
 

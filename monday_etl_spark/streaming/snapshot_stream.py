@@ -38,6 +38,9 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (new files in the directory
     would be picked up incrementally — the ingest-directory pattern)."""
+    from ..session import ensure_session_confs
+
+    ensure_session_confs(spark)
     raw = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
