@@ -75,6 +75,39 @@ _stream_counter = itertools.count()
 
 
 @register(
+    "streaming_stateful_sessions",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    )
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+    FROM flagged
+    """,
+    doc="Custom stateful streaming operator (SURVEY §2.10 extension point): "
+        "gap sessionization via applyInPandasWithState — per-user (last_ts, "
+        "session_no) state across micro-batches, Arrow-batched groups. On a "
+        "drained AvailableNow source it equals the batch window sessionizer, "
+        "which is the SQL oracle.",
+)
+def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from ..streaming.stateful_sessions import run_stateful_sessions
+
+    name = f"stateful_sessions_q{next(_stream_counter)}"
+    with _tf.TemporaryDirectory() as ckpt:
+        df = run_stateful_sessions(spark, sf_dir, ckpt, name=name)
+        return spark.createDataFrame(df.collect(), df.schema)
+
+
+@register(
     "streaming_daily_rollup",
     oracle=f"""
     SELECT CAST(ts AS DATE) AS event_date, event_type,

@@ -78,6 +78,44 @@ def compare_with_previous_day(hist: DataFrame, id_col: str, measure_col: str) ->
     )
 
 
+def latest_snapshot_view(hist: DataFrame, key: str,
+                         order_col: str = "extraction_timestamp") -> DataFrame:
+    """Latest row per entity across the whole history (the row_number dedup
+    view the duplicate check implies; SURVEY §2.5 note). Tie-break on the
+    key itself keeps the winner deterministic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.desc(order_col), F.desc(key))
+    return (
+        hist.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
+                 key: str) -> None:
+    """Entity-level MERGE (upsert) on a parquet snapshot — the Delta-MERGE
+    alternative to partition overwrite (SURVEY §2.10): rows in ``updates``
+    replace same-key rows, others are kept.
+
+    Parquet has no ACID merge, so this is read → anti-join → union →
+    overwrite; the read is materialized (cached + counted) before the
+    overwrite so Spark never reads the files it is replacing mid-write.
+    On Delta/Iceberg this becomes a real MERGE INTO with file-level pruning.
+    """
+    import os
+
+    if os.path.exists(path):
+        current = spark.read.parquet(path).cache()
+        current.count()  # materialize before overwriting the source files
+        kept = current.join(updates.select(key), key, "left_anti")
+        merged = kept.unionByName(updates)
+    else:
+        merged = updates
+    merged.write.mode("overwrite").parquet(path)
+
+
 def check_duplicates(df: DataFrame, key: str) -> DataFrame:
     """O-25 (advanced_monitoring.py:146-154): duplicate keys in a snapshot."""
     return (
