@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     multimodal_streaming_queries,
     normalize_queries,
     relational,
+    reshape,
     windows,
 )
 from .registry import REGISTRY, oracle_sql, queries  # noqa: F401

@@ -1,0 +1,124 @@
+"""Reshaping + distribution operators: pivot, unpivot, batch tumbling
+windows, percentiles. Extensions beyond the reference surface (its EAV→wide
+mapping is deliberately *not* a pivot — SURVEY O-7 note — but users of the
+wide tables pivot/melt them constantly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import money_sum, sql_money_sum
+from ..io import load_table
+from .registry import register
+
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def _pivot_case(t: str) -> str:
+    return (
+        f"ROUND(CAST(SUM(CASE WHEN event_type = '{t}' THEN "
+        f"CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS {t}"
+    )
+
+
+@register(
+    "pivot_event_values",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS event_date,
+           {", ".join(_pivot_case(t) for t in _EVENT_TYPES)}
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+    doc="groupBy().pivot() with an explicit value list (explicit list keeps "
+        "the plan single-pass — no extra distinct scan to discover columns, "
+        "which matters when the fact table is 100 TB).",
+)
+def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("ts").cast("date").alias("event_date"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(money_sum(F.col("value")))
+    )
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+    doc="unpivot/melt: wide measure columns to (measure, value) rows — the "
+        "inverse reshaping, one Expand node (single scan, no join).",
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
+@register(
+    "tumbling_window_6h",
+    oracle=f"""
+    SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS window_start_us,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_money_sum('value')} AS total_value
+    FROM events
+    GROUP BY (epoch_us(ts) // 21600000000) * 21600000000, event_type
+    """,
+    doc="Batch tumbling window (F.window, 6h) per event_type — the batch "
+        "twin of the streaming rollup at sub-day granularity; emitted as "
+        "epoch-µs window starts (engine-portable).",
+)
+def tumbling_window_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            money_sum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "revenue_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.9) AS p90,
+           quantile_cont(l_extendedprice, 0.99) AS p99,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles (Spark percentile == DuckDB "
+        "quantile_cont, verified bit-equal). Exact percentiles sort per "
+        "group; the sketch path for 100 TB is approx_percentile (same shape "
+        "as approx_distinct_users).",
+)
+def revenue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.9).alias("p90"),
+        F.percentile("l_extendedprice", 0.99).alias("p99"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
