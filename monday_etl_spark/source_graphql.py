@@ -30,7 +30,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .normalize import MONDAY_SCHEMA, board_df, items_df
+from .normalize import MONDAY_SCHEMA, items_df
 
 Transport = Callable[[str], dict]
 """A transport takes a GraphQL query string and returns the decoded JSON."""
