@@ -3,6 +3,7 @@
 from . import (  # noqa: F401
     aggregates,
     analytics,
+    cluster_tfidf,
     extensions_queries,
     metrics,
     multimodal_streaming_queries,
