@@ -76,15 +76,26 @@ def run_available_now(spark: SparkSession, sf_dir: str, checkpoint_dir: str,
                       out_table: str = "daily_rollup_stream") -> DataFrame:
     """Drain the source with Trigger.AvailableNow into an in-memory sink and
     return the result table. Complete mode: windows re-emit on update, exactly
-    like re-running the reference's daily report."""
-    q = (
-        daily_rollup(read_events_stream(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName(out_table)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    like re-running the reference's daily report.
+
+    State-store partition count is pinned low for the drain: each stateful
+    operator initializes one RocksDB/HDFS store per shuffle partition, and
+    at this cardinality (days × event types) 32 stores are pure overhead.
+    The conf is restored afterwards; a high-volume deployment would size it
+    to the key cardinality instead."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            daily_rollup(read_events_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName(out_table)
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(out_table)

@@ -99,14 +99,21 @@ def run_stateful_sessions(spark, sf_dir: str, checkpoint_dir: str,
     ev = read_events_stream(spark, sf_dir).select(
         "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
     )
-    q = (
-        stateful_sessionize(ev, gap_seconds)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # see run_available_now: state stores per shuffle partition; 8 is plenty
+    # for the user-key cardinality here, conf restored after the drain
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stateful_sessionize(ev, gap_seconds)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
