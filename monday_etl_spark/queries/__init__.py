@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     normalize_queries,
     relational,
     reshape,
+    training_pipeline,
     windows,
 )
 from .registry import REGISTRY, oracle_sql, queries  # noqa: F401
