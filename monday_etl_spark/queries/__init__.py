@@ -1,6 +1,7 @@
 """Import every query module so the registry is fully populated on import."""
 
 from . import (  # noqa: F401
+    advanced,
     aggregates,
     analytics,
     cluster_tfidf,

@@ -1,0 +1,150 @@
+"""Advanced patterns: bucketed range join and an exact-oracle applyInPandas
+grouped transform.
+
+The range join completes the join family SURVEY §2.3 notes as absent from
+the reference; the grouped z-score shows the §2.9 extension surface
+(applyInPandas) with arithmetic designed to stay bit-identical to SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator  # noqa: F401  (doc parity with multimodal)
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import load_table
+from .registry import register
+
+_WINDOW_US = 5 * 60 * 1_000_000  # 5 minutes
+
+
+@register(
+    "range_join_bucketed",
+    oracle=f"""
+    SELECT e.event_id, e.user_id,
+           COUNT(p.event_id) AS n_recent_same_user
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN events p
+      ON p.user_id = e.user_id
+     AND p.event_id <> e.event_id
+     AND epoch_us(p.ts) >  epoch_us(e.ts) - {_WINDOW_US}
+     AND epoch_us(p.ts) <= epoch_us(e.ts)
+    GROUP BY e.event_id, e.user_id
+    """,
+    doc="Range join done scale-safely: instead of the raw theta join "
+        "(user_id equi + time range — the probe side would scan every user "
+        "row), both sides are bucketed into 5-minute time buckets and the "
+        "join key becomes (user_id, bucket) with the probe exploded to "
+        "[bucket-1, bucket] — each error row meets only ~2 buckets of its "
+        "user's events, then the exact range predicate filters. At 100 TB "
+        "the bucket join is an equi-join Catalyst can shuffle/broadcast "
+        "normally; the O(n·m) per-user blowup never happens.",
+)
+def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    errors = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"))
+    )
+    bucket = (F.col("ts_us") / _WINDOW_US).cast("long")
+    # probe (errors) explodes to its bucket and the previous one: any event
+    # within [t-5min, t] lives in one of those two buckets
+    probe = errors.withColumn(
+        "bucket", F.explode(F.array(bucket - 1, bucket))
+    ).select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts_us").alias("e_ts"),
+        "bucket",
+    )
+    build = ev.withColumn("bucket", bucket).select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts_us").alias("p_ts"),
+        "bucket",
+    )
+    joined = probe.join(
+        build,
+        (probe.e_user == build.p_user)
+        & (probe.bucket == build.bucket)
+        & (build.p_id != probe.e_id)
+        & (build.p_ts > probe.e_ts - _WINDOW_US)
+        & (build.p_ts <= probe.e_ts),
+        "left",
+    )
+    return joined.groupBy(
+        F.col("e_id").alias("event_id"), F.col("e_user").alias("user_id")
+    ).agg(F.count("p_id").alias("n_recent_same_user"))
+
+
+_Z_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("zscore", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "grouped_zscore_pandas",
+    oracle="""
+    WITH stats AS (
+        SELECT user_id,
+               COUNT(*) AS n,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS sum_c,
+               SUM(CAST(round(value * 100) AS BIGINT)
+                   * CAST(round(value * 100) AS BIGINT)) AS sumsq_c
+        FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, e.event_id, e.value,
+           CASE WHEN s.n > 1 AND
+                     (CAST(s.sumsq_c AS DOUBLE) - CAST(s.sum_c AS DOUBLE)
+                      * s.sum_c / s.n) > 0
+                THEN (CAST(round(e.value * 100) AS BIGINT) - CAST(s.sum_c AS DOUBLE) / s.n)
+                     / sqrt((CAST(s.sumsq_c AS DOUBLE) - CAST(s.sum_c AS DOUBLE)
+                             * s.sum_c / s.n) / (s.n - 1))
+                ELSE 0.0 END AS zscore
+    FROM events e JOIN stats s USING (user_id)
+    """,
+    doc="applyInPandas grouped transform (§2.9 extension surface, the "
+        "SNIPPETS grouped-map pattern): per-user z-score of event values. "
+        "Group sums are exact integer cents (numpy int64) so the pandas "
+        "computation is bit-identical to the SQL formula — a demonstration "
+        "that Python extension ops can still satisfy the exact oracle gate. "
+        "Arrow-batched per group; shuffles once on user_id.",
+)
+def grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        cents = np.round(pdf["value"].to_numpy() * 100).astype(np.int64)
+        n = len(cents)
+        sum_c = int(cents.sum())
+        sumsq_c = int((cents * cents).sum())
+        num = float(sumsq_c) - float(sum_c) * sum_c / n
+        if n > 1 and num > 0:
+            mean_c = float(sum_c) / n
+            std_c = (num / (n - 1)) ** 0.5
+            z = (cents - mean_c) / std_c
+        else:
+            z = np.zeros(n)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "value": pdf["value"],
+                "zscore": z,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(zscore, schema=_Z_SCHEMA)
