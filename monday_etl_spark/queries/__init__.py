@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     normalize_queries,
     relational,
     reshape,
+    stats,
     training_pipeline,
     windows,
 )

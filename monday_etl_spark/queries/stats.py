@@ -1,0 +1,107 @@
+"""Distribution statistics: histogram binning, exact correlation,
+deterministic sampling — the profiling ops a data pipeline runs before and
+after transformations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .registry import register
+
+
+@register(
+    "revenue_histogram",
+    oracle="""
+    SELECT CAST(floor(l_extendedprice / 5000) AS INTEGER) + 1 AS bucket,
+           COUNT(*) AS n,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY CAST(floor(l_extendedprice / 5000) AS INTEGER) + 1
+    """,
+    doc="Equi-width histogram (5000-wide buckets over the price domain) via "
+        "explicit floor binning (width_bucket doesn't exist in DuckDB; the "
+        "floor expression is engine-portable) — a single partial+final "
+        "aggregate.",
+)
+def revenue_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    b = (F.floor(F.col("l_extendedprice") / 5000).cast("int") + 1)
+    return li.groupBy(b.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@register(
+    "price_quantity_corr",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sx,
+               SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sy,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxx,
+               SUM(CAST(round(l_quantity * 100) AS BIGINT)
+                   * CAST(round(l_quantity * 100) AS BIGINT)) AS syy,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round(l_quantity * 100) AS BIGINT)) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+           / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+              * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))
+               AS price_qty_corr
+    FROM s
+    """,
+    doc="Pearson correlation computed from exact integer-cents sums (the "
+        "F.corr built-in accumulates doubles and is partial-agg-order "
+        "dependent; this formulation is bit-deterministic at any "
+        "parallelism — same technique as grouped_zscore_pandas). sxy of "
+        "cents*cents stays within int64 up to ~1e5-row x 1e7-cent groups; "
+        "beyond that, promote to DECIMAL(38,0).",
+)
+def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    y = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = n * F.col("sxy").cast("double") - sx * F.col("sy")
+    den = F.sqrt(n * F.col("sxx").cast("double") - sx * F.col("sx")) * F.sqrt(
+        n * F.col("syy").cast("double") - sy * F.col("sy")
+    )
+    return s.select("l_returnflag", "n", (num / den).alias("price_qty_corr"))
+
+
+@register(
+    "deterministic_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+               - 1 AS BIGINT) < 2
+    """,
+    doc="Reproducible ~12.5% sample keyed on md5(doc_id) first nibble < 2 — "
+        "the sampling a training pipeline must use so re-runs, engines, and "
+        "audits agree on membership (df.sample() is seed-and-partitioning "
+        "dependent). Pure map; the predicate pushes to the scan.",
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nibble = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+                    ).cast("bigint")
+    return docs.filter(nibble < 2).select("doc_id", "lang", "n_chars")
