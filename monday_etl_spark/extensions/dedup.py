@@ -228,6 +228,65 @@ def simhash16(col: Column) -> Column:
     )
 
 
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       max_distance: int = 2) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming-distance budget, at scale.
+
+    Banding: the 16-bit hash splits into (max_distance + 1) bands; by
+    pigeonhole, any pair within ``max_distance`` bits agrees exactly on at
+    least one band, so candidates come from equi-joins on (band_index,
+    band_value) — never an all-pairs XOR scan. The exact popcount filter
+    then keeps true near-pairs. Returns (doc_a, doc_b, hamming_distance).
+    """
+    n_bands = max_distance + 1
+    width = 16 // n_bands
+    h = spread(df).select("doc_id", simhash16(F.col(text_col)).alias("simhash"))
+    h = h.persist()
+    # band value b_i = bits [i*width, (i+1)*width); last band takes the rest
+    banded = h.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        (
+                            (F.col("simhash") / F.lit(2 ** (i * width))).cast("int")
+                            % F.lit(
+                                2 ** (width if i < n_bands - 1 else 16 - i * width)
+                            )
+                        ).alias("val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    dist = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        pairs.withColumn("hamming_distance", dist)
+        .filter(F.col("hamming_distance") <= max_distance)
+        .select("doc_a", "doc_b", "hamming_distance")
+    )
+
+
 def simhash_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Docs sharing an identical 16-bit simhash bucket, paired for review
     (hamming-distance banding generalizes this at scale)."""

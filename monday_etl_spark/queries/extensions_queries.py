@@ -15,6 +15,7 @@ from ..extensions.dedup import (
     minhash_candidates,
     ngram_jaccard,
     simhash_dedup,
+    simhash_near_pairs,
 )
 from ..extensions.similarity import brute_force_topk, embedding_near_dup, lsh_bucket_topk
 from ..extensions.textanalysis import fingerprint, lang_id, quality_score
@@ -228,6 +229,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_near",
+    oracle=None,  # verified against a brute-force Python hamming oracle in
+    # tests/test_simhash_banding.py
+    doc="SimHash near-dup pairs within Hamming distance 2 via pigeonhole "
+        "banding (3 bands of the 16-bit hash; a pair within distance d "
+        "agrees exactly on >=1 of d+1 bands) — candidates from band "
+        "equi-joins, exact bit_count(XOR) filter after. Never an all-pairs "
+        "scan.",
+)
+def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_distance=2)
 
 
 # -- similarity search ------------------------------------------------------
