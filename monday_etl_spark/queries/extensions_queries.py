@@ -293,6 +293,23 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf",
+    oracle=None,  # recall/subset properties unit-tested (tests/test_ivf.py)
+    doc="IVF ANN (second scale path beside sign-LSH): deterministic k-means "
+        "coarse quantizer (8 cells, 3 Lloyd iterations, init = lowest-id "
+        "vectors) + inverted lists; queries probe their 2 nearest cells "
+        "(~1/4 of the corpus).",
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.ivf import ivf_topk, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, iterations=3)
+    queries = emb.filter(F.col("vec_id").isin(*_QUERY_IDS))
+    return ivf_topk(emb, queries, cents, k=10, nprobe=2)
+
+
+@register(
     "embedding_near_dup",
     oracle=None,  # bucket-pruned pair set; threshold property unit-tested
     doc="Embedding-cosine near-duplicate pairs above 0.4 within LSH buckets "
