@@ -23,6 +23,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
+from .quality import QualityGate, gated_dual_write
 from .normalize import (
     extract_personnel_costs,
     extract_projects,
@@ -51,9 +52,18 @@ def run_daily_etl(
     run_date: str,
     run_ts: str,
     boards: BoardConfig | None = None,
+    gate: QualityGate | None = None,
+    gate_measures: dict[str, str] | None = None,
 ) -> dict:
-    """Extract → normalize → dual-write all 5 tables → day-over-day stats."""
+    """Extract → normalize → dual-write all 5 tables → day-over-day stats.
+
+    With ``gate`` set, each table's write goes through the quality-gated
+    path (quality.py): metrics observe on the historical write and the
+    serving snapshot is only promoted when thresholds hold —
+    QualityGateViolation aborts the run with the failing table quarantined.
+    ``gate_measures`` maps table name → coverage measure column."""
     boards = boards or BoardConfig()
+    gate_measures = gate_measures or {}
 
     proj_items = fetch_board_items(spark, connector, boards.projects)
     tables: dict[str, DataFrame] = {
@@ -75,9 +85,17 @@ def run_daily_etl(
         # O-27 as df.observe: run stats piggyback on the write pass instead
         # of a separate count scan (ref keeps driver-side fold stats,
         # monday_etl_automated.py:326-328; SURVEY §2.4 suggests observe)
-        obs = Observation(f"stats_{name}_{run_date}")
-        dual_write(df.observe(obs, F.count(F.lit(1)).alias("n")), base_path, name)
-        stats["tables"][name] = obs.get["n"]
+        if gate is not None:
+            metrics = gated_dual_write(
+                df, base_path, name, gate, run_date,
+                measure_col=gate_measures.get(name),
+            )
+            stats["tables"][name] = metrics["n_rows"]
+            stats.setdefault("quality", {})[name] = metrics
+        else:
+            obs = Observation(f"stats_{name}_{run_date}")
+            dual_write(df.observe(obs, F.count(F.lit(1)).alias("n")), base_path, name)
+            stats["tables"][name] = obs.get["n"]
 
     dod = compare_with_previous_day(
         read_historical(spark, base_path, "project_subitems"),
