@@ -9,14 +9,22 @@ clusters are small/star-shaped, so typically 2-3 rounds.
 Scale notes: each round is one join + one aggregate on (edge list ⋈ labels),
 both shuffling on doc_id. Labels are checkpointed per round (localCheckpoint)
 to cut the growing lineage — without it, round N recomputes rounds 1..N-1
-and the plan explodes exponentially. The driver-side loop only reads a 1-row
-convergence count per round (no data collect).
+and the plan explodes exponentially.
+
+Convergence costs nothing extra: min-propagation only ever DECREASES labels,
+so sum(component) is a sufficient fixpoint statistic — it strictly drops
+until converged and is observed (df.observe) on the same job that
+materializes the checkpoint. One Spark job per round; the old shape added a
+labels⋈labels diff-count job (join + shuffle) every round just to ask
+"did anything change" (~2× the runtime at sf0.1). Non-numeric doc ids fall
+back to the diff-count path.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
 
 
 def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
@@ -31,37 +39,53 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    numeric = isinstance(edges.schema["src"].dataType, NumericType)
     labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
         "doc_id", F.col("doc_id").alias("component")
     )
+    prev_sum = None
+    if numeric:
+        obs0 = Observation("cc_round_0")
+        labels = labels.observe(obs0, F.sum("component").alias("s")).localCheckpoint()
+        prev_sum = obs0.get["s"]
 
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         # each node adopts min(own label, neighbors' labels)
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
+        new_labels = labels.join(
+            neighbor_min, labels.doc_id == neighbor_min.src, "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_component"), F.col("component")),
+            ).alias("component"),
+        )
+        if numeric:
+            obs = Observation(f"cc_round_{rnd + 1}")
+            new_labels = new_labels.observe(
+                obs, F.sum("component").alias("s")
+            ).localCheckpoint()  # truncate lineage; observe rides the same job
+            s = obs.get["s"]
+            labels = new_labels
+            if s == prev_sum:
+                break
+            prev_sum = s
+        else:
+            new_labels = new_labels.localCheckpoint()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
             )
-            .localCheckpoint()  # truncate lineage: round N must not replay 1..N-1
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+            labels = new_labels
+            if changed == 0:
+                break
     return labels
 
 

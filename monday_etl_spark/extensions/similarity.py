@@ -148,9 +148,21 @@ def embedding_near_dup(
     """Embedding-cosine near-duplicate pairs via LSH buckets: only same-
     bucket pairs are scored; pairs above the cosine threshold survive.
     Returns (id_a, id_b, cosine_sim)."""
-    v = df.select(
-        F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", bucket_bits(F.col("v"), dim, bits))
+    # normalize per ROW before the self-join: cosine(a,b) = dot(â,b̂), so the
+    # pair stage is ONE array fold instead of three (cosine() re-derives both
+    # norms per pair — at ~n²/2^bits scored pairs that tripled the dominant
+    # cost). The norm is computed into its own column first; referencing it
+    # from the transform lambda keeps it once-per-row, not once-per-element.
+    v = (
+        df.select(F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v"))
+        .withColumn("bucket", bucket_bits(F.col("v"), dim, bits))
+        .withColumn("nrm", norm(F.col("v")))
+        .select(
+            "id",
+            "bucket",
+            F.transform("v", lambda x: x / F.col("nrm")).alias("nv"),
+        )
+    )
     v = v.persist()  # self-joined: bucket_bits is 'bits' 64-dim dot folds per row
     a, b = v.alias("a"), v.alias("b")
     return (
@@ -162,7 +174,7 @@ def embedding_near_dup(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("sim"),
+            dot(F.col("a.nv"), F.col("b.nv")).alias("sim"),
         )
         .filter(F.col("sim") > threshold)
         .select("id_a", "id_b", F.round("sim", 4).alias("cosine_sim"))
