@@ -186,6 +186,41 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     )
 
 
+def decontaminate(train: DataFrame, eval_docs: DataFrame,
+                  text_col: str = "text", k: int = 3) -> DataFrame:
+    """Test-set decontamination: flag training documents sharing ≥1 distinct
+    k-word shingle with any eval/benchmark document. Returns
+    (doc_id, n_shared_shingles, is_contaminated) for every train doc.
+
+    Scale shape: the eval corpus is tiny (benchmarks), so its distinct
+    shingle set BROADCASTS — contamination checking is then a map-side hash
+    probe over the train corpus with no train-side shuffle; only the hit
+    rows (rare) shuffle for the per-doc count. At 100 TB this is one read
+    of the corpus, full stop."""
+    tsh = spread(train).select(
+        "doc_id", F.explode(word_shingles(F.col(text_col), k)).alias("sh")
+    )
+    esh = eval_docs.select(
+        F.explode(word_shingles(F.col(text_col), k)).alias("sh")
+    ).distinct()
+    hits = (
+        tsh.join(F.broadcast(esh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("sh").alias("n_shared_shingles"))
+    )
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_shingles", F.lit(0).cast("long")).alias(
+                "n_shared_shingles"
+            ),
+            (F.coalesce("n_shared_shingles", F.lit(0)) > 0).alias("is_contaminated"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (16-bit, md5-derived — engine-portable)
 # ---------------------------------------------------------------------------

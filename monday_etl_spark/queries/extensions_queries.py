@@ -319,3 +319,38 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup(emb, dim=64, threshold=0.4, bits=4)
+
+
+@register(
+    "decontaminate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split_regex({_NORM}, '\\s+') AS toks
+               FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    eval_sh AS (SELECT DISTINCT s FROM ex WHERE doc_id % 41 = 0),
+    hits AS (
+        SELECT e.doc_id, COUNT(DISTINCT e.s) AS n_shared_shingles
+        FROM ex e JOIN eval_sh v USING (s)
+        WHERE e.doc_id % 41 <> 0
+        GROUP BY e.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_shared_shingles, 0) AS n_shared_shingles,
+           COALESCE(h.n_shared_shingles, 0) > 0 AS is_contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 41 <> 0
+    """,
+    doc="Test-set decontamination: flag train docs sharing any 3-word "
+        "shingle with the eval split (doc_id % 41 = 0 here; a benchmark "
+        "corpus in production). The eval shingle set broadcasts, so the "
+        "train corpus is checked in one map-side pass - no corpus shuffle.",
+)
+def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("doc_id") % 41 != 0),
+        docs.filter(F.col("doc_id") % 41 == 0),
+    )

@@ -105,3 +105,38 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     nibble = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
                     ).cast("bigint")
     return docs.filter(nibble < 2).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n_stratum
+        FROM documents)
+    SELECT doc_id, lang, rn FROM ranked WHERE rn <= CEIL(n_stratum * 0.2)
+    """,
+    doc="Stratified 20% sample: exactly ceil(20%) of each language stratum, "
+        "membership keyed on md5(doc_id) so every engine/rerun/audit selects "
+        "the same documents. The rank-based form guarantees exact per-stratum "
+        "counts; at extreme scale a hash-threshold filter (md5 < p·2^128) "
+        "gives approximate fractions with NO shuffle at all — rank costs one "
+        "shuffle on the stratum key and is the exact-count path.",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    cw = Window.partitionBy("lang")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_stratum", F.count(F.lit(1)).over(cw))
+        .filter(F.col("rn") <= F.ceil(F.col("n_stratum") * 0.2))
+        .select("doc_id", "lang", "rn")
+    )

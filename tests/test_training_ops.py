@@ -1,0 +1,73 @@
+"""Decontamination and stratified sampling: semantics on synthetic docs,
+plan shape (broadcast, no corpus-side shuffle before the probe)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from monday_etl_spark.extensions.dedup import decontaminate
+from monday_etl_spark.io import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_decontaminate_flags_shingle_overlap(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text about sparks and clusters"),
+            (3, "short doc"),  # < k words: whole text is the shingle
+        ],
+    )
+    ev = _docs(
+        spark,
+        [
+            (100, "something something the quick brown end"),  # shares "the quick brown"
+            (101, "short doc"),
+        ],
+    )
+    got = {r.doc_id: (r.n_shared_shingles, r.is_contaminated)
+           for r in decontaminate(train, ev).collect()}
+    assert got[1] == (1, True)
+    assert got[2] == (0, False)
+    assert got[3] == (1, True)
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = decontaminate(
+        docs.filter(F.col("doc_id") % 41 != 0),
+        docs.filter(F.col("doc_id") % 41 == 0),
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain()
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan  # eval shingles probe map-side
+
+
+def test_stratified_sample_exact_fraction_per_stratum(spark):
+    import math
+
+    from monday_etl_spark.queries.stats import stratified_sample
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    per_lang = {r.lang: r.n for r in
+                docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sample = stratified_sample(spark, SF_SMOKE)
+    got = {r.lang: r.n for r in
+           sample.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == {lang: math.ceil(n * 0.2) for lang, n in per_lang.items()}
+
+    # deterministic: a second run selects the identical membership
+    a = sorted(r.doc_id for r in sample.collect())
+    b = sorted(r.doc_id for r in stratified_sample(spark, SF_SMOKE).collect())
+    assert a == b
