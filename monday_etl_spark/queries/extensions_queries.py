@@ -354,3 +354,114 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 41 != 0),
         docs.filter(F.col("doc_id") % 41 == 0),
     )
+
+
+@register(
+    "doc_repetition_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split_regex({_NORM}, '\\s+') AS toks
+               FROM documents),
+    sh AS (SELECT doc_id,
+                  [array_to_string(t.toks[i:i+2], ' ')
+                   for i in range(1, greatest(len(t.toks)-2, 1) + 1)] AS sh
+           FROM t)
+    SELECT doc_id,
+           len(sh) AS n_shingles,
+           1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) AS dup_frac,
+           (1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)) > 0.2
+               AS is_repetitive
+    FROM sh
+    """,
+    doc="Gopher-style repetition quality filter: fraction of 3-word shingles "
+        "that are repeats within the document (1 - distinct/total). Pure map "
+        "over the scan - no shuffle at any scale; the single IEEE division "
+        "is bit-identical across engines.",
+)
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup import _WS, _norm_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(_norm_text(F.col("text")), _WS)
+    n = F.size(toks)
+    raw = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    sh = docs.select("doc_id", raw.alias("sh"))
+    dup_frac = (
+        F.lit(1.0)
+        - F.size(F.array_distinct("sh")).cast("double") / F.size("sh")
+    )
+    return sh.select(
+        "doc_id",
+        F.size("sh").cast("long").alias("n_shingles"),
+        dup_frac.alias("dup_frac"),
+        (dup_frac > 0.2).alias("is_repetitive"),
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH m AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+        FROM embeddings
+    )
+    SELECT e.vec_id,
+           CASE WHEN m.max_abs > 0 THEN 127.0 / m.max_abs ELSE 0.0 END AS scale,
+           list_transform(e.embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE)
+                               * (CASE WHEN m.max_abs > 0 THEN 127.0 / m.max_abs
+                                       ELSE 0.0 END) + 0.5) AS INTEGER)) AS qvec
+    FROM embeddings e JOIN m USING (vec_id)
+    """,
+    doc="Symmetric int8 scalar quantization per vector (the storage/transfer "
+        "compression step before ANN at 100 TB - 4x smaller than float32). "
+        "Rounding is floor(x*scale + 0.5), not ROUND: both engines evaluate "
+        "the identical IEEE expression, so ties cannot diverge. Pure map.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.similarity import _to_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", _to_double(F.col("embedding")).alias("v"))
+    v = v.withColumn(
+        "max_abs", F.array_max(F.transform("v", lambda x: F.abs(x)))
+    ).withColumn(
+        "scale",
+        F.when(F.col("max_abs") > 0, F.lit(127.0) / F.col("max_abs")).otherwise(0.0),
+    )
+    return v.select(
+        "vec_id",
+        "scale",
+        F.transform(
+            "v", lambda x: F.floor(x * F.col("scale") + F.lit(0.5)).cast("int")
+        ).alias("qvec"),
+    )
+
+
+@register(
+    "corpus_source_stats",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(CASE WHEN n_chars < 200 THEN 1 END) AS n_short
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Per-source corpus curation stats (doc counts, volume, language "
+        "spread, short-doc count) - the report that decides source mixing "
+        "weights. One partial-agg shuffle on the low-cardinality source key.",
+)
+def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count(F.when(F.col("n_chars") < 200, 1)).alias("n_short"),
+    )
