@@ -5,6 +5,11 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON line:
 
 Each query is timed over a full materialization (count of the result) after a
 single untimed warm-up of the session (JVM + codegen warm).
+
+Set SPARK_GRAFT_BENCH_RUNS=N (default 1) to time each query N times and
+record the best — steady-state numbers with plan/codegen compile amortized
+out, for comparing operator cost across changes. The driver uses the
+default first-run mode (what a cold caller pays).
 """
 
 from __future__ import annotations
@@ -30,13 +35,18 @@ def main() -> None:
     # warm up JVM/codegen/parquet footer cache with a trivial action
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):
         fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best, n = None, 0
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
