@@ -17,6 +17,11 @@ NAMES = [
     "sessionize",           # events + window
     "normalize_subitems",   # createDataFrame path + dirty casts
     "daily_metrics",        # flagship
+    "decontaminate",        # shingle explode + broadcast join
+    "stratified_sample",    # window ranking + ceil
+    "embedding_quantize_int8",  # float->double transforms + floor rounding
+    "doc_repetition_filter",    # HOF shingles, division
+    "ann_ivf",              # numpy kmeans + HOF scoring
 ]
 
 
