@@ -58,17 +58,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def word_shingles(col: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of normalized text (array<string>).
-    Documents shorter than k words contribute their whole text as one
-    shingle so they still participate."""
+def raw_word_shingles(col: Column, k: int = 3) -> Column:
+    """All k-word shingles of normalized text in order, repeats kept
+    (array<string>) — the repetition-analysis view. Documents shorter than
+    k words contribute their whole text as one shingle."""
     toks = F.split(_norm_text(col), _WS)
     n = F.size(toks)
-    shingles = F.transform(
+    return F.transform(
         F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
     )
-    return F.array_distinct(shingles)
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of normalized text (array<string>)."""
+    return F.array_distinct(raw_word_shingles(col, k))
 
 
 def minhash_signature(col: Column, num_hashes: int = 16, k: int = 3) -> Column:

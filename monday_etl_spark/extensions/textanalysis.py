@@ -67,12 +67,11 @@ def stopword_hits(col: Column) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic document quality in [0,1]: length band, punctuation ratio,
-    stopword ratio, mean word length band. Deterministic ratio arithmetic:
-    every ratio is one IEEE division of exact integers.
-    """
-    c = F.col(text_col)
+def quality_columns(c: Column) -> dict[str, Column]:
+    """The quality-metric Column expressions, reusable by any single-pass
+    per-doc scorer (quality_score below, the corpus_curation composite).
+    Deterministic ratio arithmetic: every ratio is one IEEE division of
+    exact integers."""
     stats = char_stats(c)
     ntok = token_count(c)
     nchars = stats["n_chars"]
@@ -91,6 +90,23 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         length_ok.cast("int") + punct_ok.cast("int")
         + words_ok.cast("int") + stop_ok.cast("int")
     ).cast("double") / 4
+    return {
+        "n_tokens": ntok,
+        "n_chars": nchars,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "mean_word_len": mean_wordlen,
+        "quality_score": score,
+    }
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [0,1]: length band, punctuation ratio,
+    stopword ratio, mean word length band (see quality_columns)."""
+    cols = quality_columns(F.col(text_col))
+    ntok, nchars = cols["n_tokens"], cols["n_chars"]
+    punct_ratio, stop_ratio = cols["punct_ratio"], cols["stopword_ratio"]
+    mean_wordlen, score = cols["mean_word_len"], cols["quality_score"]
     return df.select(
         "doc_id",
         ntok.alias("n_tokens"),

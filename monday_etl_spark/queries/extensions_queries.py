@@ -378,16 +378,10 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is bit-identical across engines.",
 )
 def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.dedup import _WS, _norm_text
+    from ..extensions.dedup import raw_word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(_norm_text(F.col("text")), _WS)
-    n = F.size(toks)
-    raw = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
-    )
-    sh = docs.select("doc_id", raw.alias("sh"))
+    sh = docs.select("doc_id", raw_word_shingles(F.col("text"), 3).alias("sh"))
     dup_frac = (
         F.lit(1.0)
         - F.size(F.array_distinct("sh")).cast("double") / F.size("sh")

@@ -69,10 +69,9 @@ _TOKS = r"string_split_regex(trim(text), '\s+')"
 _STOP = "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','this']"
 
 
-@register(
-    "training_set_selection",
-    oracle=f"""
-    WITH q AS (
+# the per-doc quality SELECT (mirrors textanalysis.quality_columns exactly);
+# shared by the training_set_selection and corpus_curation oracles
+_QUALITY_SELECT = f"""
         SELECT doc_id,
                CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS n_tokens,
                CAST((CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1 ELSE 0 END
@@ -89,7 +88,13 @@ _STOP = "['the','a','an','and','or','of','to','in','is','it','that','for','on','
                               t -> list_contains({_STOP}, t))) AS DOUBLE) / len({_TOKS})
                          ELSE 0.0 END) >= 0.05 THEN 1 ELSE 0 END) AS DOUBLE) / 4
                    AS quality_score
-        FROM documents
+        FROM documents"""
+
+
+@register(
+    "training_set_selection",
+    oracle=f"""
+    WITH q AS ({_QUALITY_SELECT}
     ),
     keyed AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),
     keepers AS (SELECT fp, MIN(doc_id) AS keep_doc_id FROM keyed GROUP BY fp),
@@ -120,4 +125,131 @@ def training_set_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_tokens") >= _MIN_TOKENS)
             & ~F.col("is_duplicate")
         ).alias("selected"),
+    )
+
+
+@register(
+    "corpus_curation",
+    oracle=f"""
+    WITH q AS ({_QUALITY_SELECT}
+    ),
+    keyed AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents
+              WHERE doc_id % 41 <> 0),
+    keepers AS (SELECT fp, MIN(doc_id) AS keep_doc_id FROM keyed GROUP BY fp),
+    dedup AS (SELECT k.doc_id, k.doc_id <> p.keep_doc_id AS is_duplicate
+              FROM keyed k JOIN keepers p USING (fp)),
+    t AS (SELECT doc_id, string_split_regex({_NORM}, '\\s+') AS toks
+          FROM documents),
+    shraw AS (SELECT doc_id,
+                     [array_to_string(t.toks[i:i+2], ' ')
+                      for i in range(1, greatest(len(t.toks)-2, 1) + 1)] AS sh
+              FROM t),
+    rep AS (SELECT doc_id,
+                   1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)
+                       AS dup_frac
+            FROM shraw),
+    sh5 AS (SELECT doc_id,
+                   list_distinct([array_to_string(t.toks[i:i+4], ' ')
+                                  for i in range(1, greatest(len(t.toks)-4, 1) + 1)])
+                       AS sh
+            FROM t),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh5),
+    eval_sh AS (SELECT DISTINCT s FROM ex WHERE doc_id % 41 = 0),
+    cont AS (SELECT DISTINCT e.doc_id FROM ex e JOIN eval_sh v USING (s)
+             WHERE e.doc_id % 41 <> 0),
+    surv AS (
+        SELECT d.doc_id, d.lang
+        FROM documents d
+        JOIN q USING (doc_id)
+        JOIN dedup USING (doc_id)
+        JOIN rep USING (doc_id)
+        WHERE d.doc_id % 41 <> 0
+          AND q.quality_score >= {_MIN_QUALITY}
+          AND q.n_tokens >= {_MIN_TOKENS}
+          AND NOT dedup.is_duplicate
+          AND rep.dup_frac <= 0.2
+          AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+    ),
+    ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n_stratum
+        FROM surv)
+    SELECT doc_id, lang, rn FROM ranked WHERE rn <= CEIL(n_stratum * 0.2)
+    """,
+    doc="The full curation pipeline as ONE declarative plan: quality floor + "
+        "repetition filter + dedup fingerprint in a single map pass, keeper "
+        "selection as min-over-fingerprint WINDOW (one shuffle, no self-join "
+        "recompute), test-set decontamination as a broadcast-probe ANTI join, "
+        "then an exact 20% stratified sample of the survivors per language. "
+        "Two corpus passes total (scores + shingle probe), one fingerprint "
+        "shuffle, zero corpus-wide self-joins - the shape that holds at "
+        "100 TB.",
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..extensions.dedup import (
+        _norm_text,
+        raw_word_shingles,
+        spread,
+        word_shingles,
+    )
+    from ..extensions.textanalysis import quality_columns
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 41 != 0)
+    ev = docs.filter(F.col("doc_id") % 41 == 0)
+
+    qc = quality_columns(F.col("text"))
+    sh = raw_word_shingles(F.col("text"), 3)
+    dup_frac = (
+        F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double") / F.size(sh)
+    )
+    # ONE per-row-heavy score pass (quality HOFs + shingles + dedup md5);
+    # spread() guards against a single-file scan pinning it to one core
+    per_doc = spread(train).select(
+        "doc_id",
+        "lang",
+        F.md5(_norm_text(F.col("text"))).alias("fp"),
+        qc["n_tokens"].alias("n_tokens"),
+        qc["quality_score"].alias("quality_score"),
+        dup_frac.alias("dup_frac"),
+    )
+    # exact-dedup keeper via window min over the fingerprint: same shuffle
+    # the groupBy would cost, but no join back and no branch recompute
+    keep = F.min("doc_id").over(Window.partitionBy("fp"))
+
+    # contaminated ids: probe the broadcast eval shingle set, anti-join.
+    # 5-word shingles, not 3 — decontamination keys on LONG n-grams (the
+    # common-phrase 3-gram space flags ~everything; 5-grams isolate real
+    # eval overlap)
+    tsh = spread(train).select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 5)).alias("sh")
+    )
+    esh = ev.select(F.explode(word_shingles(F.col("text"), 5)).alias("sh")).distinct()
+    cont = tsh.join(F.broadcast(esh), "sh").select("doc_id").distinct()
+
+    surv = (
+        per_doc.withColumn("keep_id", keep)
+        .filter(
+            (F.col("quality_score") >= _MIN_QUALITY)
+            & (F.col("n_tokens") >= _MIN_TOKENS)
+            & (F.col("doc_id") == F.col("keep_id"))
+            & (F.col("dup_frac") <= 0.2)
+        )
+        .join(cont, "doc_id", "left_anti")
+        .select("doc_id", "lang")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    cw = Window.partitionBy("lang")
+    return (
+        surv.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_stratum", F.count(F.lit(1)).over(cw))
+        .filter(F.col("rn") <= F.ceil(F.col("n_stratum") * 0.2))
+        .select("doc_id", "lang", "rn")
     )
