@@ -6,10 +6,15 @@ label propagation to fixpoint — each doc repeatedly adopts the minimum label
 among itself and its neighbors. Converges in O(diameter) rounds; real dup
 clusters are small/star-shaped, so typically 2-3 rounds.
 
-Scale notes: each round is one join + one aggregate on (edge list ⋈ labels),
-both shuffling on doc_id. Labels are checkpointed per round (localCheckpoint)
-to cut the growing lineage — without it, round N recomputes rounds 1..N-1
-and the plan explodes exponentially.
+Scale notes: the edge list carries explicit self-loops, folding "own label"
+into the neighbor minimum — each round is then exactly ONE join + ONE
+aggregate (no join-back onto the previous labels, which was a third shuffle).
+Edges are hash-partitioned on the join key once and checkpointed; the
+per-round label frame comes out of the aggregate already partitioned on
+doc_id, so the join reuses both partitionings and the only real per-round
+shuffle is the aggregate itself. Labels are checkpointed per round
+(localCheckpoint) to cut the growing lineage — without it, round N recomputes
+rounds 1..N-1 and the plan explodes exponentially.
 
 Convergence costs nothing extra: min-propagation only ever DECREASES labels,
 so sum(component) is a sufficient fixpoint statistic — it strictly drops
@@ -31,39 +36,38 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     """pairs: (doc_a, doc_b) undirected edges. Returns (doc_id, component)
     where component = min doc_id reachable (deterministic canonical label).
     Only docs appearing in at least one pair are returned."""
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    # self-loops make each node its own neighbor: min-over-neighbors then
+    # subsumes min(own, neighbors) with no join back onto the old labels
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
+        sym.unionByName(sym.select("src", F.col("src").alias("dst")))
         .distinct()
+        .repartition("dst")  # partition once on the per-round join key
         .localCheckpoint()
     )
     numeric = isinstance(edges.schema["src"].dataType, NumericType)
-    labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
-        "doc_id", F.col("doc_id").alias("component")
+    labels = edges.select(
+        F.col("src").alias("doc_id"), F.col("src").alias("component")
+    ).distinct()
+    # initial fixpoint statistic = sum of node ids (labels start as self)
+    prev_sum = (
+        labels.agg(F.sum("component").alias("s")).collect()[0]["s"]
+        if numeric
+        else None
     )
-    prev_sum = None
-    if numeric:
-        obs0 = Observation("cc_round_0")
-        labels = labels.observe(obs0, F.sum("component").alias("s")).localCheckpoint()
-        prev_sum = obs0.get["s"]
 
     for rnd in range(max_rounds):
-        # each node adopts min(own label, neighbors' labels)
-        neighbor_min = (
+        # each node adopts min(own label, neighbors' labels) — the self-loop
+        # carries "own" through the same aggregate
+        new_labels = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_labels = labels.join(
-            neighbor_min, labels.doc_id == neighbor_min.src, "left"
-        ).select(
-            "doc_id",
-            F.least(
-                F.col("component"),
-                F.coalesce(F.col("nbr_component"), F.col("component")),
-            ).alias("component"),
+            .agg(F.min("component").alias("component"))
+            .select(F.col("src").alias("doc_id"), "component")
         )
         if numeric:
             obs = Observation(f"cc_round_{rnd + 1}")
