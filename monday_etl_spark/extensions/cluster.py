@@ -9,12 +9,12 @@ clusters are small/star-shaped, so typically 2-3 rounds.
 Scale notes: the edge list carries explicit self-loops, folding "own label"
 into the neighbor minimum — each round is then exactly ONE join + ONE
 aggregate (no join-back onto the previous labels, which was a third shuffle).
-Edges are hash-partitioned on the join key once and checkpointed; the
-per-round label frame comes out of the aggregate already partitioned on
-doc_id, so the join reuses both partitionings and the only real per-round
-shuffle is the aggregate itself. Labels are checkpointed per round
-(localCheckpoint) to cut the growing lineage — without it, round N recomputes
-rounds 1..N-1 and the plan explodes exponentially.
+The checkpointed edge list is re-shuffled by the join each round
+(localCheckpoint does not carry output partitioning into the SQL planner —
+verified via explain), but the join-back's two exchanges are gone. Labels
+are checkpointed per round (localCheckpoint) to cut the growing lineage —
+without it, round N recomputes rounds 1..N-1 and the plan explodes
+exponentially.
 
 Convergence costs nothing extra: min-propagation only ever DECREASES labels,
 so sum(component) is a sufficient fixpoint statistic — it strictly drops
@@ -46,19 +46,15 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     edges = (
         sym.unionByName(sym.select("src", F.col("src").alias("dst")))
         .distinct()
-        .repartition("dst")  # partition once on the per-round join key
         .localCheckpoint()
     )
     numeric = isinstance(edges.schema["src"].dataType, NumericType)
     labels = edges.select(
         F.col("src").alias("doc_id"), F.col("src").alias("component")
     ).distinct()
-    # initial fixpoint statistic = sum of node ids (labels start as self)
-    prev_sum = (
-        labels.agg(F.sum("component").alias("s")).collect()[0]["s"]
-        if numeric
-        else None
-    )
+    # no initial fixpoint job: round 1 always changes labels when any real
+    # edge exists, so the first useful convergence test is round2 == round1
+    prev_sum = None
 
     for rnd in range(max_rounds):
         # each node adopts min(own label, neighbors' labels) — the self-loop

@@ -35,7 +35,9 @@ _BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
 
 def bpe_ish_count(col: Column) -> Column:
-    return F.size(F.regexp_extract_all(col, F.lit(_BPE_RE)))
+    # idx=0 (full match): Spark defaults to group 1, and this pattern has
+    # no capture groups — the default raises REGEX_GROUP_INDEX on match
+    return F.size(F.regexp_extract_all(col, F.lit(_BPE_RE), 0))
 
 
 def char_stats(col: Column) -> dict[str, Column]:

@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     metrics,
     multimodal_streaming_queries,
     normalize_queries,
+    packing,
     relational,
     reshape,
     stats,

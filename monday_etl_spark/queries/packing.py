@@ -1,0 +1,275 @@
+"""Corpus packing / token accounting / chunk dedup / source rebalancing.
+
+Four training-data operators beyond the reference's inventory (SURVEY §7 M4
+extension class), each declarative and exact-oracle-checked:
+
+* ``token_stats``        — whitespace vs BPE-ish vs subword-estimate token
+                           counts per document (pure map).
+* ``sequence_packing``   — GPT-style concat-and-chunk packing: concatenate
+                           documents per language in deterministic order and
+                           assign each doc its training-sequence id + offset
+                           at a fixed token budget. Integer window arithmetic
+                           only (exact on both engines).
+* ``chunk_dedup``        — MassiveText-style fixed-width token-chunk dedup:
+                           split docs into 32-token chunks, find corpus-wide
+                           repeated chunks, report per-doc duplication.
+* ``source_temperature_resample`` — temperature-flattened source mixing
+                           (alpha = 0.5): per-source keep-targets
+                           proportional to sqrt(count), filled by
+                           deterministic md5-ordered ranking. sqrt is
+                           IEEE-exact (unlike pow), so targets are
+                           bit-identical across engines.
+
+Scale shapes: token_stats is shuffle-free; sequence_packing shuffles once on
+lang (at 100 TB the partition key would widen to (lang, shard) with
+per-shard budgets — the window is per-partition, never global);
+chunk_dedup explodes ~n_tokens/32 rows per doc and shuffles on the chunk
+hash (the same shape as tfidf's doc-term explode); the resampler's
+per-source dimension is tiny and broadcast back onto the corpus scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..extensions.textanalysis import _BPE_RE, bpe_ish_count, token_count, tokens
+from ..io import load_table
+from .registry import register
+
+# shared DuckDB fragments — identical tokenizer on both engines
+_SQL_TOKS = r"string_split_regex(trim(text), '\s+')"
+_SQL_NTOK = (
+    f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_SQL_TOKS}) END"
+)
+
+_SEQ_BUDGET = 512  # tokens per packed training sequence
+_CHUNK = 32  # tokens per dedup chunk
+
+
+@register(
+    "token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           {_SQL_NTOK} AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+               AS n_bpe_tokens,
+           CAST(list_sum(list_transform({_SQL_TOKS},
+                                        w -> (length(w) + 3) // 4))
+                AS BIGINT) AS n_subword_est
+    FROM documents
+    """,
+    doc="Token accounting per document: whitespace tokens, BPE-ish regex "
+        "tokens (letters runs / single digits / single symbols), and a "
+        "subword estimate (ceil(len/4) per word, integer arithmetic). Pure "
+        "map over the scan — shuffle-free at any scale; the regex and the "
+        "integer fold run inside whole-stage codegen.",
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    # integer subword estimate: ceil(len/4) == (len+3) div 4, no doubles
+    subword = F.expr(
+        r"aggregate(split(trim(text), '\\s+'), 0L,"
+        r" (acc, w) -> acc + (length(w) + 3) div 4)"
+    )
+    return docs.select(
+        "doc_id",
+        token_count(c).alias("n_ws_tokens"),
+        bpe_ish_count(c).alias("n_bpe_tokens"),
+        subword.alias("n_subword_est"),
+    )
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+    WITH n AS (
+        SELECT doc_id, lang, {_SQL_NTOK} AS n_tokens FROM documents
+    ), c AS (
+        SELECT doc_id, lang, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM n
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(cum_before // {_SEQ_BUDGET} AS BIGINT) AS seq_id,
+           CAST(cum_before % {_SEQ_BUDGET} AS BIGINT) AS seq_offset,
+           (cum_before % {_SEQ_BUDGET}) + n_tokens > {_SEQ_BUDGET}
+               AS crosses_boundary
+    FROM c
+    """,
+    doc="Concat-and-chunk sequence packing: per language, documents are "
+        "concatenated in doc_id order and cut into fixed "
+        f"{_SEQ_BUDGET}-token training sequences; each doc learns its "
+        "sequence id, offset, and whether it straddles a boundary. One "
+        "integer window sum partitioned by lang — exact on both engines "
+        "(token counts are ints, unlike double window sums). At 100 TB the "
+        "partition key widens to (lang, shard) so no single partition "
+        "carries a language's whole corpus.",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n = docs.select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    cum = n.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+    )
+    return cum.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr(f"cum_before div {_SEQ_BUDGET}").alias("seq_id"),
+        (F.col("cum_before") % _SEQ_BUDGET).alias("seq_offset"),
+        ((F.col("cum_before") % _SEQ_BUDGET) + F.col("n_tokens") > _SEQ_BUDGET)
+        .alias("crosses_boundary"),
+    )
+
+
+@register(
+    "chunk_dedup",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+        WHERE length(trim(text)) > 0
+    ), ch AS (
+        SELECT doc_id,
+               unnest(range(0, (len(toks) + {_CHUNK} - 1) // {_CHUNK})) AS c,
+               toks
+        FROM t
+    ), hashed AS (
+        SELECT doc_id, c AS chunk_idx,
+               md5(array_to_string(
+                   list_slice(toks, c * {_CHUNK} + 1, c * {_CHUNK} + {_CHUNK}),
+                   ' ')) AS h
+        FROM ch
+    ), ranked AS (
+        SELECT doc_id, chunk_idx,
+               ROW_NUMBER() OVER (PARTITION BY h
+                                  ORDER BY doc_id, chunk_idx) AS rn
+        FROM hashed
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(COUNT(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS n_dup_chunks,
+           CAST(COUNT(CASE WHEN rn > 1 THEN 1 END) AS DOUBLE) / COUNT(*)
+               AS dup_chunk_frac
+    FROM ranked GROUP BY doc_id
+    """,
+    doc=f"Fixed-width chunk dedup (MassiveText-style): cut each doc into "
+        f"{_CHUNK}-token chunks, hash them, keep the first corpus-wide "
+        "occurrence (row_number over the chunk hash), report per-doc "
+        "duplicated-chunk fraction. Explodes ~n_tokens/32 rows per doc and "
+        "shuffles once on the chunk hash — same shape as the doc-term "
+        "explode in tfidf; the md5 is the only per-row-heavy op and runs "
+        "JVM-side.",
+)
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = tokens(F.col("text"))
+    nchunks = F.expr(f"(size(toks) + {_CHUNK} - 1) div {_CHUNK}")
+    exploded = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.explode(F.sequence(F.lit(0), nchunks - 1)).alias("c"))
+    )
+    hashed = exploded.select(
+        "doc_id",
+        F.col("c").alias("chunk_idx"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("toks"), F.col("c") * _CHUNK + 1, _CHUNK))
+        ).alias("h"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    dup = F.count(F.when(F.col("rn") > 1, 1))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        dup.alias("n_dup_chunks"),
+        (dup.cast("double") / F.count(F.lit(1))).alias("dup_chunk_frac"),
+    )
+
+
+@register(
+    "source_temperature_resample",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+    s AS (SELECT list_reduce(list(sqrt(CAST(c AS DOUBLE)) ORDER BY source),
+                             (a, b) -> a + b) AS total_w,
+                 SUM(c) AS total
+          FROM c),
+    t AS (SELECT c.source,
+                 least(c.c,
+                       CAST(floor((CAST(s.total // 2 AS DOUBLE)
+                                   * sqrt(CAST(c.c AS DOUBLE))) / s.total_w)
+                            AS BIGINT)) AS target
+          FROM c, s),
+    r AS (SELECT d.doc_id, d.source,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY d.source
+                     ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+          FROM documents d)
+    SELECT r.doc_id, r.source, r.rn
+    FROM r JOIN t USING (source) WHERE r.rn <= t.target
+    """,
+    doc="Temperature-flattened source mixing (alpha = 0.5, UniMax-style): "
+        "per-source keep-targets proportional to sqrt(count) over a halved "
+        "total budget, filled deterministically by md5-ordered rank. sqrt "
+        "is correctly-rounded IEEE (pow is not) and the ~20-element weight "
+        "sum is an explicit source-ordered left fold, so targets match "
+        "bit-for-bit across engines. The per-source target table is tiny "
+        "and broadcast onto the corpus scan; the only corpus-wide work is "
+        "one rank window per source.",
+)
+def source_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    # source-ordered left fold of sqrt weights: bit-identical to the
+    # oracle's list_reduce (0.0 + w == w exactly for w >= 0)
+    weights = counts.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("source"),
+                        F.sqrt(F.col("c").cast("double")).alias("w"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["w"],
+        ).alias("total_w"),
+        F.sum("c").alias("total"),
+    )
+    targets = counts.crossJoin(F.broadcast(weights)).select(
+        "source",
+        F.least(
+            F.col("c"),
+            F.floor(
+                (
+                    F.expr("total div 2").cast("double")
+                    * F.sqrt(F.col("c").cast("double"))
+                )
+                / F.col("total_w")
+            ).cast("long"),
+        ).alias("target"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(w).alias("rn")
+    )
+    return ranked.join(F.broadcast(targets), "source").filter(
+        F.col("rn") <= F.col("target")
+    ).select("doc_id", "source", "rn")

@@ -22,6 +22,8 @@ NAMES = [
     "embedding_quantize_int8",  # float->double transforms + floor rounding
     "doc_repetition_filter",    # HOF shingles, division
     "ann_ivf",              # numpy kmeans + HOF scoring
+    "token_stats",          # regex extract_all + integer HOF fold
+    "source_temperature_resample",  # ordered double fold + rank window
 ]
 
 
