@@ -172,3 +172,68 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("events_today") - F.col("events_yesterday")).alias("events_change"),
         F.round(F.col("value_today") - F.col("value_yesterday"), 2).alias("value_change"),
     )
+
+
+@register(
+    "window_function_battery",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS d,
+               COUNT(*) AS n_orders, {sql_money_sum('o_totalprice')} AS rev
+        FROM orders GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)
+    )
+    SELECT pri, d, n_orders, rev,
+           LEAD(rev) OVER wd AS next_rev,
+           FIRST_VALUE(rev) OVER wd AS first_rev,
+           LAST_VALUE(rev) OVER (PARTITION BY pri ORDER BY d
+                                 ROWS BETWEEN CURRENT ROW
+                                 AND UNBOUNDED FOLLOWING) AS final_rev,
+           NTILE(4) OVER wd AS date_quartile,
+           DENSE_RANK() OVER wr AS rev_dense_rank,
+           PERCENT_RANK() OVER wr AS rev_pct_rank,
+           CUME_DIST() OVER wr AS rev_cume_dist,
+           CAST(SUM(CAST(rev AS DECIMAL(18,2))) OVER (
+                    PARTITION BY pri ORDER BY d
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS rev_7row
+    FROM daily
+    WINDOW wd AS (PARTITION BY pri ORDER BY d),
+           wr AS (PARTITION BY pri ORDER BY rev DESC, d)
+    """,
+    doc="The remaining window-function surface in one partitioned pass: "
+        "lead, first/last_value (explicit frames), ntile, dense_rank, "
+        "percent_rank, cume_dist, and a 7-row decimal moving sum. Runs over "
+        "a per-(priority, day) pre-aggregate, so the windows see one row "
+        "per day per group — the reporting shape, never raw-data global "
+        "sorts. percent_rank/cume_dist are single integer divisions "
+        "(bit-exact across engines); the moving sum is decimal to stay "
+        "association-order-independent.",
+)
+def window_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(F.col("o_totalprice")).alias("rev"),
+    )
+    wd = Window.partitionBy("pri").orderBy("d")
+    wr = Window.partitionBy("pri").orderBy(F.desc("rev"), F.asc("d"))
+    w_tail = wd.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    w_7 = wd.rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "pri",
+        "d",
+        "n_orders",
+        "rev",
+        F.lead("rev").over(wd).alias("next_rev"),
+        F.first("rev").over(wd).alias("first_rev"),
+        F.last("rev").over(w_tail).alias("final_rev"),
+        F.ntile(4).over(wd).alias("date_quartile"),
+        F.dense_rank().over(wr).alias("rev_dense_rank"),
+        F.percent_rank().over(wr).alias("rev_pct_rank"),
+        F.cume_dist().over(wr).alias("rev_cume_dist"),
+        F.sum(F.col("rev").cast("decimal(18,2)")).over(w_7).cast("double")
+        .alias("rev_7row"),
+    )
