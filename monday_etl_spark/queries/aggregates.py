@@ -312,3 +312,34 @@ def weekly_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("alert"),
     )
+
+
+@register(
+    "grouping_sets_reports",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           COUNT(*) AS n_orders,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    """,
+    doc="Explicit GROUPING SETS: two independent one-dimensional reports "
+        "(by priority, by status) in ONE pass — Expand + a single shuffle "
+        "instead of two scans + a union. GROUPING() flags distinguish "
+        "aggregated-away nulls from data nulls, completing the rollup/cube/"
+        "grouping-sets family (SURVEY §2.4 note).",
+)
+def grouping_sets_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderpriority"], ["o_orderstatus"]],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.grouping("o_orderpriority").cast("int").alias("g_pri"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(F.col("o_totalprice")).alias("total_price"),
+    )
