@@ -168,7 +168,7 @@ def minhash_candidates(
     return pairs.select(
         "doc_a",
         "doc_b",
-        (agree.cast("double") / F.lit(16).cast("double")).alias("est_jaccard"),
+        (agree.cast("double") / F.lit(num_hashes).cast("double")).alias("est_jaccard"),
     )
 
 
@@ -226,43 +226,57 @@ def decontaminate(train: DataFrame, eval_docs: DataFrame,
 
 
 # ---------------------------------------------------------------------------
-# SimHash (16-bit, md5-derived — engine-portable)
+# SimHash (64-bit, md5-derived — engine-portable)
 # ---------------------------------------------------------------------------
 
+# bit j's contribution to the packed signed hash: two's complement, so bit 63
+# carries -2^63 and the sum always stays inside int64 on every engine
+_SIMHASH_WEIGHTS = [1 << j for j in range(63)] + [-(1 << 63)]
 
-def simhash16(col: Column) -> Column:
-    """16-bit SimHash over whitespace tokens: bit i is 1 when the sum of
-    (+1/-1) votes from each token's md5-derived 16-bit value is positive.
-    Integer-only arithmetic → exactly reproducible anywhere."""
+
+def simhash64(col: Column) -> Column:
+    """64-bit SimHash over whitespace tokens (industry width — r01's 16-bit
+    variant meant 65,536 buckets and quadratic within-bucket pairing at
+    corpus scale, VERDICT r01 §5). Each token contributes 64 ±1 bit votes
+    derived from four 16-bit words of its single md5 digest; result bit j is
+    1 when the vote sum is positive. Packed two's-complement into BIGINT so
+    Spark and the DuckDB oracle stay in exact int64 arithmetic — integer-only
+    → bit-identical anywhere.
+
+    One fold over the token array accumulates all 64 vote counts in an
+    int array (not 64 separate aggregates — that expression tree was the
+    r01 shape at 16 bits and would 4x here)."""
     toks = F.split(_norm_text(col), _WS)
-    # per-token 16-bit value from the first 4 hex digits of md5
-    tok_vals = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int"))
 
-    # bit i of v, with a Column-valued i (shiftright needs a literal int):
-    # v / 2^i is exact in double for v < 2^16, so floor-div-mod is safe
-    def bit(v, i):
-        return F.floor(v / F.pow(F.lit(2.0), i.cast("double"))).cast("int") % 2
+    # bit j of the token's md5: word k = j div 16 comes from hex digits
+    # [4k+1, 4k+4]; v / 2^i floor-div-mod is exact in double for v < 2^16
+    def tok_bits(t: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (
+                F.floor(
+                    F.conv(
+                        F.substring(F.md5(t), (j / 16).cast("int") * 4 + 1, 4), 16, 10
+                    ).cast("int")
+                    / F.pow(F.lit(2.0), (j % 16).cast("double"))
+                ).cast("int")
+                % 2
+            ),
+        )
 
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(15)),
-        lambda i: F.when(
-            F.aggregate(
-                tok_vals,
-                F.lit(0),
-                lambda acc, v: acc + F.when(bit(v, i) == 1, 1).otherwise(-1),
-            )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
+    counts = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, t: F.zip_with(acc, tok_bits(t), lambda a, b: a + 2 * b - 1),
     )
-    # fold bits into one integer: sum of bit_i * 2^i
+    # majority vote per bit, weighted two's-complement pack
     return F.aggregate(
         F.zip_with(
-            bits,
-            F.sequence(F.lit(0), F.lit(15)),
-            lambda b, i: b * F.pow(F.lit(2.0), i.cast("double")).cast("int"),
+            counts,
+            F.lit(_SIMHASH_WEIGHTS),
+            lambda c, w: F.when(c > 0, w).otherwise(F.lit(0).cast("long")),
         ),
-        F.lit(0),
+        F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
 
@@ -271,17 +285,18 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        max_distance: int = 2) -> DataFrame:
     """SimHash near-dup pairs within a Hamming-distance budget, at scale.
 
-    Banding: the 16-bit hash splits into (max_distance + 1) bands; by
+    Banding: the 64-bit hash splits into (max_distance + 1) bands; by
     pigeonhole, any pair within ``max_distance`` bits agrees exactly on at
     least one band, so candidates come from equi-joins on (band_index,
     band_value) — never an all-pairs XOR scan. The exact popcount filter
     then keeps true near-pairs. Returns (doc_a, doc_b, hamming_distance).
     """
     n_bands = max_distance + 1
-    width = 16 // n_bands
-    h = spread(df).select("doc_id", simhash16(F.col(text_col)).alias("simhash"))
+    width = 64 // n_bands
+    h = spread(df).select("doc_id", simhash64(F.col(text_col)).alias("simhash"))
     h = h.persist()
-    # band value b_i = bits [i*width, (i+1)*width); last band takes the rest
+    # band value b_i = bits [i*width, (i+1)*width); last band takes the rest;
+    # unsigned shift + mask works on the signed two's-complement packing
     banded = h.select(
         "doc_id",
         "simhash",
@@ -291,9 +306,12 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                     F.struct(
                         F.lit(i).alias("band"),
                         (
-                            (F.col("simhash") / F.lit(2 ** (i * width))).cast("int")
-                            % F.lit(
-                                2 ** (width if i < n_bands - 1 else 16 - i * width)
+                            F.shiftrightunsigned(F.col("simhash"), i * width)
+                            .bitwiseAND(
+                                F.lit(
+                                    (1 << (width if i < n_bands - 1
+                                           else 64 - i * width)) - 1
+                                )
                             )
                         ).alias("val"),
                     )
@@ -327,9 +345,11 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
 
 
 def simhash_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Docs sharing an identical 16-bit simhash bucket, paired for review
-    (hamming-distance banding generalizes this at scale)."""
-    h = spread(df).select("doc_id", simhash16(F.col(text_col)).alias("simhash"))
+    """Docs sharing an identical 64-bit simhash bucket, paired for review
+    (hamming-distance banding generalizes this at scale). At 64 bits an
+    identical-hash collision is essentially always a true near-duplicate —
+    the r01 16-bit variant's n²/65536 bucket blowup is gone."""
+    h = spread(df).select("doc_id", simhash64(F.col(text_col)).alias("simhash"))
     h = h.persist()  # self-joined: avoid recomputing the bit votes per side
     a, b = h.alias("a"), h.alias("b")
     return a.join(

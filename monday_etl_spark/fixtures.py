@@ -57,6 +57,11 @@ PROJECTS_BOARD = {
                                         _cv("person", "Bob", col_type="person"),
                                         _cv("timeline", "2025-01-01 - 2025-02-01",
                                             col_type="timeline"),
+                                        # partial assignment (ref :313-319):
+                                        # start parses, end is garbage ->
+                                        # start updates, end keeps previous
+                                        _cv("timeline_b", "2025-01-15 - garbage",
+                                            col_type="timeline"),
                                         _cv("status", "Done", col_type="status"),
                                         # second status cell: first-match-wins
                                         _cv("status_x", "IgnoredLater", col_type="status"),

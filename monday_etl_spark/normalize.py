@@ -13,7 +13,9 @@ Reference semantics reproduced exactly (SURVEY.md §2.2, O-5..O-11, F-1..F-5):
   wins, with default null (or 0.0 for numbers) (:264-267, :305-309);
 - subitem ``status``: FIRST non-empty cell wins (``if not ...status``,
   :320-322);
-- timeline must split into exactly 2 parseable dates, atomically (:312-319);
+- timeline: the cell must split into exactly 2 parts; start is assigned
+  before end parses, so 'valid-start - garbage' updates start and keeps the
+  previous end — partial assignment, NOT atomic (:313-319);
 - linked ids come from ``value`` JSON ``linkedPulseIds[0].linkedPulseId``
   with silent null on malformed/empty JSON (:386-395).
 
@@ -165,10 +167,20 @@ def last_date(cv: Column, key: str, by_type: bool = False) -> Column:
 
 
 def timeline_pair(cv: Column, key: str = "timeline", by_type: bool = True):
-    """F-4: 'start - end' destructure; the cell only counts if it splits into
-    exactly 2 parseable dates (atomic try block, :312-319)."""
+    """F-4: 'start - end' destructure (ref :313-319). The reference guards
+    on exactly 2 split parts, then assigns start BEFORE parsing end inside
+    one try block — so a 'valid-start - garbage' cell updates start while
+    keeping the previous end (partial assignment, replicated here: the two
+    halves filter independently). 1-part and 3+-part cells are skipped
+    entirely by the len==2 guard."""
 
-    def valid(c: Column) -> Column:
+    def start_ok(c: Column) -> Column:
+        parts = F.split(c["text"], " - ")
+        return (F.size(parts) == 2) & F.to_date(
+            F.element_at(parts, 1), _DATE_FMT
+        ).isNotNull()
+
+    def end_ok(c: Column) -> Column:
         parts = F.split(c["text"], " - ")
         return (
             (F.size(parts) == 2)
@@ -176,10 +188,11 @@ def timeline_pair(cv: Column, key: str = "timeline", by_type: bool = True):
             & F.to_date(F.element_at(parts, 2), _DATE_FMT).isNotNull()
         )
 
-    ok = F.filter(_cells(cv, key, by_type), valid)
-    parts = F.split(F.element_at(ok, -1)["text"], " - ")
-    start = F.to_date(F.element_at(parts, 1), _DATE_FMT)
-    end = F.to_date(F.element_at(parts, 2), _DATE_FMT)
+    cells = _cells(cv, key, by_type)
+    start_parts = F.split(F.element_at(F.filter(cells, start_ok), -1)["text"], " - ")
+    end_parts = F.split(F.element_at(F.filter(cells, end_ok), -1)["text"], " - ")
+    start = F.to_date(F.element_at(start_parts, 1), _DATE_FMT)
+    end = F.to_date(F.element_at(end_parts, 2), _DATE_FMT)
     return start, end
 
 

@@ -39,7 +39,16 @@ def salted_join(
     which ``rand()`` would break); right is exploded once per bucket. The
     join key becomes (key, bucket), splitting any hot key across ``salt``
     shuffle partitions.
+
+    Only inner/left joins are supported: the salt scheme replicates every
+    right row into all ``salt`` buckets, so an unmatched right row would
+    surface ``salt`` times under right/full outer semantics.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got how={how!r}: "
+            "right/full outer would duplicate unmatched right rows per salt bucket"
+        )
     bucket = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(salt))
     lsalted = left.withColumn("__salt", bucket)
     rsalted = right.withColumn(

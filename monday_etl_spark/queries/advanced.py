@@ -99,16 +99,16 @@ _Z_SCHEMA = T.StructType(
     WITH stats AS (
         SELECT user_id,
                COUNT(*) AS n,
-               SUM(CAST(round(value * 100) AS BIGINT)) AS sum_c,
-               SUM(CAST(round(value * 100) AS BIGINT)
-                   * CAST(round(value * 100) AS BIGINT)) AS sumsq_c
+               SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_c,
+               SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                   * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sumsq_c
         FROM events GROUP BY user_id
     )
     SELECT e.user_id, e.event_id, e.value,
            CASE WHEN s.n > 1 AND
                      (CAST(s.sumsq_c AS DOUBLE) - CAST(s.sum_c AS DOUBLE)
                       * s.sum_c / s.n) > 0
-                THEN (CAST(round(e.value * 100) AS BIGINT) - CAST(s.sum_c AS DOUBLE) / s.n)
+                THEN (CAST(floor(e.value * 100 + 0.5) AS BIGINT) - CAST(s.sum_c AS DOUBLE) / s.n)
                      / sqrt((CAST(s.sumsq_c AS DOUBLE) - CAST(s.sum_c AS DOUBLE)
                              * s.sum_c / s.n) / (s.n - 1))
                 ELSE 0.0 END AS zscore
@@ -127,7 +127,7 @@ def grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        cents = np.round(pdf["value"].to_numpy() * 100).astype(np.int64)
+        cents = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype(np.int64)
         n = len(cents)
         sum_c = int(cents.sum())
         sumsq_c = int((cents * cents).sum())

@@ -405,16 +405,18 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.vec_id,
            CASE WHEN m.max_abs > 0 THEN 127.0 / m.max_abs ELSE 0.0 END AS scale,
-           list_transform(e.embedding,
+           array_to_string(list_transform(e.embedding,
                x -> CAST(floor(CAST(x AS DOUBLE)
                                * (CASE WHEN m.max_abs > 0 THEN 127.0 / m.max_abs
-                                       ELSE 0.0 END) + 0.5) AS INTEGER)) AS qvec
+                                       ELSE 0.0 END) + 0.5) AS INTEGER)), ',') AS qvec
     FROM embeddings e JOIN m USING (vec_id)
     """,
     doc="Symmetric int8 scalar quantization per vector (the storage/transfer "
         "compression step before ANN at 100 TB - 4x smaller than float32). "
         "Rounding is floor(x*scale + 0.5), not ROUND: both engines evaluate "
-        "the identical IEEE expression, so ties cannot diverge. Pure map.",
+        "the identical IEEE expression, so ties cannot diverge. Pure map. "
+        "qvec is emitted as a comma-joined string: the harness canonicalizer "
+        "lexsorts result columns and array cells are unhashable in pandas.",
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.similarity import _to_double
@@ -430,8 +432,14 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select(
         "vec_id",
         "scale",
-        F.transform(
-            "v", lambda x: F.floor(x * F.col("scale") + F.lit(0.5)).cast("int")
+        F.array_join(
+            F.transform(
+                "v",
+                lambda x: F.floor(x * F.col("scale") + F.lit(0.5))
+                .cast("int")
+                .cast("string"),
+            ),
+            ",",
         ).alias("qvec"),
     )
 
@@ -441,7 +449,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            COUNT(DISTINCT lang) AS n_langs,
            COUNT(CASE WHEN n_chars < 200 THEN 1 END) AS n_short
     FROM documents

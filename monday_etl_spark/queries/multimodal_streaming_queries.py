@@ -86,8 +86,8 @@ _stream_counter = itertools.count()
         FROM events
     )
     SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_no
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
     FROM flagged
     """,
     doc="Custom stateful streaming operator (SURVEY §2.10 extension point): "

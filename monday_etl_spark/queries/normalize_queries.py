@@ -71,7 +71,7 @@ def normalize_projects(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(updated_at AS TIMESTAMP) AS updated_at
     FROM (VALUES
       (DATE '{_D}', TIMESTAMP '{_TS}', '201', '101', 'Sub1', 'Bob',
-       DATE '2025-01-01', DATE '2025-02-01', 1500.5, 'Done', NULL,
+       DATE '2025-01-15', DATE '2025-02-01', 1500.5, 'Done', NULL,
        TIMESTAMP '2025-06-21 08:00:00', NULL),
       (DATE '{_D}', TIMESTAMP '{_TS}', '202', '101', 'Sub2', NULL,
        NULL, NULL, 0.0, NULL, NULL, NULL, NULL),
@@ -84,7 +84,8 @@ def normalize_projects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="O-6/O-8/O-9/O-19 + F-1/F-4: child flatten with parent FK, EAV→wide "
         "by column type, first-match-wins status, last-successful-parse "
-        "numbers/timeline, atomic timeline destructure.",
+        "numbers/timeline, partial timeline destructure (start updates even "
+        "when the end half fails to parse, ref :313-319).",
 )
 def normalize_subitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_subitems(items_df(board_df(spark, FX.PROJECTS_BOARD)), _D, _TS)

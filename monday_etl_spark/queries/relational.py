@@ -178,7 +178,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
     FROM events GROUP BY event_type
     """,
@@ -395,8 +395,8 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_no
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
     FROM flagged
     """,
     doc="Gap-based sessionization (extension; batch analogue of Structured "

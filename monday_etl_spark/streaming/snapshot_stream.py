@@ -35,17 +35,26 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    glob: str = "events.parquet",
+) -> DataFrame:
     """File-source stream over the events parquet (new files in the directory
-    would be picked up incrementally — the ingest-directory pattern)."""
+    would be picked up incrementally — the ingest-directory pattern).
+    ``max_files_per_trigger`` splits the drain into adversarial micro-batches
+    for batch-invariance tests; production leaves it unset (single batch per
+    AvailableNow drain of a static directory)."""
     from ..session import ensure_session_confs
 
     ensure_session_confs(spark)
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA).option(
+        "pathGlobFilter", glob
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(sf_dir)
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 

@@ -2,16 +2,38 @@
 ``applyInPandasWithState`` (SURVEY §2.10 — the extension point for stateful
 semantics Spark's built-in windows can't express).
 
-Per user, state carries (last event time, current session number) across
-micro-batches; a new session starts when the gap since the user's previous
-event exceeds the threshold. The batch twin is
-``operators/temporal_ops.sessionize`` — on a single drained batch the two
-agree exactly (tested), which is the correctness contract for the stateful
-implementation.
+Batch-split invariance (round-2 fix): the naive fold (assign sessions to
+each micro-batch's rows as they arrive) silently renumbers sessions when an
+out-of-order event lands in a later micro-batch — the result depended on how
+the source happened to split batches. This version buffers events in state
+and only *finalizes* (assigns session numbers and emits) the prefix of the
+per-user timeline at or below the current event-time watermark; events newer
+than the watermark wait in the buffer, and events arriving *behind* the
+finalized frontier are dropped per the standard watermark late-data
+contract. Per-user state:
 
-Scale: state is one tiny tuple per user key, partitioned by user across the
-cluster; each micro-batch ships Arrow frames per key group. Watermarking
-would bound state for inactive users in production.
+    (frontier_us, session_no, last_ts_us, buf_ts[], buf_eid[])
+
+- ``frontier_us``: everything at or below this event time has been emitted;
+  a late event at or below it is counted out (dropped), never renumbered.
+- finalization happens in event-time order regardless of arrival order, so
+  any batch split that respects the watermark contract yields byte-identical
+  session numbering.
+- an event-time timeout (armed at the earliest buffered event) guarantees
+  the buffer flushes on the terminal no-data micro-batch of an AvailableNow
+  drain, when the watermark jumps to the source max event time.
+
+With ``delay="0 seconds"`` (the default) a single-batch drain emits every
+event and equals the batch window sessionizer
+(``operators/temporal_ops.sessionize``) exactly — that twin is the SQL
+oracle. With a positive delay the operator tolerates cross-batch disorder up
+to the delay; events within ``delay`` of the source maximum remain buffered
+at drain end (the streaming contract — they are not yet final).
+
+Scale: state per user is two scalars plus the not-yet-final event buffer,
+which the watermark bounds to the disorder horizon — not the user's history.
+Keys partition across the cluster; micro-batches ship Arrow frames per key
+group.
 """
 
 from __future__ import annotations
@@ -35,8 +57,11 @@ SESSION_OUTPUT = T.StructType(
 
 STATE_SCHEMA = T.StructType(
     [
-        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("frontier_us", T.LongType()),
         T.StructField("session_no", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("buf_ts", T.ArrayType(T.LongType())),
+        T.StructField("buf_eid", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -48,44 +73,93 @@ def make_session_fn(gap_seconds: int = 1800):
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        last_ts, session_no = state.get if state.exists else (None, 0)
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        # micro-batch rows arrive unordered; session logic needs time order
-        rows = rows.sort_values(["ts_us", "event_id"], kind="mergesort")
-        out_sessions = []
-        for ts in rows["ts_us"]:
-            if last_ts is None or ts - last_ts > gap_us:
-                session_no += 1
-            out_sessions.append(session_no)
-            last_ts = int(ts)
-        state.update((last_ts, session_no))
-        yield pd.DataFrame(
-            {
-                "user_id": user_id,
-                "event_id": rows["event_id"].values,
-                "ts_us": rows["ts_us"].values,
-                "session_no": out_sessions,
-            }
-        )
+        if state.exists:
+            frontier, session_no, last_ts, buf_ts, buf_eid = state.get
+            buf_ts = list(buf_ts) if buf_ts is not None else []
+            buf_eid = list(buf_eid) if buf_eid is not None else []
+        else:
+            frontier, session_no, last_ts = -1, 0, None
+            buf_ts, buf_eid = [], []
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for ts, eid in zip(pdf["ts_us"], pdf["event_id"]):
+                    ts = int(ts)
+                    if ts <= frontier:
+                        continue  # late beyond watermark: drop, never renumber
+                    buf_ts.append(ts)
+                    buf_eid.append(int(eid))
+
+        # watermark is ms-truncated; cover the sub-ms tail of the same slot
+        wm_ms = state.getCurrentWatermarkMs()
+        cutoff = (wm_ms + 1) * 1000 - 1 if wm_ms > 0 else -1
+
+        out_eid: list[int] = []
+        out_ts: list[int] = []
+        out_sess: list[int] = []
+        if buf_ts and cutoff >= 0:
+            order = sorted(range(len(buf_ts)), key=lambda i: (buf_ts[i], buf_eid[i]))
+            remain_ts: list[int] = []
+            remain_eid: list[int] = []
+            for i in order:
+                ts, eid = buf_ts[i], buf_eid[i]
+                if ts <= cutoff:
+                    if last_ts is None or ts - last_ts > gap_us:
+                        session_no += 1
+                    out_eid.append(eid)
+                    out_ts.append(ts)
+                    out_sess.append(session_no)
+                    last_ts = ts
+                else:
+                    remain_ts.append(ts)
+                    remain_eid.append(eid)
+            buf_ts, buf_eid = remain_ts, remain_eid
+            frontier = max(frontier, cutoff)
+
+        state.update((frontier, session_no, last_ts, buf_ts, buf_eid))
+        if buf_ts:
+            # arm a flush for when the watermark passes the oldest buffered
+            # event; ms-aligned data keeps min_ms-1 strictly above the
+            # current watermark (remaining events are all beyond `cutoff`)
+            min_ms = min(buf_ts) // 1000
+            state.setTimeoutTimestamp(max(min_ms - 1, wm_ms + 1))
+
+        if out_eid:
+            yield pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "event_id": out_eid,
+                    "ts_us": out_ts,
+                    "session_no": out_sess,
+                }
+            )
 
     return assign_sessions
 
 
 def stateful_sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
-    """events must carry (user_id, event_id, ts_us). Returns the same rows
-    with per-user session numbers, maintained in streaming state."""
+    """events must carry (user_id, event_id, ts_us) plus the watermarked
+    timestamp column. Returns finalized rows with per-user session numbers,
+    maintained in streaming state; emission is watermark-gated so the
+    numbering is invariant to micro-batch splits."""
     return events.groupBy("user_id").applyInPandasWithState(
         make_session_fn(gap_seconds),
         outputStructType=SESSION_OUTPUT,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 
 def run_stateful_sessions(spark, sf_dir: str, checkpoint_dir: str,
-                          name: str, gap_seconds: int = 1800) -> DataFrame:
+                          name: str, gap_seconds: int = 1800,
+                          delay: str = "0 seconds",
+                          max_files_per_trigger: int | None = None) -> DataFrame:
     """AvailableNow drive of the stateful sessionizer over the events table.
+
+    With the default ``delay="0 seconds"`` the drained result equals the
+    batch sessionizer on every event. ``max_files_per_trigger`` exists for
+    the adversarial multi-batch test (tests/test_streaming_sessions.py).
 
     Note: the memory sink used here (test/driver harness convenience) does
     NOT support restarting from an existing checkpoint — Spark raises
@@ -96,8 +170,10 @@ def run_stateful_sessions(spark, sf_dir: str, checkpoint_dir: str,
 
     from .snapshot_stream import read_events_stream
 
-    ev = read_events_stream(spark, sf_dir).select(
-        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    ev = read_events_stream(
+        spark, sf_dir, max_files_per_trigger=max_files_per_trigger
+    ).withWatermark("ts", delay).select(
+        "ts", "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
     )
     # see run_available_now: state stores per shuffle partition; 8 is plenty
     # for the user-key cardinality here, conf restored after the drain

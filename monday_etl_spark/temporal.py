@@ -99,21 +99,32 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
     alternative to partition overwrite (SURVEY §2.10): rows in ``updates``
     replace same-key rows, others are kept.
 
-    Parquet has no ACID merge, so this is read → anti-join → union →
-    overwrite; the read is materialized (cached + counted) before the
-    overwrite so Spark never reads the files it is replacing mid-write.
-    On Delta/Iceberg this becomes a real MERGE INTO with file-level pruning.
+    Parquet has no ACID merge, so this is read → anti-join → union → write
+    to a TEMP sibling path → swap. Writing the merged result to a new
+    directory before touching the old one means the source files still exist
+    while any task re-runs; relying on cache()+count() instead (the r01
+    approach) is unsafe on a real cluster — cached blocks are not durable,
+    and eviction or executor loss would trigger recomputation from
+    already-deleted files. On Delta/Iceberg this becomes a real MERGE INTO
+    with file-level pruning.
     """
     import os
+    import shutil
 
     if os.path.exists(path):
-        current = spark.read.parquet(path).cache()
-        current.count()  # materialize before overwriting the source files
+        current = spark.read.parquet(path)
         kept = current.join(updates.select(key), key, "left_anti")
         merged = kept.unionByName(updates)
+        tmp = path.rstrip("/") + "__merge_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = path.rstrip("/") + "__merge_old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
     else:
-        merged = updates
-    merged.write.mode("overwrite").parquet(path)
+        updates.write.mode("overwrite").parquet(path)
 
 
 def check_duplicates(df: DataFrame, key: str) -> DataFrame:

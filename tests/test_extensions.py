@@ -9,30 +9,35 @@ import re
 import pytest
 from pyspark.sql import functions as F
 
-from monday_etl_spark.extensions.dedup import simhash16, word_shingles
+from monday_etl_spark.extensions.dedup import simhash64, word_shingles
 from monday_etl_spark.extensions.similarity import brute_force_topk, lsh_bucket_topk
 from monday_etl_spark.io import load_table
 
 from .conftest import SF_SMOKE
 
 
-def py_simhash16(text: str) -> int:
+def py_simhash64(text: str) -> int:
+    """Independent 64-bit oracle: bit j's vote comes from bit j%16 of the
+    16-bit word at hex digits [4*(j//16), 4*(j//16)+4) of the token md5;
+    packed two's complement (signed int64, matching the Spark column)."""
     toks = re.split(r"\s+", re.sub(r"\s+", " ", text.strip().lower()))
-    votes = [0] * 16
+    votes = [0] * 64
     for t in toks:
-        v = int(hashlib.md5(t.encode()).hexdigest()[:4], 16)
-        for i in range(16):
-            votes[i] += 1 if (v >> i) & 1 else -1
-    return sum((1 << i) for i in range(16) if votes[i] > 0)
+        hx = hashlib.md5(t.encode()).hexdigest()
+        words = [int(hx[4 * k : 4 * k + 4], 16) for k in range(4)]
+        for j in range(64):
+            votes[j] += 1 if (words[j // 16] >> (j % 16)) & 1 else -1
+    val = sum((1 << j) for j in range(64) if votes[j] > 0)
+    return val - (1 << 64) if val >= (1 << 63) else val
 
 
 def test_simhash_matches_python_oracle(spark):
     docs = load_table(spark, SF_SMOKE, "documents").limit(50)
     got = {
         r.doc_id: r.sh
-        for r in docs.select("doc_id", simhash16(F.col("text")).alias("sh")).collect()
+        for r in docs.select("doc_id", simhash64(F.col("text")).alias("sh")).collect()
     }
-    want = {r.doc_id: py_simhash16(r.text) for r in docs.collect()}
+    want = {r.doc_id: py_simhash64(r.text) for r in docs.collect()}
     assert got == want
 
 

@@ -24,6 +24,7 @@ TEXTS = st.one_of(
     st.just("2025-01-01"),
     st.just("bad - data"),
     st.just("2025-13-99 - 2025-01-01"),
+    st.just("2025-01-15 - garbage"),
     st.just("Done"),
     st.just("Alice"),
 )
@@ -52,9 +53,15 @@ def reference_subitem_semantics(cells: list[dict]) -> dict:
             try:
                 dates = text.split(" - ")
                 if len(dates) == 2:
-                    start = dt.datetime.strptime(dates[0], "%Y-%m-%d").date()
-                    end = dt.datetime.strptime(dates[1], "%Y-%m-%d").date()
-                    out["timeline_start"], out["timeline_end"] = start, end
+                    # partial assignment, exactly like the reference: start
+                    # lands before end parses, so 'valid - garbage' updates
+                    # start and keeps the previous end
+                    out["timeline_start"] = dt.datetime.strptime(
+                        dates[0], "%Y-%m-%d"
+                    ).date()
+                    out["timeline_end"] = dt.datetime.strptime(
+                        dates[1], "%Y-%m-%d"
+                    ).date()
             except ValueError:
                 pass
         elif ctype == "status":

@@ -8,26 +8,28 @@ from monday_etl_spark.io import load_table
 from monday_etl_spark.streaming.dual_write_stream import stream_dual_write
 
 from .conftest import SF_SMOKE
-from .test_extensions import py_simhash16
+from .test_extensions import py_simhash64
+
+_U64 = (1 << 64) - 1
 
 
 def test_simhash_near_pairs_match_bruteforce(spark):
-    docs = load_table(spark, SF_SMOKE, "documents").limit(120)
+    docs = load_table(spark, SF_SMOKE, "documents")
     got = {
         (r.doc_a, r.doc_b): r.hamming_distance
         for r in simhash_near_pairs(docs, max_distance=2).collect()
     }
-    # brute force oracle over all pairs
-    hashes = {r.doc_id: py_simhash16(r.text) for r in docs.collect()}
+    # brute force oracle over all pairs (mask to u64: hashes are signed)
+    hashes = {r.doc_id: py_simhash64(r.text) for r in docs.collect()}
     ids = sorted(hashes)
     want = {}
     for i, a in enumerate(ids):
         for b in ids[i + 1:]:
-            d = bin(hashes[a] ^ hashes[b]).count("1")
+            d = bin((hashes[a] ^ hashes[b]) & _U64).count("1")
             if d <= 2:
                 want[(a, b)] = d
     assert got == want
-    assert len(want) > 0, "fixture should contain at least one near pair"
+    assert len(want) > 0, "corpus should contain at least one near pair"
 
 
 def test_stream_dual_write(spark, tmp_path):
