@@ -273,3 +273,190 @@ def source_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.join(F.broadcast(targets), "source").filter(
         F.col("rn") <= F.col("target")
     ).select("doc_id", "source", "rn")
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary-offset substring dedup (ExactSubstr-style) + sharded packing
+# ---------------------------------------------------------------------------
+
+_SUBSTR_W = 16  # tokens per sliding window
+
+
+@register(
+    "substring_dedup",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_SQL_TOKS} AS toks, {_SQL_NTOK} AS n_tokens
+        FROM documents
+    ), wins AS (
+        SELECT doc_id,
+               u.i AS off,
+               md5(array_to_string(toks[u.i : u.i + {_SUBSTR_W} - 1], ' ')) AS h
+        FROM t, UNNEST(range(1, greatest(n_tokens - {_SUBSTR_W} + 1, 0) + 1)) u(i)
+    ), dup AS (
+        SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2
+    ), dwin AS (
+        SELECT w.doc_id, w.off FROM wins w JOIN dup USING (h)
+    ), cov AS (
+        SELECT doc_id, off,
+               LEAST({_SUBSTR_W},
+                     COALESCE(LEAD(off) OVER (PARTITION BY doc_id ORDER BY off)
+                              - off, {_SUBSTR_W})) AS c
+        FROM dwin
+    ), agg AS (
+        SELECT doc_id, COUNT(*) AS n_dup_windows,
+               CAST(SUM(c) AS BIGINT) AS dup_tokens_covered
+        FROM cov GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           t.n_tokens,
+           greatest(t.n_tokens - {_SUBSTR_W} + 1, 0) AS n_windows,
+           COALESCE(a.n_dup_windows, 0) AS n_dup_windows,
+           COALESCE(a.dup_tokens_covered, 0) AS dup_tokens_covered,
+           CASE WHEN t.n_tokens > 0 THEN
+               CAST(COALESCE(a.dup_tokens_covered, 0) AS DOUBLE) / t.n_tokens
+           ELSE 0.0 END AS dup_token_frac
+    FROM t LEFT JOIN agg a USING (doc_id)
+    """,
+    doc=f"Arbitrary-offset repeated-span dedup (the ExactSubstr semantics of "
+        f"Lee et al. 2022, which aligned chunk_dedup cannot express): hash "
+        f"every {_SUBSTR_W}-token sliding window, find windows occurring >=2 "
+        "times corpus-wide, and report per doc how many tokens lie inside a "
+        "repeated span (interval union via the lead-gap trick — integer "
+        "only). Scale shape: the explode emits one 16-byte digest per token "
+        "position (linear, like tfidf's term explode) and the duplicate "
+        "test is one partial-agg shuffle on the window hash; a Rabin-Karp "
+        "rolling hash would cut the O(W) per-window concat to O(1) but "
+        "needs per-row state (a mapInPandas seam) — the md5-of-slice stays "
+        "inside whole-stage codegen and keeps the DuckDB oracle exact.",
+)
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        tokens(F.col("text")).alias("toks"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    wins = (
+        base.filter(F.col("n_tokens") >= _SUBSTR_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_tokens") - _SUBSTR_W + 1)
+            ).alias("off"),
+            F.col("toks"),
+        )
+        .select(
+            "doc_id",
+            "off",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("toks"), F.col("off"), _SUBSTR_W))
+            ).alias("h"),
+        )
+    )
+    wins = wins.persist()  # used for both the dup-set and the probe side
+    dup = wins.groupBy("h").count().filter(F.col("count") >= 2).select("h")
+    dwin = wins.join(dup, "h").select("doc_id", "off")
+    wlead = Window.partitionBy("doc_id").orderBy("off")
+    cov = dwin.withColumn(
+        "c",
+        F.least(
+            F.lit(_SUBSTR_W),
+            F.coalesce(
+                F.lead("off").over(wlead) - F.col("off"), F.lit(_SUBSTR_W)
+            ),
+        ),
+    )
+    agg = cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_windows"),
+        F.sum("c").cast("long").alias("dup_tokens_covered"),
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.greatest(
+                F.col("n_tokens") - _SUBSTR_W + 1, F.lit(0).cast("long")
+            ).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0).cast("long")).alias(
+                "n_dup_windows"
+            ),
+            F.coalesce("dup_tokens_covered", F.lit(0).cast("long")).alias(
+                "dup_tokens_covered"
+            ),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce("dup_tokens_covered", F.lit(0).cast("long")).cast(
+                    "double"
+                )
+                / F.col("n_tokens"),
+            )
+            .otherwise(0.0)
+            .alias("dup_token_frac"),
+        )
+    )
+
+
+_N_SHARDS = 4  # >1 shard per language: no partition carries a whole language
+
+
+@register(
+    "sequence_packing_sharded",
+    oracle=f"""
+    WITH n AS (
+        SELECT doc_id, lang, doc_id % {_N_SHARDS} AS shard,
+               {_SQL_NTOK} AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, lang, shard, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang, shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM n
+    )
+    SELECT doc_id, lang, shard, n_tokens,
+           CAST(cum_before // {_SEQ_BUDGET} AS BIGINT) AS seq_id,
+           CAST(cum_before % {_SEQ_BUDGET} AS BIGINT) AS seq_offset,
+           (cum_before % {_SEQ_BUDGET}) + n_tokens > {_SEQ_BUDGET}
+               AS crosses_boundary
+    FROM c
+    """,
+    doc=f"Sharded sequence packing (the 100 TB form of sequence_packing, "
+        f"r01 TODO #3): the window key widens to (lang, shard) with "
+        f"shard = doc_id % {_N_SHARDS}, so no single partition ever carries "
+        "a language's whole corpus — each shard packs its own budgeted "
+        "sequences and sequence ids are namespaced by (lang, shard). "
+        "Integer window arithmetic only; deterministic for any shard "
+        "count. In production the shard count scales with corpus size "
+        "(shards ≈ corpus_tokens / executor_partition_budget).",
+)
+def sequence_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % _N_SHARDS).alias("shard"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    cum = n.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+    )
+    return cum.select(
+        "doc_id",
+        "lang",
+        "shard",
+        "n_tokens",
+        F.expr(f"cum_before div {_SEQ_BUDGET}").alias("seq_id"),
+        (F.col("cum_before") % _SEQ_BUDGET).alias("seq_offset"),
+        ((F.col("cum_before") % _SEQ_BUDGET) + F.col("n_tokens") > _SEQ_BUDGET)
+        .alias("crosses_boundary"),
+    )

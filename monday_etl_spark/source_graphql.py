@@ -11,9 +11,11 @@ connector (SURVEY.md §2.1):
 - O-30 probing scan: try query dialects in order, first that answers wins
        (etl_fix.py:52-154).
 
-Transports are injected so tests never touch the network (the real HTTP
-transport would be a ~10-line ``requests.post`` wrapper; it is deliberately
-not included — no credentials or endpoints belong in this repo).
+Transports are injected so tests never touch the network by default.
+``HttpTransport`` is the live seam (stdlib urllib, no extra dependency);
+no credentials or production endpoints ship in this repo — tests drive it
+against a loopback mock server (tests/test_http_transport.py), which proves
+retry and pagination over a real socket while staying offline-safe.
 
 Scale note: extraction is driver-side here because a Monday board is small
 (hundreds of items). The 100 TB path is the documented upgrade: implement
@@ -69,6 +71,46 @@ class FixtureTransport:
             if token in query:
                 return page
         return self.pages[0]
+
+
+@dataclass
+class HttpTransport:
+    """Live HTTP transport (O-1; ref monday_etl_automated.py:172-194 posts
+    JSON with an auth header): POSTs ``{"query": ...}`` to a GraphQL
+    endpoint and decodes the JSON reply. stdlib urllib only. A non-2xx
+    status or a GraphQL ``errors`` payload raises ``GraphQLError`` so the
+    connector's RetryPolicy treats both exactly like the reference treats
+    request failures."""
+
+    endpoint: str
+    api_token: str = ""
+    timeout_seconds: float = 30.0
+
+    def __call__(self, query: str) -> dict:
+        import json
+        import urllib.error
+        import urllib.request
+
+        headers = {"Content-Type": "application/json"}
+        if self.api_token:
+            headers["Authorization"] = self.api_token
+        req = urllib.request.Request(
+            self.endpoint,
+            data=json.dumps({"query": query}).encode("utf-8"),
+            headers=headers,
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_seconds) as resp:
+                body = resp.read()
+        except urllib.error.HTTPError as ex:
+            raise GraphQLError(f"HTTP {ex.code} from {self.endpoint}") from ex
+        except urllib.error.URLError as ex:
+            raise GraphQLError(f"connection failed: {ex.reason}") from ex
+        out = json.loads(body)
+        if "errors" in out:
+            raise GraphQLError(str(out["errors"]))
+        return out
 
 
 ITEMS_PAGE_QUERY = """
