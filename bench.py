@@ -49,14 +49,33 @@ def main() -> None:
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # steady-state evidence for the iterative/codegen-heavy family: a second
+    # timed pass with compilation amortized, so plan quality is visible
+    # separately from first-touch codegen cost (r01 TODO #5). Skipped when
+    # SPARK_GRAFT_BENCH_RUNS already reports best-of-N.
+    warm: dict[str, float] = {}
+    if runs == 1:
+        for name in ("dedup_cluster_resolution", "dedup_minhash_lsh",
+                     "dedup_simhash", "dedup_simhash_near", "ann_brute_force",
+                     "embedding_near_dup", "grouped_zscore_pandas"):
+            if name not in REGISTRY:
+                continue
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, sf_dir).count()
+            warm[name] = round(time.perf_counter() - t0, 4)
+            print(f"# warm {name}: {warm[name]:.3f}s", file=sys.stderr)
+
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    out = {
         "metric": "operator_suite_wall_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if warm:
+        out["queries_warm"] = warm
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -144,3 +144,47 @@ def ensure_table(spark: SparkSession, base_path: str, table: str,
             writer = writer.partitionBy("extraction_date")
         writer.parquet(path)
     return path
+
+
+def load_autodetect(spark: SparkSession, path: str, fmt: str = "parquet"):
+    """O-34 schema-autodetect load (ref monday_etl_automated.py:573-577,
+    etl_quick_fix.py:284-296: BigQuery load jobs with ``autodetect=True``).
+
+    Spark-first equivalents per format: parquet carries its own schema
+    (autodetect is free); JSON/CSV sample the data for inference (the same
+    behavior class as BigQuery's autodetect — order-stable, but a column of
+    all-null/empty strings infers STRING, exactly the drift the declared
+    CATALOG protects the production path against).
+    """
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "json":
+        return spark.read.json(path)
+    if fmt == "csv":
+        return spark.read.option("header", "true").option(
+            "inferSchema", "true"
+        ).csv(path)
+    raise ValueError(f"unsupported autodetect format: {fmt}")
+
+
+def autodetect_drift(spark: SparkSession, path: str, table: str,
+                     fmt: str = "parquet") -> list[str]:
+    """Compare an autodetected load's schema against the declared catalog
+    entry; returns human-readable drift lines (empty = contract holds).
+    The reference has no such guard — autodetect drift reached BigQuery
+    silently; here it is observable before publish."""
+    inferred = {f.name: f.dataType.simpleString()
+                for f in load_autodetect(spark, path, fmt).schema.fields}
+    declared = {f.name: f.dataType.simpleString()
+                for f in CATALOG[table].fields}
+    drift = []
+    for name, dtype in declared.items():
+        got = inferred.get(name)
+        if got is None:
+            drift.append(f"missing column: {name} ({dtype})")
+        elif got != dtype:
+            drift.append(f"type drift: {name} declared {dtype}, inferred {got}")
+    for name in inferred:
+        if name not in declared:
+            drift.append(f"undeclared column: {name}")
+    return drift

@@ -48,8 +48,41 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
+# Queries with no green correctness evidence yet (no CORRECTNESS_r01 row, or
+# a red one) — surfaced FIRST in queries() iteration order so a driver that
+# budgets its correctness pass (r01 checked 50 of 79 registrations) reaches
+# them before re-confirming already-green entries. Purely an ordering hint;
+# every query is still registered and runnable.
+_EVIDENCE_PRIORITY = [
+    # never checked in r01
+    "substring_dedup", "sequence_packing_sharded", "filter_snapshot_eq",
+    "join_left_single", "join_left_composite", "join_semi", "join_anti",
+    "fk_json_extract", "top10_orders", "union_counts", "setop_intersect",
+    "setop_except", "scalar_battery", "asof_join", "sessionize",
+    "pivot_event_values", "unpivot_measures", "tumbling_window_6h",
+    "revenue_percentiles", "revenue_histogram", "price_quantity_corr",
+    "deterministic_sample", "stratified_sample", "text_scrub",
+    "training_set_selection", "corpus_curation", "latest_snapshot",
+    "rank_topn_per_group", "running_total", "snapshot_diff",
+    "window_function_battery",
+    # red or rows-only in r01, fixed/oracled in r02
+    "embedding_quantize_int8", "corpus_source_stats",
+    "streaming_stateful_sessions", "dedup_simhash", "dedup_simhash_near",
+    "ann_lsh_bucketed", "embedding_near_dup", "dedup_cluster_resolution",
+    "approx_distinct_users",
+]
+
+
+def _order(name: str) -> tuple[int, int]:
+    try:
+        return (0, _EVIDENCE_PRIORITY.index(name))
+    except ValueError:
+        return (1, 0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    names = sorted(REGISTRY, key=lambda n: (_order(n), list(REGISTRY).index(n)))
+    return {name: REGISTRY[name].fn for name in names}
 
 
 def oracle_sql() -> dict[str, str]:

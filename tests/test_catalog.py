@@ -48,3 +48,32 @@ def test_ensure_table_idempotent(spark, tmp_path):
     assert "extraction_date" in df.columns
     # second call: no-op, same path
     assert ensure_table(spark, base, "projects") == p1
+
+
+def test_autodetect_load_matches_declared_schema(spark, tmp_path):
+    """O-34: a parquet snapshot written by the normalize layer autodetects to
+    exactly the declared schema (parquet carries its own types)."""
+    from monday_etl_spark.catalog import autodetect_drift, load_autodetect
+    from monday_etl_spark.fixtures import PROJECTS_BOARD, RUN_DATE, RUN_TS
+    from monday_etl_spark.normalize import board_df, extract_projects, items_df
+
+    path = str(tmp_path / "projects")
+    extract_projects(items_df(board_df(spark, PROJECTS_BOARD)),
+                     RUN_DATE, RUN_TS).write.parquet(path)
+    assert autodetect_drift(spark, path, "projects") == []
+    assert load_autodetect(spark, path).count() == 3
+
+
+def test_autodetect_flags_drift_on_lossy_format(spark, tmp_path):
+    """JSON inference is the BigQuery-autodetect behavior class: date and
+    timestamp columns surface as strings, and the drift guard catches it
+    before publish instead of letting it reach the warehouse."""
+    from monday_etl_spark.catalog import autodetect_drift
+    from monday_etl_spark.fixtures import PROJECTS_BOARD, RUN_DATE, RUN_TS
+    from monday_etl_spark.normalize import board_df, extract_projects, items_df
+
+    path = str(tmp_path / "projects_json")
+    extract_projects(items_df(board_df(spark, PROJECTS_BOARD)),
+                     RUN_DATE, RUN_TS).write.json(path)
+    drift = autodetect_drift(spark, path, "projects", fmt="json")
+    assert any(d.startswith("type drift: extraction_date") for d in drift)
