@@ -2,17 +2,27 @@
 inverted lists, probing only the closest cells.
 
 The second scale path beside sign-LSH (similarity.py): instead of random
-hyperplane buckets, the corpus is clustered into k cells (deterministic
-Lloyd iterations — initial centroids are the vectors of the k smallest ids,
-ties in assignment break toward the lower centroid id), and each query
+hyperplane buckets, the corpus is clustered into k cells and each query
 scores only its ``nprobe`` nearest cells (~nprobe/k of the corpus).
 
 Scale split (FAISS-style): the coarse quantizer TRAINS on a bounded
-driver-side sample (``max_train`` lowest-id vectors — numpy Lloyd, one Spark
-job), while ASSIGNMENT — the part that is linear in corpus size — runs
-distributively as a broadcast cross-score against the k-centroid literal.
-At 100 TB the sample stays O(max_train·dim) on the driver and the corpus
-never leaves the executors.
+driver-side sample (``max_train`` lowest-id vectors — one Spark job), while
+ASSIGNMENT — the part that is linear in corpus size — runs distributively as
+a broadcast cross-score against the k-centroid literal. At 100 TB the sample
+stays O(max_train·dim) on the driver and the corpus never leaves the
+executors.
+
+Determinism design (round 2): every DISCRETE decision — training
+assignments, centroid updates, final cell assignment, probe-cell choice —
+is computed in exact int64 arithmetic on vectors quantized to
+``SCALE = 1e6`` (sums of integers are exact and order-independent, so numpy,
+Spark, and the DuckDB oracle agree bit-for-bit; the one fp step per
+centroid update, FLOOR(sum/count + 0.5), is a single exactly-rounded IEEE
+division + floor, identical everywhere). Floating point appears only in the
+final cosine similarity, which is rounded to 4dp where rank gaps dwarf
+engine noise (the same contract the green ann_brute_force oracle uses).
+This is what makes ``ann_ivf`` SQL-oracle-checkable: the oracle re-derives
+the whole pipeline, including training, from the ``embeddings`` view alone.
 """
 
 from __future__ import annotations
@@ -22,81 +32,108 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import _to_double, cosine, dot
+from .similarity import _to_double, _topk_merge, cosine
+
+#: fixed-point scale for the quantized training/assignment space.
+SCALE = 1_000_000
 
 
-def _centroid_scores(vec, centroids: list[tuple[int, list[float]]]):
-    """Column array<double>: distance score per centroid, in list order
-    (expanded euclidean: -2·v·c + |c|² since |v|² is constant per row).
+def quantize(vec) -> "F.Column":
+    """array<bigint>: FLOOR(x·SCALE + 0.5) per element — the exact same
+    expression the DuckDB oracle and the numpy trainer apply."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * SCALE + F.lit(0.5)).cast("long")
+    )
 
-    The k×dim centroid matrix enters the plan as ONE array<array<double>>
+
+def _int_scores(qvec, centroids: list[tuple[int, list[int]]]):
+    """Column array<bigint>: per-centroid distance score in list order, in
+    exact integer arithmetic: |c|² − 2·q·c (|q|² is constant per row, so the
+    argmin is the true squared-euclidean argmin).
+
+    The k×dim centroid matrix enters the plan as ONE array<array<bigint>>
     literal + a transform, not k unrolled 64-element F.array()s — the
     unrolled form put 512 literal nodes in the tree twice (assignment +
     probe) and codegen compile dominated the cold run (~5 s at sf0.1)."""
-    cmat = F.lit([c for _, c in centroids])
-    c2 = F.lit([sum(x * x for x in c) for _, c in centroids])
-    return F.zip_with(cmat, c2, lambda c, cc: cc - 2 * dot(vec, c))
+    cmat = F.lit([c for _, c in centroids]).cast("array<array<bigint>>")
+    c2 = F.lit([sum(x * x for x in c) for _, c in centroids]).cast("array<bigint>")
+    dot_i = lambda a, b: F.aggregate(  # noqa: E731 — strict left fold, exact int64
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda s, x: s + x
+    )
+    return F.zip_with(cmat, c2, lambda c, cc: cc - 2 * dot_i(qvec, c))
 
 
-def _nearest_centroid(vec, centroids: list[tuple[int, list[float]]]):
-    """Column: id of the closest centroid by euclidean distance; ties break
-    toward the lower centroid id (first occurrence of the min).
-
-    Built as argmin over a scores ARRAY, not a chain of F.when — a when-chain
+def _nearest_centroid(qvec, centroids: list[tuple[int, list[int]]]):
+    """Column: id of the closest centroid by (exact integer) euclidean
+    distance; ties break toward the lower centroid id (first occurrence of
+    the min — argmin over a scores ARRAY, not a chain of F.when: a when-chain
     that re-embeds the running best twice per step grows the expression tree
-    2^k-fold (k=8 made codegen the dominant cost: 20 s/query at sf0.1)."""
-    scores = _centroid_scores(vec, centroids)
+    2^k-fold)."""
+    scores = _int_scores(qvec, centroids)
     pos = F.array_position(scores, F.array_min(scores)).cast("int")
     return F.element_at(F.lit([cid for cid, _ in centroids]), pos)
 
 
 def kmeans_fit(corpus: DataFrame, k: int = 8, iterations: int = 3,
                vec_col: str = "embedding", id_col: str = "vec_id",
-               max_train: int = 100_000) -> list[tuple[int, list[float]]]:
-    """Deterministic Lloyd on a bounded training sample: the ``max_train``
-    lowest-id vectors are collected once and iterated in numpy (init = the k
-    smallest ids; ties in assignment break toward the lower centroid id;
-    empty cells keep their previous centroid). One Spark job total — the
-    driver-loop-per-iteration variant cost 4 jobs + a codegen compile each
-    and dominated the query (20 s at sf0.1). Returns [(cell_id, centroid)].
-    """
+               max_train: int = 100_000) -> list[tuple[int, list[int]]]:
+    """Deterministic integer Lloyd on a bounded training sample: the
+    ``max_train`` lowest-id vectors are quantized JVM-side, collected once,
+    and iterated in int64 numpy (init = the k smallest ids; ties in
+    assignment break toward the lower centroid id; empty cells keep their
+    previous centroid; centroid update = FLOOR(sum/count + 0.5) per dim).
+    One Spark job total. Returns [(cell_id, centroid_int_list)].
+
+    Every arithmetic step is exact in int64 (or a single exactly-rounded
+    IEEE division), so the DuckDB oracle's unrolled-CTE replica of this loop
+    produces bit-identical centroids from the same parquet."""
     rows = (
-        corpus.select(F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v"))
+        corpus.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
         .orderBy("id")
         .limit(max_train)
         .collect()
     )
-    X = np.array([list(r.v) for r in rows], dtype=np.float64)
+    X = np.array([list(r.q) for r in rows], dtype=np.int64)
     cents = X[:k].copy()
     x2 = (X * X).sum(axis=1)
     for _ in range(iterations):
         # n×k distances via |x|² - 2x·c + |c|²; argmin ties → first index
-        d = x2[:, None] - 2.0 * (X @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+        d = x2[:, None] - 2 * (X @ cents.T) + (cents * cents).sum(axis=1)[None, :]
         assign = d.argmin(axis=1)
         for c in range(k):
             members = X[assign == c]
             if len(members):
-                cents[c] = members.mean(axis=0)
+                s = members.sum(axis=0)
+                cents[c] = np.floor(s.astype(np.float64) / len(members) + 0.5).astype(
+                    np.int64
+                )
     return [(i, cents[i].tolist()) for i in range(k)]
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame,
-             centroids: list[tuple[int, list[float]]], k: int = 10,
+             centroids: list[tuple[int, list[int]]], k: int = 10,
              nprobe: int = 2, vec_col: str = "embedding",
              id_col: str = "vec_id") -> DataFrame:
     """Top-k per query, scoring only the query's ``nprobe`` nearest cells.
     Returns (query_id, neighbor_id, rank, cosine_sim) — same shape as the
-    LSH and brute-force paths."""
+    LSH and brute-force paths. The final merge reuses the two-level salted
+    ``_topk_merge`` (partial WindowGroupLimit before each exchange), so no
+    executor ever holds more than fanout·k survivors per query even when a
+    probed cell is corpus-sized."""
     from .dedup import spread
 
     c = spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cell", _nearest_centroid(F.col("cv"), centroids))
+        F.col(id_col).alias("neighbor_id"),
+        _to_double(F.col(vec_col)).alias("cv"),
+        quantize(F.col(vec_col)).alias("cq"),
+    ).withColumn("cell", _nearest_centroid(F.col("cq"), centroids)).drop("cq")
 
     q = queries.select(
-        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"),
+        _to_double(F.col(vec_col)).alias("qv"),
+        quantize(F.col(vec_col)).alias("qq"),
     )
-    # nprobe nearest cells per query: rank the k centroid distances
+    # nprobe nearest cells per query: rank the k integer centroid distances
     ids = F.lit([cid for cid, _ in centroids])
     probe = q.select(
         "query_id",
@@ -104,7 +141,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
         F.explode(
             F.zip_with(
                 ids,
-                _centroid_scores(F.col("qv"), centroids),
+                _int_scores(F.col("qq"), centroids),
                 lambda i, d: F.struct(i.alias("cell"), d.alias("d")),
             )
         ).alias("pc"),
@@ -120,9 +157,4 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
         F.broadcast(probe),
         (c.cell == probe.cell) & (F.col("neighbor_id") != F.col("query_id")),
     ).select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("cosine_sim"))
-    )
+    return _topk_merge(scored, k)

@@ -395,13 +395,100 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(emb, queries, dim=64, k=10, bits=8)
 
 
+def _sql_ivf_lloyd_iter(n: int, dim: int) -> str:
+    """One unrolled integer-Lloyd iteration as DuckDB CTEs: exact-int64
+    assignment (argmin of squared euclidean, ties to the lower cell), per-dim
+    integer sums, centroid update FLOOR(sum/count + 0.5); empty cells keep
+    the previous centroid. Bit-identical to extensions.ivf.kmeans_fit."""
+    return f"""
+    a{n} AS (
+      SELECT vec_id, q, cell FROM (
+        SELECT t.vec_id, t.q, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+                 CAST(list_sum(list_transform(list_zip(t.q, c.c),
+                      p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT), c.cell) AS rn
+        FROM train t CROSS JOIN c{n - 1} c)
+      WHERE rn = 1
+    ),
+    s{n} AS (
+      SELECT cell, i, CAST(SUM(q[i]) AS BIGINT) AS s, COUNT(*) AS n
+      FROM a{n} CROSS JOIN range(1, {dim + 1}) r(i)
+      GROUP BY cell, i
+    ),
+    c{n} AS (
+      SELECT p.cell, COALESCE(u.c, p.c) AS c
+      FROM c{n - 1} p LEFT JOIN (
+        SELECT cell,
+               list(CAST(FLOOR(CAST(s AS DOUBLE)/n + 0.5) AS BIGINT) ORDER BY i) AS c
+        FROM s{n} GROUP BY cell) u ON p.cell = u.cell
+    )"""
+
+
+def _sql_ivf(k: int = 8, iterations: int = 3, nprobe: int = 2, topk: int = 10,
+             dim: int = 64, scale: int = 1_000_000, max_train: int = 100_000) -> str:
+    """Self-contained DuckDB twin of the whole IVF pipeline (training
+    included): quantize → unrolled integer Lloyd → exact-int assignment and
+    probe → cosine top-k. Every discrete decision is int64-exact on both
+    engines; fp only in the final cosine, rounded to 4dp (see ivf.py
+    module docstring)."""
+    dist = ("CAST(list_sum(list_transform(list_zip(s.q, c.c), "
+            "p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)")
+    iters = ",".join(_sql_ivf_lloyd_iter(n, dim) for n in range(1, iterations + 1))
+    return f"""
+    WITH qv AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(FLOOR(x*{scale}.0 + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    train AS (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT {max_train}),
+    c0 AS (
+      SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cell, q AS c
+      FROM (SELECT vec_id, q FROM train ORDER BY vec_id LIMIT {k})
+    ),{iters},
+    assign AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT s.vec_id, s.v, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {dist}, c.cell) AS rn
+        FROM qv s CROSS JOIN c{iterations} c)
+      WHERE rn = 1
+    ),
+    probe AS (
+      SELECT vec_id AS query_id, v AS pv, cell FROM (
+        SELECT s.vec_id, s.v, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {dist}, c.cell) AS rn
+        FROM qv s CROSS JOIN c{iterations} c
+        WHERE s.vec_id IN {_QUERY_IDS})
+      WHERE rn <= {nprobe}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(p.pv, a.v) AS sim
+      FROM assign a JOIN probe p ON a.cell = p.cell AND a.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(sim, 4) AS cosine_sim
+    FROM ranked WHERE rank <= {topk}
+    """
+
+
 @register(
     "ann_ivf",
-    oracle=None,  # recall/subset properties unit-tested (tests/test_ivf.py)
+    oracle=_sql_ivf(),
     doc="IVF ANN (second scale path beside sign-LSH): deterministic k-means "
         "coarse quantizer (8 cells, 3 Lloyd iterations, init = lowest-id "
         "vectors) + inverted lists; queries probe their 2 nearest cells "
-        "(~1/4 of the corpus).",
+        "(~1/4 of the corpus). Training, assignment, and probing run in "
+        "exact int64 on 1e6-quantized vectors, so the oracle re-derives the "
+        "ENTIRE pipeline — Lloyd included — as an unrolled CTE from the "
+        "embeddings view; fp only in the final 4dp-rounded cosine.",
 )
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.ivf import ivf_topk, kmeans_fit

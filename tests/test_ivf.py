@@ -26,11 +26,10 @@ def centroids(emb):
 
 
 def test_assignment_covers_corpus(spark, emb, centroids):
-    from monday_etl_spark.extensions.ivf import _nearest_centroid
-    from monday_etl_spark.extensions.similarity import _to_double
+    from monday_etl_spark.extensions.ivf import _nearest_centroid, quantize
 
-    v = emb.select(_to_double(F.col("embedding")).alias("v"))
-    cells = v.withColumn("cell", _nearest_centroid(F.col("v"), centroids))
+    v = emb.select(quantize(F.col("embedding")).alias("q"))
+    cells = v.withColumn("cell", _nearest_centroid(F.col("q"), centroids))
     counts = {r.cell: r.n for r in
               cells.groupBy("cell").agg(F.count("*").alias("n")).collect()}
     assert sum(counts.values()) == 500
