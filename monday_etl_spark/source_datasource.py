@@ -20,7 +20,12 @@ import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from .normalize import MONDAY_SCHEMA
 
@@ -49,6 +54,9 @@ class MondayDataSource(DataSource):
     def reader(self, schema) -> "MondayBoardReader":
         return MondayBoardReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "MondayStreamReader":
+        return MondayStreamReader(self.options)
+
 
 class MondayBoardReader(DataSourceReader):
     def __init__(self, options):
@@ -71,6 +79,86 @@ class MondayBoardReader(DataSourceReader):
             yield (partition.board_id, i, json.dumps(page))
 
 
+class MondayStreamReader(SimpleDataSourceStreamReader):
+    """Streaming flavor of the connector (TODO #4 r02): the cursor-paginated
+    reader as a micro-batch source — each trigger drains up to
+    ``pages_per_batch`` pages per board, so a continuously-updated board
+    becomes an unbounded stream of page documents.
+
+    Offsets are {"pages": {board_id: next_page_index}} — exactly the cursor
+    position of the paginated reader (etl_quick_fix.py:50-151 loops until
+    the cursor is exhausted; here the loop is the streaming engine's).
+    The fixture source is deterministic, so ``readBetweenOffsets`` replays
+    a committed batch bit-identically after restart (exactly-once with a
+    checkpoint + idempotent sink, same contract as streaming/ elsewhere)."""
+
+    def __init__(self, options):
+        self.fixture_path = options.get("fixture_path")
+        boards = options.get("boards", "")
+        self.boards = [b for b in boards.split(",") if b]
+        if not self.fixture_path or not self.boards:
+            raise ValueError("monday source requires 'fixture_path' and 'boards' options")
+        self.pages_per_batch = int(options.get("pages_per_batch", "1"))
+        self._fixtures: dict | None = None
+
+    def _pages(self, board: str) -> list:
+        if self._fixtures is None:
+            with open(self.fixture_path) as f:
+                self._fixtures = json.load(f)
+        return self._fixtures.get(board, [])
+
+    def initialOffset(self) -> dict:
+        return {"pages": {b: 0 for b in self.boards}}
+
+    def _slice(self, start: dict, end: dict | None):
+        for board in self.boards:
+            lo = start["pages"].get(board, 0)
+            pages = self._pages(board)
+            hi = len(pages) if end is None else end["pages"].get(board, lo)
+            hi = min(hi, lo + self.pages_per_batch) if end is None else hi
+            for i in range(lo, hi):
+                yield board, i, pages[i]
+
+    def read(self, start: dict):
+        rows = [(b, i, json.dumps(p)) for b, i, p in self._slice(start, None)]
+        nxt = dict(start["pages"])
+        for b, i, _ in rows:
+            nxt[b] = max(nxt.get(b, 0), i + 1)
+        return iter(rows), {"pages": nxt}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([(b, i, json.dumps(p)) for b, i, p in self._slice(start, end)])
+
+
+def _flatten_raw(raw: DataFrame) -> DataFrame:
+    """Raw page JSON → flat item rows with board_id: the same O-5
+    from_json/explode flatten for both the batch and streaming readers."""
+    return (
+        raw.select("board_id", F.from_json("payload", MONDAY_SCHEMA).alias("r"))
+        .select("board_id", F.explode("r.data.boards").alias("board"))
+        .select("board_id", F.explode("board.items_page.items").alias("item"))
+        .select("board_id", "item.*")
+    )
+
+
+def stream_monday_items(spark: SparkSession, fixture_path: str,
+                        boards: list[str], pages_per_batch: int = 1) -> DataFrame:
+    """readStream twin of ``read_monday_items``: one micro-batch per
+    ``pages_per_batch`` pages per board. Downstream is the identical
+    JVM-side flatten — a caller can point the whole normalize/snapshot
+    pipeline at this and get incremental board ingestion with checkpointed
+    exactly-once page offsets."""
+    spark.dataSource.register(MondayDataSource)
+    raw = (
+        spark.readStream.format("monday")
+        .option("fixture_path", fixture_path)
+        .option("boards", ",".join(boards))
+        .option("pages_per_batch", str(pages_per_batch))
+        .load()
+    )
+    return _flatten_raw(raw)
+
+
 def read_monday_items(spark: SparkSession, fixture_path: str,
                       boards: list[str]) -> DataFrame:
     """Register + read + JVM-side parse: raw page JSON → flat item rows with
@@ -83,9 +171,4 @@ def read_monday_items(spark: SparkSession, fixture_path: str,
         .option("boards", ",".join(boards))
         .load()
     )
-    return (
-        raw.select("board_id", F.from_json("payload", MONDAY_SCHEMA).alias("r"))
-        .select("board_id", F.explode("r.data.boards").alias("board"))
-        .select("board_id", F.explode("board.items_page.items").alias("item"))
-        .select("board_id", "item.*")
-    )
+    return _flatten_raw(raw)
