@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import minhash_bands, minhash_signature, spread
+from .dedup import minhash_bands, minhash_signatures
 
 DEFAULT_TABLE = "minhash_signature_store"
 
@@ -38,9 +38,7 @@ def _banded_signatures(df: DataFrame, text_col: str, num_hashes: int,
                        num_bands: int, k: int) -> DataFrame:
     """(doc_id, sig, band, bh) — one row per (document, band)."""
     rows_per_band = num_hashes // num_bands
-    sigs = spread(df).select(
-        "doc_id", minhash_signature(F.col(text_col), num_hashes, k).alias("sig")
-    )
+    sigs = minhash_signatures(df, text_col, num_hashes, k)
     return sigs.select(
         "doc_id",
         "sig",
