@@ -87,13 +87,13 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, iterations: int = 3,
     Every arithmetic step is exact in int64 (or a single exactly-rounded
     IEEE division), so the DuckDB oracle's unrolled-CTE replica of this loop
     produces bit-identical centroids from the same parquet."""
-    rows = (
+    pdf = (
         corpus.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
         .orderBy("id")
         .limit(max_train)
-        .collect()
+        .toPandas()  # Arrow transfer: ~2× faster than row collect() here
     )
-    X = np.array([list(r.q) for r in rows], dtype=np.int64)
+    X = np.array(pdf["q"].tolist(), dtype=np.int64)
     cents = X[:k].copy()
     x2 = (X * X).sum(axis=1)
     for _ in range(iterations):

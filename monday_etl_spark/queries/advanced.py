@@ -124,20 +124,21 @@ _Z_SCHEMA = T.StructType(
 def grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
 
-    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+    def zscore_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
         cents = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype(np.int64)
-        n = len(cents)
-        sum_c = int(cents.sum())
-        sumsq_c = int((cents * cents).sum())
-        num = float(sumsq_c) - float(sum_c) * sum_c / n
-        if n > 1 and num > 0:
-            mean_c = float(sum_c) / n
-            std_c = (num / (n - 1)) ** 0.5
-            z = (cents - mean_c) / std_c
-        else:
-            z = np.zeros(n)
+        d = pd.DataFrame({"u": pdf["user_id"].to_numpy(), "c": cents, "c2": cents * cents})
+        g = d.groupby("u", sort=False)
+        n = g["c"].transform("size").to_numpy().astype(np.int64)
+        sum_c = g["c"].transform("sum").to_numpy()  # int64: exact
+        sumsq_c = g["c2"].transform("sum").to_numpy()
+        # same IEEE op order as the single-user branch: float(sumsq) - float(sum)*sum/n
+        num = sumsq_c.astype(np.float64) - sum_c.astype(np.float64) * sum_c / n
+        ok = (n > 1) & (num > 0)
+        mean_c = sum_c.astype(np.float64) / n
+        std_c = np.sqrt(np.where(ok, num, 1.0) / np.maximum(n - 1, 1))
+        z = np.where(ok, (cents - mean_c) / std_c, 0.0)
         return pd.DataFrame(
             {
                 "user_id": pdf["user_id"],
@@ -147,4 +148,17 @@ def grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return ev.groupBy("user_id").applyInPandas(zscore, schema=_Z_SCHEMA)
+    # salt-bucketed grouped-map: grouping directly by user_id makes one
+    # Arrow batch + one Python call PER USER (1,500 calls of ~67 rows at
+    # sf0.1 — per-call overhead dominated, 4.2 s warm). Grouping by a hash
+    # bucket of the user and running a vectorized pandas groupby INSIDE the
+    # batch keeps the math per-user and bit-identical while cutting Python
+    # invocations to the bucket count. Same one shuffle; at 100 TB bucket
+    # count scales with the cluster, and no bucket ever holds more than
+    # ~|users|/buckets users (hash-balanced), so batches stay bounded.
+    buckets = max(2, ev.sparkSession.sparkContext.defaultParallelism)
+    return (
+        ev.withColumn("__b", F.pmod(F.hash("user_id"), F.lit(buckets)))
+        .groupBy("__b")
+        .applyInPandas(zscore_bucket, schema=_Z_SCHEMA)
+    )
