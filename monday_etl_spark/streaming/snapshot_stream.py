@@ -58,6 +58,21 @@ def read_events_stream(
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
+def read_events_batch(spark: SparkSession, sf_dir: str,
+                      glob: str = "events.parquet") -> DataFrame:
+    """Batch twin of ``read_events_stream`` (same files, same ts decode) —
+    used for watermark calibration (``suggest_watermark_delay``)."""
+    from ..session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    raw = (
+        spark.read.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", glob)
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
 def daily_rollup(events: DataFrame) -> DataFrame:
     """Watermarked, dedup-protected daily tumbling rollup per event_type —
     the streaming twin of the daily snapshot aggregate (O-21)."""

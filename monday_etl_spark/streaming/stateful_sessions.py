@@ -43,6 +43,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -151,6 +152,46 @@ def stateful_sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame
     )
 
 
+def suggest_watermark_delay(events: DataFrame, ts_col: str = "ts",
+                            quantile: float = 0.99,
+                            max_sample: int = 1_000_000) -> str:
+    """Pick the watermark delay from the data's observed disorder instead of
+    a manual knob (TODO r02 #4): the delay that would finalize ``quantile``
+    of events is the p-quantile of *arrival lag* — how far each event's
+    event-time trails the running maximum seen so far in arrival order.
+
+    Arrival order for a file-ingest source is (file modification time, row
+    position) — the same order the streaming file source replays files in —
+    taken from the hidden ``_metadata`` column when the frame is file-backed
+    (falls back to read order otherwise).
+
+    Calibration pass, not a hot-path operator: it samples the first
+    ``max_sample`` rows (same bounded-sample split as the IVF trainer — the
+    sample cost is O(max_sample) on the driver-adjacent path, never
+    corpus-sized), computes the running max with one ordered window, and
+    takes percentile_approx. Returns a Spark interval string (whole seconds,
+    rounded up) for ``withWatermark``; ``"0 seconds"`` for in-order data."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        e = events.select(
+            F.unix_micros(ts_col).alias("ts_us"),
+            F.col("_metadata.file_modification_time").alias("fm"),
+        )
+    except AnalysisException:  # not file-backed: fall back to read order
+        e = events.select(F.unix_micros(ts_col).alias("ts_us"), F.lit(0).alias("fm"))
+    e = e.limit(max_sample).withColumn("arr", F.monotonically_increasing_id())
+    w = Window.orderBy("fm", "arr").rowsBetween(Window.unboundedPreceding, 0)
+    lag = e.withColumn("lag_us", F.max("ts_us").over(w) - F.col("ts_us"))
+    p = lag.agg(
+        F.expr(f"percentile_approx(lag_us, {quantile}, 10000)").alias("p")
+    ).first()["p"]
+    return f"{math.ceil((p or 0) / 1_000_000)} seconds"
+
+
 def run_stateful_sessions(spark, sf_dir: str, checkpoint_dir: str,
                           name: str, gap_seconds: int = 1800,
                           delay: str = "0 seconds",
@@ -161,14 +202,18 @@ def run_stateful_sessions(spark, sf_dir: str, checkpoint_dir: str,
     batch sessionizer on every event. ``max_files_per_trigger`` exists for
     the adversarial multi-batch test (tests/test_streaming_sessions.py).
 
+    ``delay="auto"`` calibrates the watermark from the data itself via
+    ``suggest_watermark_delay`` over a batch read of the same files.
+
     Note: the memory sink used here (test/driver harness convenience) does
     NOT support restarting from an existing checkpoint — Spark raises
     AnalysisException by design. The durable path (format('parquet') with
     the same checkpoint) recovers exactly-once: a second drain with no new
     input emits zero rows (verified)."""
-    from pyspark.sql import functions as F
+    from .snapshot_stream import read_events_batch, read_events_stream
 
-    from .snapshot_stream import read_events_stream
+    if delay == "auto":
+        delay = suggest_watermark_delay(read_events_batch(spark, sf_dir))
 
     ev = read_events_stream(
         spark, sf_dir, max_files_per_trigger=max_files_per_trigger

@@ -146,3 +146,56 @@ def test_late_beyond_watermark_dropped_not_renumbered(spark, tmp_path):
         7: (BASE_US + 400 * MIN_US, 5),
     }
     assert got == want
+
+
+def test_suggest_watermark_delay_covers_observed_disorder(spark, tmp_path):
+    """Auto-tuned delay: the p99 arrival lag of a source with a known
+    disorder bound must cover that bound, and draining with the suggested
+    delay under an adversarial one-file-per-batch split finalizes the full
+    in-watermark timeline with correct numbering."""
+    from monday_etl_spark.streaming.snapshot_stream import read_events_batch
+    from monday_etl_spark.streaming.stateful_sessions import suggest_watermark_delay
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # arrival order (file mtime) vs event time: file B carries an event 20
+    # minutes OLDER than file A's max — observed disorder is 20 minutes
+    _write_events(
+        str(src / "a.parquet"),
+        [(1, 1, 0), (2, 1, 10), (3, 1, 40)],
+        mtime=1_000_000,
+    )
+    _write_events(
+        str(src / "b.parquet"),
+        [(4, 1, 20), (5, 1, 50), (6, 1, 60)],
+        mtime=1_000_100,
+    )
+    batch = read_events_batch(spark, str(src), glob="*.parquet")
+    delay = suggest_watermark_delay(batch)
+    secs = int(delay.split()[0])
+    assert secs >= 20 * 60  # covers the 20-minute regression
+    assert secs <= 40 * 60  # ...but is data-derived, not a blanket horizon
+
+    got = _drain(spark, src, tmp_path / "ck_auto", "auto_sessions", delay=delay)
+    # in-order timeline 0,10,20,40,50,60 (30-min gap -> one session); the
+    # suggested delay keeps every event within the final watermark except
+    # those inside `delay` of the max (60 min): events past 60-delay wait
+    final_min = 60 - secs // 60
+    want = {
+        eid: (BASE_US + m * MIN_US, 1)
+        for eid, m in [(1, 0), (2, 10), (4, 20), (3, 40), (5, 50), (6, 60)]
+        if m <= final_min
+    }
+    assert got == want
+
+
+def test_in_order_source_suggests_zero_delay(spark, tmp_path):
+    from monday_etl_spark.streaming.snapshot_stream import read_events_batch
+    from monday_etl_spark.streaming.stateful_sessions import suggest_watermark_delay
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_events(
+        str(src / "a.parquet"), [(1, 1, 0), (2, 1, 10), (3, 1, 20)], mtime=1_000_000
+    )
+    assert suggest_watermark_delay(read_events_batch(spark, str(src), glob="*.parquet")) == "0 seconds"
