@@ -148,6 +148,9 @@ def stream_monday_items(spark: SparkSession, fixture_path: str,
     JVM-side flatten — a caller can point the whole normalize/snapshot
     pipeline at this and get incremental board ingestion with checkpointed
     exactly-once page offsets."""
+    from .session import ensure_session_confs
+
+    ensure_session_confs(spark)
     spark.dataSource.register(MondayDataSource)
     raw = (
         spark.readStream.format("monday")
@@ -164,6 +167,9 @@ def read_monday_items(spark: SparkSession, fixture_path: str,
     """Register + read + JVM-side parse: raw page JSON → flat item rows with
     their board_id. The from_json/explode pipeline is the same O-5 flatten
     as the driver-side path — only the fetch layer differs."""
+    from .session import ensure_session_confs
+
+    ensure_session_confs(spark)
     spark.dataSource.register(MondayDataSource)
     raw = (
         spark.read.format("monday")

@@ -24,6 +24,9 @@ NAMES = [
     "ann_ivf",              # numpy kmeans + HOF scoring
     "token_stats",          # regex extract_all + integer HOF fold
     "source_temperature_resample",  # ordered double fold + rank window
+    "dedup_minhash_lsh",    # explode+hash-agg signature path (r02 rewrite)
+    "dedup_simhash",        # chained-transform word extraction (r02 rewrite)
+    "grouped_zscore_pandas",  # salt-bucketed applyInPandas (r02 rewrite)
 ]
 
 

@@ -105,3 +105,28 @@ def test_near_dup_pairs_meet_threshold(spark):
     for r in pairs:
         assert py_cos(v[r.id_a], v[r.id_b]) > 0.4 - 1e-6
         assert r.cosine_sim == pytest.approx(py_cos(v[r.id_a], v[r.id_b]), abs=1e-3)
+
+
+def test_minhash_signatures_match_column_flavor(spark):
+    """The codegen'd explode+agg signature path (minhash_signatures) must
+    produce byte-identical signatures to the documented Column expression
+    (minhash_signature) — the contract every minhash oracle depends on."""
+    from pyspark.sql import functions as F
+
+    from monday_etl_spark.extensions.dedup import (
+        minhash_signature,
+        minhash_signatures,
+    )
+    from monday_etl_spark.io import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    fast = {r.doc_id: list(r.sig) for r in minhash_signatures(docs).collect()}
+    slow = {
+        r.doc_id: list(r.sig)
+        for r in docs.select(
+            "doc_id", minhash_signature(F.col("text")).alias("sig")
+        ).collect()
+    }
+    assert fast == slow
