@@ -281,19 +281,10 @@ def source_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SUBSTR_W = 16  # tokens per sliding window
 
-
-@register(
-    "substring_dedup",
-    oracle=f"""
-    WITH t AS (
-        SELECT doc_id, {_SQL_TOKS} AS toks, {_SQL_NTOK} AS n_tokens
-        FROM documents
-    ), wins AS (
-        SELECT doc_id,
-               u.i AS off,
-               md5(array_to_string(toks[u.i : u.i + {_SUBSTR_W} - 1], ' ')) AS h
-        FROM t, UNNEST(range(1, greatest(n_tokens - {_SUBSTR_W} + 1, 0) + 1)) u(i)
-    ), dup AS (
+# duplicate-window -> span-coverage SQL tail shared by both substring-dedup
+# oracles (identical downstream semantics; only the window HASH differs)
+_SQL_SPAN_TAIL = f"""
+    dup AS (
         SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2
     ), dwin AS (
         SELECT w.doc_id, w.off FROM wins w JOIN dup USING (h)
@@ -317,43 +308,13 @@ _SUBSTR_W = 16  # tokens per sliding window
                CAST(COALESCE(a.dup_tokens_covered, 0) AS DOUBLE) / t.n_tokens
            ELSE 0.0 END AS dup_token_frac
     FROM t LEFT JOIN agg a USING (doc_id)
-    """,
-    doc=f"Arbitrary-offset repeated-span dedup (the ExactSubstr semantics of "
-        f"Lee et al. 2022, which aligned chunk_dedup cannot express): hash "
-        f"every {_SUBSTR_W}-token sliding window, find windows occurring >=2 "
-        "times corpus-wide, and report per doc how many tokens lie inside a "
-        "repeated span (interval union via the lead-gap trick — integer "
-        "only). Scale shape: the explode emits one 16-byte digest per token "
-        "position (linear, like tfidf's term explode) and the duplicate "
-        "test is one partial-agg shuffle on the window hash; a Rabin-Karp "
-        "rolling hash would cut the O(W) per-window concat to O(1) but "
-        "needs per-row state (a mapInPandas seam) — the md5-of-slice stays "
-        "inside whole-stage codegen and keeps the DuckDB oracle exact.",
-)
-def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        tokens(F.col("text")).alias("toks"),
-        token_count(F.col("text")).alias("n_tokens"),
-    )
-    wins = (
-        base.filter(F.col("n_tokens") >= _SUBSTR_W)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.col("n_tokens") - _SUBSTR_W + 1)
-            ).alias("off"),
-            F.col("toks"),
-        )
-        .select(
-            "doc_id",
-            "off",
-            F.md5(
-                F.concat_ws(" ", F.slice(F.col("toks"), F.col("off"), _SUBSTR_W))
-            ).alias("h"),
-        )
-    )
+"""
+
+
+def _dup_span_report(wins: DataFrame, base: DataFrame) -> DataFrame:
+    """Shared downstream of both substring-dedup variants: duplicate-window
+    set (>=2 occurrences corpus-wide), per-doc covered-token count via the
+    lead-gap interval union, and the final per-doc report."""
     wins = wins.persist()  # used for both the dup-set and the probe side
     dup = wins.groupBy("h").count().filter(F.col("count") >= 2).select("h")
     dwin = wins.join(dup, "h").select("doc_id", "off")
@@ -397,6 +358,103 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_token_frac"),
         )
     )
+
+
+@register(
+    "substring_dedup",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_SQL_TOKS} AS toks, {_SQL_NTOK} AS n_tokens
+        FROM documents
+    ), wins AS (
+        SELECT doc_id,
+               u.i AS off,
+               md5(array_to_string(toks[u.i : u.i + {_SUBSTR_W} - 1], ' ')) AS h
+        FROM t, UNNEST(range(1, greatest(n_tokens - {_SUBSTR_W} + 1, 0) + 1)) u(i)
+    ), {_SQL_SPAN_TAIL}
+    """,
+    doc=f"Arbitrary-offset repeated-span dedup (the ExactSubstr semantics of "
+        f"Lee et al. 2022, which aligned chunk_dedup cannot express): hash "
+        f"every {_SUBSTR_W}-token sliding window, find windows occurring >=2 "
+        "times corpus-wide, and report per doc how many tokens lie inside a "
+        "repeated span (interval union via the lead-gap trick — integer "
+        "only). Scale shape: the explode emits one 16-byte digest per token "
+        "position (linear, like tfidf's term explode) and the duplicate "
+        "test is one partial-agg shuffle on the window hash; a Rabin-Karp "
+        "rolling hash would cut the O(W) per-window concat to O(1) but "
+        "needs per-row state (a mapInPandas seam) — the md5-of-slice stays "
+        "inside whole-stage codegen and keeps the DuckDB oracle exact.",
+)
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        tokens(F.col("text")).alias("toks"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    wins = (
+        base.filter(F.col("n_tokens") >= _SUBSTR_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_tokens") - _SUBSTR_W + 1)
+            ).alias("off"),
+            F.col("toks"),
+        )
+        .select(
+            "doc_id",
+            "off",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("toks"), F.col("off"), _SUBSTR_W))
+            ).alias("h"),
+        )
+    )
+    return _dup_span_report(wins, base)
+from ..extensions.rolling import sql_rolling_window_hashes as _sql_roll
+
+def _hex2int15(expr: str) -> str:
+    """DuckDB hex->BIGINT fold for <=15 nibbles (fits signed int64)."""
+    return (
+        f"list_reduce(list_transform(string_split({expr}, ''), "
+        f"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+        f"(a, b) -> a * 16 + b)"
+    )
+
+_SQL_ROLLING_WINS = _sql_roll(16, _SQL_TOKS, _SQL_NTOK, _hex2int15)
+
+
+
+@register(
+    "substring_dedup_rolling",
+    oracle=f"""
+    WITH {_SQL_ROLLING_WINS},
+    {_SQL_SPAN_TAIL}
+    """,
+    doc=f"Rabin-Karp flavor of substring_dedup (TODO r02 #2): window hashes "
+        f"come from ONE O(L) rolling pass per document inside mapInPandas "
+        f"(H' = H·B − t_out·B^W + t_in, mod 2^61−1) instead of an O(W) "
+        "md5-of-slice per position. The DuckDB oracle computes the same "
+        "values via the direct polynomial sum — a closed-form identity twin "
+        "of the recurrence — in HUGEINT mulmods, so the stateful rolling "
+        "computation is exactness-checked, not trusted. Downstream "
+        "(duplicate-window set, span coverage) is shared with "
+        "substring_dedup. Scale: pure Arrow-batched map, no shuffle before "
+        "the one window-hash aggregate.",
+)
+def substring_dedup_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.rolling import rolling_window_hashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        tokens(F.col("text")).alias("toks"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    wins = rolling_window_hashes(
+        base.filter(F.col("n_tokens") >= _SUBSTR_W), _SUBSTR_W
+    )
+    return _dup_span_report(wins, base)
+
 
 
 _N_SHARDS = 4  # >1 shard per language: no partition carries a whole language

@@ -69,7 +69,7 @@ _EVIDENCE_PRIORITY = [
     "embedding_quantize_int8", "corpus_source_stats",
     "streaming_stateful_sessions", "dedup_simhash", "dedup_simhash_near",
     "ann_lsh_bucketed", "embedding_near_dup", "dedup_cluster_resolution",
-    "approx_distinct_users", "ann_ivf",
+    "approx_distinct_users", "ann_ivf", "substring_dedup_rolling",
 ]
 
 

@@ -71,3 +71,33 @@ def test_stratified_sample_exact_fraction_per_stratum(spark):
     a = sorted(r.doc_id for r in sample.collect())
     b = sorted(r.doc_id for r in stratified_sample(spark, SF_SMOKE).collect())
     assert a == b
+
+
+def test_rolling_hash_recurrence_matches_direct_formula():
+    """The O(1) Rabin-Karp recurrence must equal the closed-form polynomial
+    sum the oracle uses — pure-Python pin of the identity."""
+    from monday_etl_spark.extensions.rolling import B, P, rolling_hashes, token_int
+
+    toks = ["the", "quick", "brown", "fox", "jumps", "over", "the", "lazy",
+            "dog", "again", "and", "again"]
+    w = 4
+    got = rolling_hashes(toks, w)
+    t = [token_int(x) for x in toks]
+    want = [
+        sum(t[i + j] * pow(B, w - 1 - j, P) for j in range(w)) % P
+        for i in range(len(toks) - w + 1)
+    ]
+    assert got == want
+    assert rolling_hashes(toks[:3], w) == []  # shorter than the window
+
+
+def test_substring_dedup_rolling_equals_md5_variant(spark):
+    """Same duplicate-span report as the md5-window variant (the 61-bit hash
+    space makes a differing collision at this scale essentially impossible)."""
+    from monday_etl_spark.queries.registry import REGISTRY
+
+    from .conftest import SF_SMOKE
+
+    a = sorted(map(tuple, REGISTRY["substring_dedup"].fn(spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, REGISTRY["substring_dedup_rolling"].fn(spark, SF_SMOKE).collect()))
+    assert a == b
