@@ -36,15 +36,18 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     """pairs: (doc_a, doc_b) undirected edges. Returns (doc_id, component)
     where component = min doc_id reachable (deterministic canonical label).
     Only docs appearing in at least one pair are returned."""
-    sym = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
-    # self-loops make each node its own neighbor: min-over-neighbors then
-    # subsumes min(own, neighbors) with no join back onto the old labels
+    # ONE pass over pairs: both directions + self-loops (making each node its
+    # own neighbor lets min-over-neighbors subsume min(own, neighbors) with
+    # no join back onto the old labels) via a 4-struct explode. The r01/early
+    # r02 union-of-3-branches shape re-evaluated the candidate-pair plan once
+    # per branch — no CSE across union branches, same trap as self-joins.
+    a, b = F.col("doc_a"), F.col("doc_b")
+    edge = lambda s, d: F.struct(s.alias("src"), d.alias("dst"))  # noqa: E731
     edges = (
-        sym.unionByName(sym.select("src", F.col("src").alias("dst")))
+        pairs.select(
+            F.explode(F.array(edge(a, b), edge(b, a), edge(a, a), edge(b, b))).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint()
     )

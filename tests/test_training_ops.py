@@ -101,3 +101,29 @@ def test_substring_dedup_rolling_equals_md5_variant(spark):
     a = sorted(map(tuple, REGISTRY["substring_dedup"].fn(spark, SF_SMOKE).collect()))
     b = sorted(map(tuple, REGISTRY["substring_dedup_rolling"].fn(spark, SF_SMOKE).collect()))
     assert a == b
+
+
+def test_rolling_hash_property_random_tokens():
+    """Property pin over random token streams and window widths: the
+    recurrence equals the closed-form sum at every offset."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from monday_etl_spark.extensions.rolling import B, P, rolling_hashes, token_int
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        toks=st.lists(st.text(alphabet="abcxyz ", min_size=0, max_size=6),
+                      min_size=0, max_size=40),
+        w=st.integers(min_value=1, max_value=8),
+    )
+    def check(toks, w):
+        got = rolling_hashes(toks, w)
+        t = [token_int(x) for x in toks]
+        want = [
+            sum(t[i + j] * pow(B, w - 1 - j, P) for j in range(w)) % P
+            for i in range(max(len(toks) - w + 1, 0))
+        ]
+        assert got == want
+
+    check()
