@@ -156,20 +156,29 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT {sql_money_sum('o_totalprice')} FROM orders) AS total_order_value,
            (SELECT {sql_money_sum('l_extendedprice')} FROM lineitem) AS total_revenue
     """,
-    doc="O-24 global aggregates ×5 laid side-by-side via cross join of 1-row "
-        "aggs (ref: completeness battery advanced_monitoring.py:113-125 and "
-        "compare CTEs monday_etl_automated.py:605-627 = O-18). Each agg is a "
-        "partial+final reduction to a single row; the cross joins are 1×1.",
+    doc="O-24 global aggregates ×5 laid side-by-side (ref: completeness "
+        "battery advanced_monitoring.py:113-125 and compare CTEs "
+        "monday_etl_automated.py:605-627 = O-18). ONE multi-agg pass per "
+        "table (the r01 shape ran 5 separate scans — 3 of orders, 2 of "
+        "lineitem — and crossed 5 one-row frames; at 100 TB each extra scan "
+        "is a full table read), then a single 1×1 cross join.",
 )
 def global_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    a = o.agg(F.count("*").alias("n_orders"))
-    b = li.agg(F.count("*").alias("n_lineitems"))
-    c = o.agg(F.countDistinct("o_custkey").alias("n_active_customers"))
-    d = o.agg(money_sum(F.col("o_totalprice")).alias("total_order_value"))
-    e = li.agg(money_sum(F.col("l_extendedprice")).alias("total_revenue"))
-    return a.crossJoin(b).crossJoin(c).crossJoin(d).crossJoin(e)
+    a = o.agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_active_customers"),
+        money_sum(F.col("o_totalprice")).alias("total_order_value"),
+    )
+    b = li.agg(
+        F.count("*").alias("n_lineitems"),
+        money_sum(F.col("l_extendedprice")).alias("total_revenue"),
+    )
+    return a.crossJoin(b).select(
+        "n_orders", "n_lineitems", "n_active_customers",
+        "total_order_value", "total_revenue",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -187,20 +196,21 @@ def global_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
            ) d) AS n_duplicate_keys
     """,
     doc="O-25 duplicate detection (ref: GROUP BY subitem_id HAVING cnt>1, "
-        "advanced_monitoring.py:146-154). groupBy(key).count().filter('count>1') "
-        "— map-side partial counts keep the shuffle near |distinct keys|.",
+        "advanced_monitoring.py:146-154). ONE scan + one per-key count "
+        "shuffle; row total, distinct-key count, and duplicate-key count all "
+        "derive from the per-key counts (the r01 shape scanned lineitem 3×). "
+        "Map-side partial counts keep the shuffle near |distinct keys|. "
+        "COUNT(DISTINCT) excludes a NULL key, so the distinct count filters "
+        "the null group explicitly — same semantics as the SQL oracle.",
 )
 def duplicate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    n_rows = li.agg(F.count("*").alias("n_rows"))
-    n_unique = li.agg(F.countDistinct("l_orderkey").alias("n_unique_keys"))
-    dups = (
-        li.groupBy("l_orderkey")
-        .count()
-        .filter(F.col("count") > 1)
-        .agg(F.count("*").alias("n_duplicate_keys"))
+    per_key = li.groupBy("l_orderkey").agg(F.count("*").alias("cnt"))
+    return per_key.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count_if(F.col("l_orderkey").isNotNull()).alias("n_unique_keys"),
+        F.count_if(F.col("cnt") > 1).alias("n_duplicate_keys"),
     )
-    return n_rows.crossJoin(n_unique).crossJoin(dups)
 
 
 # ---------------------------------------------------------------------------
@@ -310,7 +320,8 @@ def weekly_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     daily = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
         money_sum(F.col("l_extendedprice")).alias("revenue")
-    )
+    ).persist()  # |dates|-sized; read by 3 branches — without the persist each
+    # branch re-runs the full fact-table scan + aggregate (3 scans at 100 TB)
     latest = daily.agg(F.max("d").alias("latest_date"))
     cur = latest.join(daily, latest.latest_date == daily.d).select(
         "latest_date", F.col("revenue").alias("latest_revenue")

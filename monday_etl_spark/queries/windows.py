@@ -151,7 +151,7 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
         F.count("*").alias("n_events"),
         money_sum(F.col("value")).alias("total_value"),
-    )
+    ).persist()  # |dates|-sized; read by 3 branches — see weekly_threshold
     latest = daily.agg(F.max("d").alias("today"))
     t = latest.join(daily, daily.d == latest.today).select(
         F.col("d").alias("today"),
