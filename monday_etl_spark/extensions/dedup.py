@@ -263,6 +263,69 @@ def decontaminate(train: DataFrame, eval_docs: DataFrame,
     )
 
 
+def _bloom_pos(sh: Column, seed: int, m_bits: int) -> Column:
+    """Bloom bit position of hash function ``seed`` for a shingle: first 8
+    hex chars of md5('b{seed}|' + shingle) as u32, mod the filter width.
+    The 'b' prefix keeps the hash family disjoint from the minhash seeds."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"b{seed}|"), sh)), 1, 8), 16, 10)
+        .cast("long")
+        % m_bits
+    )
+
+
+def decontaminate_bloom(train: DataFrame, eval_docs: DataFrame,
+                        text_col: str = "text", k: int = 3,
+                        m_bits: int = 1 << 20) -> DataFrame:
+    """Bloom-filter test-set decontamination — the fixed-memory scale path
+    beside :func:`decontaminate`'s exact broadcast probe. The eval corpus's
+    shingles are folded into a Bloom bitset (2 md5-derived hash functions,
+    ``m_bits`` bits); a train shingle is a *candidate* hit when both its bit
+    positions are set. No false negatives by construction; false positives
+    are deterministic (md5-derived, engine-portable) at rate ≈ (2s/m)² for
+    s eval shingles, so the exact verifier only reruns on candidates.
+
+    Scale shape: the bitset is at most ``m_bits`` distinct positions no
+    matter how large the eval suite grows — vs the raw shingle broadcast,
+    whose size is unbounded. The probe stays two map-side broadcast
+    semi-joins over one corpus read; only candidate rows (rare) shuffle for
+    the per-doc count. Returns (doc_id, n_bloom_hits, is_flagged) for every
+    train doc."""
+    esh = eval_docs.select(
+        F.explode(word_shingles(F.col(text_col), k)).alias("sh")
+    )
+    bits = (
+        esh.select(_bloom_pos(F.col("sh"), 0, m_bits).alias("p"))
+        .union(esh.select(_bloom_pos(F.col("sh"), 1, m_bits).alias("p")))
+        .distinct()
+        .persist()  # ≤ m_bits rows; broadcast twice below
+    )
+    tsh = spread(train).select(
+        "doc_id", F.explode(word_shingles(F.col(text_col), k)).alias("sh")
+    )
+    probed = tsh.select(
+        "doc_id",
+        "sh",
+        _bloom_pos(F.col("sh"), 0, m_bits).alias("p0"),
+        _bloom_pos(F.col("sh"), 1, m_bits).alias("p1"),
+    )
+    hits = (
+        probed.join(F.broadcast(bits.withColumnRenamed("p", "p0")), "p0", "leftsemi")
+        .join(F.broadcast(bits.withColumnRenamed("p", "p1")), "p1", "leftsemi")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("sh").alias("n_bloom_hits"))
+    )
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bloom_hits", F.lit(0).cast("long")).alias("n_bloom_hits"),
+            (F.coalesce("n_bloom_hits", F.lit(0).cast("long")) > 0).alias("is_flagged"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (64-bit, md5-derived — engine-portable)
 # ---------------------------------------------------------------------------

@@ -161,3 +161,61 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.substring(F.md5(norm), 1, 8).alias("fingerprint_short"),
     )
+
+
+def unigram_cross_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document cross-entropy (bits/token) under the corpus's own
+    unigram language model — the CCNet/KenLM-style quality signal: very low
+    bits/token = templated/repetitive text, very high = gibberish relative
+    to the corpus.
+
+    Two passes over one persisted token explode: (1) vocab = per-token
+    corpus counts (shuffle sized |vocab|, not |corpus|) plus the scalar
+    total; (2) map-side broadcast probe of per-token surprisal back onto the
+    token rows, then one doc-keyed aggregate. At 100 TB the vocab of a
+    deduplicated corpus is ~1e7-1e8 types — still broadcastable at ~1 GiB;
+    beyond that, drop the broadcast hint and let the probe shuffle on tok.
+
+    Determinism: surprisal -log2(c/N) is quantized to integer MICRO-bits
+    per distinct token (floor(x*1e6 + 0.5) — one exactly-rounded division
+    feeding one libm log whose ≤1-ulp engine skew vanishes at 1e-6), so the
+    per-doc sum is exact int64 arithmetic and bits_per_token is a single
+    IEEE division of two exact integers — bit-identical across engines and
+    partitionings."""
+    from .dedup import _norm_text, spread
+
+    toks = F.filter(F.split(_norm_text(F.col(text_col)), _WS), lambda t: t != "")
+    tok = (
+        spread(df)
+        .select("doc_id", F.explode(toks).alias("tok"))
+        .persist()  # read twice: vocab build + surprisal probe
+    )
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("n_total"))
+    q_micro = F.floor(
+        -F.log2(F.col("c").cast("double") / F.col("n_total")) * 1000000.0 + F.lit(0.5)
+    ).cast("long")
+    vq = vocab.crossJoin(F.broadcast(total)).select("tok", q_micro.alias("q_micro"))
+    per_doc = (
+        tok.join(F.broadcast(vq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("q_micro").alias("micro_bits"),
+            F.count("*").cast("long").alias("n_tokens"),
+        )
+    )
+    n_tok = F.coalesce("n_tokens", F.lit(0).cast("long"))
+    bits = F.coalesce("micro_bits", F.lit(0).cast("long"))
+    return (
+        df.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            bits.alias("micro_bits"),
+            F.when(
+                n_tok > 0,
+                bits.cast("double") / (n_tok * F.lit(1000000)).cast("double"),
+            ).alias("bits_per_token"),
+        )
+    )

@@ -562,6 +562,100 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_P0 = _hex2int("substr(md5('b0|' || s), 1, 8)") + " % 1048576"
+_BLOOM_P1 = _hex2int("substr(md5('b1|' || s), 1, 8)") + " % 1048576"
+
+
+@register(
+    "decontaminate_bloom",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split_regex({_NORM}, '\\s+') AS toks
+               FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    pos AS (SELECT doc_id, s, {_BLOOM_P0} AS p0, {_BLOOM_P1} AS p1 FROM ex),
+    bits AS (SELECT DISTINCT p FROM (
+        SELECT p0 AS p FROM pos WHERE doc_id % 41 = 0
+        UNION ALL SELECT p1 AS p FROM pos WHERE doc_id % 41 = 0)),
+    hits AS (
+        SELECT doc_id, COUNT(DISTINCT s) AS n_bloom_hits
+        FROM pos
+        WHERE doc_id % 41 <> 0
+          AND p0 IN (SELECT p FROM bits) AND p1 IN (SELECT p FROM bits)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_bloom_hits, 0) AS n_bloom_hits,
+           COALESCE(h.n_bloom_hits, 0) > 0 AS is_flagged
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 41 <> 0
+    """,
+    doc="Bloom-filter decontamination candidates: the fixed-memory twin of "
+        "`decontaminate` — eval shingles fold into a 2^20-bit bitset (2 "
+        "md5-derived hash functions) whose size is BOUNDED no matter how "
+        "large the eval suite grows; train shingles probe it with two "
+        "map-side broadcast semi-joins. Zero false negatives by "
+        "construction; false positives are deterministic and rare, and the "
+        "exact verifier (`decontaminate`) reruns only on flagged docs.",
+)
+def decontaminate_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup import decontaminate_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate_bloom(
+        docs.filter(F.col("doc_id") % 41 != 0),
+        docs.filter(F.col("doc_id") % 41 == 0),
+    )
+
+
+@register(
+    "text_perplexity",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, s AS tok FROM (
+            SELECT doc_id, unnest(string_split_regex({_NORM}, '\\s+')) AS s
+            FROM documents
+        ) WHERE s <> ''
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM vocab),
+    vq AS (
+        SELECT tok,
+               CAST(floor(-log2(CAST(c AS DOUBLE) / n_total) * 1000000.0 + 0.5)
+                    AS BIGINT) AS q_micro
+        FROM vocab, tot
+    ),
+    per AS (
+        SELECT t.doc_id,
+               CAST(SUM(q_micro) AS BIGINT) AS micro_bits,
+               COUNT(*) AS n_tokens
+        FROM tok t JOIN vq USING (tok)
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_tokens, 0) AS n_tokens,
+           COALESCE(p.micro_bits, 0) AS micro_bits,
+           CASE WHEN COALESCE(p.n_tokens, 0) > 0
+                THEN CAST(p.micro_bits AS DOUBLE)
+                     / CAST(p.n_tokens * 1000000 AS DOUBLE)
+           END AS bits_per_token
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+    doc="Per-doc cross-entropy (bits/token) under the corpus unigram LM — "
+        "the CCNet/KenLM-style quality signal (low = templated, high = "
+        "gibberish). Surprisal is quantized to integer micro-bits per "
+        "DISTINCT token before the per-doc sum, so the result is exact "
+        "int64 arithmetic plus one final IEEE division — bit-identical "
+        "across engines. Vocab shuffle is |vocab|-sized; the probe is a "
+        "map-side broadcast join.",
+)
+def text_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.textanalysis import unigram_cross_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_cross_entropy(docs)
+
+
 @register(
     "doc_repetition_filter",
     oracle=f"""

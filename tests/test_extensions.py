@@ -130,3 +130,41 @@ def test_minhash_signatures_match_column_flavor(spark):
         ).collect()
     }
     assert fast == slow
+
+
+def test_bloom_decontaminate_never_misses_exact_hits(spark):
+    """Bloom candidates are a SUPERSET of the exact contaminated set (no
+    false negatives), and every bloom hit count >= the exact shared count."""
+    from monday_etl_spark.extensions.dedup import decontaminate, decontaminate_bloom
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    train = docs.filter(F.col("doc_id") % 41 != 0)
+    ev = docs.filter(F.col("doc_id") % 41 == 0)
+    exact = {r.doc_id: r.n_shared_shingles
+             for r in decontaminate(train, ev).collect()}
+    bloom = {r.doc_id: r.n_bloom_hits
+             for r in decontaminate_bloom(train, ev).collect()}
+    assert set(exact) == set(bloom)  # one row per train doc on both paths
+    for doc_id, n_exact in exact.items():
+        assert bloom[doc_id] >= n_exact
+
+
+def test_unigram_cross_entropy_tiny_corpus(spark):
+    """Hand-computed check: corpus 'a a a b' -> P(a)=3/4, P(b)=1/4;
+    surprisal(a)=0.415037... bits, surprisal(b)=2 bits exactly."""
+    import math
+
+    from monday_etl_spark.extensions.textanalysis import unigram_cross_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a a a"), (2, "b"), (3, "  ")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in unigram_cross_entropy(df).collect()}
+    q_a = math.floor(-math.log2(3 / 4) * 1e6 + 0.5)  # 415037
+    q_b = math.floor(-math.log2(1 / 4) * 1e6 + 0.5)  # 2000000
+    assert rows[1].n_tokens == 3 and rows[1].micro_bits == 3 * q_a
+    assert rows[1].bits_per_token == (3 * q_a) / (3 * 1e6)
+    assert rows[2].n_tokens == 1 and rows[2].micro_bits == q_b
+    assert rows[2].bits_per_token == pytest.approx(2.0)
+    assert rows[3].n_tokens == 0 and rows[3].micro_bits == 0
+    assert rows[3].bits_per_token is None
