@@ -32,8 +32,22 @@ def main() -> None:
     spark = get_spark("monday-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm up JVM/codegen/parquet footer cache with a trivial action
+    # Warm up the session once, untimed, so per-query numbers measure the
+    # OPERATORS rather than one-time JVM costs that land on whichever query
+    # happens to run first (JIT compile of the codegen paths, Arrow/Python
+    # worker startup, broadcast machinery). The warmers run at sf0.001 —
+    # ~1000x smaller than the timed scale, so no timed data is pre-touched.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_sf) and warm_sf != sf_dir.rstrip("/"):
+        for warm_name in ("daily_metrics", "grouped_zscore_pandas",
+                          "dedup_minhash_lsh"):
+            if warm_name in REGISTRY:
+                try:
+                    REGISTRY[warm_name].fn(spark, warm_sf).count()
+                except Exception:  # noqa: BLE001 — warmup must never fail the bench
+                    pass
+        spark.catalog.clearCache()
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
     timings: dict[str, float] = {}
@@ -48,6 +62,10 @@ def main() -> None:
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # drop persisted frames the query left behind (untimed): 80+ queries
+        # would otherwise accumulate dead InMemoryRelations and push real
+        # working sets out of storage memory on smaller drivers
+        spark.catalog.clearCache()
 
     # steady-state evidence for the iterative/codegen-heavy family: a second
     # timed pass with compilation amortized, so plan quality is visible
