@@ -71,6 +71,73 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def _semantic_dedup_oracle() -> str:
+    """Embedding near-dup pairs (same CTEs as the green embedding_near_dup
+    oracle) → recursive-CTE transitive closure → one keeper per cluster,
+    singletons keeping themselves."""
+    from .extensions_queries import _sql_dot, _sql_lsh_buckets
+
+    return f"""
+    WITH RECURSIVE {_sql_lsh_buckets(4)},
+    nv AS (
+        SELECT c.vec_id, b.bucket,
+               list_transform(c.v, x -> x / sqrt({_sql_dot('c.v', 'c.v')})) AS nv
+        FROM c JOIN buckets b USING (vec_id)
+    ),
+    edges AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM nv a JOIN nv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {_sql_dot('a.nv', 'b.nv')} > 0.4
+    ),
+    sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    nodes AS (SELECT DISTINCT src AS vec_id FROM sym),
+    reach(a, b) AS (
+        SELECT vec_id, vec_id FROM nodes
+        UNION
+        SELECT reach.a, e.dst FROM reach JOIN sym e ON reach.b = e.src
+    ),
+    comp AS (SELECT a AS vec_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+    SELECT e.vec_id,
+           COALESCE(c2.cluster_id, e.vec_id) AS cluster_id,
+           COALESCE(c2.cluster_id, e.vec_id) = e.vec_id AS is_kept
+    FROM embeddings e LEFT JOIN comp c2 USING (vec_id)
+    """
+
+
+@register(
+    "semantic_dedup",
+    oracle=_semantic_dedup_oracle(),
+    doc="SemDeDup-style semantic deduplication over the embedding space: "
+        "LSH-bucketed cosine near-dup pairs (threshold 0.4, bits pinned to "
+        "4 for the oracle; auto_lsh_bits in production) → connected "
+        "components → keep the min-id vector per cluster; vectors in no "
+        "near-dup pair keep themselves. The decision column (is_kept) is "
+        "what a curation pipeline joins back onto documents to drop "
+        "semantic duplicates that lexical dedup (minhash/simhash) misses.",
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.similarity import embedding_near_dup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup(emb, dim=64, threshold=0.4, bits=4).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    comp = (
+        dedup_clusters(pairs)
+        .select(F.col("doc_id").alias("vec_id"), "component")
+    )
+    cluster = F.coalesce("component", F.col("vec_id"))
+    return (
+        emb.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            cluster.alias("cluster_id"),
+            (cluster == F.col("vec_id")).alias("is_kept"),
+        )
+    )
+
+
 _LTOKS = r"string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"
 
 

@@ -168,3 +168,25 @@ def test_unigram_cross_entropy_tiny_corpus(spark):
     assert rows[2].bits_per_token == pytest.approx(2.0)
     assert rows[3].n_tokens == 0 and rows[3].micro_bits == 0
     assert rows[3].bits_per_token is None
+
+
+def test_semantic_dedup_cluster_invariants(spark):
+    """Every near-dup pair lands in one cluster; exactly one keeper per
+    cluster; keepers are the cluster minimum."""
+    from monday_etl_spark.extensions.similarity import embedding_near_dup
+    from monday_etl_spark.queries.registry import REGISTRY
+
+    out = {r.vec_id: r for r in
+           REGISTRY["semantic_dedup"].fn(spark, SF_SMOKE).collect()}
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    pairs = embedding_near_dup(emb, dim=64, threshold=0.4, bits=4).collect()
+    for p in pairs:
+        assert out[p.id_a].cluster_id == out[p.id_b].cluster_id
+    clusters: dict[int, list] = {}
+    for r in out.values():
+        clusters.setdefault(r.cluster_id, []).append(r)
+    for cid, members in clusters.items():
+        keepers = [m for m in members if m.is_kept]
+        assert len(keepers) == 1 and keepers[0].vec_id == cid == min(
+            m.vec_id for m in members
+        )
