@@ -75,7 +75,8 @@ def main() -> None:
     if runs == 1:
         for name in ("dedup_cluster_resolution", "dedup_minhash_lsh",
                      "dedup_simhash", "dedup_simhash_near", "ann_brute_force",
-                     "embedding_near_dup", "grouped_zscore_pandas"):
+                     "embedding_near_dup", "grouped_zscore_pandas",
+                     "semantic_dedup", "ann_ivf"):
             if name not in REGISTRY:
                 continue
             t0 = time.perf_counter()

@@ -120,14 +120,36 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
     ``_topk_merge`` (partial WindowGroupLimit before each exchange), so no
     executor ever holds more than fanout·k survivors per query even when a
     probed cell is corpus-sized."""
+    c = assign_cells(corpus, centroids, vec_col=vec_col, id_col=id_col)
+    return topk_against_cells(c, queries, centroids, k=k, nprobe=nprobe,
+                              vec_col=vec_col, id_col=id_col)
+
+
+def assign_cells(corpus: DataFrame, centroids: list[tuple[int, list[int]]],
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """The inverted-list view of the corpus: (neighbor_id, cv, cell) with
+    cell = exact-int64 nearest centroid. A pure map over the scan — this is
+    the linear-in-corpus half of IVF, reused by the lazy path (ivf_topk)
+    and the materialized index store (ivf_store.py)."""
     from .dedup import spread
 
-    c = spread(corpus).select(
+    return spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         _to_double(F.col(vec_col)).alias("cv"),
         quantize(F.col(vec_col)).alias("cq"),
     ).withColumn("cell", _nearest_centroid(F.col("cq"), centroids)).drop("cq")
 
+
+def topk_against_cells(c: DataFrame, queries: DataFrame,
+                       centroids: list[tuple[int, list[int]]], k: int = 10,
+                       nprobe: int = 2, vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """Score queries against an already cell-assigned corpus ``c``
+    ((neighbor_id, cv, cell) — from ``assign_cells`` or the materialized
+    store). Broadcast the nprobe probe table; when ``c`` is a
+    cell-partitioned table, the broadcast join on the partition column lets
+    dynamic partition pruning skip every unprobed cell's files."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _to_double(F.col(vec_col)).alias("qv"),
