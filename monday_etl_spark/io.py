@@ -19,6 +19,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -30,17 +31,35 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events timestamp column across testdata vintages.
+
+    Older testdata stored ``ts`` as raw nanoseconds (int64, read as LongType
+    under ``spark.sql.legacy.parquet.nanosAsLong``); current testdata stores
+    ``timestamp[us]``, which Spark reads as TIMESTAMP_NTZ directly. Both
+    vintages normalize to TIMESTAMP (instant semantics): the session timezone
+    is pinned UTC (session.py), so the NTZ wall clock IS the UTC instant and
+    the cast is lossless. Long input converts with integer ``div`` to keep the
+    arithmetic in long space (a double division of ~1.7e18 nanos would lose
+    low bits above 2^53).
+    """
+    if col not in df.columns:
+        return df
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, T.LongType):
+        df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    elif isinstance(dtype, T.TimestampNTZType):
+        df = df.withColumn(col, F.col(col).cast(T.TimestampType()))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from .session import ensure_session_confs
 
     ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # ts arrives as raw nanos (LongType) via spark.sql.legacy.parquet.
-        # nanosAsLong; truncate to microseconds = Spark timestamp precision.
-        # Integer `div` keeps the arithmetic in long space (a double division
-        # of ~1.7e18 nanos would lose low bits above 2^53).
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        df = normalize_event_ts(df)
     return df
 
 

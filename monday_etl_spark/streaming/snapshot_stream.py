@@ -22,17 +22,30 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import money_sum
+from ..io import normalize_event_ts
 
+# Current-vintage events schema: ts is stored as parquet timestamp[us], which
+# Spark reads as TIMESTAMP_NTZ. Older testdata stored raw nanos (int64);
+# ``_events_on_disk_schema`` detects whichever vintage is actually present and
+# ``normalize_event_ts`` converts only when ts arrives as a long.
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos, as in the parquet
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
         T.StructField("props", T.StringType()),
     ]
 )
+
+
+def _events_on_disk_schema(spark: SparkSession, sf_dir: str,
+                           glob: str) -> T.StructType:
+    """Peek the physical schema with a metadata-only batch read so the stream
+    (which requires an explicit schema) decodes the vintage actually on disk
+    instead of assuming one. Footer-only: no data pages are read."""
+    return spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
 
 
 def read_events_stream(
@@ -49,13 +62,11 @@ def read_events_stream(
     from ..session import ensure_session_confs
 
     ensure_session_confs(spark)
-    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA).option(
-        "pathGlobFilter", glob
-    )
+    schema = _events_on_disk_schema(spark, sf_dir, glob)
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    raw = reader.parquet(sf_dir)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_event_ts(reader.parquet(sf_dir))
 
 
 def read_events_batch(spark: SparkSession, sf_dir: str,
@@ -65,12 +76,8 @@ def read_events_batch(spark: SparkSession, sf_dir: str,
     from ..session import ensure_session_confs
 
     ensure_session_confs(spark)
-    raw = (
-        spark.read.schema(EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", glob)
-        .parquet(sf_dir)
-    )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    raw = spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
+    return normalize_event_ts(raw)
 
 
 def daily_rollup(events: DataFrame) -> DataFrame:
