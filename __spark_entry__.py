@@ -21,6 +21,11 @@ SF0001 = "/root/testdata/sf0.001"
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (daily metrics + LAG deltas) on sf0.001."""
+    from monday_etl_spark.io import assert_known_events_vintage
+
+    # fail fast, by name, if the testdata's events.ts physical type changed
+    # to something normalize_event_ts can't decode (broke round 2 silently)
+    assert_known_events_vintage(SF0001)
     return q.REGISTRY["daily_metrics"].fn(spark, SF0001)
 
 

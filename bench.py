@@ -51,17 +51,24 @@ def main() -> None:
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(REGISTRY):
         fn = REGISTRY[name].fn
-        best, n = None, 0
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # failure-isolated: one broken query must not abort the suite — the
+        # bench degrades to a partial result with the error recorded per name
+        try:
+            best, n = None, 0
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                n = df.count()
+                elapsed = time.perf_counter() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            timings[name] = round(best, 4)
+            print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
         # drop persisted frames the query left behind (untimed): 80+ queries
         # would otherwise accumulate dead InMemoryRelations and push real
         # working sets out of storage memory on smaller drivers
@@ -77,12 +84,15 @@ def main() -> None:
                      "dedup_simhash", "dedup_simhash_near", "ann_brute_force",
                      "embedding_near_dup", "grouped_zscore_pandas",
                      "semantic_dedup", "ann_ivf"):
-            if name not in REGISTRY:
+            if name not in REGISTRY or name in errors:
                 continue
-            t0 = time.perf_counter()
-            REGISTRY[name].fn(spark, sf_dir).count()
-            warm[name] = round(time.perf_counter() - t0, 4)
-            print(f"# warm {name}: {warm[name]:.3f}s", file=sys.stderr)
+            try:
+                t0 = time.perf_counter()
+                REGISTRY[name].fn(spark, sf_dir).count()
+                warm[name] = round(time.perf_counter() - t0, 4)
+                print(f"# warm {name}: {warm[name]:.3f}s", file=sys.stderr)
+            except Exception as exc:  # noqa: BLE001 — record and continue
+                print(f"# warm {name}: ERROR {exc}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     out = {
@@ -94,6 +104,8 @@ def main() -> None:
     }
     if warm:
         out["queries_warm"] = warm
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
     spark.stop()
 

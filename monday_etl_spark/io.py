@@ -53,6 +53,28 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+def assert_known_events_vintage(sf_dir: str) -> None:
+    """Fail loudly if the events parquet stores ``ts`` in a physical type
+    ``normalize_event_ts`` does not handle (known vintages: int64 raw nanos,
+    or any parquet timestamp unit). A silent testdata regeneration to a new
+    type broke an entire round once (VERDICT r2); this guard names the fix
+    site instead of letting 11 queries fail with analysis errors."""
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name="events")
+    if not os.path.exists(path):
+        return
+    arrow_type = pq.read_schema(path).field("ts").type
+    import pyarrow as pa
+
+    if not (pa.types.is_timestamp(arrow_type) or pa.types.is_int64(arrow_type)):
+        raise AssertionError(
+            f"events.ts at {path} has physical type {arrow_type}; "
+            "monday_etl_spark/io.py:normalize_event_ts only handles int64 "
+            "(raw nanos) and timestamp[*] — teach it the new vintage."
+        )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from .session import ensure_session_confs
 

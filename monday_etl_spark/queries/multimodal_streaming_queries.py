@@ -97,17 +97,18 @@ _stream_counter = itertools.count()
         "which is the SQL oracle.",
 )
 def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile as _tf
-
     from ..streaming.stateful_sessions import run_stateful_sessions
 
     name = f"stateful_sessions_q{next(_stream_counter)}"
-    with _tf.TemporaryDirectory() as ckpt:
-        df = run_stateful_sessions(spark, sf_dir, ckpt, name=name)
-        # materialize before the checkpoint dir vanishes; Arrow round-trip
-        # (toPandas + explicit schema) instead of per-row pickling — ~2x
-        # faster on the 100k-row result at sf0.1
-        return spark.createDataFrame(df.toPandas(), df.schema)
+    # durable parquet sink + lazy read: the drained result never transits the
+    # driver (at 100x the sessions a toPandas round-trip is a driver OOM).
+    # mkdtemp outlives the call so the returned lazy frame stays readable;
+    # the checkpoint lives beside the data (exactly-once on restart).
+    out_root = tempfile.mkdtemp(prefix=f"{name}_")
+    return run_stateful_sessions(
+        spark, sf_dir, f"{out_root}/ckpt", name=name,
+        out_path=f"{out_root}/out",
+    )
 
 
 @register(
@@ -128,7 +129,10 @@ def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.snapshot_stream import run_available_now
 
     name = f"daily_rollup_stream_{next(_stream_counter)}"
-    with tempfile.TemporaryDirectory() as ckpt:
-        df = run_available_now(spark, sf_dir, ckpt, out_table=name)
-        # materialize before the checkpoint dir vanishes (Arrow round-trip)
-        return spark.createDataFrame(df.toPandas(), df.schema)
+    # foreachBatch-overwritten parquet + lazy read: executor-side end-to-end
+    # (see streaming_stateful_sessions for the driver-OOM rationale)
+    out_root = tempfile.mkdtemp(prefix=f"{name}_")
+    return run_available_now(
+        spark, sf_dir, f"{out_root}/ckpt", out_table=name,
+        out_path=f"{out_root}/out",
+    )

@@ -104,10 +104,19 @@ def daily_rollup(events: DataFrame) -> DataFrame:
 
 
 def run_available_now(spark: SparkSession, sf_dir: str, checkpoint_dir: str,
-                      out_table: str = "daily_rollup_stream") -> DataFrame:
-    """Drain the source with Trigger.AvailableNow into an in-memory sink and
-    return the result table. Complete mode: windows re-emit on update, exactly
-    like re-running the reference's daily report.
+                      out_table: str = "daily_rollup_stream",
+                      out_path: str | None = None) -> DataFrame:
+    """Drain the source with Trigger.AvailableNow and return the result.
+    Complete mode: windows re-emit on update, exactly like re-running the
+    reference's daily report.
+
+    With ``out_path`` the drain lands executor-side: complete-mode output
+    can't go to a parquet streaming sink directly, so ``foreachBatch``
+    overwrites ``out_path`` with each (re-)emitted full result — the last
+    batch's overwrite is the final rollup — and the return value is a LAZY
+    read of those files. Nothing passes through the driver, so the result
+    can be 100x larger without driver memory risk. Without ``out_path`` the
+    memory sink is used (test convenience; driver-materialized by nature).
 
     State-store partition count is pinned low for the drain: each stateful
     operator initializes one RocksDB/HDFS store per shuffle partition, and
@@ -117,11 +126,16 @@ def run_available_now(spark: SparkSession, sf_dir: str, checkpoint_dir: str,
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
+        rollup = daily_rollup(read_events_stream(spark, sf_dir))
+        if out_path is not None:
+            writer = rollup.writeStream.foreachBatch(
+                lambda batch_df, _bid:
+                    batch_df.write.mode("overwrite").parquet(out_path)
+            )
+        else:
+            writer = rollup.writeStream.format("memory").queryName(out_table)
         q = (
-            daily_rollup(read_events_stream(spark, sf_dir))
-            .writeStream.format("memory")
-            .queryName(out_table)
-            .outputMode("complete")
+            writer.outputMode("complete")
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start()
@@ -129,4 +143,5 @@ def run_available_now(spark: SparkSession, sf_dir: str, checkpoint_dir: str,
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(out_table)
+    return spark.read.parquet(out_path) if out_path is not None \
+        else spark.table(out_table)

@@ -195,7 +195,8 @@ def suggest_watermark_delay(events: DataFrame, ts_col: str = "ts",
 def run_stateful_sessions(spark, sf_dir: str, checkpoint_dir: str,
                           name: str, gap_seconds: int = 1800,
                           delay: str = "0 seconds",
-                          max_files_per_trigger: int | None = None) -> DataFrame:
+                          max_files_per_trigger: int | None = None,
+                          out_path: str | None = None) -> DataFrame:
     """AvailableNow drive of the stateful sessionizer over the events table.
 
     With the default ``delay="0 seconds"`` the drained result equals the
@@ -205,11 +206,13 @@ def run_stateful_sessions(spark, sf_dir: str, checkpoint_dir: str,
     ``delay="auto"`` calibrates the watermark from the data itself via
     ``suggest_watermark_delay`` over a batch read of the same files.
 
-    Note: the memory sink used here (test/driver harness convenience) does
-    NOT support restarting from an existing checkpoint — Spark raises
-    AnalysisException by design. The durable path (format('parquet') with
-    the same checkpoint) recovers exactly-once: a second drain with no new
-    input emits zero rows (verified)."""
+    With ``out_path`` the append-mode output lands in a durable parquet
+    streaming sink and the return value is a LAZY read of those files —
+    nothing passes through the driver, and a restart against the same
+    checkpoint recovers exactly-once (a second drain with no new input
+    emits zero rows, verified). Without it the memory sink is used (test
+    convenience; driver-materialized by nature, and it does NOT support
+    checkpoint restart — Spark raises AnalysisException by design)."""
     from .snapshot_stream import read_events_batch, read_events_stream
 
     if delay == "auto":
@@ -225,11 +228,16 @@ def run_stateful_sessions(spark, sf_dir: str, checkpoint_dir: str,
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
+        sessions = stateful_sessionize(ev, gap_seconds)
+        if out_path is not None:
+            writer = (
+                sessions.writeStream.format("parquet")
+                .option("path", out_path)
+            )
+        else:
+            writer = sessions.writeStream.format("memory").queryName(name)
         q = (
-            stateful_sessionize(ev, gap_seconds)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
+            writer.outputMode("append")
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start()
@@ -237,4 +245,5 @@ def run_stateful_sessions(spark, sf_dir: str, checkpoint_dir: str,
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    return spark.read.parquet(out_path) if out_path is not None \
+        else spark.table(name)
