@@ -13,6 +13,7 @@ drained result equals the batch aggregate — giving it a plain SQL oracle.
 from __future__ import annotations
 
 import itertools
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -135,4 +136,59 @@ def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         spark, sf_dir, f"{out_root}/ckpt", out_table=name,
         out_path=f"{out_root}/out",
+    )
+
+
+def _incremental_dedup_oracle() -> str:
+    """Single-drain twin of the streaming incremental dedup: reject doc b iff
+    some a < b shares a band bucket with est_jaccard >= 0.5 (signature CTEs
+    identical to the green dedup_minhash_lsh oracle)."""
+    from .extensions_queries import _DIGS, _NORM, _SHINGLES, _SIG
+
+    return f"""
+    WITH t AS (SELECT doc_id, string_split_regex({_NORM}, '\\s+') AS toks
+               FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+    digs AS (SELECT doc_id, {_DIGS} AS digs FROM sh),
+    sigs AS (SELECT doc_id, {_SIG} AS sig FROM digs),
+    banded AS (
+        SELECT doc_id, sig, b,
+               md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bh
+        FROM sigs, UNNEST(range(0, 4)) AS u(b)
+    ),
+    rejected AS (
+        SELECT DISTINCT r.doc_id
+        FROM banded l JOIN banded r
+          ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id
+        WHERE CAST(len([i for i in range(1, 17) if l.sig[i] = r.sig[i]])
+                   AS DOUBLE) / 16.0 >= 0.5
+    )
+    SELECT d.doc_id, rej.doc_id IS NULL AS is_kept
+    FROM documents d LEFT JOIN rejected rej ON d.doc_id = rej.doc_id
+    """
+
+
+@register(
+    "streaming_incremental_dedup",
+    oracle=_incremental_dedup_oracle(),
+    doc="Streaming incremental near-dup dedup (crawl-dedup shape): each "
+        "micro-batch probes the bucketed MinHash signature store for "
+        "collisions with everything seen so far, resolves within-batch "
+        "collisions by doc_id, emits keep/reject decisions executor-side, "
+        "and appends its signatures to the store. A fresh-store AvailableNow "
+        "drain equals the batch rule — reject b iff some a < b collides at "
+        "est_jaccard >= 0.5 — which is the SQL oracle.",
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.incremental_dedup import run_incremental_dedup
+
+    name = f"incdedup_{next(_stream_counter)}"
+    out_root = tempfile.mkdtemp(prefix=f"{name}_")
+    # store table name derived from the unique mkdtemp so a leftover
+    # warehouse table from an earlier session can never be probed by mistake
+    store = f"sigstore_{os.path.basename(out_root).lower()}"
+    return run_incremental_dedup(
+        spark, sf_dir, store_table=store,
+        out_path=f"{out_root}/out", checkpoint_dir=f"{out_root}/ckpt",
+        threshold=0.5,
     )

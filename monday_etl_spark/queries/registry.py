@@ -59,8 +59,9 @@ _EVIDENCE_PRIORITY = [
     "sessionize", "pivot_event_values", "tumbling_window_6h", "snapshot_diff",
     "streaming_stateful_sessions", "approx_distinct_users",
     "range_join_bucketed", "grouped_zscore_pandas",
-    # implemented in r02, never driver-checked
+    # implemented in r02/r03, never driver-checked
     "decontaminate_bloom", "semantic_dedup", "text_perplexity",
+    "streaming_incremental_dedup",
     # r01 green is STALE (silent ts decode error in the streaming reader
     # between r01 and r02) — must be explicitly re-verified
     "streaming_daily_rollup",
