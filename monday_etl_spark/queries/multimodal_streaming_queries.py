@@ -187,8 +187,14 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # store table name derived from the unique mkdtemp so a leftover
     # warehouse table from an earlier session can never be probed by mistake
     store = f"sigstore_{os.path.basename(out_root).lower()}"
-    return run_incremental_dedup(
+    result = run_incremental_dedup(
         spark, sf_dir, store_table=store,
         out_path=f"{out_root}/out", checkpoint_dir=f"{out_root}/ckpt",
         threshold=0.5,
     )
+    # the decisions sink doesn't depend on the store; this call's one-shot
+    # store would otherwise accumulate in the warehouse run over run
+    # (a real incremental deployment calls run_incremental_dedup directly
+    # and KEEPS its store — that's the point of it)
+    spark.sql(f"DROP TABLE IF EXISTS {store}")
+    return result
