@@ -1,0 +1,224 @@
+"""Manifest-versioned parquet tables: atomic commits, time travel, and
+file-reuse MERGE — the table-format layer TODO #1 asks Delta/Iceberg for,
+built from the two primitives those formats actually reduce to: immutable
+data files + a tiny versioned manifest naming which files are the table.
+
+Layout::
+
+    <path>/_manifests/v00001.json   # {"version", "spec", "buckets": {b: [files]}}
+    <path>/_manifests/v00002.json
+    <path>/_data/c00001/__bucket=K/part-*.parquet   # immutable once committed
+    <path>/_data/c00002/__bucket=K/part-*.parquet   # only touched buckets
+
+- **Atomic commit**: a version exists iff its manifest file does; the
+  manifest is written to a temp name and renamed into place (atomic on
+  POSIX/HDFS). Readers never see a half-commit — a crash mid-write leaves
+  orphan data files but no new version; ``vacuum`` collects them.
+- **Time travel**: every manifest is kept until ``vacuum``; ``read_version``
+  of any retained version reconstructs that table state exactly, because
+  data files are never modified in place.
+- **File-reuse MERGE** (the Iceberg trick): ``merge_versioned`` writes ONLY
+  the touched buckets' new files; the new manifest carries the untouched
+  buckets' entries forward by reference. A merge touching 1% of keys
+  writes ~1% of the data and ZERO rewrites of the rest — strictly better
+  than the dynamic-partition-overwrite path in ``temporal``, which must
+  rewrite (though never re-read) untouched bytes of touched partitions'
+  siblings... and both old and new versions stay readable afterwards.
+- **Concurrent readers**: a reader holding version N's file list is
+  unaffected by later commits (immutability), exactly the snapshot
+  isolation model of the real formats. Writers are single-process here —
+  the commit protocol would need a CAS/lock service for multi-writer,
+  which is precisely what Delta's log store / Iceberg's catalog provide.
+
+Scale: manifests are O(n_buckets) file lists — KBs at 4096 buckets — so
+planning cost is constant in data size; per-bucket file lists mean a
+bucket-pruned read opens only the colliding files. Filesystem ops use
+local ``os``/``glob`` (single-FS assumption shared with temporal.py; on
+HDFS/S3 these become FileSystem API calls behind the same manifest
+schema).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFESTS = "_manifests"
+_DATA = "_data"
+BUCKET_COL = "__bucket"
+
+
+def _bucket_expr(key: str, n_buckets: int):
+    # must match temporal._bucket_expr: the layout hash is frozen on disk
+    return F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(path, _MANIFESTS, f"v{version:05d}.json")
+
+
+def list_versions(path: str) -> list[int]:
+    pat = os.path.join(path, _MANIFESTS, "v*.json")
+    return sorted(
+        int(os.path.basename(p)[1:-5]) for p in _glob.glob(pat)
+    )
+
+
+def current_version(path: str) -> int | None:
+    versions = list_versions(path)
+    return versions[-1] if versions else None
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version)) as fh:
+        return json.load(fh)
+
+
+def _commit(path: str, manifest: dict) -> None:
+    """Version exists iff its manifest does; tmp-write + rename = atomic."""
+    os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
+    final = _manifest_path(path, manifest["version"])
+    tmp = final + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, final)
+
+
+def _bucket_files(commit_dir: str) -> dict[str, list[str]]:
+    """{bucket: [file paths relative to the table root]} for one commit's
+    data directory (written with partitionBy(__bucket))."""
+    out: dict[str, list[str]] = {}
+    root = os.path.dirname(os.path.dirname(commit_dir))  # the table path
+    for pdir in sorted(_glob.glob(os.path.join(commit_dir, f"{BUCKET_COL}=*"))):
+        b = pdir.rsplit("=", 1)[1]
+        files = sorted(
+            os.path.relpath(f, root)
+            for f in _glob.glob(os.path.join(pdir, "*.parquet"))
+        )
+        out[b] = files
+    return out
+
+
+def write_versioned(df: DataFrame, path: str, key: str,
+                    n_buckets: int = 64) -> int:
+    """Commit the frame as the table's next version (full snapshot write,
+    bucketed by the key hash). Returns the committed version number."""
+    version = (current_version(path) or 0) + 1
+    commit_dir = os.path.join(path, _DATA, f"c{version:05d}")
+    (
+        df.withColumn(BUCKET_COL, _bucket_expr(key, n_buckets))
+        .write.mode("overwrite")
+        .partitionBy(BUCKET_COL)
+        .parquet(commit_dir)
+    )
+    _commit(path, {
+        "version": version,
+        "spec": {"key": key, "n_buckets": n_buckets},
+        "buckets": _bucket_files(commit_dir),
+    })
+    return version
+
+
+def read_version(spark: SparkSession, path: str,
+                 version: int | None = None,
+                 buckets: list[int] | None = None) -> DataFrame:
+    """Read a table version (default: latest). ``buckets`` restricts the
+    read to those buckets' files — file-level pruning off the manifest, no
+    directory listing of the data tree."""
+    version = version if version is not None else current_version(path)
+    if version is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    man = _read_manifest(path, version)
+    wanted = (
+        man["buckets"]
+        if buckets is None
+        else {str(b): man["buckets"].get(str(b), []) for b in buckets}
+    )
+    files = [os.path.join(path, f) for fs in wanted.values() for f in fs]
+    if not files:
+        # no data in the selected buckets: empty frame with the table schema
+        any_files = [os.path.join(path, f)
+                     for fs in man["buckets"].values() for f in fs]
+        return spark.read.parquet(*any_files).limit(0)
+    return spark.read.parquet(*files)
+
+
+def merge_versioned(spark: SparkSession, path: str,
+                    updates: DataFrame) -> int:
+    """MERGE (upsert) as a new version: write ONLY the touched buckets'
+    merged files; carry every untouched bucket's file list forward BY
+    REFERENCE. Returns the new version number.
+
+    Cost: one pruned read + one write of the touched buckets. Untouched
+    data is neither read nor written nor copied — and the previous version
+    remains fully readable (time travel / snapshot isolation)."""
+    version = current_version(path)
+    if version is None:
+        raise FileNotFoundError(f"no committed version at {path}; "
+                                "write_versioned first")
+    man = _read_manifest(path, version)
+    key = man["spec"]["key"]
+    n_buckets = man["spec"]["n_buckets"]
+
+    touched = sorted(
+        r[0]
+        for r in updates.select(_bucket_expr(key, n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return version
+
+    # read_version returns plain data columns (explicit file reads carry no
+    # directory-encoded partition column); the bucket is re-derived from the
+    # key below — deterministic, so it always matches the on-disk layout
+    current = read_version(spark, path, version, buckets=touched)
+    kept = current.join(updates.select(key), key, "left_anti")
+    merged = kept.unionByName(updates).withColumn(
+        BUCKET_COL, _bucket_expr(key, n_buckets)
+    )
+
+    new_version = version + 1
+    commit_dir = os.path.join(path, _DATA, f"c{new_version:05d}")
+    merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(commit_dir)
+
+    buckets = dict(man["buckets"])  # untouched entries carried by reference
+    buckets.update(_bucket_files(commit_dir))
+    _commit(path, {
+        "version": new_version,
+        "spec": man["spec"],
+        "buckets": buckets,
+    })
+    return new_version
+
+
+def vacuum(path: str, keep_last: int = 1) -> list[int]:
+    """Drop all but the newest ``keep_last`` versions and delete every data
+    file no retained version references (including orphans from crashed
+    commits). Returns the versions removed. Time travel reaches only
+    retained versions afterwards."""
+    import shutil
+
+    versions = list_versions(path)
+    keep = versions[-keep_last:] if keep_last > 0 else []
+    drop = [v for v in versions if v not in keep]
+
+    referenced: set[str] = set()
+    for v in keep:
+        man = _read_manifest(path, v)
+        for fs in man["buckets"].values():
+            referenced.update(fs)
+
+    for v in drop:
+        os.remove(_manifest_path(path, v))
+    data_root = os.path.join(path, _DATA)
+    for cdir in sorted(_glob.glob(os.path.join(data_root, "c*"))):
+        rel = os.path.relpath(cdir, path)
+        still_used = any(f.startswith(rel + os.sep) for f in referenced)
+        if not still_used:
+            shutil.rmtree(cdir)
+    return drop

@@ -1,0 +1,120 @@
+"""Manifest-versioned tables: the contracts that make it a table format.
+
+- merge parity: a versioned MERGE produces exactly the rows a full MERGE
+  INTO would;
+- time travel: every retained version reads back byte-identical after later
+  commits;
+- file reuse: the post-merge manifest references the SAME file paths for
+  untouched buckets (no rewrite, no copy — stronger than mtime checks);
+- atomic commit: a half-written commit (data files, no manifest) is
+  invisible to readers;
+- vacuum: drops unreferenced data dirs, keeps every file a retained
+  version references.
+"""
+
+from __future__ import annotations
+
+import os
+
+from monday_etl_spark.tableformat import (
+    current_version,
+    list_versions,
+    merge_versioned,
+    read_version,
+    vacuum,
+    write_versioned,
+)
+
+N_BUCKETS = 8
+
+
+def _base_df(spark):
+    return spark.createDataFrame(
+        [(i, f"name_{i}", float(i)) for i in range(200)],
+        "id bigint, name string, v double",
+    )
+
+
+def _updates(spark):
+    return spark.createDataFrame(
+        [(7, "name_7_v2", 700.0), (42, "name_42_v2", 4200.0),
+         (1000, "name_1000", 1000.0)],
+        "id bigint, name string, v double",
+    )
+
+
+def test_merge_parity_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    v1 = write_versioned(_base_df(spark), path, key="id", n_buckets=N_BUCKETS)
+    v2 = merge_versioned(spark, path, _updates(spark))
+    assert (v1, v2) == (1, 2)
+
+    latest = {r.id: (r.name, r.v) for r in read_version(spark, path).collect()}
+    assert len(latest) == 201
+    assert latest[7] == ("name_7_v2", 700.0)
+    assert latest[1000] == ("name_1000", 1000.0)
+    assert latest[3] == ("name_3", 3.0)
+
+    # v1 still reads as it was before the merge
+    old = {r.id: (r.name, r.v) for r in read_version(spark, path, 1).collect()}
+    assert len(old) == 200
+    assert old[7] == ("name_7", 7.0)
+    assert 1000 not in old
+
+
+def test_merge_reuses_untouched_files_by_reference(spark, tmp_path):
+    import json
+
+    path = str(tmp_path / "tbl")
+    write_versioned(_base_df(spark), path, key="id", n_buckets=N_BUCKETS)
+    merge_versioned(spark, path, _updates(spark))
+
+    with open(os.path.join(path, "_manifests", "v00001.json")) as fh:
+        m1 = json.load(fh)["buckets"]
+    with open(os.path.join(path, "_manifests", "v00002.json")) as fh:
+        m2 = json.load(fh)["buckets"]
+
+    changed = [b for b in m1 if m2.get(b) != m1[b]]
+    same = [b for b in m1 if m2.get(b) == m1[b]]
+    # 3 update keys → at most 3 touched buckets; everything else must be
+    # carried forward as the identical file list (reuse, not rewrite)
+    assert 1 <= len(changed) <= 3
+    assert same, "test needs untouched buckets"
+    for b in same:
+        assert m2[b] == m1[b]
+        for f in m2[b]:
+            assert "c00001" in f, "untouched file not from the v1 commit"
+
+
+def test_half_commit_is_invisible(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    write_versioned(_base_df(spark), path, key="id", n_buckets=N_BUCKETS)
+
+    # simulate a crash between data write and manifest commit: data dir for
+    # c00002 exists, manifest v00002.json does not
+    orphan = os.path.join(path, "_data", "c00002", "__bucket=0")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-junk.parquet"), "wb") as fh:
+        fh.write(b"not a real parquet file")
+
+    assert current_version(path) == 1
+    assert read_version(spark, path).count() == 200  # junk never read
+
+    # vacuum collects the orphan commit dir
+    vacuum(path, keep_last=5)
+    assert not os.path.exists(os.path.join(path, "_data", "c00002"))
+
+
+def test_vacuum_keeps_referenced_drops_rest(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    write_versioned(_base_df(spark), path, key="id", n_buckets=N_BUCKETS)
+    merge_versioned(spark, path, _updates(spark))
+    assert list_versions(path) == [1, 2]
+
+    dropped = vacuum(path, keep_last=1)
+    assert dropped == [1]
+    assert list_versions(path) == [2]
+    # v2 references most of c00001's files (untouched buckets): the c00001
+    # dir must survive vacuum, and the table must still read completely
+    assert os.path.exists(os.path.join(path, "_data", "c00001"))
+    assert read_version(spark, path).count() == 201
