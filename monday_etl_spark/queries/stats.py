@@ -140,3 +140,42 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.ceil(F.col("n_stratum") * 0.2))
         .select("doc_id", "lang", "rn")
     )
+
+
+@register(
+    "weighted_median_price",
+    oracle="""
+    WITH t AS (
+        SELECT l_returnflag AS flag,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc,
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q
+        FROM lineitem
+    ),
+    w AS (SELECT flag, pc, SUM(q) AS q FROM t GROUP BY flag, pc),
+    c AS (SELECT flag, pc,
+                 SUM(q) OVER (PARTITION BY flag ORDER BY pc) AS cw,
+                 SUM(q) OVER (PARTITION BY flag) AS tot
+          FROM w)
+    SELECT flag, CAST(MIN(pc) AS DOUBLE) / 100.0 AS wmedian_price
+    FROM c WHERE 2 * cw >= tot GROUP BY flag
+    """,
+    doc="Exact quantity-weighted median price per return flag via a "
+        "GROUPED_AGG pandas UDF (extensions/weighted.py) — the pandas_udf "
+        "flavor built-ins can't replace (no weighted median in Spark). "
+        "Integer-cents math end-to-end; the oracle re-derives the same "
+        "lower-median rule with window cumsums.",
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.weighted import weighted_median_cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("pc"),
+        (F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("q"),
+    )
+    return t.groupBy("flag").agg(
+        weighted_median_cents("pc", "q").alias("wmedian_price")
+    )
