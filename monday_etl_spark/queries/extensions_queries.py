@@ -225,9 +225,10 @@ _SIG = (
 )
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
+# shared by dedup_minhash_lsh (lazy path) and dedup_minhash_store (the
+# materialized signature-store path) — identical signature math, so one SQL
+# twin verifies both
+_MINHASH_PAIRS_ORACLE = f"""
     WITH t AS (SELECT doc_id, string_split_regex({_NORM}, '\\s+') AS toks
                FROM documents),
     sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
@@ -248,7 +249,12 @@ _SIG = (
            CAST(len([i for i in range(1, 17) if sig_a[i] = sig_b[i]]) AS DOUBLE)
                / 16.0 AS est_jaccard
     FROM pairs
-    """,
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_MINHASH_PAIRS_ORACLE,
     doc="MinHash+LSH near-dup candidates: 16 md5-derived minhashes over "
         "3-word shingles, 4 bands × 4 rows; candidates share ≥1 band bucket. "
         "Signature build is a pure map; candidate join meets only within "
@@ -256,6 +262,37 @@ _SIG = (
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidates(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_store",
+    oracle=_MINHASH_PAIRS_ORACLE,
+    doc="Materialized signature-store flavor of dedup_minhash_lsh: build "
+        "the banded signature table (bucketed+sorted on the LSH join key, "
+        "so candidate generation is an Exchange-free bucketed self-join), "
+        "then emit candidates FROM the store. Identical signature math — "
+        "same oracle — but the shape that amortizes the full-corpus "
+        "signature pass across runs at 100 TB.",
+)
+def dedup_minhash_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tf
+
+    from ..extensions.signature_store import (
+        build_signature_store,
+        candidates_from_store,
+    )
+
+    out_root = _tf.mkdtemp(prefix="minhash_store_q_")
+    table = f"sigq_{_os.path.basename(out_root).lower()}"
+    build_signature_store(load_table(spark, sf_dir, "documents"), table=table)
+    pairs = candidates_from_store(spark, table=table)
+    # materialize the (small) pair set so the one-shot store table can be
+    # dropped before returning; the caller gets a lazy parquet read
+    out = f"{out_root}/pairs"
+    pairs.write.parquet(out)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    return spark.read.parquet(out)
 
 
 @register(
@@ -497,6 +534,38 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = kmeans_fit(emb, k=8, iterations=3)
     queries = emb.filter(F.col("vec_id").isin(*_QUERY_IDS))
     return ivf_topk(emb, queries, cents, k=10, nprobe=2)
+
+
+@register(
+    "ann_ivf_store",
+    oracle=_sql_ivf(),
+    doc="Materialized-index flavor of ann_ivf: build the cell-partitioned "
+        "IVF index table once (the corpus-linear assignment pass a vector "
+        "index pays at build time), then answer the query batch against the "
+        "store — the scan is limited to the probed cells by dynamic "
+        "partition pruning. Frozen quantizer + exact int64 assignment = "
+        "identical results to the lazy path, hence the same oracle.",
+)
+def ann_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tf
+
+    from ..extensions.ivf import kmeans_fit
+    from ..extensions.ivf_store import build_ivf_index, query_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, iterations=3)
+    out_root = _tf.mkdtemp(prefix="ivf_store_q_")
+    table = f"ivfq_{_os.path.basename(out_root).lower()}"
+    build_ivf_index(emb, cents, table=table)
+    queries = emb.filter(F.col("vec_id").isin(*_QUERY_IDS))
+    res = query_ivf_index(spark, queries, cents, table=table, k=10, nprobe=2)
+    # materialize the (small) top-k so the one-shot index table can be
+    # dropped before returning; the caller gets a lazy parquet read
+    out = f"{out_root}/topk"
+    res.write.parquet(out)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    return spark.read.parquet(out)
 
 
 @register(
