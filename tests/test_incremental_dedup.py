@@ -19,6 +19,16 @@ from .conftest import SF_SMOKE
 THRESHOLD = 0.5
 
 
+def _unique_store(tmp_path, tag: str) -> str:
+    """Store name unique per test invocation: a fixed name would collide
+    with the managed-table DIRECTORY a previous test session left in the
+    warehouse (the catalog entry dies with the session; the dir does not)."""
+    import re
+
+    base = re.sub(r"[^a-z0-9_]", "_", tmp_path.name.lower())
+    return f"sigstore_{tag}_{base}"
+
+
 def _split_documents(tmp_path, n_splits=2):
     """Write the smoke documents as n id-ordered parquet files, one dir."""
     t = pq.read_table(f"{SF_SMOKE}/documents.parquet").sort_by("doc_id")
@@ -46,7 +56,7 @@ def _decisions(spark, sf_dir, tmp_path, tag, store=None, glob=None, mfpt=None):
         kwargs["max_files_per_trigger"] = mfpt
     df = run_incremental_dedup(
         spark, sf_dir,
-        store_table=store or f"sigstore_test_{tag}",
+        store_table=store or _unique_store(tmp_path, tag),
         out_path=str(tmp_path / f"out_{tag}"),
         checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
         threshold=THRESHOLD,
@@ -56,18 +66,22 @@ def _decisions(spark, sf_dir, tmp_path, tag, store=None, glob=None, mfpt=None):
 
 
 def test_batch_split_invariance(spark, tmp_path):
-    single = _decisions(spark, SF_SMOKE, tmp_path, "single")
+    try:
+        single = _decisions(spark, SF_SMOKE, tmp_path, "single")
 
-    split_dir = _split_documents(tmp_path, n_splits=2)
-    split = _decisions(
-        spark, split_dir, tmp_path, "split",
-        glob="*.documents.parquet", mfpt=1,
-    )
-    assert split == single
+        split_dir = _split_documents(tmp_path, n_splits=2)
+        split = _decisions(
+            spark, split_dir, tmp_path, "split",
+            glob="*.documents.parquet", mfpt=1,
+        )
+        assert split == single
+    finally:
+        for tag in ("single", "split"):
+            spark.sql(f"DROP TABLE IF EXISTS {_unique_store(tmp_path, tag)}")
 
 
 def test_store_continuation_rejects_cross_run_dups(spark, tmp_path):
-    store = "sigstore_test_cont"
+    store = _unique_store(tmp_path, "cont")
     first = _decisions(spark, SF_SMOKE, tmp_path, "run1", store=store)
     n_docs = len(first)
     assert n_docs > 0
@@ -85,6 +99,9 @@ def test_store_continuation_rejects_cross_run_dups(spark, tmp_path):
     d2.mkdir()
     pq.write_table(shifted, d2 / "documents.parquet")
 
-    second = _decisions(spark, str(d2), tmp_path, "run2", store=store)
-    assert len(second) == n_docs
-    assert all(not kept for _, kept in second), "cross-run dup not rejected"
+    try:
+        second = _decisions(spark, str(d2), tmp_path, "run2", store=store)
+        assert len(second) == n_docs
+        assert all(not kept for _, kept in second), "cross-run dup not rejected"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {store}")
