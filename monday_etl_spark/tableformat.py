@@ -196,6 +196,58 @@ def merge_versioned(spark: SparkSession, path: str,
     return new_version
 
 
+def compact_versioned(spark: SparkSession, path: str,
+                      max_files_per_bucket: int = 1) -> int:
+    """OPTIMIZE-style compaction as a new version: rewrite every bucket
+    whose file count exceeds ``max_files_per_bucket`` into freshly-packed
+    files; carry already-compact buckets forward by reference. Returns the
+    committed version (the current one if nothing needed compaction).
+
+    Why it's needed: every commit writes up to one file per (input
+    partition, bucket) pair — a 1000-task write fragments each touched
+    bucket into up to 1000 small files, the classic small-files problem
+    that degrades scan throughput and (on HDFS) NameNode pressure.
+    Compaction is metadata-neutral (row-for-row identical table) and,
+    like merge, costs only the fragmented buckets' I/O. Readers pinned to
+    older versions are unaffected; ``vacuum`` reclaims the fragmented
+    originals once those versions age out."""
+    version = current_version(path)
+    if version is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    man = _read_manifest(path, version)
+    key = man["spec"]["key"]
+    n_buckets = man["spec"]["n_buckets"]
+
+    fragmented = sorted(
+        int(b) for b, fs in man["buckets"].items()
+        if len(fs) > max_files_per_bucket
+    )
+    if not fragmented:
+        return version
+
+    packed = read_version(spark, path, version, buckets=fragmented).withColumn(
+        BUCKET_COL, _bucket_expr(key, n_buckets)
+    )
+    new_version = version + 1
+    commit_dir = os.path.join(path, _DATA, f"c{new_version:05d}")
+    # one output file per bucket partition: repartition on the bucket column
+    # so each write task owns whole buckets
+    (
+        packed.repartition(len(fragmented), BUCKET_COL)
+        .write.mode("overwrite")
+        .partitionBy(BUCKET_COL)
+        .parquet(commit_dir)
+    )
+    buckets = dict(man["buckets"])
+    buckets.update(_bucket_files(commit_dir))
+    _commit(path, {
+        "version": new_version,
+        "spec": man["spec"],
+        "buckets": buckets,
+    })
+    return new_version
+
+
 def vacuum(path: str, keep_last: int = 1) -> list[int]:
     """Drop all but the newest ``keep_last`` versions and delete every data
     file no retained version references (including orphans from crashed

@@ -118,3 +118,35 @@ def test_vacuum_keeps_referenced_drops_rest(spark, tmp_path):
     # dir must survive vacuum, and the table must still read completely
     assert os.path.exists(os.path.join(path, "_data", "c00001"))
     assert read_version(spark, path).count() == 201
+
+
+def test_compact_packs_fragmented_buckets(spark, tmp_path):
+    """A parallel write leaves up-to-one-file-per-(input partition, bucket)
+    fragmentation; compaction must pack each bucket to <= the target file
+    count as a NEW version — row-identical, time-travelable, idempotent."""
+    import json
+
+    path = str(tmp_path / "tbl")
+    write_versioned(_base_df(spark), path, key="id", n_buckets=N_BUCKETS)
+
+    from monday_etl_spark.tableformat import compact_versioned
+
+    with open(os.path.join(path, "_manifests", "v00001.json")) as fh:
+        m1 = json.load(fh)["buckets"]
+    assert any(len(fs) > 1 for fs in m1.values()), \
+        "test needs write-parallelism fragmentation"
+    before = {r.id: (r.name, r.v) for r in read_version(spark, path).collect()}
+
+    v2 = compact_versioned(spark, path, max_files_per_bucket=1)
+    assert v2 == 2
+    with open(os.path.join(path, "_manifests", "v00002.json")) as fh:
+        m2 = json.load(fh)["buckets"]
+    assert all(len(fs) <= 1 for fs in m2.values())
+
+    # row-for-row identical table; the fragmented version still time-travels
+    after = {r.id: (r.name, r.v) for r in read_version(spark, path).collect()}
+    assert after == before
+    assert read_version(spark, path, 1).count() == 200
+
+    # idempotent: nothing left to compact
+    assert compact_versioned(spark, path, max_files_per_bucket=1) == 2
