@@ -32,6 +32,10 @@ RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.sql.adaptive.enabled": "true",
+    # INT96 (the legacy default) writes NO usable min/max stats, killing
+    # row-group skipping on every timestamp predicate; micros is the
+    # modern parquet timestamp and what the testdata itself uses
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 
@@ -73,6 +77,7 @@ def get_spark(app_name: str = DEFAULT_APP, shuffle_partitions: int | None = None
         # rejects outright; read nanos as LongType and convert in io.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # -- scan efficiency --
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
