@@ -52,9 +52,16 @@ _DATA = "_data"
 BUCKET_COL = "__bucket"
 
 
-def _bucket_expr(key: str, n_buckets: int):
-    # must match temporal._bucket_expr: the layout hash is frozen on disk
-    return F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+def _keys(key) -> list[str]:
+    return [key] if isinstance(key, str) else list(key)
+
+
+def _bucket_expr(key, n_buckets: int):
+    # must match temporal._bucket_expr for the single-key case: the layout
+    # hash is frozen on disk. Composite keys hash all columns together.
+    return F.pmod(
+        F.xxhash64(*[F.col(k) for k in _keys(key)]), F.lit(n_buckets)
+    ).cast("int")
 
 
 def _manifest_path(path: str, version: int) -> str:
@@ -103,10 +110,11 @@ def _bucket_files(commit_dir: str) -> dict[str, list[str]]:
     return out
 
 
-def write_versioned(df: DataFrame, path: str, key: str,
+def write_versioned(df: DataFrame, path: str, key,
                     n_buckets: int = 64) -> int:
     """Commit the frame as the table's next version (full snapshot write,
-    bucketed by the key hash). Returns the committed version number."""
+    bucketed by the key hash). ``key`` may be one column name or a list
+    (composite entity key). Returns the committed version number."""
     version = (current_version(path) or 0) + 1
     commit_dir = os.path.join(path, _DATA, f"c{version:05d}")
     (
@@ -117,7 +125,7 @@ def write_versioned(df: DataFrame, path: str, key: str,
     )
     _commit(path, {
         "version": version,
-        "spec": {"key": key, "n_buckets": n_buckets},
+        "spec": {"key": _keys(key), "n_buckets": n_buckets},
         "buckets": _bucket_files(commit_dir),
     })
     return version
@@ -161,7 +169,7 @@ def merge_versioned(spark: SparkSession, path: str,
         raise FileNotFoundError(f"no committed version at {path}; "
                                 "write_versioned first")
     man = _read_manifest(path, version)
-    key = man["spec"]["key"]
+    key = _keys(man["spec"]["key"])
     n_buckets = man["spec"]["n_buckets"]
 
     touched = sorted(
@@ -177,7 +185,7 @@ def merge_versioned(spark: SparkSession, path: str,
     # directory-encoded partition column); the bucket is re-derived from the
     # key below — deterministic, so it always matches the on-disk layout
     current = read_version(spark, path, version, buckets=touched)
-    kept = current.join(updates.select(key), key, "left_anti")
+    kept = current.join(updates.select(*key), key, "left_anti")
     merged = kept.unionByName(updates).withColumn(
         BUCKET_COL, _bucket_expr(key, n_buckets)
     )
@@ -215,7 +223,7 @@ def compact_versioned(spark: SparkSession, path: str,
     if version is None:
         raise FileNotFoundError(f"no committed version at {path}")
     man = _read_manifest(path, version)
-    key = man["spec"]["key"]
+    key = _keys(man["spec"]["key"])
     n_buckets = man["spec"]["n_buckets"]
 
     fragmented = sorted(
