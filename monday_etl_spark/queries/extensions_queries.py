@@ -836,3 +836,64 @@ def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("lang").alias("n_langs"),
         F.count(F.when(F.col("n_chars") < 200, 1)).alias("n_short"),
     )
+
+
+@register(
+    "ann_recall_at_10",
+    oracle=f"""
+    WITH {_sql_lsh_buckets(8)},
+    q AS (SELECT vec_id, v FROM c WHERE vec_id IN {_QUERY_IDS}),
+    bf_scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.v, c.v) AS sim
+        FROM c JOIN q ON c.vec_id <> q.vec_id
+    ),
+    bf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id) AS rank
+            FROM bf_scored) WHERE rank <= 10
+    ),
+    cb AS (SELECT c.vec_id, c.v, b.bucket FROM c JOIN buckets b USING (vec_id)),
+    qb AS (SELECT vec_id, v, bucket FROM cb WHERE vec_id IN {_QUERY_IDS}),
+    lsh_scored AS (
+        SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id,
+               list_cosine_similarity(qb.v, cb.v) AS sim
+        FROM cb JOIN qb ON cb.bucket = qb.bucket AND cb.vec_id <> qb.vec_id
+    ),
+    lsh AS (
+        SELECT query_id, neighbor_id, 1 AS hit FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id) AS rank
+            FROM lsh_scored) WHERE rank <= 10
+    )
+    SELECT bf.query_id, CAST(COUNT(lsh.hit) AS BIGINT) AS n_hits,
+           COUNT(lsh.hit) / 10.0 AS recall_at_10
+    FROM bf LEFT JOIN lsh USING (query_id, neighbor_id)
+    GROUP BY bf.query_id
+    """,
+    doc="ANN quality evaluation: recall@10 of the LSH-bucketed path against "
+        "the exact brute-force baseline, per query vector — the QA primitive "
+        "a pipeline runs before trusting an approximate index (and after "
+        "every quantizer retrain). Both rankings reuse the oracled top-k "
+        "plans; the overlap is one small join.",
+)
+def ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*_QUERY_IDS))
+    bf = brute_force_topk(emb, queries, k=10).select("query_id", "neighbor_id")
+    ap = (
+        lsh_bucket_topk(emb, queries, dim=64, k=10, bits=8)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        bf.join(ap, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            (F.count("hit") / F.lit(10.0)).alias("recall_at_10"),
+        )
+    )

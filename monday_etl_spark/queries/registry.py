@@ -62,7 +62,7 @@ _EVIDENCE_PRIORITY = [
     # implemented in r02/r03, never driver-checked
     "decontaminate_bloom", "semantic_dedup", "text_perplexity",
     "streaming_incremental_dedup", "weighted_median_price",
-    "dedup_minhash_store", "ann_ivf_store",
+    "dedup_minhash_store", "ann_ivf_store", "ann_recall_at_10",
     # r01 green is STALE (silent ts decode error in the streaming reader
     # between r01 and r02) — must be explicitly re-verified
     "streaming_daily_rollup",
