@@ -32,22 +32,21 @@ def main() -> None:
     spark = get_spark("monday-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm up the session once, untimed, so per-query numbers measure the
-    # OPERATORS rather than one-time JVM costs that land on whichever query
-    # happens to run first (JIT compile of the codegen paths, Arrow/Python
-    # worker startup, broadcast machinery). The warmers run at sf0.001 —
-    # ~1000x smaller than the timed scale, so no timed data is pre-touched.
+    # Warm up EVERY query once, untimed, at sf0.001 — ~1000x smaller than
+    # the timed scale, so no timed data is pre-touched — so per-query
+    # numbers measure the OPERATORS rather than one-time JVM costs (JIT
+    # compile of each query's codegen paths, Arrow/Python worker startup,
+    # broadcast machinery). Before r03 only 3 queries warmed and every
+    # other timed number carried its own 50-200 ms codegen compile.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     warm_sf = "/root/testdata/sf0.001"
     if os.path.isdir(warm_sf) and warm_sf != sf_dir.rstrip("/"):
-        for warm_name in ("daily_metrics", "grouped_zscore_pandas",
-                          "dedup_minhash_lsh"):
-            if warm_name in REGISTRY:
-                try:
-                    REGISTRY[warm_name].fn(spark, warm_sf).count()
-                except Exception:  # noqa: BLE001 — warmup must never fail the bench
-                    pass
-        spark.catalog.clearCache()
+        for warm_name in sorted(REGISTRY):
+            try:
+                REGISTRY[warm_name].fn(spark, warm_sf).count()
+            except Exception:  # noqa: BLE001 — warmup must never fail the bench
+                pass
+            spark.catalog.clearCache()
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
     timings: dict[str, float] = {}
