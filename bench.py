@@ -93,8 +93,50 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001 — record and continue
                 print(f"# warm {name}: ERROR {exc}", file=sys.stderr)
 
+    # skew demonstration: the explicit salted_join vs the naive plan on the
+    # same pathologically skewed input (70% of rows on one key), with
+    # broadcast and AQE skew-splitting disabled — the scenario salting exists
+    # for (both sides too big to broadcast, a single hot key beyond AQE).
+    skew: dict[str, float | str] = {}
+    try:
+        from monday_etl_spark.operators.join_ops import salted_join
+        from monday_etl_spark.queries.relational import skewed_join_inputs
+
+        from pyspark.sql import functions as F
+
+        left, dim = skewed_join_inputs(spark, sf_dir, multiplier=8, hot=9)
+        # persist the amplified input pre-spread over 32 partitions so both
+        # legs start from the SAME parallel in-memory relation and the timed
+        # difference is the join's reduce side: naive = one hot task sorting
+        # ~90% of the rows, salted = that work spread over 8 salt buckets
+        left = left.repartition(32).persist()
+        left.count()
+        prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        prev_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        try:
+            for label, joined in (
+                ("skew_naive", left.join(dim, "skey")),
+                ("skew_salted", salted_join(left, dim, on="skey", salt=8)),
+            ):
+                agg = joined.groupBy("grp_label").agg(
+                    F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                )
+                agg.count()  # untimed warm (codegen compile amortized)
+                t0 = time.perf_counter()
+                agg.count()
+                skew[label] = round(time.perf_counter() - t0, 4)
+                print(f"# {label}: {skew[label]:.3f}s", file=sys.stderr)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
+            left.unpersist()
+    except Exception as exc:  # noqa: BLE001 — demo must never fail the bench
+        skew = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+
     total = round(sum(timings.values()), 4)
-    out = {
+    detail = {
         "metric": "operator_suite_wall_time",
         "value": total,
         "unit": "sec",
@@ -102,10 +144,31 @@ def main() -> None:
         "sf": sf,
     }
     if warm:
-        out["queries_warm"] = warm
+        detail["queries_warm"] = warm
+    if skew:
+        detail["skew_demo"] = skew
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        detail["errors"] = errors
+    # Full per-query detail goes to a file; stdout gets a COMPACT summary as
+    # the LAST line. The driver keeps only the final ~2000 chars of stdout —
+    # r01-r03 printed the full 90-entry dict on one line, which overflowed
+    # that tail and left BENCH_r0N.json with "parsed": null. The summary line
+    # (headline total + top-10 slowest) fits comfortably; BENCH_DETAIL.json
+    # carries everything.
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+    top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    summary = {
+        "metric": "operator_suite_wall_time",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries": top10,
+        "detail": "BENCH_DETAIL.json",
+    }
+    print(json.dumps(summary))
     spark.stop()
 
 

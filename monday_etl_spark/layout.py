@@ -51,6 +51,16 @@ def zorder_value(df: DataFrame, cols: list[str],
                  bits: int = DEFAULT_BITS) -> Column:
     """Morton z-value over ``cols`` as a Column (for inspection/tests);
     collects the 1-row min/max stats of ``df`` to scale each column."""
+    # the interleave reaches bit index bits*len(cols)-1; keep it under 63 so
+    # the z-value never touches the long's sign bit (rows with the top rank
+    # bit set would sort FIRST) and never exceeds 63, where Java shiftleft
+    # masks the count mod 64 and silently scrambles the value. Auto-reduce:
+    # 4 cols -> 15 bits/col, 5 cols -> 12, etc. — still thousands of cells
+    # per dimension, ample for row-group skipping.
+    bits = min(bits, 63 // max(len(cols), 1))
+    if bits < 1:
+        raise ValueError(f"too many z-order columns ({len(cols)}): "
+                         "need at least 1 bit per column within 63 total")
     longs = {c: _to_long(F.col(c), df.schema[c].dataType) for c in cols}
     stats = df.agg(
         *[f(longs[c]).alias(f"{n}_{c}")

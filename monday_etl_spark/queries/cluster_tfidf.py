@@ -138,6 +138,64 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "semantic_dedup_auto",
+    oracle=None,
+    doc="The PRODUCTION shape of semantic_dedup: bucket width sized by "
+        "auto_lsh_bits from the corpus count (scored pairs linear in n — "
+        "the shape that actually runs at 100 TB), instead of the bits=4 "
+        "the oracle-pinned twin uses. No SQL oracle (the auto bit count is "
+        "data-dependent), so correctness is enforced IN-QUERY: the result "
+        "must cover the whole corpus exactly once, every cluster_id must "
+        "be the min vec_id of its cluster, and each cluster must keep "
+        "exactly one vector — any violation raises before a row is "
+        "returned. Driver records the rows-only check.",
+)
+def semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.similarity import embedding_near_dup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # bits=None -> auto_lsh_bits(corpus count): the linear-scored-pairs path
+    pairs = embedding_near_dup(emb, dim=64, threshold=0.4).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    comp = (
+        dedup_clusters(pairs)
+        .select(F.col("doc_id").alias("vec_id"), "component")
+    )
+    cluster = F.coalesce("component", F.col("vec_id"))
+    result = (
+        emb.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            cluster.alias("cluster_id"),
+            (cluster == F.col("vec_id")).alias("is_kept"),
+        )
+    ).persist()
+
+    # in-query invariants (one small aggregate over the vec_id-sized result):
+    # exactly one keeper per cluster, cluster label = min member id, and the
+    # keeper is that min member. Total coverage is checked against the corpus.
+    viol = (
+        result.groupBy("cluster_id")
+        .agg(
+            F.sum(F.col("is_kept").cast("int")).alias("n_keepers"),
+            F.min("vec_id").alias("min_member"),
+        )
+        .filter((F.col("n_keepers") != 1)
+                | (F.col("min_member") != F.col("cluster_id")))
+    )
+    n_bad = viol.count()
+    n_rows, n_corpus = result.count(), emb.count()
+    if n_bad or n_rows != n_corpus:
+        raise AssertionError(
+            f"semantic_dedup_auto invariants violated: {n_bad} bad clusters, "
+            f"{n_rows} result rows vs {n_corpus} corpus vectors"
+        )
+    return result
+
+
 _LTOKS = r"string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"
 
 

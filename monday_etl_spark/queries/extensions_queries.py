@@ -897,3 +897,121 @@ def ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit") / F.lit(10.0)).alias("recall_at_10"),
         )
     )
+
+
+def _sql_ivf_recall_sweep(k: int = 8, iterations: int = 3, topk: int = 10,
+                          dim: int = 64, scale: int = 1_000_000,
+                          max_train: int = 100_000) -> str:
+    """DuckDB twin of the nprobe recall sweep: the same unrolled integer
+    Lloyd + exact assignment as _sql_ivf, probed at every nprobe in the
+    sweep, each ranking compared against the brute-force top-k."""
+    dist = ("CAST(list_sum(list_transform(list_zip(s.q, c.c), "
+            "p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)")
+    iters = ",".join(_sql_ivf_lloyd_iter(n, dim) for n in range(1, iterations + 1))
+    return f"""
+    WITH qv AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(FLOOR(x*{scale}.0 + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    train AS (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT {max_train}),
+    c0 AS (
+      SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cell, q AS c
+      FROM (SELECT vec_id, q FROM train ORDER BY vec_id LIMIT {k})
+    ),{iters},
+    assign AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT s.vec_id, s.v, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {dist}, c.cell) AS rn
+        FROM qv s CROSS JOIN c{iterations} c)
+      WHERE rn = 1
+    ),
+    probe_all AS (
+      SELECT s.vec_id AS query_id, s.v AS pv, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                ORDER BY {dist}, c.cell) AS rn
+      FROM qv s CROSS JOIN c{iterations} c
+      WHERE s.vec_id IN {_QUERY_IDS}
+    ),
+    bf_scored AS (
+      SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+             list_cosine_similarity(q.v, s.v) AS sim
+      FROM qv s JOIN qv q ON s.vec_id <> q.vec_id
+      WHERE q.vec_id IN {_QUERY_IDS}
+    ),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM bf_scored) WHERE rank <= {topk}
+    ),
+    np AS (SELECT UNNEST([1, 2, 4, 8]) AS nprobe),
+    ivf_scored AS (
+      SELECT n.nprobe, p.query_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(p.pv, a.v) AS sim
+      FROM np n
+      JOIN probe_all p ON p.rn <= n.nprobe
+      JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    ),
+    ivf AS (
+      SELECT nprobe, query_id, neighbor_id, 1 AS hit FROM (
+        SELECT nprobe, query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM ivf_scored) WHERE rank <= {topk}
+    ),
+    grid AS (SELECT n.nprobe, b.query_id, b.neighbor_id
+             FROM np n CROSS JOIN bf b)
+    SELECT g.nprobe, g.query_id, CAST(COUNT(i.hit) AS BIGINT) AS n_hits,
+           COUNT(i.hit) / {topk}.0 AS recall_at_10
+    FROM grid g LEFT JOIN ivf i
+      ON i.nprobe = g.nprobe AND i.query_id = g.query_id
+     AND i.neighbor_id = g.neighbor_id
+    GROUP BY g.nprobe, g.query_id
+    """
+
+
+@register(
+    "ann_ivf_recall_sweep",
+    oracle=_sql_ivf_recall_sweep(),
+    doc="IVF recall curve: recall@10 of the IVF index at nprobe in "
+        "{1,2,4,8} against the exact brute-force ranking, per query — the "
+        "QA gate a vector pipeline runs before raising (or trusting) nprobe "
+        "at scale. Cells are assigned ONCE (assign_cells, persisted) and "
+        "probed at each sweep point; the brute-force baseline is computed "
+        "once. Everything discrete is exact int64 (see ivf.py), so the "
+        "oracle replays the full pipeline including training.",
+)
+def ann_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.ivf import assign_cells, kmeans_fit, topk_against_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, iterations=3)
+    queries = emb.filter(F.col("vec_id").isin(*_QUERY_IDS))
+    bf = (
+        brute_force_topk(emb, queries, k=10)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    cells = assign_cells(emb, cents).persist()
+    out = None
+    for nprobe in (1, 2, 4, 8):
+        ap = (
+            topk_against_cells(cells, queries, cents, k=10, nprobe=nprobe)
+            .select("query_id", "neighbor_id")
+            .withColumn("hit", F.lit(1))
+        )
+        r = (
+            bf.join(ap, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.count("hit").alias("n_hits"),
+                (F.count("hit") / F.lit(10.0)).alias("recall_at_10"),
+            )
+            .withColumn("nprobe", F.lit(nprobe))
+        )
+        out = r if out is None else out.unionByName(r)
+    return out.select("nprobe", "query_id", "n_hits", "recall_at_10")

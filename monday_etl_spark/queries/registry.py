@@ -54,30 +54,27 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # already-green entries. Refreshed each round from CORRECTNESS_r{N}.json.
 # Purely an ordering hint; every query is still registered and runnable.
 _EVIDENCE_PRIORITY = [
-    # red in r02 (all the events.ts decode bug, fixed in r03) — re-green first
-    "filter_snapshot_eq", "fk_json_extract", "scalar_battery", "asof_join",
-    "sessionize", "pivot_event_values", "tumbling_window_6h", "snapshot_diff",
-    "streaming_stateful_sessions", "approx_distinct_users",
-    "range_join_bucketed", "grouped_zscore_pandas",
-    # implemented in r02/r03, never driver-checked
-    "decontaminate_bloom", "semantic_dedup", "text_perplexity",
-    "streaming_incremental_dedup", "weighted_median_price",
-    "dedup_minhash_store", "ann_ivf_store", "ann_recall_at_10",
-    # r01 green is STALE (silent ts decode error in the streaming reader
-    # between r01 and r02) — must be explicitly re-verified
-    "streaming_daily_rollup",
-    # green in r01 only, not re-checked since
-    "daily_metrics", "normalize_projects", "normalize_subitems",
-    "normalize_personnel_costs", "normalize_travel_costs",
-    "normalize_supplier_costs", "filter_high_revenue", "filter_inlist",
-    "filter_daterange", "ratio_kpi", "weekly_threshold",
-    "grouping_sets_reports", "top_unshipped_orders", "revenue_by_nation",
-    "customer_order_stats", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "ann_brute_force", "decontaminate",
-    "doc_repetition_filter", "tfidf_top_terms", "text_fingerprint",
-    "text_quality", "text_lang_id", "multimodal_decode",
-    "multimodal_frame_sample", "token_stats", "sequence_packing",
+    # registered in r04, never driver-checked — these go first
+    "tableformat_merge_history", "rollup_maintenance_drain",
+    "semantic_dedup_auto", "zorder_key", "salted_join_skew",
+    "ann_ivf_recall_sweep",
+    # oldest evidence: green in r01 only, never re-checked since
     "chunk_dedup", "source_temperature_resample",
+    # r02-latest evidence (skipped by the r03 budget) — oldest-first refresh
+    "pricing_summary", "rollup_priority_status", "cube_flag_status",
+    "global_aggs", "duplicate_detection", "freshness", "dedup_simhash",
+    "dedup_simhash_near", "ann_lsh_bucketed", "ann_ivf", "embedding_near_dup",
+    "embedding_quantize_int8", "corpus_source_stats",
+    "dedup_cluster_resolution", "substring_dedup", "substring_dedup_rolling",
+    "sequence_packing_sharded", "join_left_single", "join_left_composite",
+    "join_semi", "join_anti", "top10_orders", "union_counts",
+    "setop_intersect", "setop_except", "unpivot_measures",
+    "revenue_percentiles", "revenue_histogram", "price_quantity_corr",
+    "deterministic_sample", "stratified_sample", "text_scrub",
+    "training_set_selection", "corpus_curation", "latest_snapshot",
+    "rank_topn_per_group", "running_total", "window_function_battery",
+    # everything below here was re-verified green in r03; a driver budget of
+    # ~50 reaches all 44 stale/new rows above before re-confirming these
 ]
 
 

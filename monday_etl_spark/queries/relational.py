@@ -412,3 +412,69 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "session_no"
     )
+
+
+@register(
+    "salted_join_skew",
+    oracle="""
+    WITH l AS (
+        SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+                    ELSE l_orderkey % 1000 END AS skey,
+               l_extendedprice
+        FROM lineitem
+    ),
+    d AS (SELECT range AS skey, 'grp_' || range AS grp_label FROM range(1000))
+    SELECT d.grp_label, COUNT(*) AS n_rows,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS revenue
+    FROM l JOIN d USING (skey)
+    GROUP BY d.grp_label
+    """,
+    doc="Salted join on a pathologically skewed key (~70% of lineitem rows "
+        "collapse onto key 0): operators/join_ops.salted_join splits the hot "
+        "key's probe rows across 8 salt buckets and replicates the dim rows "
+        "into each, so no single shuffle partition owns the hot key — the "
+        "explicit fallback for single-key skew beyond AQE's splitting. "
+        "Salting is a pure partitioning change, so the result (and oracle) "
+        "is the plain join's. bench.py times this against the unsalted plan "
+        "with AQE skew handling and broadcast off (BENCH_DETAIL.json "
+        "skew_demo).",
+)
+def salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.join_ops import salted_join
+
+    left, dim = skewed_join_inputs(spark, sf_dir)
+    joined = salted_join(left, dim, on="skey", how="inner", salt=8)
+    return joined.groupBy("grp_label").agg(
+        F.count("*").alias("n_rows"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"),
+            2,
+        ).alias("revenue"),
+    )
+
+
+def skewed_join_inputs(spark: SparkSession, sf_dir: str,
+                       multiplier: int = 1, hot: int = 7):
+    """(left, dim) for the skew demo: lineitem keyed so ~hot/10 of rows share
+    key 0, against a 1000-row generated dimension. Shared by the registry
+    query (salted plan, defaults matching its oracle) and bench.py's
+    naive-vs-salted timing pair (which amplifies the input ``multiplier``×
+    and raises ``hot`` so the hot key's single shuffle partition is large
+    enough for task-level parallelism to dominate the salt overhead —
+    miniature of the 100 TB case where that partition won't fit at all)."""
+    left = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 < hot, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 1000)
+        .alias("skey"),
+        "l_extendedprice",
+    )
+    if multiplier > 1:
+        left = left.withColumn(
+            "__m", F.explode(F.sequence(F.lit(1), F.lit(multiplier)))
+        ).drop("__m")
+    dim = spark.range(1000).select(
+        F.col("id").alias("skey"),
+        F.concat(F.lit("grp_"), F.col("id").cast("string")).alias("grp_label"),
+    )
+    return left, dim

@@ -14,7 +14,8 @@ per micro-batch (``foreachBatch``):
      compute touches ONLY the new documents;
   3. resolve within-batch collisions by doc_id (lower id wins — the same
      deterministic keeper rule as the batch dedup family);
-  4. emit (doc_id, is_kept) decisions to an append-only parquet sink;
+  4. emit (doc_id, is_kept) decisions to a per-batch-overwrite parquet sink
+     (idempotent under foreachBatch's at-least-once replay);
   5. append ALL the batch's signatures (kept and rejected alike) to the
      store — "have I seen something like this" must remember rejected docs
      too, and it makes the reject rule monotonic: a doc is rejected iff it
@@ -68,7 +69,11 @@ def _batch_decisions(batch: DataFrame, store_table: str,
             .join(
                 store.alias("o"),
                 (F.col("n.band") == F.col("o.band"))
-                & (F.col("n.bh") == F.col("o.bh")),
+                & (F.col("n.bh") == F.col("o.bh"))
+                # retry safety: a batch replayed after its store append
+                # landed would otherwise collide with its OWN signatures
+                # (est = 1.0) and reject everything it previously kept
+                & (F.col("n.doc_id") != F.col("o.doc_id")),
             )
             .select(
                 F.col("n.doc_id").alias("doc_id"),
@@ -130,7 +135,15 @@ def run_incremental_dedup(
 
     def handle(batch: DataFrame, _bid: int) -> None:
         decisions, banded = _batch_decisions(batch, store_table, threshold)
-        decisions.write.mode("append").parquet(out_path)
+        # idempotent per-batch sink: foreachBatch is at-least-once, so a
+        # replayed batch OVERWRITES its own batch=<id> directory instead of
+        # appending duplicate decision rows (the read side drops the
+        # partition column). The store append stays at-least-once — benign:
+        # the probe is existence-based (distinct) and excludes self-matches
+        # by doc_id, so duplicate signature rows cost space, not correctness.
+        decisions.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch={_bid}")
+        )
         writer = banded.write.mode(
             "append" if spark.catalog.tableExists(store_table) else "overwrite"
         )
@@ -158,4 +171,4 @@ def run_incremental_dedup(
     if not os.path.exists(out_path):
         # zero input files: no batch ever fired; empty decisions frame
         return spark.createDataFrame([], "doc_id long, is_kept boolean")
-    return spark.read.parquet(out_path)
+    return spark.read.parquet(out_path).drop("batch")

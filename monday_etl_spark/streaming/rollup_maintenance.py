@@ -69,17 +69,11 @@ def run_rollup_maintenance(
     """AvailableNow drain that MERGEs each micro-batch's changed rollup rows
     into the versioned table at ``table_path`` (created on first commit).
     Returns a lazy read of the table's current version."""
-    from ..session import ensure_session_confs
     from ..tableformat import read_version
 
-    ensure_session_confs(spark)
-    on_disk = spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
-    reader = spark.readStream.schema(on_disk).option("pathGlobFilter", glob)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    from ..io import normalize_event_ts
-
-    stream = normalize_event_ts(reader.parquet(sf_dir))
+    stream = read_events_stream(
+        spark, sf_dir, max_files_per_trigger=max_files_per_trigger, glob=glob
+    )
 
     def handle(batch: DataFrame, _bid: int) -> None:
         if current_version(table_path) is None:

@@ -24,21 +24,6 @@ from pyspark.sql import types as T
 from ..functions import money_sum
 from ..io import normalize_event_ts
 
-# Current-vintage events schema: ts is stored as parquet timestamp[us], which
-# Spark reads as TIMESTAMP_NTZ. Older testdata stored raw nanos (int64);
-# ``_events_on_disk_schema`` detects whichever vintage is actually present and
-# ``normalize_event_ts`` converts only when ts arrives as a long.
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampNTZType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 
 def _events_on_disk_schema(spark: SparkSession, sf_dir: str,
                            glob: str) -> T.StructType:

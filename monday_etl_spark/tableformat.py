@@ -126,6 +126,9 @@ def write_versioned(df: DataFrame, path: str, key,
     _commit(path, {
         "version": version,
         "spec": {"key": _keys(key), "n_buckets": n_buckets},
+        # schema travels in the manifest so empty versions (e.g. an empty
+        # first micro-batch committing buckets={}) stay readable
+        "schema": df.schema.json(),
         "buckets": _bucket_files(commit_dir),
     })
     return version
@@ -151,7 +154,21 @@ def read_version(spark: SparkSession, path: str,
         # no data in the selected buckets: empty frame with the table schema
         any_files = [os.path.join(path, f)
                      for fs in man["buckets"].values() for f in fs]
-        return spark.read.parquet(*any_files).limit(0)
+        if any_files:
+            return spark.read.parquet(*any_files).limit(0)
+        # whole version is empty (manifest has zero buckets): rebuild the
+        # frame from the manifest-carried schema instead of calling
+        # spark.read.parquet() with no paths, which raises
+        from pyspark.sql.types import StructType
+
+        schema_json = man.get("schema")
+        if schema_json is None:
+            raise FileNotFoundError(
+                f"version {version} at {path} is empty and its manifest "
+                "predates schema recording — cannot reconstruct the frame"
+            )
+        return spark.createDataFrame([], StructType.fromJson(
+            json.loads(schema_json)))
     return spark.read.parquet(*files)
 
 
@@ -199,6 +216,7 @@ def merge_versioned(spark: SparkSession, path: str,
     _commit(path, {
         "version": new_version,
         "spec": man["spec"],
+        "schema": man.get("schema"),
         "buckets": buckets,
     })
     return new_version
@@ -251,6 +269,7 @@ def compact_versioned(spark: SparkSession, path: str,
     _commit(path, {
         "version": new_version,
         "spec": man["spec"],
+        "schema": man.get("schema"),
         "buckets": buckets,
     })
     return new_version

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import uuid
 
 import pytest
 
@@ -13,16 +14,21 @@ from monday_etl_spark.operators.bucketing import bucketed_join, write_bucketed
 
 from .conftest import SF_SMOKE
 
+# unique per-session names: stale spark-warehouse/ dirs from a crashed run
+# have no catalog entry, so fixed names break saveAsTable on rerun
+_SUF = uuid.uuid4().hex[:8]
+
 
 @pytest.fixture(scope="module")
 def bucketed_tables(spark):
+    lt, rt = f"orders_b_{_SUF}", f"lineitem_b_{_SUF}"
     o = load_table(spark, SF_SMOKE, "orders").withColumnRenamed("o_orderkey", "orderkey")
     li = load_table(spark, SF_SMOKE, "lineitem").withColumnRenamed("l_orderkey", "orderkey")
-    write_bucketed(o, "orders_b", "orderkey", buckets=8)
-    write_bucketed(li, "lineitem_b", "orderkey", buckets=8)
-    yield "orders_b", "lineitem_b"
-    spark.sql("DROP TABLE IF EXISTS orders_b")
-    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    write_bucketed(o, lt, "orderkey", buckets=8)
+    write_bucketed(li, rt, "orderkey", buckets=8)
+    yield lt, rt
+    spark.sql(f"DROP TABLE IF EXISTS {lt}")
+    spark.sql(f"DROP TABLE IF EXISTS {rt}")
 
 
 def test_bucketed_join_no_exchange(spark, bucketed_tables):

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import uuid
 
 import pytest
 from pyspark.sql import functions as F
@@ -19,7 +20,12 @@ from monday_etl_spark.io import load_table
 
 from .conftest import SF_SMOKE
 
-TABLE = "minhash_sig_store_test"
+# Unique per-session table name: a crashed prior session can leave
+# spark-warehouse/<name> directories behind with no catalog entry, so a fixed
+# name makes DROP TABLE IF EXISTS a no-op and saveAsTable die with
+# LOCATION_ALREADY_EXISTS on the next run (same rerun-safety pattern as
+# commit af2ca73 for the incremental-dedup tests).
+TABLE = f"minhash_sig_store_test_{uuid.uuid4().hex[:8]}"
 
 
 @pytest.fixture(scope="module")
