@@ -40,7 +40,20 @@ SHOWCASE = {
     "semantic_dedup": "near-dup pair plan feeding iterative CC, broadcast join back onto ids",
     "weekly_threshold": "persisted |dates|-sized daily agg fans out to 3 branches — fact table scanned once",
     "weighted_median_price": "GROUPED_AGG pandas UDF: one shuffle on the group key, Arrow batch per group",
+    "filter_snapshot_eq": "date-equality pushed through the NTZ->TZ ts cast as an NTZ range into the parquet scan",
+    "zorder_key": "Morton interleave entirely in whole-stage codegen (shiftleft/bitwiseOR, no UDF)",
+    "salted_join_skew": "hot key spread over 8 salt buckets: join key (skey, __salt), dim exploded once per bucket",
+    "ann_ivf_recall_sweep": "one persisted cell assignment probed at 4 nprobe points + one brute-force baseline",
 }
+
+
+# unique per-run table names: a crashed run leaves catalog-less
+# spark-warehouse/ dirs behind that a fixed name would collide with
+import uuid as _uuid
+
+_SUF = _uuid.uuid4().hex[:8]
+_IVF_TABLE = f"plans_ivf_store_{_SUF}"
+_SIG_TABLE = f"plans_sig_store_{_SUF}"
 
 
 def _store_probe_plans(spark, sf):
@@ -60,16 +73,16 @@ def _store_probe_plans(spark, sf):
 
     emb = load_table(spark, sf, "embeddings")
     cents = kmeans_fit(emb, k=8, iterations=3)
-    build_ivf_index(emb, cents, table="plans_ivf_store")
+    build_ivf_index(emb, cents, table=_IVF_TABLE)
     q = emb.filter("vec_id IN (0,1,2,3,4)")
-    ivf_probe = query_ivf_index(spark, q, cents, table="plans_ivf_store",
+    ivf_probe = query_ivf_index(spark, q, cents, table=_IVF_TABLE,
                                 k=10, nprobe=2)
 
     docs = load_table(spark, sf, "documents")
-    build_signature_store(docs, table="plans_sig_store")
-    sig_probe = candidates_from_store(spark, table="plans_sig_store")
+    build_signature_store(docs, table=_SIG_TABLE)
+    sig_probe = candidates_from_store(spark, table=_SIG_TABLE)
 
-    inc_probe, _ = _batch_decisions(docs, "plans_sig_store_probe_missing",
+    inc_probe, _ = _batch_decisions(docs, f"{_SIG_TABLE}_probe_missing",
                                     threshold=0.5)
     # nonexistent store table -> within-batch-only plan; the store-probe arm
     # is the same join shape against the bucketed table above
@@ -120,7 +133,7 @@ def main() -> None:
         if keep:
             out += ["", *[line.strip()[:160] for line in keep]]
         out += ["```", ""]
-    for tbl in ("plans_ivf_store", "plans_sig_store"):
+    for tbl in (_IVF_TABLE, _SIG_TABLE):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     Path("PLANS.md").write_text("\n".join(out))
     print(f"wrote PLANS.md ({len(entries)} plans)")
