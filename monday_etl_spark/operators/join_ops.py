@@ -56,3 +56,48 @@ def salted_join(
     )
     out = lsalted.join(rsalted, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def hot_keys(left: DataFrame, on: str, threshold_frac: float = 0.01) -> list:
+    """Keys holding more than ``threshold_frac`` of ``left``'s rows — the
+    skew-detection primitive ``auto_salted_join`` decides with. One
+    partial-aggregated count per key plus a 1-row total; the driver-side
+    result is BOUNDED BY CONSTRUCTION at 1/threshold_frac keys (each must
+    exceed that fraction), so the collect is ≤100 rows at the 1% default
+    no matter the corpus size."""
+    counts = left.groupBy(on).count()
+    total = left.count()
+    return [
+        r[0]
+        for r in counts.filter(
+            F.col("count") > threshold_frac * total
+        ).collect()
+    ]
+
+
+def auto_salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 8,
+    threshold_frac: float = 0.01,
+) -> DataFrame:
+    """Equi-join that salts ONLY the detected hot keys: rows on a hot key
+    take the salted two-sided spread; everything else joins plainly, so the
+    dim-side replication cost is paid for the handful of keys that need it
+    (blanket ``salted_join`` replicates the whole right side ``salt``×).
+
+    The hot/cold split is a pure filter on both sides, the two joins union
+    back — a partitioning-only change, so results equal the plain join
+    (inner/left; same restriction as salted_join). With no hot key the plan
+    IS the plain join."""
+    hot = hot_keys(left, on, threshold_frac)
+    if not hot:
+        return left.join(right, on, how)
+    is_hot = F.col(on).isin(hot)
+    joined_hot = salted_join(
+        left.filter(is_hot), right.filter(is_hot), on, how, salt
+    )
+    joined_cold = left.filter(~is_hot).join(right.filter(~is_hot), on, how)
+    return joined_hot.unionByName(joined_cold)

@@ -1015,3 +1015,114 @@ def ann_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = r if out is None else out.unionByName(r)
     return out.select("nprobe", "query_id", "n_hits", "recall_at_10")
+
+
+_CLS_BUCKETS = 64  # hashing-trick feature width for the linear quality model
+
+
+@register(
+    "quality_classifier_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE string_split_regex(trim(text), '\\s+') END AS toks
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id,
+               list_transform(toks, tk ->
+                   {_hex2int("substr(md5('w:' || CAST(" + _hex2int("substr(md5(tk), 1, 8)") + " % " + str(_CLS_BUCKETS) + " AS VARCHAR)), 1, 8)")}
+                   / 2147483648.0 - 1) AS ws
+        FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN len(ws) = 0 THEN 0.0
+                ELSE list_reduce(list_prepend(0.0, ws), (a, x) -> a + x)
+                     / len(ws) END AS logit,
+           CASE WHEN len(ws) = 0 THEN FALSE
+                ELSE list_reduce(list_prepend(0.0, ws), (a, x) -> a + x)
+                     / len(ws) > 0 END AS is_high_quality
+    FROM w
+    """,
+    doc="Model-based quality filtering (the fasttext-classifier stage of "
+        "CCNet/FineWeb-style pipelines) as a broadcast linear scorer over "
+        "hashing-trick features: token -> md5 bucket (64-wide), bucket -> "
+        "deterministic md5-derived weight in [-1, 1), logit = mean token "
+        "weight, keep-decision = logit > 0. Pure map, expression-only "
+        "(md5/conv/aggregate in whole-stage codegen) — the shape under a "
+        "REAL learned model is identical: weights become a broadcast array "
+        "literal, exactly like the IVF centroid matrix. Left-fold double "
+        "sum + one division keeps the logit bit-identical across engines "
+        "with no rounding.",
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.textanalysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.when(
+        F.length(F.trim("text")) == 0, F.array().cast("array<string>")
+    ).otherwise(tokens(F.col("text")))
+
+    def bucket(tk):
+        return F.pmod(
+            F.conv(F.substring(F.md5(tk), 1, 8), 16, 10).cast("bigint"),
+            F.lit(_CLS_BUCKETS),
+        )
+
+    def weight(tk):
+        seed = F.concat(F.lit("w:"), bucket(tk).cast("string"))
+        return (
+            F.conv(F.substring(F.md5(seed), 1, 8), 16, 10).cast("bigint")
+            / F.lit(2147483648.0)
+            - 1
+        )
+
+    ws = F.transform(toks, weight)
+    logit = F.when(F.size(ws) == 0, F.lit(0.0)).otherwise(
+        F.aggregate(ws, F.lit(0.0), lambda a, x: a + x)
+        / F.size(ws).cast("double")
+    )
+    return docs.select(
+        "doc_id",
+        logit.alias("logit"),
+        F.when(F.size(ws) == 0, F.lit(False))
+        .otherwise(logit > 0)
+        .alias("is_high_quality"),
+    )
+
+
+@register(
+    "training_order_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           {_hex2int("substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)")} % 8
+               AS shard_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY {_hex2int("substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)")} % 8
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS position
+    FROM documents
+    """,
+    doc="Deterministic global training-order shuffle: each document gets a "
+        "shard (md5 bucket of its id) and a pseudo-random position within "
+        "the shard (rank of its md5 digest) — the reproducible corpus "
+        "shuffle a training run needs so every re-run, engine, and resumed "
+        "job reads examples in the same order (df.sample/shuffle are "
+        "partitioning-dependent). One shuffle on shard_id; within-shard "
+        "rank is a per-partition window, no global sort ever happens.",
+)
+def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    digest = F.md5(F.col("doc_id").cast("string"))
+    shard = F.pmod(
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint"), F.lit(8)
+    )
+    w = Window.partitionBy(shard).orderBy(digest, F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        shard.alias("shard_id"),
+        F.row_number().over(w).alias("position"),
+    )

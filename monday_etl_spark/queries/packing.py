@@ -518,3 +518,75 @@ def sequence_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("cum_before") % _SEQ_BUDGET) + F.col("n_tokens") > _SEQ_BUDGET)
         .alias("crosses_boundary"),
     )
+
+
+@register(
+    "chunk_dedup_rewrite",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+        WHERE length(trim(text)) > 0
+    ), ch AS (
+        SELECT doc_id,
+               unnest(range(0, (len(toks) + {_CHUNK} - 1) // {_CHUNK})) AS c,
+               toks
+        FROM t
+    ), chunks AS (
+        SELECT doc_id, c AS chunk_idx,
+               array_to_string(
+                   list_slice(toks, c * {_CHUNK} + 1, c * {_CHUNK} + {_CHUNK}),
+                   ' ') AS chunk_text
+        FROM ch
+    ), ranked AS (
+        SELECT doc_id, chunk_idx, chunk_text,
+               ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+                                  ORDER BY doc_id, chunk_idx) AS rn
+        FROM chunks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(COUNT(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk_text END,
+                               ' ' ORDER BY chunk_idx), '') AS clean_text
+    FROM ranked GROUP BY doc_id
+    """,
+    doc=f"Chunk dedup as a REWRITE (the step MassiveText actually applies, "
+        f"where chunk_dedup only reports): cut each doc into {_CHUNK}-token "
+        "chunks, keep the first corpus-wide occurrence of each chunk "
+        "(row_number over the chunk hash), and reassemble every document's "
+        "text from its surviving chunks in order. Same explode+hash-shuffle "
+        "shape as chunk_dedup plus one groupBy(doc_id) to rebuild the text; "
+        "chunk text rides the shuffle instead of being re-sliced, so the "
+        "doc's token array is scanned once.",
+)
+def chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = tokens(F.col("text"))
+    nchunks = F.expr(f"(size(toks) + {_CHUNK} - 1) div {_CHUNK}")
+    exploded = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks",
+                F.explode(F.sequence(F.lit(0), nchunks - 1)).alias("c"))
+    )
+    chunks = exploded.select(
+        "doc_id",
+        F.col("c").alias("chunk_idx"),
+        F.concat_ws(
+            " ", F.slice(F.col("toks"), F.col("c") * _CHUNK + 1, _CHUNK)
+        ).alias("chunk_text"),
+    )
+    w = Window.partitionBy(F.md5("chunk_text")).orderBy("doc_id", "chunk_idx")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") == 1, F.struct("chunk_idx", "chunk_text"))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count(kept).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept)), lambda s: s["chunk_text"]
+            ),
+        ).alias("clean_text"),
+    )

@@ -57,7 +57,8 @@ _EVIDENCE_PRIORITY = [
     # registered in r04, never driver-checked — these go first
     "tableformat_merge_history", "rollup_maintenance_drain",
     "semantic_dedup_auto", "zorder_key", "salted_join_skew",
-    "ann_ivf_recall_sweep",
+    "ann_ivf_recall_sweep", "chunk_dedup_rewrite", "hot_key_detection",
+    "join_auto_salted", "quality_classifier_score", "training_order_shuffle",
     # oldest evidence: green in r01 only, never re-checked since
     "chunk_dedup", "source_temperature_resample",
     # r02-latest evidence (skipped by the r03 budget) — oldest-first refresh

@@ -478,3 +478,69 @@ def skewed_join_inputs(spark: SparkSession, sf_dir: str,
         F.concat(F.lit("grp_"), F.col("id").cast("string")).alias("grp_label"),
     )
     return left, dim
+
+
+@register(
+    "hot_key_detection",
+    oracle="""
+    WITH l AS (
+        SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+                    ELSE l_orderkey % 1000 END AS skey
+        FROM lineitem
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM l)
+    SELECT l.skey, COUNT(*) AS n_rows,
+           COUNT(*) / CAST(tot.n AS DOUBLE) AS share
+    FROM l, tot GROUP BY l.skey, tot.n HAVING COUNT(*) > 0.01 * tot.n
+    """,
+    doc="Skew detection: keys holding >1% of the fact rows (here the 70%-hot "
+        "synthetic key) — the cheap pre-pass operators/join_ops."
+        "auto_salted_join decides with before paying salting's dim "
+        "replication. One partial-aggregated count; the qualifying set is "
+        "bounded at 1/threshold keys by construction.",
+)
+def hot_key_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left, _ = skewed_join_inputs(spark, sf_dir)
+    counts = left.groupBy("skey").agg(F.count("*").alias("n_rows"))
+    total = left.count()
+    return counts.filter(F.col("n_rows") > 0.01 * total).select(
+        "skey", "n_rows",
+        (F.col("n_rows") / F.lit(float(total))).alias("share"),
+    )
+
+
+@register(
+    "join_auto_salted",
+    oracle="""
+    WITH l AS (
+        SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+                    ELSE l_orderkey % 1000 END AS skey,
+               l_extendedprice
+        FROM lineitem
+    ),
+    d AS (SELECT range AS skey, 'grp_' || range AS grp_label FROM range(1000))
+    SELECT d.grp_label, COUNT(*) AS n_rows,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS revenue
+    FROM l JOIN d USING (skey)
+    GROUP BY d.grp_label
+    """,
+    doc="auto_salted_join end-to-end: detect hot keys (>1% of rows), salt "
+        "only those, plain-join the cold remainder, union — the production "
+        "form of salted_join_skew that does not replicate the dim for keys "
+        "that don't need it. Partitioning-only change: the oracle is the "
+        "plain join's.",
+)
+def join_auto_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.join_ops import auto_salted_join
+
+    left, dim = skewed_join_inputs(spark, sf_dir)
+    joined = auto_salted_join(left, dim, on="skey", salt=8,
+                              threshold_frac=0.01)
+    return joined.groupBy("grp_label").agg(
+        F.count("*").alias("n_rows"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"),
+            2,
+        ).alias("revenue"),
+    )

@@ -53,3 +53,51 @@ def test_approx_count_distinct_error_bound(spark):
     df = spark.range(n).select((F.col("id") % 5000).alias("u"))
     approx = df.agg(F.approx_count_distinct("u", rsd=0.02).alias("a")).first().a
     assert abs(approx - 5000) / 5000 < 0.05
+
+
+def test_hot_keys_detects_dominant_key(spark):
+    from monday_etl_spark.operators.join_ops import hot_keys
+
+    fact, _ = _dfs(spark)
+    assert hot_keys(fact, "k", threshold_frac=0.5) == [1]
+    # every key individually exceeds a tiny threshold except none above 1.0
+    assert hot_keys(fact, "k", threshold_frac=1.0) == []
+
+
+def test_auto_salted_inner_join_matches_plain(spark):
+    from monday_etl_spark.operators.join_ops import auto_salted_join
+
+    fact, dim = _dfs(spark)
+    plain = fact.join(dim, "k")
+    auto = auto_salted_join(fact, dim, on="k", salt=4, threshold_frac=0.1)
+    assert _sorted(auto.select(*plain.columns)) == _sorted(plain)
+
+
+def test_auto_salted_left_join_matches_plain(spark):
+    from monday_etl_spark.operators.join_ops import auto_salted_join
+
+    fact, dim = _dfs(spark)
+    plain = fact.join(dim, "k", "left")
+    auto = auto_salted_join(fact, dim, on="k", how="left", salt=4,
+                            threshold_frac=0.1)
+    assert _sorted(auto.select(*plain.columns)) == _sorted(plain)
+
+
+def test_auto_salted_no_hot_keys_is_plain_join(spark):
+    from monday_etl_spark.operators.join_ops import auto_salted_join
+
+    fact = spark.createDataFrame([(i % 7, i) for i in range(70)], "k int, v int")
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(7)], "k int, name string")
+    # uniform keys: nothing exceeds 50%, so the plan degenerates to the
+    # plain join (no union, no salt column)
+    auto = auto_salted_join(fact, dim, on="k", threshold_frac=0.5)
+    assert _sorted(auto.select("k", "v", "name")) == _sorted(
+        fact.join(dim, "k").select("k", "v", "name")
+    )
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        auto.explain()
+    assert "Union" not in buf.getvalue()
