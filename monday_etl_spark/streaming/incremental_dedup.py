@@ -70,10 +70,14 @@ def _batch_decisions(batch: DataFrame, store_table: str,
                 store.alias("o"),
                 (F.col("n.band") == F.col("o.band"))
                 & (F.col("n.bh") == F.col("o.bh"))
-                # retry safety: a batch replayed after its store append
-                # landed would otherwise collide with its OWN signatures
-                # (est = 1.0) and reject everything it previously kept
-                & (F.col("n.doc_id") != F.col("o.doc_id")),
+                # the monotonic reject rule applied directly: a doc is
+                # rejected only by an EARLIER (lower-id) collision — the
+                # same "exists a < b" the SQL oracle states. Also the
+                # replay-safety guard: a batch replayed after its store
+                # append landed sees its own signatures (self at est=1.0,
+                # own later near-dups too) and must reproduce its original
+                # decisions, which only the < comparison does
+                & (F.col("o.doc_id") < F.col("n.doc_id")),
             )
             .select(
                 F.col("n.doc_id").alias("doc_id"),

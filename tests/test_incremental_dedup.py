@@ -105,3 +105,29 @@ def test_store_continuation_rejects_cross_run_dups(spark, tmp_path):
         assert all(not kept for _, kept in second), "cross-run dup not rejected"
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {store}")
+
+
+def test_replayed_batch_does_not_self_reject(spark, tmp_path):
+    # foreachBatch is at-least-once: a batch replayed AFTER its store append
+    # landed probes a store containing its own signatures. The probe excludes
+    # same-doc_id matches, so the replay must reproduce the original
+    # decisions instead of rejecting everything at est=1.0.
+    from monday_etl_spark.streaming.incremental_dedup import _batch_decisions
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    store = _unique_store(tmp_path, "replay")
+    first, banded = _batch_decisions(docs, store, THRESHOLD)
+    first_rows = sorted(map(tuple, first.collect()))
+    # simulate the completed store append, then replay the same batch
+    banded.write.mode("overwrite").bucketBy(16, "band", "bh").sortBy(
+        "band", "bh"
+    ).saveAsTable(store)
+    try:
+        replay, banded2 = _batch_decisions(docs, store, THRESHOLD)
+        assert sorted(map(tuple, replay.collect())) == first_rows
+        banded2.unpersist()
+    finally:
+        banded.unpersist()
+        spark.sql(f"DROP TABLE IF EXISTS {store}")

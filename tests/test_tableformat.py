@@ -150,3 +150,24 @@ def test_compact_packs_fragmented_buckets(spark, tmp_path):
 
     # idempotent: nothing left to compact
     assert compact_versioned(spark, path, max_files_per_bucket=1) == 2
+
+
+def test_empty_version_readable_and_mergeable(spark, tmp_path):
+    # an empty first commit (e.g. an empty first micro-batch in rollup
+    # maintenance) must stay readable via the manifest-carried schema and
+    # accept a subsequent MERGE
+    path = str(tmp_path / "empty_first")
+    empty = _base_df(spark).limit(0)
+    v1 = write_versioned(empty, path, key="id", n_buckets=N_BUCKETS)
+    assert v1 == 1
+    got = read_version(spark, path)
+    assert got.count() == 0
+    assert got.schema == empty.schema
+
+    v2 = merge_versioned(spark, path, _updates(spark))
+    assert v2 == 2
+    assert sorted(map(tuple, read_version(spark, path).collect())) == sorted(
+        map(tuple, _updates(spark).collect())
+    )
+    # the empty v1 remains time-travellable
+    assert read_version(spark, path, 1).count() == 0
