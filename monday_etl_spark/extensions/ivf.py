@@ -180,3 +180,47 @@ def topk_against_cells(c: DataFrame, queries: DataFrame,
         (c.cell == probe.cell) & (F.col("neighbor_id") != F.col("query_id")),
     ).select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
     return _topk_merge(scored, k)
+
+
+def scored_cells(c: DataFrame, queries: DataFrame,
+                 centroids: list[tuple[int, list[int]]],
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """(query_id, neighbor_id, cell_rank, sim): each query scored against the
+    whole cell-assigned corpus ``c``, every row tagged with the rank of the
+    neighbor's cell in the query's centroid-distance order. One scoring pass
+    serves EVERY nprobe point — filtering ``cell_rank <= nprobe`` afterwards
+    equals probing that many cells — so an nprobe sweep (ann_ivf_recall_sweep)
+    costs one corpus scan instead of one per sweep point. For a single-point
+    query at scale, ``topk_against_cells`` is the right call: it prunes the
+    probe table BEFORE the join and never scores unprobed cells."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _to_double(F.col(vec_col)).alias("qv"),
+        quantize(F.col(vec_col)).alias("qq"),
+    )
+    ids = F.lit([cid for cid, _ in centroids])
+    probe = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.zip_with(
+                ids,
+                _int_scores(F.col("qq"), centroids),
+                lambda i, d: F.struct(i.alias("cell"), d.alias("d")),
+            )
+        ).alias("pc"),
+    ).select("query_id", "qv", F.col("pc.cell").alias("cell"), F.col("pc.d").alias("d"))
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cell"))
+    probe = probe.withColumn("cell_rank", F.row_number().over(wq)).select(
+        "query_id", "qv", "cell", "cell_rank"
+    )
+    return c.join(
+        F.broadcast(probe),
+        (c.cell == probe.cell) & (F.col("neighbor_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "cell_rank",
+        cosine(F.col("qv"), F.col("cv")).alias("sim"),
+    )

@@ -986,7 +986,8 @@ def _sql_ivf_recall_sweep(k: int = 8, iterations: int = 3, topk: int = 10,
         "oracle replays the full pipeline including training.",
 )
 def ann_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.ivf import assign_cells, kmeans_fit, topk_against_cells
+    from ..extensions.similarity import _topk_merge
+    from ..extensions.ivf import assign_cells, kmeans_fit, scored_cells
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = kmeans_fit(emb, k=8, iterations=3)
@@ -996,11 +997,16 @@ def ann_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .persist()
     )
-    cells = assign_cells(emb, cents).persist()
+    # ONE scoring pass serves every sweep point: filtering the persisted
+    # (query, neighbor, cell_rank, sim) stream to cell_rank <= nprobe equals
+    # probing that many cells, so each point costs one window re-rank of an
+    # already-scored frame instead of its own corpus scan (the max point
+    # probes all cells, so the full scan is needed exactly once regardless)
+    scored = scored_cells(assign_cells(emb, cents), queries, cents).persist()
     out = None
     for nprobe in (1, 2, 4, 8):
         ap = (
-            topk_against_cells(cells, queries, cents, k=10, nprobe=nprobe)
+            _topk_merge(scored.filter(F.col("cell_rank") <= nprobe), k=10)
             .select("query_id", "neighbor_id")
             .withColumn("hit", F.lit(1))
         )
