@@ -187,3 +187,73 @@ def zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     z = zorder_value(ev, ["user_id", "event_id"], bits=16)
     return ev.select("event_id", z.alias("zval"))
+
+
+@register(
+    "tableformat_cdc_diff",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    u1 AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    s2 AS (
+        SELECT * FROM u1
+        UNION ALL
+        SELECT * FROM v1
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u1)
+    ),
+    s3 AS (SELECT * FROM s2 WHERE o_orderkey % 7 <> 0)
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           o.o_orderstatus AS old_o_orderstatus,
+           n.o_orderstatus AS new_o_orderstatus,
+           o.o_totalprice AS old_o_totalprice,
+           n.o_totalprice AS new_o_totalprice
+    FROM v1 o FULL OUTER JOIN s3 n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+    """,
+    doc="Change data feed over the versioned table format (the Delta CDF / "
+        "Iceberg changelog read): commit orders-subset, MERGE a price "
+        "restatement, DELETE every 7th key, then diff_versions(v1, v3) — "
+        "one row per changed key classified insert/update/delete with "
+        "(old_*, new_*) column pairs. Manifest-pruned: buckets carried by "
+        "reference between the versions are provably unchanged and never "
+        "read, so CDC cost tracks the change set, not table size. Oracle "
+        "re-derives both states relationally and full-outer-joins them.",
+)
+def tableformat_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tableformat import (
+        delete_versioned,
+        diff_versions,
+        merge_versioned,
+        write_versioned,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="tfmt_cdc_q_")
+    path = os.path.join(root, "orders_cdc")
+
+    write_versioned(
+        orders.filter(F.col("o_orderkey") % 3 != 0), path,
+        key="o_orderkey", n_buckets=16,
+    )
+    merge_versioned(
+        spark, path,
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2),
+    )
+    delete_versioned(
+        spark, path,
+        orders.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+    )
+    return diff_versions(spark, path, 1, 3)

@@ -301,3 +301,103 @@ def vacuum(path: str, keep_last: int = 1) -> list[int]:
         if not still_used:
             shutil.rmtree(cdir)
     return drop
+
+
+def delete_versioned(spark: SparkSession, path: str,
+                     keys_df: DataFrame) -> int:
+    """DELETE WHERE key IN (...) as a new version — the third leg of the
+    MERGE DML triad. Same cost model as merge_versioned: only the buckets
+    containing doomed keys are re-read and re-written (minus the deleted
+    rows); everything else is carried forward by reference. Deleting keys
+    not present is a no-op for those keys. Returns the new version."""
+    version = current_version(path)
+    if version is None:
+        raise FileNotFoundError(f"no committed version at {path}; "
+                                "write_versioned first")
+    man = _read_manifest(path, version)
+    key = _keys(man["spec"]["key"])
+    n_buckets = man["spec"]["n_buckets"]
+
+    touched = sorted(
+        r[0]
+        for r in keys_df.select(_bucket_expr(key, n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return version
+
+    current = read_version(spark, path, version, buckets=touched)
+    kept = current.join(keys_df.select(*key), key, "left_anti").withColumn(
+        BUCKET_COL, _bucket_expr(key, n_buckets)
+    )
+    new_version = version + 1
+    commit_dir = os.path.join(path, _DATA, f"c{new_version:05d}")
+    kept.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(commit_dir)
+
+    buckets = dict(man["buckets"])
+    # a bucket whose every row was deleted writes no directory: record it
+    # as EMPTY (not carried forward), or the old rows would resurrect
+    new_files = _bucket_files(commit_dir)
+    for b in touched:
+        buckets[str(b)] = new_files.get(str(b), [])
+    _commit(path, {
+        "version": new_version,
+        "spec": man["spec"],
+        "schema": man.get("schema"),
+        "buckets": buckets,
+    })
+    return new_version
+
+
+def diff_versions(spark: SparkSession, path: str,
+                  v_from: int, v_to: int) -> DataFrame:
+    """Change data feed between two committed versions: one row per changed
+    key with ``change_type`` in (insert, update, delete), every data column
+    as an (old_*, new_*) pair.
+
+    Manifest-pruned: a bucket whose FILE LIST is identical in both
+    manifests was carried by reference through every intervening commit and
+    provably holds identical rows — it is never read. The diff join scans
+    only buckets the commits actually touched, so CDC cost tracks the
+    change set, not table size. (Compaction rewrites files without changing
+    rows; buckets compacted between the versions are scanned and yield no
+    diff rows — correct, just less pruned.)"""
+    man_f = _read_manifest(path, v_from)
+    man_t = _read_manifest(path, v_to)
+    key = _keys(man_t["spec"]["key"])
+
+    all_buckets = set(man_f["buckets"]) | set(man_t["buckets"])
+    changed = sorted(
+        int(b) for b in all_buckets
+        if man_f["buckets"].get(b) != man_t["buckets"].get(b)
+    )
+    old = read_version(spark, path, v_from, buckets=changed).alias("o")
+    new = read_version(spark, path, v_to, buckets=changed).alias("n")
+    data_cols = [c for c in new.columns if c not in key]
+
+    cond = None
+    for k in key:
+        c = F.col(f"o.{k}") == F.col(f"n.{k}")
+        cond = c if cond is None else cond & c
+    j = old.join(new, cond, "full_outer")
+
+    in_old = F.col(f"o.{key[0]}").isNotNull()
+    in_new = F.col(f"n.{key[0]}").isNotNull()
+    differs = None
+    for c in data_cols:
+        d = ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        differs = d if differs is None else differs | d
+    j = j.filter(~in_old | ~in_new | differs)
+
+    change = (
+        F.when(~in_old, F.lit("insert"))
+        .when(~in_new, F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    out = [change.alias("change_type")]
+    out += [F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k) for k in key]
+    for c in data_cols:
+        out.append(F.col(f"o.{c}").alias(f"old_{c}"))
+        out.append(F.col(f"n.{c}").alias(f"new_{c}"))
+    return j.select(*out)

@@ -171,3 +171,43 @@ def test_empty_version_readable_and_mergeable(spark, tmp_path):
     )
     # the empty v1 remains time-travellable
     assert read_version(spark, path, 1).count() == 0
+
+
+def test_delete_versioned_removes_keys_and_time_travels(spark, tmp_path):
+    from monday_etl_spark.tableformat import delete_versioned
+
+    path = str(tmp_path / "del_table")
+    write_versioned(_base_df(spark), path, key="id", n_buckets=N_BUCKETS)
+    doomed = spark.createDataFrame([(i,) for i in range(0, 200, 3)], "id bigint")
+    v2 = delete_versioned(spark, path, doomed)
+    assert v2 == 2
+    got = read_version(spark, path)
+    assert got.filter("id % 3 = 0").count() == 0
+    assert got.count() == 200 - len(range(0, 200, 3))
+    # pre-delete state still readable
+    assert read_version(spark, path, 1).count() == 200
+    # deleting absent keys is key-level no-op (content unchanged)
+    delete_versioned(spark, path, spark.createDataFrame([(9999,)], "id bigint"))
+    assert read_version(spark, path).count() == got.count()
+
+
+def test_diff_versions_classifies_and_prunes(spark, tmp_path):
+    from monday_etl_spark.tableformat import delete_versioned, diff_versions
+
+    path = str(tmp_path / "cdc_table")
+    write_versioned(_base_df(spark), path, key="id", n_buckets=N_BUCKETS)
+    merge_versioned(spark, path, _updates(spark))          # v2: 2 updates + 1 insert
+    delete_versioned(
+        spark, path, spark.createDataFrame([(13,), (99,)], "id bigint")
+    )                                                      # v3: 2 deletes
+    diff = diff_versions(spark, path, 1, 3)
+    rows = {r.id: r for r in diff.collect()}
+    assert rows[7].change_type == "update" and rows[7].new_name == "name_7_v2"
+    assert rows[42].change_type == "update" and rows[42].old_v == 42.0
+    assert rows[1000].change_type == "insert" and rows[1000].old_name is None
+    assert rows[13].change_type == "delete" and rows[13].new_name is None
+    assert rows[99].change_type == "delete"
+    assert len(rows) == 5
+
+    # manifest pruning: v1 -> v1 diff reads nothing and yields nothing
+    assert diff_versions(spark, path, 1, 1).count() == 0
