@@ -211,3 +211,43 @@ def test_diff_versions_classifies_and_prunes(spark, tmp_path):
 
     # manifest pruning: v1 -> v1 diff reads nothing and yields nothing
     assert diff_versions(spark, path, 1, 1).count() == 0
+
+
+def test_optimize_zorder_row_identical_and_tightens_stats(spark, tmp_path):
+    import glob as _g
+
+    import pyarrow.parquet as pq
+
+    from monday_etl_spark.tableformat import optimize_zorder
+
+    def avg_span(files, col):
+        spans, gmin, gmax = [], None, None
+        for f in files:
+            pf = pq.ParquetFile(f)
+            idx = pf.schema_arrow.get_field_index(col)
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(idx).statistics
+                spans.append(st.max - st.min)
+                gmin = st.min if gmin is None else min(gmin, st.min)
+                gmax = st.max if gmax is None else max(gmax, st.max)
+        return (sum(spans) / len(spans)) / max(gmax - gmin, 1)
+
+    # rows where the natural write order (by a) leaves b spanning everything
+    n = 20000
+    df = spark.range(n).selectExpr(
+        "id", "id % 997 AS a", "CAST(id * 7919 % 10007 AS BIGINT) AS b"
+    )
+    path = str(tmp_path / "ztable")
+    write_versioned(df.orderBy("a"), path, key="id", n_buckets=4)
+
+    v2 = optimize_zorder(spark, path, cols=["a", "b"])
+    assert v2 == 2
+    # row-identical, and v1 still time-travels
+    assert sorted(map(tuple, read_version(spark, path, 2).collect())) == \
+        sorted(map(tuple, df.collect()))
+    assert read_version(spark, path, 1).count() == n
+
+    files_v1 = _g.glob(str(tmp_path / "ztable/_data/c00001/*/*.parquet"))
+    files_v2 = _g.glob(str(tmp_path / "ztable/_data/c00002/*/*.parquet"))
+    # b-spans were ~full-range before; z-ordering tightens them materially
+    assert avg_span(files_v2, "b") < 0.7 * avg_span(files_v1, "b")
