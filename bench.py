@@ -41,12 +41,84 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     warm_sf = "/root/testdata/sf0.001"
     if os.path.isdir(warm_sf) and warm_sf != sf_dir.rstrip("/"):
-        for warm_name in sorted(REGISTRY):
+        t_warm = time.perf_counter()
+        # warm CONCURRENTLY: Spark's scheduler interleaves jobs from many
+        # threads over the same executor cores, so 100+ tiny sf0.001 runs
+        # overlap their per-job dead time (codegen compile, Python worker
+        # spin-up, streaming machinery) instead of paying it serially —
+        # the warmup is untimed wall-clock the bench budget still pays for.
+        # Results/failures are discarded; timed numbers come later, single-
+        # threaded, with codegen already compiled.
+        import concurrent.futures as _cf
+
+        warm_fails: list[str] = []
+
+        def _warm_one(name: str) -> None:
             try:
-                REGISTRY[warm_name].fn(spark, warm_sf).count()
+                REGISTRY[name].fn(spark, warm_sf).count()
             except Exception:  # noqa: BLE001 — warmup must never fail the bench
-                pass
-            spark.catalog.clearCache()
+                warm_fails.append(name)
+
+        with _cf.ThreadPoolExecutor(max_workers=8) as ex:
+            list(ex.map(_warm_one, sorted(REGISTRY)))
+        # streaming/store warmups briefly pin spark.sql.shuffle.partitions
+        # (set/restore in a finally); a cross-thread interleave could leave
+        # the pinned value behind — unset falls back to the session-build
+        # value before anything is timed
+        spark.conf.unset("spark.sql.shuffle.partitions")
+        spark.catalog.clearCache()
+        print(f"# warmup: {time.perf_counter() - t_warm:.1f}s wall, "
+              f"{len(warm_fails)} failed {warm_fails[:8]}", file=sys.stderr)
+
+    # skew demonstration: the explicit salted_join vs the naive plan on the
+    # same pathologically skewed input (70% of rows on one key), with
+    # broadcast and AQE skew-splitting disabled — the scenario salting exists
+    # for (both sides too big to broadcast, a single hot key beyond AQE).
+    skew: dict[str, float | str] = {}
+    try:
+        from monday_etl_spark.operators.join_ops import salted_join
+        from monday_etl_spark.queries.relational import skewed_join_inputs
+
+        from pyspark.sql import functions as F
+
+        left, dim = skewed_join_inputs(spark, sf_dir, multiplier=16, hot=9)
+        # persist the amplified input pre-spread over 32 partitions so both
+        # legs start from the SAME parallel in-memory relation and the timed
+        # difference is the join's reduce side: naive = one hot task sorting
+        # ~90% of the rows, salted = that work spread over 8 salt buckets
+        left = left.repartition(32).persist()
+        left.count()
+        prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        prev_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        try:
+            for label, joined in (
+                ("skew_naive", left.join(dim, "skey")),
+                ("skew_salted", salted_join(left, dim, on="skey", salt=8)),
+            ):
+                agg = joined.groupBy("grp_label").agg(
+                    F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                )
+                agg.count()  # untimed warm (codegen compile amortized)
+                # best-of-2: one timed run right after a 102-query suite is
+                # exposed to ambient GC/cache-eviction noise that can triple
+                # a 1-second reading; the min of two is the plan's cost
+                best = None
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    agg.count()
+                    e = time.perf_counter() - t0
+                    best = e if best is None else min(best, e)
+                skew[label] = round(best, 4)
+                print(f"# {label}: {skew[label]:.3f}s", file=sys.stderr)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
+            left.unpersist()
+    except Exception as exc:  # noqa: BLE001 — demo must never fail the bench
+        skew = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
     timings: dict[str, float] = {}
@@ -92,48 +164,6 @@ def main() -> None:
                 print(f"# warm {name}: {warm[name]:.3f}s", file=sys.stderr)
             except Exception as exc:  # noqa: BLE001 — record and continue
                 print(f"# warm {name}: ERROR {exc}", file=sys.stderr)
-
-    # skew demonstration: the explicit salted_join vs the naive plan on the
-    # same pathologically skewed input (70% of rows on one key), with
-    # broadcast and AQE skew-splitting disabled — the scenario salting exists
-    # for (both sides too big to broadcast, a single hot key beyond AQE).
-    skew: dict[str, float | str] = {}
-    try:
-        from monday_etl_spark.operators.join_ops import salted_join
-        from monday_etl_spark.queries.relational import skewed_join_inputs
-
-        from pyspark.sql import functions as F
-
-        left, dim = skewed_join_inputs(spark, sf_dir, multiplier=8, hot=9)
-        # persist the amplified input pre-spread over 32 partitions so both
-        # legs start from the SAME parallel in-memory relation and the timed
-        # difference is the join's reduce side: naive = one hot task sorting
-        # ~90% of the rows, salted = that work spread over 8 salt buckets
-        left = left.repartition(32).persist()
-        left.count()
-        prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        prev_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-        try:
-            for label, joined in (
-                ("skew_naive", left.join(dim, "skey")),
-                ("skew_salted", salted_join(left, dim, on="skey", salt=8)),
-            ):
-                agg = joined.groupBy("grp_label").agg(
-                    F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-                )
-                agg.count()  # untimed warm (codegen compile amortized)
-                t0 = time.perf_counter()
-                agg.count()
-                skew[label] = round(time.perf_counter() - t0, 4)
-                print(f"# {label}: {skew[label]:.3f}s", file=sys.stderr)
-        finally:
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
-            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
-            left.unpersist()
-    except Exception as exc:  # noqa: BLE001 — demo must never fail the bench
-        skew = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 
     total = round(sum(timings.values()), 4)
     detail = {
