@@ -154,7 +154,8 @@ def main() -> None:
         for name in ("dedup_cluster_resolution", "dedup_minhash_lsh",
                      "dedup_simhash", "dedup_simhash_near", "ann_brute_force",
                      "embedding_near_dup", "grouped_zscore_pandas",
-                     "semantic_dedup", "ann_ivf"):
+                     "semantic_dedup", "ann_ivf", "semantic_dedup_auto",
+                     "ann_ivf_recall_sweep", "tableformat_cdc_diff"):
             if name not in REGISTRY or name in errors:
                 continue
             try:
