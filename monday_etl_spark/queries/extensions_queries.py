@@ -1132,3 +1132,67 @@ def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard.alias("shard_id"),
         F.row_number().over(w).alias("position"),
     )
+
+
+@register(
+    "dedup_minhash_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split_regex({_NORM}, '\\s+') AS toks
+               FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+    digs AS (SELECT doc_id, {_DIGS} AS digs FROM sh),
+    sigs AS (SELECT doc_id, {_SIG} AS sig FROM digs),
+    banded AS (
+        SELECT doc_id, b, md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bh
+        FROM sigs, UNNEST(range(0, 4)) AS u(b)
+    ),
+    pairs AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM banded l JOIN banded r
+          ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id
+    ),
+    est AS (
+        SELECT p.doc_a, p.doc_b,
+               CAST(len([i for i in range(1, 17)
+                         if sa.sig[i] = sb.sig[i]]) AS DOUBLE) / 16.0
+                   AS est_jaccard
+        FROM pairs p
+        JOIN sigs sa ON sa.doc_id = p.doc_a
+        JOIN sigs sb ON sb.doc_id = p.doc_b
+    ),
+    tru AS (
+        SELECT p.doc_a, p.doc_b,
+               CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0 THEN
+                 CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.sh, b.sh)))
+               ELSE 0.0 END AS true_jaccard
+        FROM pairs p
+        JOIN sh a ON a.doc_id = p.doc_a
+        JOIN sh b ON b.doc_id = p.doc_b
+    )
+    SELECT e.doc_a, e.doc_b, e.est_jaccard, tru.true_jaccard,
+           abs(e.est_jaccard - tru.true_jaccard) AS abs_err
+    FROM est e JOIN tru USING (doc_a, doc_b)
+    """,
+    doc="MinHash estimator quality, per candidate pair: the 16-hash "
+        "est_jaccard next to the exact shingle Jaccard and their absolute "
+        "error — the calibration a pipeline checks before trusting a "
+        "signature width / band count at scale (too-wide error means more "
+        "hashes or a post-verify threshold). Reuses the banded candidate "
+        "join and pair-scoped exact-verify plans; every number is an exact "
+        "integer ratio or single IEEE op, so no rounding is needed.",
+)
+def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cands = minhash_candidates(docs)
+    true = ngram_jaccard(docs, cands)
+    return (
+        cands.join(true, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.col("jaccard").alias("true_jaccard"),
+            F.abs(F.col("est_jaccard") - F.col("jaccard")).alias("abs_err"),
+        )
+    )

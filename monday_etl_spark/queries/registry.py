@@ -59,7 +59,7 @@ _EVIDENCE_PRIORITY = [
     "semantic_dedup_auto", "zorder_key", "salted_join_skew",
     "ann_ivf_recall_sweep", "chunk_dedup_rewrite", "hot_key_detection",
     "join_auto_salted", "quality_classifier_score", "training_order_shuffle",
-    "tableformat_cdc_diff",
+    "tableformat_cdc_diff", "dedup_minhash_quality",
     # oldest evidence: green in r01 only, never re-checked since
     "chunk_dedup", "source_temperature_resample",
     # r02-latest evidence (skipped by the r03 budget) — oldest-first refresh
