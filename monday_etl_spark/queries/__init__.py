@@ -6,6 +6,7 @@ from . import (  # noqa: F401
     analytics,
     cluster_tfidf,
     extensions_queries,
+    governance,
     lakehouse_queries,
     metrics,
     multimodal_streaming_queries,
