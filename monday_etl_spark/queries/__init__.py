@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     normalize_queries,
     packing,
     relational,
+    retrieval,
     reshape,
     stats,
     training_pipeline,
