@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     cluster_tfidf,
     extensions_queries,
     governance,
+    graph_queries,
     lakehouse_queries,
     metrics,
     multimodal_streaming_queries,
