@@ -29,7 +29,7 @@ _ITER_SQL = """
     "pagerank_influence",
     oracle=f"""
     WITH pairs AS (
-        SELECT DISTINCT o.o_custkey * 2 AS cust_node,
+        SELECT o.o_custkey * 2 AS cust_node,
                l.l_suppkey * 2 + 1 AS supp_node
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     ),
@@ -58,13 +58,15 @@ _ITER_SQL = """
     """,
     doc="PageRank influence scores (3 iterations, d=0.85) over the "
         "symmetrized customer<->supplier graph derived from orders x "
-        "lineitem. Entirely int64 (ppm ranks, per-edge floor division, "
+        "lineitem, with multi-edges kept so influence is weighted by "
+        "interaction count (and the edge build stays shuffle-free: broadcast "
+        "join + explode, no distinct). Entirely int64 (ppm ranks, floor division, "
         "exact integer sums) so the iterative result is bit-deterministic "
-        "at any parallelism and SQL-reproducible. Plan: edge build is one "
-        "orders-lineitem join + distinct; each iteration is ONE hash join "
-        "(edges pre-joined with out-degrees, persisted) + ONE aggregate, "
-        "lineage-truncated per round — the cluster.py label-propagation "
-        "shape applied to weighted scoring.",
+        "at any parallelism and SQL-reproducible. Plan: each iteration is ONE hash join "
+        "(edges pre-joined with out-degrees, persisted; node-sized ranks "
+        "broadcast) + ONE aggregate — the cluster.py label-propagation "
+        "shape applied to weighted scoring. Deep iteration flips on "
+        "per-round lineage truncation (checkpoint=True).",
 )
 def pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -75,14 +77,17 @@ def pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") * 2).alias("cust_node"),
             (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
         )
-        .distinct()
     )
     cn, sn = F.col("cust_node"), F.col("supp_node")
     edge = lambda s, d: F.struct(s.alias("src"), d.alias("dst"))  # noqa: E731
     edges = pairs.select(
         F.explode(F.array(edge(cn, sn), edge(sn, cn))).alias("e")
     ).select("e.src", "e.dst")
-    ranks = pagerank_int(edges, iterations=3, damping_pct=85)
+    # checkpoint=False: at 3 fixed iterations the lineage is 3 join+agg
+    # stages — one lazy job, with the node-sized ranks relation broadcast
+    # each round (only the groupBy(dst) shuffles). Per-round localCheckpoint
+    # (the cluster.py pattern) only pays off for deep/unbounded iteration.
+    ranks = pagerank_int(edges, iterations=3, damping_pct=85, checkpoint=False)
     return ranks.select(
         F.when(F.col("node") % 2 == 0, F.lit("customer"))
         .otherwise(F.lit("supplier"))
