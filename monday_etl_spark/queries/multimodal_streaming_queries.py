@@ -198,3 +198,37 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and KEEPS its store — that's the point of it)
     spark.sql(f"DROP TABLE IF EXISTS {store}")
     return result
+
+
+@register(
+    "streaming_trending_topk",
+    oracle="""
+    WITH counts AS (
+        SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS window_start_us,
+               event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT window_start_us, event_type, n_events, rnk
+    FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY window_start_us
+                   ORDER BY n_events DESC, event_type) AS INTEGER) AS rnk
+        FROM counts
+    ) t WHERE rnk <= 3
+    """,
+    doc="Streaming trending-now: watermarked 6h tumbling counts per "
+        "event_type (complete mode), top-3 per window ranked inside "
+        "foreachBatch on each emission — ranking runs over the aggregate "
+        "(windows x types), never over raw events. AvailableNow drain of "
+        "the static dir == the batch tumbling top-3, which is the oracle. "
+        "Durable parquet sink + lazy read (streaming/trending.py).",
+)
+def streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.trending import run_trending_topk
+
+    name = f"trending_topk_{next(_stream_counter)}"
+    out_root = tempfile.mkdtemp(prefix=f"{name}_")
+    return run_trending_topk(
+        spark, sf_dir, f"{out_root}/ckpt", out_path=f"{out_root}/out"
+    )

@@ -61,7 +61,7 @@ _EVIDENCE_PRIORITY = [
     "join_auto_salted", "quality_classifier_score", "training_order_shuffle",
     "tableformat_cdc_diff", "dedup_minhash_quality",
     "data_quality_audit", "scd2_history", "search_index_build",
-    "bm25_topk", "pagerank_influence",
+    "bm25_topk", "pagerank_influence", "streaming_trending_topk",
     # oldest evidence: green in r01 only, never re-checked since
     "chunk_dedup", "source_temperature_resample",
     # r02-latest evidence (skipped by the r03 budget) — oldest-first refresh
