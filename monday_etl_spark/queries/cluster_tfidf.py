@@ -78,7 +78,7 @@ def _semantic_dedup_oracle() -> str:
     from .extensions_queries import _sql_dot, _sql_lsh_buckets
 
     return f"""
-    WITH RECURSIVE {_sql_lsh_buckets(4)},
+    WITH RECURSIVE {_sql_lsh_buckets(6)},
     nv AS (
         SELECT c.vec_id, b.bucket,
                list_transform(c.v, x -> x / sqrt({_sql_dot('c.v', 'c.v')})) AS nv
@@ -109,7 +109,7 @@ def _semantic_dedup_oracle() -> str:
     oracle=_semantic_dedup_oracle(),
     doc="SemDeDup-style semantic deduplication over the embedding space: "
         "LSH-bucketed cosine near-dup pairs (threshold 0.4, bits pinned to "
-        "4 for the oracle; auto_lsh_bits in production) → connected "
+        "6 for the oracle; auto_lsh_bits in production) → connected "
         "components → keep the min-id vector per cluster; vectors in no "
         "near-dup pair keep themselves. The decision column (is_kept) is "
         "what a curation pipeline joins back onto documents to drop "
@@ -119,7 +119,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.similarity import embedding_near_dup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup(emb, dim=64, threshold=0.4, bits=4).select(
+    pairs = embedding_near_dup(emb, dim=64, threshold=0.4, bits=6).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
     comp = (
@@ -143,7 +143,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,
     doc="The PRODUCTION shape of semantic_dedup: bucket width sized by "
         "auto_lsh_bits from the corpus count (scored pairs linear in n — "
-        "the shape that actually runs at 100 TB), instead of the bits=4 "
+        "the shape that actually runs at 100 TB), instead of the bits=6 "
         "the oracle-pinned twin uses. No SQL oracle (the auto bit count is "
         "data-dependent), so correctness is enforced IN-QUERY: the result "
         "must cover the whole corpus exactly once, every cluster_id must "

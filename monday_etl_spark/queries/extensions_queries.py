@@ -571,7 +571,7 @@ def ann_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_near_dup",
     oracle=f"""
-    WITH {_sql_lsh_buckets(4)},
+    WITH {_sql_lsh_buckets(6)},
     nv AS (
         SELECT c.vec_id, b.bucket,
                list_transform(c.v, x -> x / sqrt({_sql_dot('c.v', 'c.v')})) AS nv
@@ -586,14 +586,14 @@ def ann_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Embedding-cosine near-duplicate pairs above 0.4 within LSH buckets "
         "(threshold chosen to produce candidates in this corpus; production "
-        "would use ~0.95). bits is pinned to 4 here for the oracle; the "
+        "would use ~0.95). bits is pinned to 6 here for the oracle; the "
         "library default derives bits from corpus size (auto_lsh_bits) so "
         "scored pairs stay LINEAR in n — see SCALE.md for the occupancy "
         "math. Pre-normalized vectors: one fold per pair.",
 )
 def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup(emb, dim=64, threshold=0.4, bits=4)
+    return embedding_near_dup(emb, dim=64, threshold=0.4, bits=6)
 
 
 @register(
