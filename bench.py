@@ -155,7 +155,8 @@ def main() -> None:
                      "dedup_simhash", "dedup_simhash_near", "ann_brute_force",
                      "embedding_near_dup", "grouped_zscore_pandas",
                      "semantic_dedup", "ann_ivf", "semantic_dedup_auto",
-                     "ann_ivf_recall_sweep", "tableformat_cdc_diff"):
+                     "ann_ivf_recall_sweep", "tableformat_cdc_diff",
+                     "pagerank_influence", "dedup_minhash_quality"):
             if name not in REGISTRY or name in errors:
                 continue
             try:

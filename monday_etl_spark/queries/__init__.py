@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     multimodal_streaming_queries,
     normalize_queries,
     packing,
+    product_analytics,
     relational,
     retrieval,
     reshape,
