@@ -44,6 +44,12 @@ SHOWCASE = {
     "zorder_key": "Morton interleave entirely in whole-stage codegen (shiftleft/bitwiseOR, no UDF)",
     "salted_join_skew": "hot key spread over 8 salt buckets: join key (skey, __salt), dim exploded once per bucket",
     "ann_ivf_recall_sweep": "one persisted cell assignment probed at 4 nprobe points + one brute-force baseline",
+    "data_quality_audit": "all value rules folded into ONE conditional-sum scan per table + key-only anti joins",
+    "scd2_history": "one entity-key shuffle serves both window passes (LAG change-points, LEAD intervals)",
+    "bm25_topk": "query-term filter BEFORE the tf shuffle + broadcast df/stats + TakeOrderedAndProject",
+    "pagerank_influence": "broadcast edge build, per-round hash join on persisted edges + single aggregate",
+    "funnel_analysis": "type-filter pushdown per stage, monotonically shrinking user_id joins",
+    "cohort_retention": "one (user,week) distinct feeds cohort min AND activity join; sizes broadcast",
 }
 
 
