@@ -235,3 +235,83 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+_PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey")
+
+
+@register(
+    "table_profile",
+    oracle="""
+    WITH vals AS (
+        SELECT 'o_orderstatus' AS col_name, CAST(o_orderstatus AS VARCHAR) AS val FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+    ),
+    counts AS (
+        SELECT col_name, val, CAST(COUNT(*) AS BIGINT) AS c
+        FROM vals WHERE val IS NOT NULL GROUP BY col_name, val
+    ),
+    per_col AS (
+        SELECT col_name,
+               CAST(SUM(c) AS BIGINT) AS n_nonnull,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct
+        FROM counts GROUP BY col_name
+    ),
+    top AS (
+        SELECT col_name, val AS top_value, c AS top_count
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY col_name
+                                           ORDER BY c DESC, val) AS rn
+              FROM counts) t
+        WHERE rn = 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders)
+    SELECT p.col_name, n.n_rows, n.n_rows - p.n_nonnull AS n_nulls,
+           p.n_distinct, t.top_value, t.top_count
+    FROM per_col p JOIN top t USING (col_name) CROSS JOIN n
+    """,
+    doc="Column profiling (ANALYZE-style): one stacked (col, value) pass "
+        "over the profiled columns -> single shuffle keyed on (col, value) "
+        "-> per-column null/distinct/top-value stats from that one "
+        "aggregate (WindowGroupLimit for the mode). The profile the "
+        "reference's schema-autodetect stops short of: value-level stats "
+        "that drive partition/bucket sizing decisions. Adding columns "
+        "adds map-side stack rows, not scans. String-cast values only "
+        "(strings + int keys) — float formatting is engine-specific.",
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    stack = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in _PROFILE_COLS
+    )
+    vals = orders.select(
+        F.expr(f"stack({len(_PROFILE_COLS)}, {stack}) AS (col_name, val)")
+    )
+    counts = (
+        vals.filter(F.col("val").isNotNull())
+        .groupBy("col_name", "val")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()  # feeds per-column stats AND the mode window
+    )
+    per_col = counts.groupBy("col_name").agg(
+        F.sum("c").alias("n_nonnull"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    w = Window.partitionBy("col_name").orderBy(F.desc("c"), F.asc("val"))
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("col_name", F.col("val").alias("top_value"),
+                F.col("c").alias("top_count"))
+    )
+    n_rows = orders.count()
+    return per_col.join(top, "col_name").select(
+        "col_name",
+        F.lit(n_rows).alias("n_rows"),
+        (F.lit(n_rows) - F.col("n_nonnull")).alias("n_nulls"),
+        "n_distinct",
+        "top_value",
+        "top_count",
+    )

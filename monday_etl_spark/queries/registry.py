@@ -62,7 +62,7 @@ _EVIDENCE_PRIORITY = [
     "tableformat_cdc_diff", "dedup_minhash_quality",
     "data_quality_audit", "scd2_history", "search_index_build",
     "bm25_topk", "pagerank_influence", "streaming_trending_topk",
-    "funnel_analysis", "cohort_retention",
+    "funnel_analysis", "cohort_retention", "table_profile",
     # oldest evidence: green in r01 only, never re-checked since
     "chunk_dedup", "source_temperature_resample",
     # r02-latest evidence (skipped by the r03 budget) — oldest-first refresh
