@@ -590,3 +590,132 @@ def chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("clean_text"),
     )
+
+
+@register(
+    "bigram_lm_build",
+    oracle=f"""
+    WITH big AS (
+        SELECT u.bg.w1 AS w1, u.bg.w2 AS w2 FROM (
+            SELECT [struct_pack(w1 := toks[i], w2 := toks[i+1])
+                    for i in range(1, len(toks))] AS bgs
+            FROM (SELECT {_SQL_TOKS} AS toks FROM documents
+                  WHERE length(trim(text)) > 0) t
+        ) x, UNNEST(x.bgs) AS u(bg)
+    ),
+    bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_bigram
+           FROM big GROUP BY w1, w2),
+    uc AS (SELECT w1, CAST(SUM(c_bigram) AS BIGINT) AS c_unigram
+           FROM bc GROUP BY w1)
+    SELECT bc.w1, bc.w2, bc.c_bigram, uc.c_unigram,
+           CAST(bc.c_bigram AS DOUBLE) / uc.c_unigram AS p_cond
+    FROM bc JOIN uc USING (w1)
+    """,
+    doc="Bigram language-model build: adjacent-token pairs per document -> "
+        "(w1, w2) counts -> conditional P(w2|w1) as a single IEEE division "
+        "of exact counts. The training side of text_perplexity's unigram "
+        "scorer, one order up. Spark derives bigrams with ONE pass "
+        "(posexplode + lead over the doc partition = arrays zipped "
+        "in-place, no self-join); the oracle zips the same adjacent pairs "
+        "with a list comprehension. Shuffles: (w1, w2) count, then the "
+        "vocab-sized unigram table broadcast back.",
+)
+def bigram_lm_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    # in-place bigram derivation: zip the token array with itself shifted by
+    # one — no explode-then-self-join, no window
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                F.slice("toks", 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bigram"))
+    uc = bc.groupBy("w1").agg(F.sum("c_bigram").alias("c_unigram"))
+    return bc.join(F.broadcast(uc), "w1").select(
+        "w1", "w2", "c_bigram", "c_unigram",
+        (F.col("c_bigram").cast("double") / F.col("c_unigram")).alias("p_cond"),
+    )
+
+
+_MIX_BUDGET = 1_000_000  # tokens to allocate across sources
+
+
+@register(
+    "mixture_token_allocation",
+    oracle=f"""
+    WITH src AS (
+        SELECT source, CAST(SUM({_SQL_NTOK}) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    wts AS (
+        SELECT source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS w
+        FROM src
+    ),
+    tot AS (SELECT SUM(w) AS sw FROM wts),
+    quota AS (
+        SELECT source, n_tokens, w,
+               ({_MIX_BUDGET} * w) / t.sw AS exact_quota
+        FROM wts CROSS JOIN tot t
+    ),
+    fl AS (
+        SELECT source, n_tokens, exact_quota,
+               CAST(FLOOR(exact_quota) AS BIGINT) AS base,
+               exact_quota - FLOOR(exact_quota) AS rem
+        FROM quota
+    ),
+    leftover AS (
+        SELECT CAST({_MIX_BUDGET} - SUM(base) AS BIGINT) AS k FROM fl
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rn
+        FROM fl
+    )
+    SELECT source, n_tokens,
+           base + CASE WHEN rn <= l.k THEN 1 ELSE 0 END AS alloc_tokens
+    FROM ranked CROSS JOIN leftover l
+    """,
+    doc="Training-mixture token allocation: temperature-flattened weights "
+        "(alpha=0.5, sqrt is IEEE-correctly-rounded so cross-engine exact) "
+        "over per-source token counts, a fixed 1M-token budget split by "
+        "largest-remainder rounding — allocations sum to the budget "
+        "EXACTLY, no drift. The integer-budget step after "
+        "source_temperature_resample's rate setting. Plan: one "
+        "conditional-sum scan per source (sources-sized everything "
+        "after), window over the handful of sources.",
+)
+def mixture_token_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).alias("n_tokens")
+    )
+    wts = src.select(
+        "source", "n_tokens",
+        F.sqrt(F.col("n_tokens").cast("double")).alias("w"),
+    )
+    tot = wts.agg(F.sum("w").alias("sw"))
+    quota = wts.crossJoin(F.broadcast(tot)).select(
+        "source", "n_tokens",
+        ((F.lit(_MIX_BUDGET) * F.col("w")) / F.col("sw")).alias("exact_quota"),
+    )
+    fl = quota.select(
+        "source", "n_tokens", "exact_quota",
+        F.floor("exact_quota").alias("base"),
+        (F.col("exact_quota") - F.floor("exact_quota").cast("double"))
+        .alias("rem"),
+    )
+    leftover = fl.agg((F.lit(_MIX_BUDGET) - F.sum("base")).alias("k"))
+    w = Window.orderBy(F.desc("rem"), F.asc("source"))
+    ranked = fl.withColumn("rn", F.row_number().over(w))
+    return ranked.crossJoin(F.broadcast(leftover)).select(
+        "source", "n_tokens",
+        (F.col("base")
+         + F.when(F.col("rn") <= F.col("k"), 1).otherwise(0))
+        .alias("alloc_tokens"),
+    )
