@@ -257,3 +257,44 @@ def tableformat_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
     )
     return diff_versions(spark, path, 1, 3)
+
+
+@register(
+    "tableformat_dataskip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice >= 100000 AND o_totalprice <= 110000
+    """,
+    doc="Data skipping end-to-end: commit orders as a versioned table, "
+        "OPTIMIZE-ZORDER on o_totalprice (manifest starts carrying per-file "
+        "min/max from parquet footers), then read_where a 1%-wide price "
+        "range — the manifest prunes files whose [min,max] misses the "
+        "range BEFORE any Spark scan, and the query asserts in-flight that "
+        "pruning actually happened (>=half the files skipped). Oracle = "
+        "the plain range filter: skipping must never change results.",
+)
+def tableformat_dataskip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tableformat import (
+        files_for_range,
+        optimize_zorder,
+        read_where,
+        write_versioned,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="tfmt_skip_q_")
+    path = os.path.join(root, "orders_skip")
+    write_versioned(orders, path, key="o_orderkey", n_buckets=8)
+    optimize_zorder(spark, path, ["o_totalprice"], files_per_bucket=4)
+
+    keep, pruned = files_for_range(path, "o_totalprice", 100000.0, 110000.0)
+    if not pruned or pruned < (pruned + len(keep)) // 2:
+        raise AssertionError(
+            f"data skipping ineffective: kept {len(keep)}, pruned {pruned}"
+        )
+    return read_where(
+        spark, path, "o_totalprice", 100000.0, 110000.0
+    ).select("o_orderkey", "o_custkey", "o_totalprice")

@@ -63,7 +63,7 @@ _EVIDENCE_PRIORITY = [
     "data_quality_audit", "scd2_history", "search_index_build",
     "bm25_topk", "pagerank_influence", "streaming_trending_topk",
     "funnel_analysis", "cohort_retention", "table_profile",
-    "bigram_lm_build", "mixture_token_allocation",
+    "bigram_lm_build", "mixture_token_allocation", "tableformat_dataskip",
     # oldest evidence: green in r01 only, never re-checked since
     "chunk_dedup", "source_temperature_resample",
     # r02-latest evidence (skipped by the r03 budget) — oldest-first refresh

@@ -24,6 +24,11 @@ Layout::
   than the dynamic-partition-overwrite path in ``temporal``, which must
   rewrite (though never re-read) untouched bytes of touched partitions'
   siblings... and both old and new versions stay readable afterwards.
+- **Data skipping**: commits can record per-file column [min, max]
+  (``stats_cols`` on ``write_versioned``; ``optimize_zorder`` starts
+  tracking its clustered columns automatically) read from parquet FOOTERS
+  at commit time; ``read_where`` then opens only files whose range can
+  match — planning stays manifest-side, no Spark scan of pruned files.
 - **Concurrent readers**: a reader holding version N's file list is
   unaffected by later commits (immutability), exactly the snapshot
   isolation model of the real formats. Writers are single-process here —
@@ -110,11 +115,72 @@ def _bucket_files(commit_dir: str) -> dict[str, list[str]]:
     return out
 
 
+def _footer_stats(root: str, rel_files: list[str],
+                  cols: list[str]) -> dict[str, dict[str, list]]:
+    """Per-file [min, max] for ``cols``, read from parquet FOOTERS only (no
+    data pages). A column is recorded only when every row group in the file
+    has stats for it and the values are JSON-safe (int/float/str) — absent
+    stats simply disable skipping for that file, never break reads."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    for rel in rel_files:
+        md = pq.ParquetFile(os.path.join(root, rel)).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        per_col: dict[str, list] = {}
+        for col in cols:
+            if col not in names:
+                continue
+            mn = mx = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(names[col]).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    lo, hi = lo.decode(), hi.decode()
+                if not isinstance(lo, (int, float, str)):
+                    ok = False
+                    break
+                mn = lo if mn is None else min(mn, lo)
+                mx = hi if mx is None else max(mx, hi)
+            if ok and mn is not None:
+                per_col[col] = [mn, mx]
+        if per_col:
+            out[rel] = per_col
+    return out
+
+
+def _carry_stats(path: str, man_old: dict, new_buckets: dict,
+                 extra_cols: list[str] | None = None) -> dict | None:
+    """Stats map for a new commit: entries for files carried forward by
+    reference are copied from the old manifest; freshly-written files get
+    footer-read stats. Returns None when the table tracks no stats_cols."""
+    cols = list(man_old["spec"].get("stats_cols") or [])
+    for c in extra_cols or []:
+        if c not in cols:
+            cols.append(c)
+    if not cols:
+        return None
+    old = man_old.get("stats", {})
+    all_files = [f for fs in new_buckets.values() for f in fs]
+    keep = {f: old[f] for f in all_files if f in old}
+    fresh = [f for f in all_files if f not in old]
+    keep.update(_footer_stats(path, fresh, cols))
+    return keep
+
+
 def write_versioned(df: DataFrame, path: str, key,
-                    n_buckets: int = 64) -> int:
+                    n_buckets: int = 64,
+                    stats_cols: list[str] | None = None) -> int:
     """Commit the frame as the table's next version (full snapshot write,
     bucketed by the key hash). ``key`` may be one column name or a list
-    (composite entity key). Returns the committed version number."""
+    (composite entity key). ``stats_cols`` declares columns whose per-file
+    min/max travel in every manifest from here on (data skipping via
+    ``read_where``); later commits keep collecting them. Returns the
+    committed version number."""
     version = (current_version(path) or 0) + 1
     commit_dir = os.path.join(path, _DATA, f"c{version:05d}")
     (
@@ -123,14 +189,23 @@ def write_versioned(df: DataFrame, path: str, key,
         .partitionBy(BUCKET_COL)
         .parquet(commit_dir)
     )
-    _commit(path, {
+    buckets = _bucket_files(commit_dir)
+    spec = {"key": _keys(key), "n_buckets": n_buckets}
+    if stats_cols:
+        spec["stats_cols"] = list(stats_cols)
+    man = {
         "version": version,
-        "spec": {"key": _keys(key), "n_buckets": n_buckets},
+        "spec": spec,
         # schema travels in the manifest so empty versions (e.g. an empty
         # first micro-batch committing buckets={}) stay readable
         "schema": df.schema.json(),
-        "buckets": _bucket_files(commit_dir),
-    })
+        "buckets": buckets,
+    }
+    if stats_cols:
+        man["stats"] = _footer_stats(
+            path, [f for fs in buckets.values() for f in fs], list(stats_cols)
+        )
+    _commit(path, man)
     return version
 
 
@@ -170,6 +245,51 @@ def read_version(spark: SparkSession, path: str,
         return spark.createDataFrame([], StructType.fromJson(
             json.loads(schema_json)))
     return spark.read.parquet(*files)
+
+
+def files_for_range(path: str, col: str, lo, hi,
+                    version: int | None = None) -> tuple[list[str], int]:
+    """Data skipping off the manifest: the version's files whose recorded
+    [min, max] for ``col`` intersects [lo, hi] (closed interval), plus the
+    count of files PRUNED. Files without recorded stats are always kept
+    (skipping is an optimization, never a correctness filter)."""
+    version = version if version is not None else current_version(path)
+    if version is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    man = _read_manifest(path, version)
+    stats = man.get("stats", {})
+    keep: list[str] = []
+    pruned = 0
+    for fs in man["buckets"].values():
+        for f in fs:
+            rng = stats.get(f, {}).get(col)
+            if rng is not None and (rng[0] > hi or rng[1] < lo):
+                pruned += 1
+            else:
+                keep.append(f)
+    return keep, pruned
+
+
+def read_where(spark: SparkSession, path: str, col: str, lo, hi,
+               version: int | None = None) -> DataFrame:
+    """Range read with manifest-stats file skipping: open only files whose
+    recorded min/max for ``col`` can contain [lo, hi], then apply the real
+    predicate. After ``optimize_zorder`` (tight per-file ranges on every
+    clustered column) a narrow range touches O(matching files), not the
+    table — Delta's OPTIMIZE ZORDER + data-skipping pair, manifest-side.
+    Correct with or without stats; stats only remove I/O."""
+    keep, _ = files_for_range(path, col, lo, hi, version)
+    pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    if not keep:
+        man = _read_manifest(path, version or current_version(path))
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(man["schema"]))
+        ).filter(pred)
+    return spark.read.parquet(
+        *[os.path.join(path, f) for f in keep]
+    ).filter(pred)
 
 
 def merge_versioned(spark: SparkSession, path: str,
@@ -213,12 +333,16 @@ def merge_versioned(spark: SparkSession, path: str,
 
     buckets = dict(man["buckets"])  # untouched entries carried by reference
     buckets.update(_bucket_files(commit_dir))
-    _commit(path, {
+    newman = {
         "version": new_version,
         "spec": man["spec"],
         "schema": man.get("schema"),
         "buckets": buckets,
-    })
+    }
+    stats = _carry_stats(path, man, buckets)
+    if stats is not None:
+        newman["stats"] = stats
+    _commit(path, newman)
     return new_version
 
 
@@ -266,12 +390,16 @@ def compact_versioned(spark: SparkSession, path: str,
     )
     buckets = dict(man["buckets"])
     buckets.update(_bucket_files(commit_dir))
-    _commit(path, {
+    newman = {
         "version": new_version,
         "spec": man["spec"],
         "schema": man.get("schema"),
         "buckets": buckets,
-    })
+    }
+    stats = _carry_stats(path, man, buckets)
+    if stats is not None:
+        newman["stats"] = stats
+    _commit(path, newman)
     return new_version
 
 
@@ -341,12 +469,16 @@ def delete_versioned(spark: SparkSession, path: str,
     new_files = _bucket_files(commit_dir)
     for b in touched:
         buckets[str(b)] = new_files.get(str(b), [])
-    _commit(path, {
+    newman = {
         "version": new_version,
         "spec": man["spec"],
         "schema": man.get("schema"),
         "buckets": buckets,
-    })
+    }
+    stats = _carry_stats(path, man, buckets)
+    if stats is not None:
+        newman["stats"] = stats
+    _commit(path, newman)
     return new_version
 
 
@@ -451,10 +583,20 @@ def optimize_zorder(spark: SparkSession, path: str, cols: list[str],
         .partitionBy(BUCKET_COL)
         .parquet(commit_dir)
     )
-    _commit(path, {
+    buckets = _bucket_files(commit_dir)
+    # z-ordering is exactly what makes file-level min/max tight — start (or
+    # keep) tracking stats on the clustered columns so read_where can skip
+    spec = dict(man["spec"])
+    spec["stats_cols"] = sorted(set(spec.get("stats_cols") or []) | set(cols))
+    newman = {
         "version": new_version,
-        "spec": man["spec"],
+        "spec": spec,
         "schema": man.get("schema"),
-        "buckets": _bucket_files(commit_dir),
-    })
+        "buckets": buckets,
+        "stats": _footer_stats(
+            path, [f for fs in buckets.values() for f in fs],
+            spec["stats_cols"],
+        ),
+    }
+    _commit(path, newman)
     return new_version

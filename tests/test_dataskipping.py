@@ -1,0 +1,105 @@
+"""Manifest-carried file statistics + data skipping (read_where).
+
+- stats recorded at commit, carried by reference through MERGE;
+- read_where == plain range filter (skipping never changes results);
+- after optimize_zorder, a narrow range predicate PRUNES most files;
+- out-of-domain range reads an empty frame with the table schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from monday_etl_spark.tableformat import (
+    _read_manifest,
+    current_version,
+    files_for_range,
+    merge_versioned,
+    optimize_zorder,
+    read_version,
+    read_where,
+    write_versioned,
+)
+
+N = 4000
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(i, i * 10, f"s{i % 7}") for i in range(N)],
+        "id bigint, v bigint, s string",
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stats_recorded_and_read_where_parity(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    write_versioned(_df(spark), path, key="id", n_buckets=8,
+                    stats_cols=["v"])
+    man = _read_manifest(path, 1)
+    assert man["spec"]["stats_cols"] == ["v"]
+    assert man["stats"], "expected per-file stats in the manifest"
+    # every referenced file carries a [min, max] within the v domain
+    for f, st in man["stats"].items():
+        lo, hi = st["v"]
+        assert 0 <= lo <= hi <= (N - 1) * 10
+
+    got = read_where(spark, path, "v", 5000, 6000)
+    want = read_version(spark, path).filter(
+        (F.col("v") >= 5000) & (F.col("v") <= 6000)
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_merge_carries_stats_for_untouched_files(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    write_versioned(_df(spark), path, key="id", n_buckets=8,
+                    stats_cols=["v"])
+    man1 = _read_manifest(path, 1)
+    upd = spark.createDataFrame([(3, 31, "sX")], "id bigint, v bigint, s string")
+    merge_versioned(spark, path, upd)
+    man2 = _read_manifest(path, 2)
+    # untouched files keep their exact stats entries (copied, not re-read)
+    carried = [
+        f for fs in man2["buckets"].values() for f in fs
+        if f in man1["stats"]
+    ]
+    assert carried, "merge should carry some files by reference"
+    for f in carried:
+        assert man2["stats"][f] == man1["stats"][f]
+    # the merged row is still found through the skipping read
+    got = read_where(spark, path, "v", 31, 31)
+    assert [(r.id, r.v) for r in got.collect()] == [(3, 31)]
+
+
+def test_zorder_enables_real_pruning(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    write_versioned(_df(spark), path, key="id", n_buckets=8)
+    optimize_zorder(spark, path, ["v"], files_per_bucket=4)
+    man = _read_manifest(path, current_version(path))
+    assert "v" in man["spec"]["stats_cols"]
+    n_files = sum(len(fs) for fs in man["buckets"].values())
+
+    keep, pruned = files_for_range(path, "v", 100, 200)
+    assert pruned > 0
+    assert pruned + len(keep) == n_files
+    # a 1%-wide range on the clustered column should skip most files
+    assert pruned >= n_files // 2
+
+    got = read_where(spark, path, "v", 100, 200)
+    want = read_version(spark, path).filter(
+        (F.col("v") >= 100) & (F.col("v") <= 200)
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_out_of_domain_range_is_empty_with_schema(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    write_versioned(_df(spark), path, key="id", n_buckets=4,
+                    stats_cols=["v"])
+    got = read_where(spark, path, "v", 10_000_000, 20_000_000)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["id", "v", "s"]
