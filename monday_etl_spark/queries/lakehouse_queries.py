@@ -78,7 +78,7 @@ def tableformat_merge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     write_versioned(
         orders.filter(F.col("o_orderkey") % 3 != 0), path,
-        key="o_orderkey", n_buckets=16,
+        key="o_orderkey", n_buckets=8,
     )
     merge_versioned(
         spark, path,
@@ -134,12 +134,14 @@ def rollup_maintenance_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
                    os.path.join(ingest, "part1.events.parquet"))
     table = os.path.join(root, "rollup_table")
     ckpt = os.path.join(root, "ckpt")
+    # 4 buckets: the rollup table is (days x event_types)-sized — right-size
+    # the bucket count to the key cardinality, not the default
     run_rollup_maintenance(spark, ingest, table, ckpt,
-                           glob="*.events.parquet")
+                           glob="*.events.parquet", n_buckets=4)
     pq.write_table(t.slice(half),
                    os.path.join(ingest, "part2.events.parquet"))
     return run_rollup_maintenance(spark, ingest, table, ckpt,
-                                  glob="*.events.parquet")
+                                  glob="*.events.parquet", n_buckets=4)
 
 
 def _zorder_oracle() -> str:
@@ -245,7 +247,7 @@ def tableformat_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     write_versioned(
         orders.filter(F.col("o_orderkey") % 3 != 0), path,
-        key="o_orderkey", n_buckets=16,
+        key="o_orderkey", n_buckets=8,
     )
     merge_versioned(
         spark, path,
