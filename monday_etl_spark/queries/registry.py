@@ -64,6 +64,9 @@ _EVIDENCE_PRIORITY = [
     "bm25_topk", "pagerank_influence", "streaming_trending_topk",
     "funnel_analysis", "cohort_retention", "table_profile",
     "bigram_lm_build", "mixture_token_allocation", "tableformat_dataskip",
+    # results CHANGED in r04 (LSH re-pinned to 64 buckets) — r03 greens are
+    # stale for these two; re-evidence before anything else carried forward
+    "semantic_dedup", "embedding_near_dup",
     # oldest evidence: green in r01 only, never re-checked since
     "chunk_dedup", "source_temperature_resample",
     # r02-latest evidence (skipped by the r03 budget) — oldest-first refresh
