@@ -122,3 +122,82 @@ def revenue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
     )
+
+
+@register(
+    "timeseries_gap_fill",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {sql_money_sum('value')} AS total_value
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    bounds AS (
+        SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT t.event_type, CAST(g.d AS DATE) AS d
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN bounds b,
+        LATERAL (SELECT UNNEST(generate_series(b.lo, b.hi,
+                                               INTERVAL 1 DAY)) AS d) g
+    )
+    SELECT s.event_type, s.d AS event_date,
+           COALESCE(dd.n_events, 0) AS n_events,
+           dd.total_value,
+           last_value(dd.total_value IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.d
+               ROWS UNBOUNDED PRECEDING) AS locf_value
+    FROM spine s LEFT JOIN daily dd
+      ON dd.event_type = s.event_type AND dd.d = s.d
+    """,
+    doc="Time-series gap filling: build the dense (event_type x day) spine "
+        "with sequence()/generate_series between the observed bounds, left "
+        "join the sparse daily aggregate onto it, zero-fill counts and "
+        "carry the last observed value forward (LOCF via "
+        "last(ignorenulls) over an unbounded-preceding frame) — the "
+        "regularization step before any rolling-window or forecasting "
+        "pass. Plan: one daily aggregate of the fact table; the spine is "
+        "(types x days)-sized and broadcast; one window shuffle over the "
+        "spine, never over raw events.",
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.count("*").alias("n_events"),
+        money_sum(F.col("value")).alias("total_value"),
+    )
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    types = ev.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi")).alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            F.col("d").alias("event_date"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            "total_value",
+            F.last("total_value", ignorenulls=True).over(w)
+            .alias("locf_value"),
+        )
+    )
