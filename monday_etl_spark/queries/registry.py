@@ -72,7 +72,7 @@ _EVIDENCE_PRIORITY = [
     # r02-latest evidence (skipped by the r03 budget) — oldest-first refresh
     "pricing_summary", "rollup_priority_status", "cube_flag_status",
     "global_aggs", "duplicate_detection", "freshness", "dedup_simhash",
-    "dedup_simhash_near", "ann_lsh_bucketed", "ann_ivf", "embedding_near_dup",
+    "dedup_simhash_near", "ann_lsh_bucketed", "ann_ivf",
     "embedding_quantize_int8", "corpus_source_stats",
     "dedup_cluster_resolution", "substring_dedup", "substring_dedup_rolling",
     "sequence_packing_sharded", "join_left_single", "join_left_composite",
