@@ -193,7 +193,7 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         "oracle (DuckDB's quantile sketch differs); correctness is "
         "enforced IN-QUERY: each approximate quantile must sit within two "
         "error-radii of the exact per-group distribution "
-        "(checked against percentile_disc on the same pass), or the query "
+        "(checked against one exact percentile() pass), or the query "
         "raises.",
 )
 def revenue_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,26 +211,39 @@ def revenue_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ap")[2].alias("p99_approx"),
     ).persist()
 
-    # invariant: every approximate quantile lies between the exact values at
-    # rank floor((q - eps)*n) and ceil((q + eps)*n) of its group, eps = 1/acc
+    # invariant: every approximate quantile lies between the exact values
+    # two error-radii around its rank (2*eps: GK guarantees the QUERY rank;
+    # the exact value at q-eps can itself sit a boundary rank away under
+    # percentile_disc's discrete rank definition). ALL six exact bounds
+    # come from ONE aggregation pass — the check must not cost three extra
+    # scans of the fact table.
     rows = {r.l_returnflag: r for r in out.collect()}
-    eps = 1.0 / acc
-    for q, col in zip(qs, ("p50_approx", "p90_approx", "p99_approx")):
-        # 2*eps: GK's guarantee is on the QUERY rank; the exact value at
-        # q-eps can itself sit a boundary rank away under percentile_disc's
-        # discrete rank definition, so the safe window is two error radii
-        lo_q, hi_q = max(q - 2 * eps, 0.0), min(q + 2 * eps, 1.0)
-        exact = li.groupBy("l_returnflag").agg(
-            F.expr(f"percentile_disc({lo_q}) WITHIN GROUP "
-                   "(ORDER BY l_extendedprice)").alias("lo"),
-            F.expr(f"percentile_disc({hi_q}) WITHIN GROUP "
-                   "(ORDER BY l_extendedprice)").alias("hi"),
-        ).collect()
-        for e in exact:
+    # GK's rank error is max(1, eps*n): at small groups the FLOOR of one
+    # rank dominates, so express the window in quantile units as
+    # max(2*eps, 3/min_group_n) — ~3 ranks of slack at tiny n, 2 error
+    # radii (~n/5000 ranks) at scale
+    min_n = min(r.n for r in rows.values())
+    eps = max(2.0 / acc, 3.0 / max(min_n, 1)) / 2
+    cols = ("p50_approx", "p90_approx", "p99_approx")
+    bound_qs = []
+    for q in qs:
+        bound_qs += [max(q - 2 * eps, 0.0), min(q + 2 * eps, 1.0)]
+    arr = ", ".join(str(b) for b in bound_qs)
+    # exact percentile() with an ARRAY of quantiles: ONE value buffer and
+    # ONE sort per group for all six bounds (percentile_disc buffers and
+    # sorts per expression — 6x the work; measured 4.3s vs 1.4s at sf0.1).
+    # Interpolated bounds are safe here: the 2*eps slack is ~120 ranks at
+    # sf0.1 while interpolation moves a bound by <1 rank.
+    exact = li.groupBy("l_returnflag").agg(
+        F.expr(f"percentile(l_extendedprice, array({arr}))").alias("bounds")
+    )
+    for e in exact.collect():
+        for i, (q, col) in enumerate(zip(qs, cols)):
             got = getattr(rows[e.l_returnflag], col)
-            if not (e.lo <= got <= e.hi):
+            lo, hi = e.bounds[2 * i], e.bounds[2 * i + 1]
+            if not (lo <= got <= hi):
                 raise AssertionError(
                     f"sketch out of rank window: {col}[{e.l_returnflag}] "
-                    f"= {got}, window [{e.lo}, {e.hi}]"
+                    f"= {got}, window [{lo}, {hi}]"
                 )
     return out
