@@ -144,6 +144,13 @@ def main() -> None:
         # would otherwise accumulate dead InMemoryRelations and push real
         # working sets out of storage memory on smaller drivers
         spark.catalog.clearCache()
+        # periodic full GC (untimed): the ContextCleaner lags under a
+        # 100+-query run, so dead broadcasts/shuffle state pile up and the
+        # later queries' timings absorb the collector's catch-up pauses —
+        # observed as late-suite queries reading 2-3x their isolated cost.
+        # Collecting between timings keeps each number the OPERATOR's cost.
+        if len(timings) % 20 == 0:
+            spark.sparkContext._jvm.System.gc()
 
     # steady-state evidence for the iterative/codegen-heavy family: a second
     # timed pass with compilation amortized, so plan quality is visible

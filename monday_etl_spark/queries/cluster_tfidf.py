@@ -177,17 +177,22 @@ def semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in-query invariants (one small aggregate over the vec_id-sized result):
     # exactly one keeper per cluster, cluster label = min member id, and the
     # keeper is that min member. Total coverage is checked against the corpus.
-    viol = (
+    bad = (F.col("n_keepers") != 1) | (F.col("min_member") != F.col("cluster_id"))
+    stats = (
         result.groupBy("cluster_id")
         .agg(
             F.sum(F.col("is_kept").cast("int")).alias("n_keepers"),
             F.min("vec_id").alias("min_member"),
+            F.count(F.lit(1)).alias("sz"),
         )
-        .filter((F.col("n_keepers") != 1)
-                | (F.col("min_member") != F.col("cluster_id")))
+        .agg(
+            F.sum(bad.cast("int")).alias("n_bad"),
+            F.sum("sz").alias("n_rows"),
+        )
+        .collect()[0]  # ONE job materializes the persist AND both checks
     )
-    n_bad = viol.count()
-    n_rows, n_corpus = result.count(), emb.count()
+    n_bad, n_rows = stats.n_bad, stats.n_rows
+    n_corpus = emb.count()  # parquet metadata count — no data pages
     if n_bad or n_rows != n_corpus:
         raise AssertionError(
             f"semantic_dedup_auto invariants violated: {n_bad} bad clusters, "
