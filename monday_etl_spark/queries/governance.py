@@ -38,7 +38,11 @@ def _rule_scan(df: DataFrame, table: str, rules) -> DataFrame:
     (map-side partial agg -> single final row), then unfolded to one row
     per rule with a stack — no per-rule rescans."""
     aggs = [F.count(F.lit(1)).alias("n_checked")] + [
-        F.sum(F.expr(pred).cast("long")).alias(name) for name, pred in rules
+        # coalesce: a NULL predicate (NULL operand) is NOT a violation —
+        # same as the oracle's CASE ... ELSE 0, and keeps an all-NULL
+        # column from summing to NULL instead of 0
+        F.sum(F.coalesce(F.expr(pred).cast("long"), F.lit(0))).alias(name)
+        for name, pred in rules
     ]
     one = df.agg(*aggs)
     stack = ", ".join(f"'{name}', {name}" for name, _ in rules)

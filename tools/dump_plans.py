@@ -50,6 +50,9 @@ SHOWCASE = {
     "pagerank_influence": "broadcast edge build, per-round hash join on persisted edges + single aggregate",
     "funnel_analysis": "type-filter pushdown per stage, monotonically shrinking user_id joins",
     "cohort_retention": "one (user,week) distinct feeds cohort min AND activity join; sizes broadcast",
+    "timeseries_gap_fill": "sequence spine broadcast; window over (types x days), never raw events",
+    "bigram_lm_build": "adjacent pairs zipped in-place (slice+zip_with) — no positional self-join",
+    "revenue_percentiles_sketch": "mergeable GK sketch: partial+final agg, no per-group sort shuffle",
 }
 
 
