@@ -181,6 +181,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "notes": "first-run timings inside a full-suite session; host has "
+                 "noisy-neighbor variance (identical suites measured 74-104s "
+                 "total) and individual multi-second entries can read 2-3x "
+                 "their isolated cost when a timing lands on a GC/cleaner "
+                 "pause — re-measure a query in isolation before reading a "
+                 "single entry as a regression",
     }
     if warm:
         detail["queries_warm"] = warm
