@@ -87,7 +87,8 @@ def test_near_dup_pairs_meet_threshold(spark):
     from monday_etl_spark.extensions.similarity import cosine, embedding_near_dup
 
     emb = load_table(spark, SF_SMOKE, "embeddings")
-    pairs = embedding_near_dup(emb, dim=64, threshold=0.4, bits=4).collect()
+    # bits must match the registered query's pinned width (6 since r04)
+    pairs = embedding_near_dup(emb, dim=64, threshold=0.4, bits=6).collect()
     assert pairs, "expected at least one candidate pair at threshold 0.4"
     # verify each reported pair's cosine independently (exact recompute)
     v = {
@@ -179,7 +180,8 @@ def test_semantic_dedup_cluster_invariants(spark):
     out = {r.vec_id: r for r in
            REGISTRY["semantic_dedup"].fn(spark, SF_SMOKE).collect()}
     emb = load_table(spark, SF_SMOKE, "embeddings")
-    pairs = embedding_near_dup(emb, dim=64, threshold=0.4, bits=4).collect()
+    # bits must match the registered query's pinned width (6 since r04)
+    pairs = embedding_near_dup(emb, dim=64, threshold=0.4, bits=6).collect()
     for p in pairs:
         assert out[p.id_a].cluster_id == out[p.id_b].cluster_id
     clusters: dict[int, list] = {}
