@@ -247,6 +247,43 @@ def read_version(spark: SparkSession, path: str,
     return spark.read.parquet(*files)
 
 
+def table_health(path: str, version: int | None = None,
+                 small_file_bytes: int = 8 * 1024 * 1024) -> dict:
+    """Metadata-only health report for a versioned table — the numbers an
+    OPTIMIZE scheduler reads before deciding to compact or re-Z-order.
+    Costs one manifest read + one os.stat per referenced file; never opens
+    parquet data.
+
+    Returns: n_buckets, n_files, total_bytes, small_files (< threshold),
+    max_files_per_bucket, fragmented_buckets (file count > 1), versions
+    retained, stats_cols tracked, and a compact-recommended flag."""
+    version = version if version is not None else current_version(path)
+    if version is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    man = _read_manifest(path, version)
+    sizes = []
+    per_bucket = {}
+    for b, fs in man["buckets"].items():
+        per_bucket[b] = len(fs)
+        for f in fs:
+            sizes.append(os.path.getsize(os.path.join(path, f)))
+    n_files = len(sizes)
+    small = sum(1 for x in sizes if x < small_file_bytes)
+    fragmented = sum(1 for c in per_bucket.values() if c > 1)
+    return {
+        "version": version,
+        "n_buckets": len(man["buckets"]),
+        "n_files": n_files,
+        "total_bytes": sum(sizes),
+        "small_files": small,
+        "max_files_per_bucket": max(per_bucket.values(), default=0),
+        "fragmented_buckets": fragmented,
+        "versions_retained": len(list_versions(path)),
+        "stats_cols": man["spec"].get("stats_cols") or [],
+        "compact_recommended": fragmented > 0 and small > n_files // 2,
+    }
+
+
 def files_for_range(path: str, col: str, lo, hi,
                     version: int | None = None) -> tuple[list[str], int]:
     """Data skipping off the manifest: the version's files whose recorded

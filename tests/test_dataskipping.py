@@ -103,3 +103,28 @@ def test_out_of_domain_range_is_empty_with_schema(spark, tmp_path):
     got = read_where(spark, path, "v", 10_000_000, 20_000_000)
     assert got.count() == 0
     assert [f.name for f in got.schema.fields] == ["id", "v", "s"]
+
+
+def test_table_health_reports_fragmentation(spark, tmp_path):
+    from monday_etl_spark.tableformat import compact_versioned, table_health
+
+    path = str(tmp_path / "tbl")
+    write_versioned(_df(spark), path, key="id", n_buckets=4,
+                    stats_cols=["v"])
+    merge_versioned(
+        spark, path,
+        spark.createDataFrame([(1, 11, "sA"), (2, 21, "sB")],
+                              "id bigint, v bigint, s string"),
+    )
+    h = table_health(path)
+    assert h["version"] == 2
+    assert h["n_buckets"] <= 4
+    assert h["n_files"] >= h["n_buckets"]
+    assert h["stats_cols"] == ["v"]
+    assert h["fragmented_buckets"] >= 1  # merge split touched buckets
+    assert h["total_bytes"] > 0
+
+    compact_versioned(spark, path)
+    h2 = table_health(path)
+    assert h2["fragmented_buckets"] == 0
+    assert h2["compact_recommended"] is False
