@@ -232,3 +232,30 @@ def streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_trending_topk(
         spark, sf_dir, f"{out_root}/ckpt", out_path=f"{out_root}/out"
     )
+
+
+@register(
+    "streaming_enriched_rollup",
+    oracle=f"""
+    SELECT CAST(e.ts AS DATE) AS event_date, c.c_mktsegment,
+           COUNT(*) AS n_events,
+           {sql_money_sum('e.value')} AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY CAST(e.ts AS DATE), c.c_mktsegment
+    """,
+    doc="Stream-static enrichment rollup: the events stream joined to the "
+        "broadcast customer dimension (STATELESS stream-static join — the "
+        "static side re-resolves per micro-batch, so dimension updates are "
+        "picked up without restarts) -> watermarked daily rollup per "
+        "market segment. AvailableNow drain == the batch join+aggregate, "
+        "which is the oracle. Durable sink + lazy read "
+        "(streaming/enriched.py).",
+)
+def streaming_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.enriched import run_enriched_rollup
+
+    name = f"enriched_rollup_{next(_stream_counter)}"
+    out_root = tempfile.mkdtemp(prefix=f"{name}_")
+    return run_enriched_rollup(
+        spark, sf_dir, f"{out_root}/ckpt", out_path=f"{out_root}/out"
+    )
