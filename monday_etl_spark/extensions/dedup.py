@@ -104,9 +104,21 @@ def minhash_signature(col: Column, num_hashes: int = 16, k: int = 3) -> Column:
     )
 
 
+def shingle_arrays(df: DataFrame, text_col: str = "text", k: int = 3,
+                   id_col: str = "doc_id") -> DataFrame:
+    """(id, sh array<string>) per document — the shared base of signature
+    building AND exact verification. Callers composing both (e.g. estimator
+    calibration) compute this ONCE, persist it, and pass it down so the
+    tokenize+shingle pass isn't paid twice."""
+    return spread(df).select(
+        F.col(id_col), word_shingles(F.col(text_col), k).alias("sh")
+    )
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        num_hashes: int = 16, k: int = 3,
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       shingles: DataFrame | None = None) -> DataFrame:
     """(id, sig array<string>) per document — same values as
     ``minhash_signature`` but computed on the whole-stage-codegen path:
     shingles EXPLODE to rows, the ``num_hashes/4`` md5s and 16 slice-MINs run
@@ -123,9 +135,9 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     are. Every doc has ≥1 shingle (word_shingles pads), so no doc is lost."""
     assert num_hashes % 4 == 0
     n_seeds = num_hashes // 4
-    ex = spread(df).select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("sh")
-    )
+    base = shingles if shingles is not None else shingle_arrays(
+        df, text_col, k, id_col)
+    ex = base.select(F.col(id_col), F.explode("sh").alias("sh"))
     digs = ex.select(
         id_col,
         *[
@@ -163,12 +175,13 @@ def minhash_candidates(
     num_hashes: int = 16,
     num_bands: int = 4,
     k: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing ≥1 LSH band, with their
     estimated Jaccard (fraction of agreeing minhashes). Returns
     (doc_a, doc_b, est_jaccard), doc_a < doc_b, distinct."""
     rows_per_band = num_hashes // num_bands
-    sigs = minhash_signatures(df, text_col, num_hashes, k)
+    sigs = minhash_signatures(df, text_col, num_hashes, k, shingles=shingles)
     banded = sigs.select(
         "doc_id",
         "sig",
@@ -211,11 +224,14 @@ def minhash_candidates(
 
 
 def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
-                  k: int = 3) -> DataFrame:
+                  k: int = 3, shingles: DataFrame | None = None) -> DataFrame:
     """Exact shingle-Jaccard for candidate pairs (the verify stage after
-    LSH): |A∩B| / |A∪B| over distinct k-word shingles."""
-    sh = spread(df).select("doc_id", word_shingles(F.col(text_col), k).alias("sh"))
-    sh = sh.persist()  # joined twice (doc_a and doc_b sides)
+    LSH): |A∩B| / |A∪B| over distinct k-word shingles. Pass ``shingles``
+    (already persisted) to reuse a shingle pass computed upstream."""
+    if shingles is not None:
+        sh = shingles
+    else:
+        sh = shingle_arrays(df, text_col, k).persist()  # joined twice
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     joined = pairs.select("doc_a", "doc_b").join(a, "doc_a").join(b, "doc_b")

@@ -1183,9 +1183,14 @@ def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "integer ratio or single IEEE op, so no rounding is needed.",
 )
 def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup import shingle_arrays
+
     docs = load_table(spark, sf_dir, "documents")
-    cands = minhash_candidates(docs)
-    true = ngram_jaccard(docs, cands)
+    # ONE tokenize+shingle pass feeds both the signature build and the exact
+    # verification — the composite reads the corpus text once
+    sh = shingle_arrays(docs).persist()
+    cands = minhash_candidates(docs, shingles=sh)
+    true = ngram_jaccard(docs, cands, shingles=sh)
     return (
         cands.join(true, ["doc_a", "doc_b"])
         .select(
