@@ -167,3 +167,56 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_terms_hit"),
     )
     return folded.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
+
+
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 48  # 16-token overlap between adjacent chunks
+
+
+@register(
+    "doc_chunking",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_LTOKS} AS toks FROM documents
+        WHERE length(trim(text)) > 0
+    )
+    SELECT doc_id,
+           CAST(s // {_CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+           CAST(s AS BIGINT) AS start_tok,
+           CAST(len(toks[s + 1 : least(s + {_CHUNK_SIZE}, len(toks))])
+                AS INTEGER) AS n_toks,
+           array_to_string(
+               toks[s + 1 : least(s + {_CHUNK_SIZE}, len(toks))], ' ')
+               AS chunk_text
+    FROM t, UNNEST(range(0, len(toks), {_CHUNK_STRIDE})) AS u(s)
+    """,
+    doc="RAG-style overlapping chunking: 64-token windows at stride 48 "
+        "(16-token overlap so no passage straddles a boundary unseen), "
+        "emitted with stable (doc_id, chunk_id, start_tok) addressing for "
+        "index-and-retrieve round trips. Pure map + explode — shuffle-free "
+        "at any corpus size; the chunk inherits its doc's partition. The "
+        "ingestion step ahead of search_index_build / bm25_topk / ANN.",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    t = docs.select("doc_id", F.split(norm, " ").alias("toks"))
+    starts = F.sequence(
+        F.lit(0), F.size("toks") - 1, F.lit(_CHUNK_STRIDE)
+    )
+    ck = t.select(
+        "doc_id", "toks", F.explode(starts).alias("s")
+    )
+    window = F.slice(
+        "toks", F.col("s") + 1,
+        F.least(F.lit(_CHUNK_SIZE), F.size("toks") - F.col("s")),
+    )
+    return ck.select(
+        "doc_id",
+        F.expr(f"CAST(s div {_CHUNK_STRIDE} AS INT)").alias("chunk_id"),
+        F.col("s").cast("long").alias("start_tok"),
+        F.size(window).cast("int").alias("n_toks"),
+        F.array_join(window, " ").alias("chunk_text"),
+    )
