@@ -24,6 +24,11 @@ Layout::
   than the dynamic-partition-overwrite path in ``temporal``, which must
   rewrite (though never re-read) untouched bytes of touched partitions'
   siblings... and both old and new versions stay readable afterwards.
+- **Schema evolution**: ``merge_versioned(..., allow_schema_evolution=True)``
+  widens the table with the update's new columns; the MANIFEST schema (not
+  the parquet footers) governs every read, so files written before the
+  evolution surface NULLs for the added columns and each retained version
+  time-travels with its own schema.
 - **Data skipping**: commits can record per-file column [min, max]
   (``stats_cols`` on ``write_versioned``; ``optimize_zorder`` starts
   tracking its clustered columns automatically) read from parquet FOOTERS
@@ -225,6 +230,16 @@ def read_version(spark: SparkSession, path: str,
         else {str(b): man["buckets"].get(str(b), []) for b in buckets}
     )
     files = [os.path.join(path, f) for fs in wanted.values() for f in fs]
+    schema_json = man.get("schema")
+    if files and schema_json is not None:
+        # read through the MANIFEST schema (Delta-style: schema lives in the
+        # log, not the footers): files written before a schema evolution
+        # surface the added columns as NULL, and column order is stable
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(
+            StructType.fromJson(json.loads(schema_json))
+        ).parquet(*files)
     if not files:
         # no data in the selected buckets: empty frame with the table schema
         any_files = [os.path.join(path, f)
@@ -330,14 +345,22 @@ def read_where(spark: SparkSession, path: str, col: str, lo, hi,
 
 
 def merge_versioned(spark: SparkSession, path: str,
-                    updates: DataFrame) -> int:
+                    updates: DataFrame,
+                    allow_schema_evolution: bool = False) -> int:
     """MERGE (upsert) as a new version: write ONLY the touched buckets'
     merged files; carry every untouched bucket's file list forward BY
     REFERENCE. Returns the new version number.
 
     Cost: one pruned read + one write of the touched buckets. Untouched
     data is neither read nor written nor copied — and the previous version
-    remains fully readable (time travel / snapshot isolation)."""
+    remains fully readable (time travel / snapshot isolation).
+
+    ``allow_schema_evolution``: updates may ADD columns — the manifest
+    schema widens, rows in files written before the evolution read as NULL
+    in the new columns (the manifest schema, not the footers, governs
+    reads), and earlier versions time-travel with their own narrower
+    schema. Columns missing from ``updates`` are NULL on the upserted rows.
+    Without the flag, any column mismatch raises."""
     version = current_version(path)
     if version is None:
         raise FileNotFoundError(f"no committed version at {path}; "
@@ -359,10 +382,20 @@ def merge_versioned(spark: SparkSession, path: str,
     # directory-encoded partition column); the bucket is re-derived from the
     # key below — deterministic, so it always matches the on-disk layout
     current = read_version(spark, path, version, buckets=touched)
-    kept = current.join(updates.select(*key), key, "left_anti")
-    merged = kept.unionByName(updates).withColumn(
-        BUCKET_COL, _bucket_expr(key, n_buckets)
-    )
+    if set(current.columns) != set(updates.columns):
+        if not allow_schema_evolution:
+            raise ValueError(
+                "merge schema mismatch: table has "
+                f"{sorted(current.columns)}, updates have "
+                f"{sorted(updates.columns)}; pass "
+                "allow_schema_evolution=True to widen the table"
+            )
+        merged = current.join(
+            updates.select(*key), key, "left_anti"
+        ).unionByName(updates, allowMissingColumns=True)
+    else:
+        merged = current.join(updates.select(*key), key, "left_anti")             .unionByName(updates)
+    merged = merged.withColumn(BUCKET_COL, _bucket_expr(key, n_buckets))
 
     new_version = version + 1
     commit_dir = os.path.join(path, _DATA, f"c{new_version:05d}")
@@ -373,7 +406,9 @@ def merge_versioned(spark: SparkSession, path: str,
     newman = {
         "version": new_version,
         "spec": man["spec"],
-        "schema": man.get("schema"),
+        # the merged frame's schema — identical to the table's unless this
+        # merge evolved it (new columns appended)
+        "schema": merged.drop(BUCKET_COL).schema.json(),
         "buckets": buckets,
     }
     stats = _carry_stats(path, man, buckets)

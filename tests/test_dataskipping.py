@@ -128,3 +128,32 @@ def test_table_health_reports_fragmentation(spark, tmp_path):
     h2 = table_health(path)
     assert h2["fragmented_buckets"] == 0
     assert h2["compact_recommended"] is False
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from monday_etl_spark.tableformat import read_version
+
+    path = str(tmp_path / "tbl")
+    write_versioned(_df(spark), path, key="id", n_buckets=4)
+    widened = spark.createDataFrame(
+        [(1, 11, "sA", "extra_1"), (4001, 9, "sN", "extra_new")],
+        "id bigint, v bigint, s string, note string",
+    )
+    # without the flag: refuse
+    import pytest
+
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_versioned(spark, path, widened)
+
+    merge_versioned(spark, path, widened, allow_schema_evolution=True)
+    latest = read_version(spark, path)
+    assert latest.columns == ["id", "v", "s", "note"]
+    rows = {r.id: r for r in latest.collect()}
+    assert rows[1].note == "extra_1"          # upserted row carries the col
+    assert rows[4001].note == "extra_new"     # inserted row too
+    assert rows[2].note is None               # pre-evolution rows read NULL
+    assert len(rows) == N + 1
+    # time travel: v1 keeps its original, narrower schema
+    assert read_version(spark, path, 1).columns == ["id", "v", "s"]
