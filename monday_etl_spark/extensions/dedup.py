@@ -109,7 +109,10 @@ def shingle_arrays(df: DataFrame, text_col: str = "text", k: int = 3,
     """(id, sh array<string>) per document — the shared base of signature
     building AND exact verification. Callers composing both (e.g. estimator
     calibration) compute this ONCE, persist it, and pass it down so the
-    tokenize+shingle pass isn't paid twice."""
+    tokenize+shingle pass isn't paid twice. ALWAYS persist before passing:
+    unpersisted, downstream explode infers a size(sh)>0 filter that sinks
+    below spread()'s exchange and serializes the shingle compute onto the
+    single input partition."""
     return spread(df).select(
         F.col(id_col), word_shingles(F.col(text_col), k).alias("sh")
     )
@@ -135,9 +138,20 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     are. Every doc has ≥1 shingle (word_shingles pads), so no doc is lost."""
     assert num_hashes % 4 == 0
     n_seeds = num_hashes // 4
-    base = shingles if shingles is not None else shingle_arrays(
-        df, text_col, k, id_col)
-    ex = base.select(F.col(id_col), F.explode("sh").alias("sh"))
+    if shingles is not None:
+        # caller-shared shingle pass: MUST be persisted — the cache boundary
+        # stops InferFiltersFromGenerate's size(sh)>0 filter from being
+        # pushed below spread()'s exchange, where it would re-evaluate the
+        # whole shingle expression on the single input partition (measured
+        # 5.5s vs 0.9s at sf0.1)
+        ex = shingles.select(F.col(id_col), F.explode("sh").alias("sh"))
+    else:
+        # inline explode keeps the shingle expression INSIDE the Generate,
+        # which cannot sink below the exchange — compute stays 32-way
+        ex = spread(df).select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), k)).alias("sh"),
+        )
     digs = ex.select(
         id_col,
         *[
