@@ -300,3 +300,56 @@ def tableformat_dataskip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_where(
         spark, path, "o_totalprice", 100000.0, 110000.0
     ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "scd2_maintenance_drain",
+    oracle="""
+    WITH changes AS (
+        SELECT user_id, event_type AS status, ts, event_id,
+               LAG(event_type) OVER w AS prev_status
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    versions AS (
+        SELECT user_id, status, ts, event_id
+        FROM changes
+        WHERE prev_status IS NULL OR status <> prev_status
+    )
+    SELECT user_id, status,
+           CAST(ROW_NUMBER() OVER w AS INTEGER) AS version_n,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(LEAD(ts) OVER w) AS valid_to_us,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM versions
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Streaming SCD2 maintenance, driver-visible: the events table "
+        "splits time-ordered into two ingest files drained as separate "
+        "micro-batches; each batch reads ONLY affected users' OPEN rows "
+        "from the versioned table (the sufficient state), re-derives the "
+        "per-user tail (close the open interval, append new versions), "
+        "and MERGEs on (user_id, version_n) — per-drain cost tracks the "
+        "batch, not dimension history. After both drains the table equals "
+        "the batch scd2_history build, which is the oracle "
+        "(streaming/scd2_maintenance.py).",
+)
+def scd2_maintenance_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow.parquet as pq
+
+    from ..streaming.scd2_maintenance import run_scd2_maintenance
+
+    root = tempfile.mkdtemp(prefix="scd2_maint_q_")
+    ingest = os.path.join(root, "ingest")
+    os.makedirs(ingest)
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet")).sort_by("ts")
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half),
+                   os.path.join(ingest, "part1.events.parquet"))
+    pq.write_table(t.slice(half),
+                   os.path.join(ingest, "part2.events.parquet"))
+    return run_scd2_maintenance(
+        spark, ingest, os.path.join(root, "scd2_table"),
+        os.path.join(root, "ckpt"), glob="*.events.parquet",
+        max_files_per_trigger=1,
+    )

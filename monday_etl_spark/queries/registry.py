@@ -68,7 +68,7 @@ _EVIDENCE_PRIORITY = [
     # stale for these two; re-evidence before anything else carried forward
     "semantic_dedup", "embedding_near_dup", "timeseries_gap_fill",
     "revenue_percentiles_sketch", "streaming_enriched_rollup",
-    "doc_chunking",
+    "doc_chunking", "scd2_maintenance_drain",
     # oldest evidence: green in r01 only, never re-checked since
     "chunk_dedup", "source_temperature_resample",
     # r02-latest evidence (skipped by the r03 budget) — oldest-first refresh
