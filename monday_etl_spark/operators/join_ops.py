@@ -91,13 +91,21 @@ def auto_salted_join(
     The hot/cold split is a pure filter on both sides, the two joins union
     back — a partitioning-only change, so results equal the plain join
     (inner/left; same restriction as salted_join). With no hot key the plan
-    IS the plain join."""
-    hot = hot_keys(left, on, threshold_frac)
+    IS the plain join.
+
+    NULL join keys go to the COLD branch explicitly: ``isin(hot)`` is NULL
+    (not false) for a NULL key, so without the ``isNull`` disjunct a
+    NULL-keyed left row would fail BOTH filters and vanish — wrong for left
+    joins, where the plain join keeps it with NULL right columns. A NULL
+    key never equi-matches anything, so the plain cold join gives it the
+    same fate the unsplit join would."""
+    hot = [k for k in hot_keys(left, on, threshold_frac) if k is not None]
     if not hot:
         return left.join(right, on, how)
     is_hot = F.col(on).isin(hot)
+    is_cold = ~is_hot | F.col(on).isNull()
     joined_hot = salted_join(
         left.filter(is_hot), right.filter(is_hot), on, how, salt
     )
-    joined_cold = left.filter(~is_hot).join(right.filter(~is_hot), on, how)
+    joined_cold = left.filter(is_cold).join(right.filter(is_cold), on, how)
     return joined_hot.unionByName(joined_cold)

@@ -332,16 +332,33 @@ def read_where(spark: SparkSession, path: str, col: str, lo, hi,
     Correct with or without stats; stats only remove I/O."""
     keep, _ = files_for_range(path, col, lo, hi, version)
     pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
-    if not keep:
-        man = _read_manifest(path, version or current_version(path))
-        from pyspark.sql.types import StructType
+    man = _read_manifest(
+        path, version if version is not None else current_version(path)
+    )
+    schema_json = man.get("schema")
+    from pyspark.sql.types import StructType
 
+    if not keep:
+        if schema_json is None:
+            raise FileNotFoundError(
+                f"range read at {path} pruned every file and the manifest "
+                "carries no schema (pre-schema-recording table): cannot "
+                "build a typed empty result"
+            )
         return spark.createDataFrame(
-            [], StructType.fromJson(json.loads(man["schema"]))
+            [], StructType.fromJson(json.loads(schema_json))
         ).filter(pred)
-    return spark.read.parquet(
-        *[os.path.join(path, f) for f in keep]
-    ).filter(pred)
+    paths = [os.path.join(path, f) for f in keep]
+    if schema_json is not None:
+        # read through the MANIFEST schema, exactly like read_version: after
+        # schema evolution the kept files have heterogeneous footers, and
+        # without the log schema Spark infers from one file — evolved
+        # columns would silently vanish depending on which files survive
+        # pruning
+        return spark.read.schema(
+            StructType.fromJson(json.loads(schema_json))
+        ).parquet(*paths).filter(pred)
+    return spark.read.parquet(*paths).filter(pred)
 
 
 def merge_versioned(spark: SparkSession, path: str,
