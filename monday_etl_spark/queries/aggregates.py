@@ -313,23 +313,39 @@ def ratio_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM latest l
     """,
     doc="O-29 week-over-week threshold (ref: alert if latest < 95% of "
-        "7-days-ago, advanced_monitoring.py:398-405). Daily pre-aggregate "
-        "first, then two 1-row lookups — the big table is touched once.",
+        "7-days-ago, advanced_monitoring.py:398-405). ONE pass: the big "
+        "table feeds a daily pre-aggregate (partial-agg shuffle), the "
+        "|dates|-sized daily frame flows through a global max window onto "
+        "a single partition (thousands of rows at any scale — the fact "
+        "table is already reduced), and a conditional aggregation picks "
+        "both the latest and the latest-7 revenue. No persist, no 1-row "
+        "joins — r06 collapse of the former three-join plan.",
 )
 def weekly_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     daily = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
         money_sum(F.col("l_extendedprice")).alias("revenue")
-    ).persist()  # |dates|-sized; read by 3 branches — without the persist each
-    # branch re-runs the full fact-table scan + aggregate (3 scans at 100 TB)
-    latest = daily.agg(F.max("d").alias("latest_date"))
-    cur = latest.join(daily, latest.latest_date == daily.d).select(
-        "latest_date", F.col("revenue").alias("latest_revenue")
     )
-    prev = latest.join(
-        daily, F.date_sub(latest.latest_date, 7) == daily.d, "left"
-    ).select(F.col("latest_date").alias("ld2"), F.col("revenue").alias("prev_week_revenue"))
-    return cur.join(prev, cur.latest_date == prev.ld2).select(
+    w = Window.partitionBy()  # global: |dates| rows on one partition
+    picked = (
+        daily.withColumn("latest_date", F.max("d").over(w))
+        .filter(
+            (F.col("d") == F.col("latest_date"))
+            | (F.col("d") == F.date_sub(F.col("latest_date"), 7))
+        )
+        .groupBy("latest_date")
+        .agg(
+            F.max(F.when(F.col("d") == F.col("latest_date"), F.col("revenue")))
+            .alias("latest_revenue"),
+            F.max(
+                F.when(F.col("d") == F.date_sub(F.col("latest_date"), 7),
+                       F.col("revenue"))
+            ).alias("prev_week_revenue"),
+        )
+    )
+    return picked.select(
         "latest_date",
         "latest_revenue",
         "prev_week_revenue",

@@ -138,18 +138,75 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_dedup_auto_oracle() -> str:
+    """Exact SQL twin of the AUTO-sized path: the oracle re-derives the
+    LSH bit count from the corpus count with the same integer math as
+    extensions.similarity.auto_lsh_bits — bits = min b in [4,24] with
+    256·2^b >= n (≡ clamp(ceil(log2(n/256)), 4, 24), exactly, because the
+    comparison is pure integer). Planes are generated up to the 24-bit
+    ceiling and the bucket sum takes only i < bits, so one static SQL
+    string is exact at EVERY sf, not just the driver's."""
+    from .extensions_queries import _sql_dot, _sql_planes
+
+    return f"""
+    WITH RECURSIVE
+    nbits AS (
+        SELECT COALESCE(
+            (SELECT MIN(b) FROM range(4, 25) r(b)
+             WHERE (256::BIGINT << b) >= (SELECT COUNT(*) FROM embeddings)),
+            24) AS bits
+    ),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    planes AS ({_sql_planes(24, 64)}),
+    dots AS (
+        SELECT c.vec_id, p.i, {_sql_dot('c.v', 'p.p')} AS d
+        FROM c CROSS JOIN planes p
+        WHERE p.i < (SELECT bits FROM nbits)
+    ),
+    buckets AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << i) ELSE 0 END)
+                    AS BIGINT) AS bucket
+        FROM dots GROUP BY vec_id
+    ),
+    nv AS (
+        SELECT c.vec_id, b.bucket,
+               list_transform(c.v, x -> x / sqrt({_sql_dot('c.v', 'c.v')})) AS nv
+        FROM c JOIN buckets b USING (vec_id)
+    ),
+    edges AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM nv a JOIN nv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {_sql_dot('a.nv', 'b.nv')} > 0.4
+    ),
+    sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    nodes AS (SELECT DISTINCT src AS vec_id FROM sym),
+    reach(a, b) AS (
+        SELECT vec_id, vec_id FROM nodes
+        UNION
+        SELECT reach.a, e.dst FROM reach JOIN sym e ON reach.b = e.src
+    ),
+    comp AS (SELECT a AS vec_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+    SELECT e.vec_id,
+           COALESCE(c2.cluster_id, e.vec_id) AS cluster_id,
+           COALESCE(c2.cluster_id, e.vec_id) = e.vec_id AS is_kept
+    FROM embeddings e LEFT JOIN comp c2 USING (vec_id)
+    """
+
+
 @register(
     "semantic_dedup_auto",
-    oracle=None,
+    oracle=_semantic_dedup_auto_oracle(),
     doc="The PRODUCTION shape of semantic_dedup: bucket width sized by "
         "auto_lsh_bits from the corpus count (scored pairs linear in n — "
         "the shape that actually runs at 100 TB), instead of the bits=6 "
-        "the oracle-pinned twin uses. No SQL oracle (the auto bit count is "
-        "data-dependent), so correctness is enforced IN-QUERY: the result "
-        "must cover the whole corpus exactly once, every cluster_id must "
-        "be the min vec_id of its cluster, and each cluster must keep "
-        "exactly one vector — any violation raises before a row is "
-        "returned. Driver records the rows-only check.",
+        "the pinned twin uses. r06: now carries an EXACT oracle — the bit "
+        "count is a deterministic integer function of COUNT(*), so the SQL "
+        "re-derives it (min b in [4,24] with 256·2^b >= n) and runs the "
+        "same bucketed pair scoring + recursive-CTE closure. The in-query "
+        "invariants (full coverage, min-id labels, one keeper per cluster) "
+        "are kept: they are the only check at bench scales where no oracle "
+        "runs.",
 )
 def semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.similarity import embedding_near_dup

@@ -62,6 +62,13 @@ _DATA = "_data"
 BUCKET_COL = "__bucket"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Two writers raced to commit the same version: the second one loses
+    and must re-read the table state and retry (optimistic concurrency,
+    the Delta/Iceberg commit contract). Nothing was clobbered — the loser's
+    data files are orphans a later ``vacuum`` collects."""
+
+
 def _keys(key) -> list[str]:
     return [key] if isinstance(key, str) else list(key)
 
@@ -96,13 +103,28 @@ def _read_manifest(path: str, version: int) -> dict:
 
 
 def _commit(path: str, manifest: dict) -> None:
-    """Version exists iff its manifest does; tmp-write + rename = atomic."""
+    """Version exists iff its manifest does. Put-if-absent: the manifest is
+    fully written to a unique temp name, then ``os.link``ed to the final
+    name — link(2) is atomic AND fails with EEXIST when the destination
+    already exists, so of two writers racing to commit the same version
+    number exactly one wins and the other gets ``ConcurrentCommitError``
+    (os.rename would silently clobber the winner). On object stores this
+    is the put-if-absent the real formats get from the Delta log store /
+    Iceberg catalog."""
     os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
     final = _manifest_path(path, manifest["version"])
-    tmp = final + ".tmp"
+    tmp = f"{final}.{os.getpid()}.{id(manifest):x}.tmp"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
-    os.rename(tmp, final)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"version {manifest['version']} already committed at {path}: "
+            "another writer won the race — re-read current_version and retry"
+        ) from None
+    finally:
+        os.unlink(tmp)
 
 
 def _bucket_files(commit_dir: str) -> dict[str, list[str]]:
@@ -299,16 +321,9 @@ def table_health(path: str, version: int | None = None,
     }
 
 
-def files_for_range(path: str, col: str, lo, hi,
-                    version: int | None = None) -> tuple[list[str], int]:
-    """Data skipping off the manifest: the version's files whose recorded
-    [min, max] for ``col`` intersects [lo, hi] (closed interval), plus the
-    count of files PRUNED. Files without recorded stats are always kept
-    (skipping is an optimization, never a correctness filter)."""
-    version = version if version is not None else current_version(path)
-    if version is None:
-        raise FileNotFoundError(f"no committed version at {path}")
-    man = _read_manifest(path, version)
+def _files_for_range_man(man: dict, col: str, lo, hi) -> tuple[list[str], int]:
+    """files_for_range over an already-read manifest (shared by read_where,
+    which needs the manifest again for its schema — one read, one version)."""
     stats = man.get("stats", {})
     keep: list[str] = []
     pruned = 0
@@ -322,6 +337,18 @@ def files_for_range(path: str, col: str, lo, hi,
     return keep, pruned
 
 
+def files_for_range(path: str, col: str, lo, hi,
+                    version: int | None = None) -> tuple[list[str], int]:
+    """Data skipping off the manifest: the version's files whose recorded
+    [min, max] for ``col`` intersects [lo, hi] (closed interval), plus the
+    count of files PRUNED. Files without recorded stats are always kept
+    (skipping is an optimization, never a correctness filter)."""
+    version = version if version is not None else current_version(path)
+    if version is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    return _files_for_range_man(_read_manifest(path, version), col, lo, hi)
+
+
 def read_where(spark: SparkSession, path: str, col: str, lo, hi,
                version: int | None = None) -> DataFrame:
     """Range read with manifest-stats file skipping: open only files whose
@@ -329,12 +356,18 @@ def read_where(spark: SparkSession, path: str, col: str, lo, hi,
     predicate. After ``optimize_zorder`` (tight per-file ranges on every
     clustered column) a narrow range touches O(matching files), not the
     table — Delta's OPTIMIZE ZORDER + data-skipping pair, manifest-side.
-    Correct with or without stats; stats only remove I/O."""
-    keep, _ = files_for_range(path, col, lo, hi, version)
+    Correct with or without stats; stats only remove I/O.
+
+    The version is resolved ONCE and the manifest read ONCE (file list and
+    schema come from the same snapshot): resolving twice, as before r06,
+    could pair version N's kept-file list with version N+1's schema when a
+    commit lands between the calls."""
+    version = version if version is not None else current_version(path)
+    if version is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    man = _read_manifest(path, version)
+    keep, _ = _files_for_range_man(man, col, lo, hi)
     pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
-    man = _read_manifest(
-        path, version if version is not None else current_version(path)
-    )
     schema_json = man.get("schema")
     from pyspark.sql.types import StructType
 

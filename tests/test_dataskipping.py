@@ -157,3 +157,69 @@ def test_merge_schema_evolution(spark, tmp_path):
     assert len(rows) == N + 1
     # time travel: v1 keeps its original, narrower schema
     assert read_version(spark, path, 1).columns == ["id", "v", "s"]
+
+
+def test_read_where_after_evolution_keeps_widened_schema(spark, tmp_path):
+    """r05 regression pin: after a schema evolution, a pruned range read
+    whose SURVIVING files were all written before the evolution must still
+    read through the manifest schema — before the fix Spark inferred the
+    schema from the surviving (pre-evolution) footers and the evolved
+    column silently vanished."""
+    path = str(tmp_path / "tbl")
+    write_versioned(_df(spark), path, key="id", n_buckets=4,
+                    stats_cols=["v"])
+    # evolve with a single row whose v is FAR outside the old domain, so a
+    # range read in the old domain prunes the only post-evolution file
+    widened = spark.createDataFrame(
+        [(5001, 999_999, "sZ", "the_note")],
+        "id bigint, v bigint, s string, note string",
+    )
+    merge_versioned(spark, path, widened, allow_schema_evolution=True)
+
+    keep, pruned = files_for_range(path, "v", 5000, 6000)
+    assert pruned >= 1, "the post-evolution file must be prunable"
+    got = read_where(spark, path, "v", 5000, 6000)
+    # the widened column is present (manifest schema governs) and NULL on
+    # every pre-evolution row
+    assert got.columns == ["id", "v", "s", "note"]
+    rows = got.collect()
+    assert rows and all(r.note is None for r in rows)
+    want = read_version(spark, path).filter(
+        (F.col("v") >= 5000) & (F.col("v") <= 6000)
+    )
+    assert _rows(got) == _rows(want)
+    # and the evolved row is reachable through the same skipping read
+    hit = read_where(spark, path, "v", 999_999, 999_999).collect()
+    assert [(r.id, r.note) for r in hit] == [(5001, "the_note")]
+
+
+def test_concurrent_commit_second_writer_raises(spark, tmp_path):
+    """Two writers racing to the same version number: exactly one commit
+    wins; the loser gets ConcurrentCommitError and the winner's manifest is
+    byte-intact (os.rename would have silently clobbered it)."""
+    import json
+    import os
+
+    import pytest
+
+    from monday_etl_spark.tableformat import (
+        ConcurrentCommitError,
+        _commit,
+        _manifest_path,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_versioned(_df(spark), path, key="id", n_buckets=4)
+    man = _read_manifest(path, 1)
+
+    # both writers computed "next version = 2" from the same snapshot
+    winner = dict(man, version=2, note="winner")
+    loser = dict(man, version=2, note="loser")
+    _commit(path, winner)
+    with pytest.raises(ConcurrentCommitError, match="version 2"):
+        _commit(path, loser)
+    with open(_manifest_path(path, 2)) as fh:
+        assert json.load(fh)["note"] == "winner"
+    # no tmp litter from either attempt
+    mandir = os.path.join(path, "_manifests")
+    assert not [f for f in os.listdir(mandir) if f.endswith(".tmp")]

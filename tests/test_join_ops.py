@@ -101,3 +101,68 @@ def test_auto_salted_no_hot_keys_is_plain_join(spark):
     with contextlib.redirect_stdout(buf):
         auto.explain()
     assert "Union" not in buf.getvalue()
+
+
+def _null_key_dfs(spark):
+    """Left side with a hot key AND frequent NULL keys — the r05 regression:
+    ``isin(hot)`` is NULL (not false) for a NULL key, so before the fix a
+    NULL-keyed left row failed BOTH the hot and cold filters and vanished
+    from the left-join result. NULLs here are >1% of rows, so hot_keys also
+    reports None as a 'hot key' — the exact interaction the fix routes
+    around."""
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(500)]
+        + [(None, 9000 + i) for i in range(300)]
+        + [(2, 1000), (3, 2000), (99, 1)],
+        "k int, v int",
+    )
+    dim = spark.createDataFrame(
+        [(1, "hot"), (2, "warm"), (3, "cold")], "k int, name string"
+    )
+    return fact, dim
+
+
+def _nsorted(df):
+    """None-safe row sort (NULL keys are the point of these fixtures)."""
+    return sorted(
+        map(tuple, df.collect()),
+        key=lambda r: tuple((v is None, v if v is not None else 0) for v in r),
+    )
+
+
+def test_auto_salted_left_join_keeps_null_keyed_rows(spark):
+    from monday_etl_spark.operators.join_ops import auto_salted_join
+
+    fact, dim = _null_key_dfs(spark)
+    plain = fact.join(dim, "k", "left")
+    auto = auto_salted_join(fact, dim, on="k", how="left", salt=4,
+                            threshold_frac=0.1)
+    got = _nsorted(auto.select(*plain.columns))
+    assert got == _nsorted(plain)
+    # the 300 NULL-keyed rows must survive with NULL right columns
+    assert sum(1 for r in got if r[0] is None) == 300
+
+
+def test_auto_salted_inner_join_with_null_keys_matches_plain(spark):
+    from monday_etl_spark.operators.join_ops import auto_salted_join
+
+    fact, dim = _null_key_dfs(spark)
+    plain = fact.join(dim, "k")
+    auto = auto_salted_join(fact, dim, on="k", salt=4, threshold_frac=0.1)
+    assert _sorted(auto.select(*plain.columns)) == _sorted(plain)
+
+
+def test_hot_keys_can_report_null_but_auto_join_stays_correct(spark):
+    from monday_etl_spark.operators.join_ops import auto_salted_join, hot_keys
+
+    fact, dim = _null_key_dfs(spark)
+    # NULL holds ~37% of rows: hot_keys reports it (groupBy counts NULL as a
+    # group), auto_salted_join must filter it out of the salt list — a NULL
+    # key never equi-matches, so salting it is pointless and isin(NULL
+    # member) stays three-valued-logic-safe
+    hot = hot_keys(fact, "k", threshold_frac=0.3)
+    assert None in hot and 1 in hot
+    auto = auto_salted_join(fact, dim, on="k", how="left", salt=4,
+                            threshold_frac=0.3)
+    plain = fact.join(dim, "k", "left")
+    assert _nsorted(auto.select(*plain.columns)) == _nsorted(plain)
