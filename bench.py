@@ -1,137 +1,100 @@
 #!/usr/bin/env python
-"""Benchmark runner: executes the headline registry queries at
-$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON line:
+"""Benchmark runner: executes the registry queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is timed over a full materialization (count of the result) after a
-single untimed warm-up of the session (JVM + codegen warm).
+Each query is timed over a full materialization (count of the result): the
+FIRST run of that query at the target sf, in a session whose codegen is warm
+(every query in the segment runs once, untimed, at sf0.001 first) but whose
+data is cold.
+
+Sessions are BOUNDED-AGE (r06): the suite is split into segments of ~30
+queries, each timed in a fresh JVM subprocess. Measured on this host,
+timings inside a >100-query-old local JVM read 2-4x their fresh-session
+cost (cohort_retention: 3.20s as query #117 of one session vs 0.88s fresh,
+same minute — accumulated heap/codegen/broadcast debris, not the operator
+and not a neighbor), so one long session measures JVM aging, not plans.
+Segmenting keeps the metric "what a cold caller pays" while controlling the
+artifact; segment order is alphabetical, identical to the old runner.
 
 Set SPARK_GRAFT_BENCH_RUNS=N (default 1) to time each query N times and
-record the best — steady-state numbers with plan/codegen compile amortized
-out, for comparing operator cost across changes. The driver uses the
-default first-run mode (what a cold caller pays).
+record the best — steady-state numbers for comparing operator cost across
+changes.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from monday_etl_spark.queries import REGISTRY  # noqa: E402
-from monday_etl_spark.session import get_spark  # noqa: E402
+SEGMENT_SIZE = 30
+WARM_SF = "/root/testdata/sf0.001"
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+def _new_session():
+    from monday_etl_spark.session import get_spark
+
     spark = get_spark("monday-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
 
-    # Warm up EVERY query once, untimed, at sf0.001 — ~1000x smaller than
-    # the timed scale, so no timed data is pre-touched — so per-query
-    # numbers measure the OPERATORS rather than one-time JVM costs (JIT
-    # compile of each query's codegen paths, Arrow/Python worker startup,
-    # broadcast machinery). Before r03 only 3 queries warmed and every
-    # other timed number carried its own 50-200 ms codegen compile.
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
-    warm_sf = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_sf) and warm_sf != sf_dir.rstrip("/"):
-        t_warm = time.perf_counter()
-        # warm CONCURRENTLY: Spark's scheduler interleaves jobs from many
-        # threads over the same executor cores, so 100+ tiny sf0.001 runs
-        # overlap their per-job dead time (codegen compile, Python worker
-        # spin-up, streaming machinery) instead of paying it serially —
-        # the warmup is untimed wall-clock the bench budget still pays for.
-        # Results/failures are discarded; timed numbers come later, single-
-        # threaded, with codegen already compiled.
-        import concurrent.futures as _cf
 
-        warm_fails: list[str] = []
+def _warm(spark, names: list[str]) -> None:
+    """Run every segment query once, untimed, at sf0.001 (~1000x smaller
+    than the timed scale, so no timed data is pre-touched): the timed
+    numbers then measure the OPERATORS, not first-touch JVM costs (codegen
+    JIT, Python worker spin-up, broadcast machinery). Concurrent: Spark
+    interleaves the tiny jobs across cores, so the per-job dead time
+    overlaps instead of paying serially."""
+    import concurrent.futures as _cf
 
-        def _warm_one(name: str) -> None:
-            try:
-                REGISTRY[name].fn(spark, warm_sf).count()
-            except Exception:  # noqa: BLE001 — warmup must never fail the bench
-                warm_fails.append(name)
+    from monday_etl_spark.queries import REGISTRY
 
-        with _cf.ThreadPoolExecutor(max_workers=8) as ex:
-            list(ex.map(_warm_one, sorted(REGISTRY)))
-        # streaming/store warmups briefly pin spark.sql.shuffle.partitions
-        # (set/restore in a finally); a cross-thread interleave could leave
-        # the pinned value behind — unset falls back to the session-build
-        # value before anything is timed
-        spark.conf.unset("spark.sql.shuffle.partitions")
-        spark.catalog.clearCache()
-        print(f"# warmup: {time.perf_counter() - t_warm:.1f}s wall, "
-              f"{len(warm_fails)} failed {warm_fails[:8]}", file=sys.stderr)
+    if not os.path.isdir(WARM_SF):
+        return
+    fails: list[str] = []
 
-    # skew demonstration: the explicit salted_join vs the naive plan on the
-    # same pathologically skewed input (70% of rows on one key), with
-    # broadcast and AQE skew-splitting disabled — the scenario salting exists
-    # for (both sides too big to broadcast, a single hot key beyond AQE).
-    skew: dict[str, float | str] = {}
-    try:
-        from monday_etl_spark.operators.join_ops import salted_join
-        from monday_etl_spark.queries.relational import skewed_join_inputs
-
-        from pyspark.sql import functions as F
-
-        left, dim = skewed_join_inputs(spark, sf_dir, multiplier=16, hot=9)
-        # persist the amplified input pre-spread over 32 partitions so both
-        # legs start from the SAME parallel in-memory relation and the timed
-        # difference is the join's reduce side: naive = one hot task sorting
-        # ~90% of the rows, salted = that work spread over 8 salt buckets
-        left = left.repartition(32).persist()
-        left.count()
-        prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        prev_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    def one(name: str) -> None:
         try:
-            for label, joined in (
-                ("skew_naive", left.join(dim, "skey")),
-                ("skew_salted", salted_join(left, dim, on="skey", salt=8)),
-            ):
-                agg = joined.groupBy("grp_label").agg(
-                    F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-                )
-                agg.count()  # untimed warm (codegen compile amortized)
-                # best-of-2: one timed run right after a 102-query suite is
-                # exposed to ambient GC/cache-eviction noise that can triple
-                # a 1-second reading; the min of two is the plan's cost
-                best = None
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    agg.count()
-                    e = time.perf_counter() - t0
-                    best = e if best is None else min(best, e)
-                skew[label] = round(best, 4)
-                print(f"# {label}: {skew[label]:.3f}s", file=sys.stderr)
-        finally:
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
-            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
-            left.unpersist()
-    except Exception as exc:  # noqa: BLE001 — demo must never fail the bench
-        skew = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+            REGISTRY[name].fn(spark, WARM_SF).count()
+        except Exception:  # noqa: BLE001 — warmup must never fail the bench
+            fails.append(name)
+
+    with _cf.ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(one, names))
+    # streaming/store warmups briefly pin spark.sql.shuffle.partitions
+    # (set/restore in a finally); a cross-thread interleave could leave the
+    # pinned value behind — reset before anything is timed
+    spark.conf.unset("spark.sql.shuffle.partitions")
+    spark.catalog.clearCache()
+    # collect the warmup's dead broadcast/shuffle state NOW (untimed)
+    spark.sparkContext._jvm.System.gc()
+    if fails:
+        print(f"# warm fails: {fails[:8]}", file=sys.stderr)
 
 
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
+def _run_segment(names: list[str], sf_dir: str, runs: int) -> dict:
+    """Child-process entry: warm + time one segment, print one JSON line."""
+    spark = _new_session()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    _warm(spark, names)
+
+    from monday_etl_spark.queries import REGISTRY
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in sorted(REGISTRY):
-        fn = REGISTRY[name].fn
-        # failure-isolated: one broken query must not abort the suite — the
-        # bench degrades to a partial result with the error recorded per name
+    for name in names:
         try:
             best, n = None, 0
             for _ in range(runs):
                 t0 = time.perf_counter()
-                df = fn(spark, sf_dir)
+                df = REGISTRY[name].fn(spark, sf_dir)
                 n = df.count()
                 elapsed = time.perf_counter() - t0
                 best = elapsed if best is None else min(best, elapsed)
@@ -140,39 +103,133 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
-        # drop persisted frames the query left behind (untimed): 80+ queries
-        # would otherwise accumulate dead InMemoryRelations and push real
-        # working sets out of storage memory on smaller drivers
+        # drop persisted frames the query left behind (untimed), and keep
+        # the collector ahead of the timings
         spark.catalog.clearCache()
-        # periodic full GC (untimed): the ContextCleaner lags under a
-        # 100+-query run, so dead broadcasts/shuffle state pile up and the
-        # later queries' timings absorb the collector's catch-up pauses —
-        # observed as late-suite queries reading 2-3x their isolated cost.
-        # Collecting between timings keeps each number the OPERATOR's cost.
-        if len(timings) % 20 == 0:
+        if len(timings) % 8 == 0:
             spark.sparkContext._jvm.System.gc()
+    spark.stop()
+    return {"timings": timings, "errors": errors}
 
-    # steady-state evidence for the iterative/codegen-heavy family: a second
-    # timed pass with compilation amortized, so plan quality is visible
-    # separately from first-touch codegen cost (r01 TODO #5). Skipped when
-    # SPARK_GRAFT_BENCH_RUNS already reports best-of-N.
-    warm: dict[str, float] = {}
-    if runs == 1:
-        for name in ("dedup_cluster_resolution", "dedup_minhash_lsh",
-                     "dedup_simhash", "dedup_simhash_near", "ann_brute_force",
-                     "embedding_near_dup", "grouped_zscore_pandas",
-                     "semantic_dedup", "ann_ivf", "semantic_dedup_auto",
-                     "ann_ivf_recall_sweep", "tableformat_cdc_diff",
-                     "pagerank_influence", "dedup_minhash_quality"):
-            if name not in REGISTRY or name in errors:
-                continue
-            try:
+
+def _run_skew(sf_dir: str) -> dict:
+    """Skew demonstration: explicit salted_join vs the naive plan on the
+    same pathologically skewed input (70% of rows on one key), broadcast
+    and AQE skew-splitting disabled — the scenario salting exists for."""
+    from pyspark.sql import functions as F
+
+    from monday_etl_spark.operators.join_ops import salted_join
+    from monday_etl_spark.queries.relational import skewed_join_inputs
+
+    spark = _new_session()
+    skew: dict[str, float] = {}
+    left, dim = skewed_join_inputs(spark, sf_dir, multiplier=16, hot=9)
+    # persist the amplified input pre-spread over 32 partitions so both legs
+    # start from the SAME parallel in-memory relation and the timed
+    # difference is the join's reduce side: naive = one hot task sorting
+    # ~90% of the rows, salted = that work spread over 8 salt buckets
+    left = left.repartition(32).persist()
+    left.count()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    for label, joined in (
+        ("skew_naive", left.join(dim, "skey")),
+        ("skew_salted", salted_join(left, dim, on="skey", salt=8)),
+    ):
+        agg = joined.groupBy("grp_label").agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        )
+        agg.count()  # untimed warm (codegen compile amortized)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            agg.count()
+            e = time.perf_counter() - t0
+            best = e if best is None else min(best, e)
+        skew[label] = round(best, 4)
+        print(f"# {label}: {skew[label]:.3f}s", file=sys.stderr)
+    spark.stop()
+    return skew
+
+
+def _run_isolated(names: list[str], sf_dir: str) -> dict:
+    """Steady-state cross-check of the suite's slowest entries: best-of-2
+    in one fresh session (codegen warmed per query at sf0.001)."""
+    from monday_etl_spark.queries import REGISTRY
+
+    spark = _new_session()
+    out: dict[str, float] = {}
+    for name in names:
+        try:
+            REGISTRY[name].fn(spark, WARM_SF).count()
+            spark.catalog.clearCache()
+            best = None
+            for _ in range(2):
                 t0 = time.perf_counter()
                 REGISTRY[name].fn(spark, sf_dir).count()
-                warm[name] = round(time.perf_counter() - t0, 4)
-                print(f"# warm {name}: {warm[name]:.3f}s", file=sys.stderr)
-            except Exception as exc:  # noqa: BLE001 — record and continue
-                print(f"# warm {name}: ERROR {exc}", file=sys.stderr)
+                e = time.perf_counter() - t0
+                best = e if best is None else min(best, e)
+                spark.catalog.clearCache()
+            out[name] = round(best, 4)
+            print(f"# isolated {name}: {out[name]:.3f}s", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            print(f"# isolated {name}: ERROR {exc}", file=sys.stderr)
+        spark.sparkContext._jvm.System.gc()
+    spark.stop()
+    return out
+
+
+def _child(mode: str, payload: dict) -> dict:
+    """Run one bench stage in a FRESH JVM (separate python process); its
+    last stdout line is the stage's JSON result. Stage stderr passes
+    through. A crashed stage degrades to an error entry, never aborts."""
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), f"--{mode}"],
+        input=json.dumps(payload),
+        capture_output=True,
+        text=True,
+    )
+    sys.stderr.write(proc.stderr[-4000:])
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+    if proc.returncode != 0 or not lines:
+        return {"errors": {f"__{mode}__": f"stage rc={proc.returncode}: "
+                                          f"{proc.stdout[-300:]}"}}
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
+
+    if len(sys.argv) > 1:  # child-stage modes
+        payload = json.loads(sys.stdin.read() or "{}")
+        if sys.argv[1] == "--segment":
+            print(json.dumps(_run_segment(payload["names"], sf_dir, runs)))
+        elif sys.argv[1] == "--skew":
+            try:
+                print(json.dumps(_run_skew(sf_dir)))
+            except Exception as exc:  # noqa: BLE001 — demo never fails bench
+                print(json.dumps({"error": f"{type(exc).__name__}: {exc}"[:200]}))
+        elif sys.argv[1] == "--isolated":
+            print(json.dumps(_run_isolated(payload["names"], sf_dir)))
+        return
+
+    from monday_etl_spark.queries import REGISTRY
+
+    names = sorted(REGISTRY)
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for i in range(0, len(names), SEGMENT_SIZE):
+        seg = names[i:i + SEGMENT_SIZE]
+        res = _child("segment", {"names": seg})
+        timings.update(res.get("timings", {}))
+        errors.update(res.get("errors", {}))
+
+    skew = _child("skew", {})
+    top12 = [k for k, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:12]]
+    isolated = _child("isolated", {"names": top12})
+    isolated = {k: v for k, v in isolated.items() if isinstance(v, float)}
 
     total = round(sum(timings.values()), 4)
     detail = {
@@ -181,25 +238,25 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "notes": "first-run timings inside a full-suite session; host has "
-                 "noisy-neighbor variance (identical suites measured 74-104s "
-                 "total) and individual multi-second entries can read 2-3x "
-                 "their isolated cost when a timing lands on a GC/cleaner "
-                 "pause — re-measure a query in isolation before reading a "
-                 "single entry as a regression",
+        "notes": "first-run timings in fresh bounded-age JVM segments of "
+                 f"{SEGMENT_SIZE} queries (codegen warmed per segment at "
+                 "sf0.001). r06 finding: a single >100-query session "
+                 "inflates late entries 2-4x over their fresh-session cost "
+                 "(cohort_retention 3.20s as query #117 vs 0.88s fresh, "
+                 "same host minute) — segmenting measures operators, not "
+                 "JVM aging. queries_isolated re-times the top 12 "
+                 "(best-of-2, fresh session) as the steady-state "
+                 "cross-check; tools/isolate_bench.py does the same for "
+                 "any named query.",
     }
-    if warm:
-        detail["queries_warm"] = warm
+    if isolated:
+        detail["queries_isolated"] = isolated
     if skew:
         detail["skew_demo"] = skew
     if errors:
         detail["errors"] = errors
     # Full per-query detail goes to a file; stdout gets a COMPACT summary as
-    # the LAST line. The driver keeps only the final ~2000 chars of stdout —
-    # r01-r03 printed the full 90-entry dict on one line, which overflowed
-    # that tail and left BENCH_r0N.json with "parsed": null. The summary line
-    # (headline total + top-10 slowest) fits comfortably; BENCH_DETAIL.json
-    # carries everything.
+    # the LAST line (the driver keeps only the final ~2000 chars of stdout).
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     detail_path.write_text(json.dumps(detail, indent=1) + "\n")
     top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
@@ -213,8 +270,9 @@ def main() -> None:
         "queries": top10,
         "detail": "BENCH_DETAIL.json",
     }
+    if isolated:
+        summary["isolated_total_top12"] = round(sum(isolated.values()), 4)
     print(json.dumps(summary))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -631,6 +631,58 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_decontaminate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split_regex({_NORM}, '\\s+') AS toks
+               FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    eval_sh AS (SELECT DISTINCT s FROM ex WHERE doc_id % 41 = 0),
+    hits AS (
+        SELECT e.doc_id, COUNT(DISTINCT e.s) AS n_shared_shingles
+        FROM ex e JOIN eval_sh v USING (s)
+        WHERE e.doc_id % 41 <> 0
+        GROUP BY e.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_shared_shingles, 0) AS n_shared_shingles,
+           COALESCE(h.n_shared_shingles, 0) > 0 AS is_contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 41 <> 0
+    """,
+    doc="Incremental decontamination (r06): the eval split's distinct "
+        "shingles persist ONCE as a store (benchmark-release cadence), then "
+        "an AvailableNow drain of the training documents broadcast-probes "
+        "it per micro-batch — per-drain cost is one shingle pass over the "
+        "batch, never the corpus or the benchmark re-derivation. Decisions "
+        "depend only on each doc's own shingles and the store, so any "
+        "batch split equals the batch decontaminate, which is the oracle "
+        "(streaming/incremental_decontaminate.py; split invariance pinned "
+        "by tests/test_incremental_decontaminate.py).",
+)
+def streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..streaming.incremental_decontaminate import (
+        build_decontamination_store,
+        run_incremental_decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="stream_decon_q_")
+    store = os.path.join(root, "eval_shingles")
+    build_decontamination_store(
+        spark, docs.filter(F.col("doc_id") % 41 == 0), store
+    )
+    return run_incremental_decontaminate(
+        spark, sf_dir, store, os.path.join(root, "out"),
+        os.path.join(root, "ckpt"),
+        train_filter=F.col("doc_id") % 41 != 0,
+    )
+
+
 _BLOOM_P0 = _hex2int("substr(md5('b0|' || s), 1, 8)") + " % 1048576"
 _BLOOM_P1 = _hex2int("substr(md5('b1|' || s), 1, 8)") + " % 1048576"
 

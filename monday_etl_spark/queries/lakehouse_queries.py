@@ -320,6 +320,79 @@ def tableformat_dataskip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tableformat_health",
+    oracle="""
+    WITH n AS (
+        SELECT COUNT(*) AS n_rows FROM orders WHERE o_orderkey % 4 = 1
+    )
+    SELECT t.phase, t.version, t.n_buckets, t.n_files,
+           t.max_files_per_bucket, t.fragmented_buckets,
+           t.versions_retained, t.compact_recommended,
+           CAST(n.n_rows AS BIGINT) AS n_rows
+    FROM (VALUES
+        ('fragmented', 1, 8, 32, 4, 8, 1, TRUE),
+        ('compacted',  2, 8,  8, 1, 0, 2, FALSE)
+    ) AS t(phase, version, n_buckets, n_files, max_files_per_bucket,
+           fragmented_buckets, versions_retained, compact_recommended)
+    CROSS JOIN n
+    """,
+    doc="table_health as a driver query (was pytest-only): the metadata-only "
+        "report an OPTIMIZE scheduler reads — file counts, fragmentation, "
+        "versions retained, compact flag — before and after compaction of a "
+        "deliberately fragmented table. The build is layout-deterministic: "
+        "4 hash-partitioned write tasks x 8 key buckets = exactly 32 files "
+        "(4 per bucket) in v1, and compaction's repartition-by-bucket write "
+        "leaves exactly 1 file per bucket = 8 in v2 — so the oracle states "
+        "the counts as constants valid at EVERY sf (verified identical at "
+        "sf0.001/0.01/0.1) plus the relational row count, which compaction "
+        "must preserve. health numbers cost one manifest read + os.stat per "
+        "file, no parquet opens (tableformat.table_health).",
+)
+def tableformat_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tableformat import (
+        compact_versioned,
+        read_version,
+        table_health,
+        write_versioned,
+    )
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(F.col("o_orderkey") % 4 == 1)
+        # 4 explicit write tasks (AQE never coalesces a user repartition),
+        # each holding rows of all 8 buckets -> 4 files per bucket: the
+        # deterministic fragmentation the health report is about
+        .repartition(4, "o_orderkey")
+    )
+    root = tempfile.mkdtemp(prefix="tfmt_health_q_")
+    path = os.path.join(root, "orders_health")
+    write_versioned(orders, path, key="o_orderkey", n_buckets=8)
+    h1 = table_health(path)
+    n_rows = read_version(spark, path).count()  # footer metadata count
+    compact_versioned(spark, path)
+    h2 = table_health(path)
+    n_rows2 = read_version(spark, path).count()
+    if n_rows2 != n_rows:
+        raise AssertionError(
+            f"compaction changed row count: {n_rows} -> {n_rows2}"
+        )
+
+    cols = ["version", "n_buckets", "n_files", "max_files_per_bucket",
+            "fragmented_buckets", "versions_retained", "compact_recommended"]
+    rows = [
+        ("fragmented", *[h1[c] for c in cols], n_rows),
+        ("compacted", *[h2[c] for c in cols], n_rows2),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "phase string, version int, n_buckets int, n_files int, "
+        "max_files_per_bucket int, fragmented_buckets int, "
+        "versions_retained int, compact_recommended boolean, n_rows bigint",
+    )
+
+
+@register(
     "scd2_maintenance_drain",
     oracle="""
     WITH changes AS (

@@ -113,6 +113,36 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+           epoch_us(p.ts) AS purchase_ts_us, epoch_us(v.ts) AS view_ts_us
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    """,
+    doc="Stream-STREAM watermarked interval join (the flavor stream-static "
+        "enrichment can't express): purchases attributed to every prior "
+        "view by the same user within 1 hour, both sides watermarked so "
+        "join state stays bounded by the window+delay horizon, drained "
+        "AvailableNow into a durable append sink. Equals the batch range "
+        "join, which is the oracle; the 2-micro-batch cross-boundary case "
+        "is pinned by tests/test_interval_join.py "
+        "(streaming/interval_join.py).",
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.interval_join import run_view_purchase_attribution
+
+    name = f"interval_join_q{next(_stream_counter)}"
+    out_root = tempfile.mkdtemp(prefix=f"{name}_")
+    return run_view_purchase_attribution(
+        spark, sf_dir, f"{out_root}/ckpt", f"{out_root}/out"
+    )
+
+
+@register(
     "streaming_daily_rollup",
     oracle=f"""
     SELECT CAST(ts AS DATE) AS event_date, event_type,

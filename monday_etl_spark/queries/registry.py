@@ -54,38 +54,44 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # already-green entries. Refreshed each round from CORRECTNESS_r{N}.json.
 # Purely an ordering hint; every query is still registered and runnable.
 _EVIDENCE_PRIORITY = [
-    # registered in r04, never driver-checked — these go first
-    "tableformat_merge_history", "rollup_maintenance_drain",
-    "semantic_dedup_auto", "zorder_key", "salted_join_skew",
-    "ann_ivf_recall_sweep", "chunk_dedup_rewrite", "hot_key_detection",
-    "join_auto_salted", "quality_classifier_score", "training_order_shuffle",
-    "tableformat_cdc_diff", "dedup_minhash_quality",
-    "data_quality_audit", "scd2_history", "search_index_build",
-    "bm25_topk", "pagerank_influence", "streaming_trending_topk",
-    "funnel_analysis", "cohort_retention", "table_profile",
-    "bigram_lm_build", "mixture_token_allocation", "tableformat_dataskip",
-    # results CHANGED in r04 (LSH re-pinned to 64 buckets) — r03 greens are
-    # stale for these two; re-evidence before anything else carried forward
-    "semantic_dedup", "embedding_near_dup", "timeseries_gap_fill",
-    "revenue_percentiles_sketch", "streaming_enriched_rollup",
-    "doc_chunking", "scd2_maintenance_drain",
-    # oldest evidence: green in r01 only, never re-checked since
-    "chunk_dedup", "source_temperature_resample",
-    # r02-latest evidence (skipped by the r03 budget) — oldest-first refresh
-    "pricing_summary", "rollup_priority_status", "cube_flag_status",
-    "global_aggs", "duplicate_detection", "freshness", "dedup_simhash",
-    "dedup_simhash_near", "ann_lsh_bucketed", "ann_ivf",
-    "embedding_quantize_int8", "corpus_source_stats",
-    "dedup_cluster_resolution", "substring_dedup", "substring_dedup_rolling",
-    "sequence_packing_sharded", "join_left_single", "join_left_composite",
-    "join_semi", "join_anti", "top10_orders", "union_counts",
-    "setop_intersect", "setop_except", "unpivot_measures",
-    "revenue_percentiles", "revenue_histogram", "price_quantity_corr",
-    "deterministic_sample", "stratified_sample", "text_scrub",
-    "training_set_selection", "corpus_curation", "latest_snapshot",
-    "rank_topn_per_group", "running_total", "window_function_battery",
-    # everything below here was re-verified green in r03; a driver budget of
-    # ~50 reaches all 44 stale/new rows above before re-confirming these
+    # r06: NEW queries or results/plans CHANGED this round — evidence first
+    "streaming_interval_join", "tableformat_health",          # new in r06
+    "streaming_decontaminate",                                # new in r06
+    "tableformat_merge_history", "tableformat_cdc_diff",      # demo subset
+    "tableformat_dataskip",                                   # demo subset
+    "semantic_dedup_auto",                                    # oracle added
+    "weekly_threshold",                                       # plan collapsed
+    "rollup_maintenance_drain", "scd2_maintenance_drain",     # single-drain
+    # r02-only official evidence (r04/r05 budgets never reached them —
+    # three-plus rounds stale); oldest official rows in the registry
+    "join_left_composite", "join_left_single", "join_semi", "join_anti",
+    "top10_orders", "union_counts", "setop_intersect", "setop_except",
+    "latest_snapshot", "rank_topn_per_group", "running_total",
+    "window_function_battery", "unpivot_measures", "revenue_histogram",
+    "revenue_percentiles", "price_quantity_corr", "deterministic_sample",
+    "stratified_sample", "text_scrub", "training_set_selection",
+    "corpus_curation",
+    # r03-latest evidence, oldest-first (a ~50 budget reaches the first
+    # ~20 of these after the 30 rows above; the rest lead round 7)
+    "normalize_projects", "normalize_subitems", "normalize_personnel_costs",
+    "normalize_travel_costs", "normalize_supplier_costs",
+    "filter_high_revenue", "filter_inlist", "filter_daterange",
+    "filter_snapshot_eq", "fk_json_extract", "scalar_battery",
+    "daily_metrics", "customer_order_stats", "snapshot_diff",
+    "top_unshipped_orders", "ratio_kpi", "asof_join", "sessionize",
+    "streaming_stateful_sessions", "streaming_daily_rollup",
+    "streaming_incremental_dedup", "multimodal_decode",
+    "multimodal_frame_sample", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_minhash_store", "dedup_ngram_jaccard", "decontaminate",
+    "decontaminate_bloom", "text_fingerprint", "text_quality",
+    "text_lang_id", "text_perplexity", "doc_repetition_filter",
+    "tfidf_top_terms", "token_stats", "sequence_packing",
+    "ann_brute_force", "ann_ivf_store", "ann_recall_at_10",
+    "range_join_bucketed", "grouped_zscore_pandas", "approx_distinct_users",
+    "grouping_sets_reports", "revenue_by_nation", "pivot_event_values",
+    "tumbling_window_6h", "weighted_median_price",
+    # everything below here (unlisted) was re-verified green in r04/r05
+    # official artifacts or by the r05 judge's full driver_sim run
 ]
 
 
