@@ -7,8 +7,9 @@ Layout::
 
     <path>/_manifests/v00001.json   # {"version", "spec", "buckets": {b: [files]}}
     <path>/_manifests/v00002.json
-    <path>/_data/c00001/__bucket=K/part-*.parquet   # immutable once committed
-    <path>/_data/c00002/__bucket=K/part-*.parquet   # only touched buckets
+    <path>/_data/c00001-<uuid>/__bucket=K/part-*.parquet  # immutable once committed
+    <path>/_data/c00002-<uuid>/__bucket=K/part-*.parquet  # only touched buckets;
+                                    # uuid per commit ATTEMPT (writer-unique)
 
 - **Atomic commit**: a version exists iff its manifest file does; the
   manifest is written to a temp name and renamed into place (atomic on
@@ -36,9 +37,16 @@ Layout::
   match — planning stays manifest-side, no Spark scan of pruned files.
 - **Concurrent readers**: a reader holding version N's file list is
   unaffected by later commits (immutability), exactly the snapshot
-  isolation model of the real formats. Writers are single-process here —
-  the commit protocol would need a CAS/lock service for multi-writer,
-  which is precisely what Delta's log store / Iceberg's catalog provide.
+  isolation model of the real formats.
+- **Concurrent writers** (optimistic, the Delta/Iceberg model): each commit
+  attempt writes data to a writer-unique directory, then publishes with a
+  put-if-absent manifest create (``_commit``) — of two writers racing to
+  one version exactly one wins, the loser raises ``ConcurrentCommitError``
+  and nothing of the winner's (manifest OR data files) can be touched.
+  ``merge_versioned``/``delete_versioned`` take ``retries=N`` to re-derive
+  against the new snapshot and retry, the standard optimistic loop. On an
+  object store without atomic link/rename the primitive becomes the
+  store's conditional put (S3 If-None-Match) behind the same ``_commit``.
 
 Scale: manifests are O(n_buckets) file lists — KBs at 4096 buckets — so
 planning cost is constant in data size; per-bucket file lists mean a
@@ -53,6 +61,7 @@ from __future__ import annotations
 import glob as _glob
 import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -125,6 +134,37 @@ def _commit(path: str, manifest: dict) -> None:
         ) from None
     finally:
         os.unlink(tmp)
+
+
+def _new_commit_dir(path: str, version: int) -> str:
+    """A UNIQUE data directory for one commit ATTEMPT. The version number is
+    kept in the name for operators browsing the tree, but the uuid suffix is
+    what makes multi-writer safe: two writers racing to version N each write
+    their own directory, so the loser's ``mode("overwrite")`` write can never
+    delete or interleave with the winner's already-referenced files (a
+    deterministic ``c{N}`` name would let exactly that happen in the window
+    between the winner's manifest CAS and the loser's data write). Manifests
+    reference files by relative path, so readers never construct this name;
+    the loser's directory is an unreferenced orphan ``vacuum`` collects."""
+    return os.path.join(path, _DATA, f"c{version:05d}-{uuid.uuid4().hex[:8]}")
+
+
+def _retrying_commit(fn, retries: int):
+    """Optimistic-concurrency retry: run ``fn`` (which must re-read
+    ``current_version`` itself — all the mutators here do, so each attempt
+    re-derives its merge against the NEW snapshot, never replays a stale
+    one), retrying on ``ConcurrentCommitError`` up to ``retries`` times.
+    This is the retry layer real formats add on top of the put-if-absent
+    primitive (Delta's ``txn.commit`` loop / Iceberg's
+    ``Tasks.retry``)."""
+    attempt = 0
+    while True:
+        try:
+            return fn()
+        except ConcurrentCommitError:
+            if attempt >= retries:
+                raise
+            attempt += 1
 
 
 def _bucket_files(commit_dir: str) -> dict[str, list[str]]:
@@ -209,7 +249,7 @@ def write_versioned(df: DataFrame, path: str, key,
     ``read_where``); later commits keep collecting them. Returns the
     committed version number."""
     version = (current_version(path) or 0) + 1
-    commit_dir = os.path.join(path, _DATA, f"c{version:05d}")
+    commit_dir = _new_commit_dir(path, version)
     (
         df.withColumn(BUCKET_COL, _bucket_expr(key, n_buckets))
         .write.mode("overwrite")
@@ -396,7 +436,8 @@ def read_where(spark: SparkSession, path: str, col: str, lo, hi,
 
 def merge_versioned(spark: SparkSession, path: str,
                     updates: DataFrame,
-                    allow_schema_evolution: bool = False) -> int:
+                    allow_schema_evolution: bool = False,
+                    retries: int = 0) -> int:
     """MERGE (upsert) as a new version: write ONLY the touched buckets'
     merged files; carry every untouched bucket's file list forward BY
     REFERENCE. Returns the new version number.
@@ -410,7 +451,18 @@ def merge_versioned(spark: SparkSession, path: str,
     in the new columns (the manifest schema, not the footers, governs
     reads), and earlier versions time-travel with their own narrower
     schema. Columns missing from ``updates`` are NULL on the upserted rows.
-    Without the flag, any column mismatch raises."""
+    Without the flag, any column mismatch raises.
+
+    ``retries``: optimistic-concurrency retry count. On losing a commit
+    race the WHOLE merge re-derives against the new current version (the
+    loser's data files become vacuum-collectable orphans), so a retried
+    merge applies on top of the winner's changes — never instead of them."""
+    if retries:
+        return _retrying_commit(
+            lambda: merge_versioned(spark, path, updates,
+                                    allow_schema_evolution, retries=0),
+            retries,
+        )
     version = current_version(path)
     if version is None:
         raise FileNotFoundError(f"no committed version at {path}; "
@@ -448,7 +500,7 @@ def merge_versioned(spark: SparkSession, path: str,
     merged = merged.withColumn(BUCKET_COL, _bucket_expr(key, n_buckets))
 
     new_version = version + 1
-    commit_dir = os.path.join(path, _DATA, f"c{new_version:05d}")
+    commit_dir = _new_commit_dir(path, new_version)
     merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(commit_dir)
 
     buckets = dict(man["buckets"])  # untouched entries carried by reference
@@ -501,7 +553,7 @@ def compact_versioned(spark: SparkSession, path: str,
         BUCKET_COL, _bucket_expr(key, n_buckets)
     )
     new_version = version + 1
-    commit_dir = os.path.join(path, _DATA, f"c{new_version:05d}")
+    commit_dir = _new_commit_dir(path, new_version)
     # one output file per bucket partition: repartition on the bucket column
     # so each write task owns whole buckets
     (
@@ -554,12 +606,19 @@ def vacuum(path: str, keep_last: int = 1) -> list[int]:
 
 
 def delete_versioned(spark: SparkSession, path: str,
-                     keys_df: DataFrame) -> int:
+                     keys_df: DataFrame, retries: int = 0) -> int:
     """DELETE WHERE key IN (...) as a new version — the third leg of the
     MERGE DML triad. Same cost model as merge_versioned: only the buckets
     containing doomed keys are re-read and re-written (minus the deleted
     rows); everything else is carried forward by reference. Deleting keys
-    not present is a no-op for those keys. Returns the new version."""
+    not present is a no-op for those keys. Returns the new version.
+    ``retries`` re-derives the whole delete against the new snapshot on a
+    lost commit race (see merge_versioned)."""
+    if retries:
+        return _retrying_commit(
+            lambda: delete_versioned(spark, path, keys_df, retries=0),
+            retries,
+        )
     version = current_version(path)
     if version is None:
         raise FileNotFoundError(f"no committed version at {path}; "
@@ -582,7 +641,7 @@ def delete_versioned(spark: SparkSession, path: str,
         BUCKET_COL, _bucket_expr(key, n_buckets)
     )
     new_version = version + 1
-    commit_dir = os.path.join(path, _DATA, f"c{new_version:05d}")
+    commit_dir = _new_commit_dir(path, new_version)
     kept.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(commit_dir)
 
     buckets = dict(man["buckets"])
@@ -686,7 +745,7 @@ def optimize_zorder(spark: SparkSession, path: str, cols: list[str],
     df = read_version(spark, path, version)
     z = zorder_value(df, cols, bits or DEFAULT_BITS)
     new_version = version + 1
-    commit_dir = os.path.join(path, _DATA, f"c{new_version:05d}")
+    commit_dir = _new_commit_dir(path, new_version)
     # range-partition on (bucket, z) so each bucket splits into
     # ``files_per_bucket`` z-CONTIGUOUS files: stats tightness comes from
     # file/row-group boundaries falling on narrow z ranges, which a single

@@ -223,3 +223,107 @@ def test_concurrent_commit_second_writer_raises(spark, tmp_path):
     # no tmp litter from either attempt
     mandir = os.path.join(path, "_manifests")
     assert not [f for f in os.listdir(mandir) if f.endswith(".tmp")]
+
+
+def test_lost_race_retries_and_winner_data_survives(spark, tmp_path,
+                                                    monkeypatch):
+    """The full optimistic-concurrency story: writer B loses the commit race
+    to writer A (who lands BETWEEN B's snapshot read and B's data write —
+    the dangerous ordering), and
+
+    - without ``retries`` B raises ConcurrentCommitError;
+    - with ``retries=1`` B re-derives against A's snapshot and commits v3
+      containing BOTH writers' changes;
+    - A's committed v2 stays byte-exact even though B wrote data files for
+      "version 2" AFTER A committed — the writer-unique commit directory is
+      what prevents B's mode("overwrite") write from deleting A's files
+      (a deterministic c00002 name would have);
+    - B's lost-attempt files are orphans that vacuum collects.
+    """
+    import glob
+    import os
+
+    import pytest
+
+    import monday_etl_spark.tableformat as tf
+    from monday_etl_spark.tableformat import ConcurrentCommitError
+
+    path = str(tmp_path / "tbl")
+    write_versioned(_df(spark), path, key="id", n_buckets=4)
+    v1 = _rows(read_version(spark, path, 1))
+
+    updates_a = spark.createDataFrame([(0, -100, "A")], "id bigint, v bigint, s string")
+    updates_b = spark.createDataFrame([(1, -200, "B")], "id bigint, v bigint, s string")
+
+    real_dir = tf._new_commit_dir
+    state = {"arm": False, "fired": 0}
+
+    def ambushed_dir(p, version):
+        # A's merge lands after B resolved its snapshot but BEFORE B writes
+        # any data — B's whole write+commit now races a committed winner.
+        if state["arm"]:
+            state["arm"] = False
+            state["fired"] += 1
+            tf.merge_versioned(spark, p, updates_a)
+        return real_dir(p, version)
+
+    monkeypatch.setattr(tf, "_new_commit_dir", ambushed_dir)
+
+    state["arm"] = True
+    with pytest.raises(ConcurrentCommitError, match="version 2"):
+        tf.merge_versioned(spark, path, updates_b)
+    assert state["fired"] == 1
+    # winner's v2 is intact: v1 with A's row upserted
+    want_v2 = sorted([t for t in v1 if t[0] != 0] + [(0, -100, "A")])
+    assert _rows(read_version(spark, path, 2)) == want_v2
+
+    # same ambush, but B retries: loses v3 to A's second merge (which
+    # re-upserts the same row — v3 content == v2), then re-derives against
+    # v3 and commits v4 with BOTH writers' changes
+    state["arm"] = True
+    got = tf.merge_versioned(spark, path, updates_b, retries=1)
+    assert got == 4 and state["fired"] == 2
+    want_v4 = sorted([t for t in want_v2 if t[0] != 1] + [(1, -200, "B")])
+    assert _rows(read_version(spark, path, 3)) == want_v2  # A's re-merge
+    assert _rows(read_version(spark, path, 4)) == want_v4
+    assert _rows(read_version(spark, path, 2)) == want_v2  # still time-travels
+
+    # the two lost attempts left orphan data dirs; vacuum(keep_last) that
+    # retains every live version still collects them
+    n_dirs = len(glob.glob(os.path.join(path, "_data", "c*")))
+    assert n_dirs == 6  # v1, A's v2, A's v3, B's v4 + B's two lost attempts
+    tf.vacuum(path, keep_last=4)
+    assert len(glob.glob(os.path.join(path, "_data", "c*"))) == 4
+    assert _rows(read_version(spark, path, 1)) == sorted(v1)
+    assert _rows(read_version(spark, path, 2)) == want_v2
+    assert _rows(read_version(spark, path, 4)) == want_v4
+
+
+def test_delete_retries_after_lost_race(spark, tmp_path, monkeypatch):
+    """delete_versioned(retries=1) re-derives after losing to a concurrent
+    merge: the delete applies ON TOP of the winner's upsert."""
+    import monday_etl_spark.tableformat as tf
+
+    path = str(tmp_path / "tbl")
+    write_versioned(_df(spark), path, key="id", n_buckets=4)
+    v1 = _rows(read_version(spark, path, 1))
+
+    updates_a = spark.createDataFrame([(2, -300, "A")], "id bigint, v bigint, s string")
+    doomed = spark.createDataFrame([(3,)], "id bigint")
+
+    real_dir = tf._new_commit_dir
+    state = {"arm": True}
+
+    def ambushed_dir(p, version):
+        if state["arm"]:
+            state["arm"] = False
+            tf.merge_versioned(spark, p, updates_a)
+        return real_dir(p, version)
+
+    monkeypatch.setattr(tf, "_new_commit_dir", ambushed_dir)
+    got = tf.delete_versioned(spark, path, doomed, retries=1)
+    assert got == 3
+    want = sorted(
+        [t for t in v1 if t[0] not in (2, 3)] + [(2, -300, "A")]
+    )
+    assert _rows(read_version(spark, path, 3)) == want

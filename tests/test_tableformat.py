@@ -83,16 +83,16 @@ def test_merge_reuses_untouched_files_by_reference(spark, tmp_path):
     for b in same:
         assert m2[b] == m1[b]
         for f in m2[b]:
-            assert "c00001" in f, "untouched file not from the v1 commit"
+            assert "c00001-" in f, "untouched file not from the v1 commit"
 
 
 def test_half_commit_is_invisible(spark, tmp_path):
     path = str(tmp_path / "tbl")
     write_versioned(_base_df(spark), path, key="id", n_buckets=N_BUCKETS)
 
-    # simulate a crash between data write and manifest commit: data dir for
-    # c00002 exists, manifest v00002.json does not
-    orphan = os.path.join(path, "_data", "c00002", "__bucket=0")
+    # simulate a crash between data write and manifest commit: a data dir
+    # for an attempted v2 exists, manifest v00002.json does not
+    orphan = os.path.join(path, "_data", "c00002-deadbeef", "__bucket=0")
     os.makedirs(orphan)
     with open(os.path.join(orphan, "part-junk.parquet"), "wb") as fh:
         fh.write(b"not a real parquet file")
@@ -102,7 +102,7 @@ def test_half_commit_is_invisible(spark, tmp_path):
 
     # vacuum collects the orphan commit dir
     vacuum(path, keep_last=5)
-    assert not os.path.exists(os.path.join(path, "_data", "c00002"))
+    assert not os.path.exists(os.path.join(path, "_data", "c00002-deadbeef"))
 
 
 def test_vacuum_keeps_referenced_drops_rest(spark, tmp_path):
@@ -114,9 +114,10 @@ def test_vacuum_keeps_referenced_drops_rest(spark, tmp_path):
     dropped = vacuum(path, keep_last=1)
     assert dropped == [1]
     assert list_versions(path) == [2]
-    # v2 references most of c00001's files (untouched buckets): the c00001
+    # v2 references most of the v1 commit's files (untouched buckets): that
     # dir must survive vacuum, and the table must still read completely
-    assert os.path.exists(os.path.join(path, "_data", "c00001"))
+    import glob as _gg
+    assert _gg.glob(os.path.join(path, "_data", "c00001-*"))
     assert read_version(spark, path).count() == 201
 
 
@@ -247,7 +248,7 @@ def test_optimize_zorder_row_identical_and_tightens_stats(spark, tmp_path):
         sorted(map(tuple, df.collect()))
     assert read_version(spark, path, 1).count() == n
 
-    files_v1 = _g.glob(str(tmp_path / "ztable/_data/c00001/*/*.parquet"))
-    files_v2 = _g.glob(str(tmp_path / "ztable/_data/c00002/*/*.parquet"))
+    files_v1 = _g.glob(str(tmp_path / "ztable/_data/c00001-*/*/*.parquet"))
+    files_v2 = _g.glob(str(tmp_path / "ztable/_data/c00002-*/*/*.parquet"))
     # b-spans were ~full-range before; z-ordering tightens them materially
     assert avg_span(files_v2, "b") < 0.7 * avg_span(files_v1, "b")
