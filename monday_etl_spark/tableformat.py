@@ -182,12 +182,44 @@ def _bucket_files(commit_dir: str) -> dict[str, list[str]]:
     return out
 
 
+_STATS_MAX_LEN = 16  # string bounds truncate to this many code points
+
+
+def _truncate_bounds(mn: str, mx: str) -> list:
+    """Iceberg-style truncated string bounds: long stats values would make
+    the manifest grow with VALUE size (a 2 KB URL as a stats col = 4 KB per
+    file per column — at 100k files that is the difference between a KB-
+    scale manifest and a GB one), so bounds cap at ``_STATS_MAX_LEN`` code
+    points. The LOWER bound truncates down (a prefix sorts <= the full
+    string); the UPPER bound truncates and increments its last incrementable
+    code point, which sorts > every string sharing the prefix. When no code
+    point can be incremented (all at the Unicode max) the upper bound is
+    recorded as None = unbounded: pruning on that side is simply disabled
+    for the file — skipping is an optimization, never a correctness
+    filter."""
+    lo = mn if len(mn) <= _STATS_MAX_LEN else mn[:_STATS_MAX_LEN]
+    if len(mx) <= _STATS_MAX_LEN:
+        return [lo, mx]
+    prefix = mx[:_STATS_MAX_LEN]
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp >= 0x10FFFF:
+            continue
+        nxt = cp + 1
+        if 0xD800 <= nxt <= 0xDFFF:  # skip the surrogate gap
+            nxt = 0xE000
+        return [lo, prefix[:i] + chr(nxt)]
+    return [lo, None]
+
+
 def _footer_stats(root: str, rel_files: list[str],
                   cols: list[str]) -> dict[str, dict[str, list]]:
     """Per-file [min, max] for ``cols``, read from parquet FOOTERS only (no
     data pages). A column is recorded only when every row group in the file
     has stats for it and the values are JSON-safe (int/float/str) — absent
-    stats simply disable skipping for that file, never break reads."""
+    stats simply disable skipping for that file, never break reads. String
+    bounds are truncated (``_truncate_bounds``) so manifest size tracks
+    file count, never value length."""
     import pyarrow.parquet as pq
 
     out: dict[str, dict[str, list]] = {}
@@ -214,7 +246,10 @@ def _footer_stats(root: str, rel_files: list[str],
                 mn = lo if mn is None else min(mn, lo)
                 mx = hi if mx is None else max(mx, hi)
             if ok and mn is not None:
-                per_col[col] = [mn, mx]
+                per_col[col] = (
+                    _truncate_bounds(mn, mx)
+                    if isinstance(mn, str) else [mn, mx]
+                )
         if per_col:
             out[rel] = per_col
     return out
@@ -370,7 +405,12 @@ def _files_for_range_man(man: dict, col: str, lo, hi) -> tuple[list[str], int]:
     for fs in man["buckets"].values():
         for f in fs:
             rng = stats.get(f, {}).get(col)
-            if rng is not None and (rng[0] > hi or rng[1] < lo):
+            # either bound may be None (= unbounded, e.g. an untruncatable
+            # string upper bound): that side simply never prunes
+            if rng is not None and (
+                (rng[0] is not None and rng[0] > hi)
+                or (rng[1] is not None and rng[1] < lo)
+            ):
                 pruned += 1
             else:
                 keep.append(f)

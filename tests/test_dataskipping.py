@@ -327,3 +327,70 @@ def test_delete_retries_after_lost_race(spark, tmp_path, monkeypatch):
         [t for t in v1 if t[0] not in (2, 3)] + [(2, -300, "A")]
     )
     assert _rows(read_version(spark, path, 3)) == want
+
+
+def test_truncate_bounds_semantics():
+    """Truncated string bounds stay SOUND: lower <= every value, upper >
+    every value with the truncated prefix (or None = unbounded)."""
+    from monday_etl_spark.tableformat import _STATS_MAX_LEN, _truncate_bounds
+
+    # short values pass through untouched
+    assert _truncate_bounds("abc", "xyz") == ["abc", "xyz"]
+    # long min truncates DOWN (prefix sorts <= the full string)
+    long_min = "m" * 40
+    lo, hi = _truncate_bounds(long_min, "zz")
+    assert lo == "m" * _STATS_MAX_LEN and lo <= long_min and hi == "zz"
+    # long max: prefix with last char incremented sorts > the full value
+    long_max = "prefixprefixprefixTAIL"
+    _, hi = _truncate_bounds("a", long_max)
+    assert len(hi) == _STATS_MAX_LEN and hi > long_max
+    # increment lands past the surrogate gap, never inside it
+    edge = "x" * (_STATS_MAX_LEN - 1) + "퟿" + "tail-beyond"
+    _, hi = _truncate_bounds("a", edge)
+    assert hi[-1] == "" and hi > edge
+    # un-incrementable prefix (all at the Unicode max): upper is unbounded
+    _, hi = _truncate_bounds("a", chr(0x10FFFF) * (_STATS_MAX_LEN + 4))
+    assert hi is None
+
+
+def test_string_stats_truncated_and_skipping_sound(spark, tmp_path):
+    """A long-string stats column: manifest bounds are capped at the
+    truncation length (manifest size tracks FILE count, not value size),
+    pruning still fires for disjoint ranges, and read_where stays exact."""
+    import json as _json
+
+    from monday_etl_spark.tableformat import (
+        _STATS_MAX_LEN,
+        _manifest_path,
+    )
+
+    # values like "urlbucketXX/" + 80 chars of path: 8 distinct prefixes
+    rows = [
+        (i, f"urlbucket{i % 8:02d}/" + f"{i:06d}" * 14)
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, url string")
+    path = str(tmp_path / "tbl")
+    write_versioned(df, path, key="id", n_buckets=8, stats_cols=["url"])
+
+    with open(_manifest_path(path, 1)) as fh:
+        man = _json.load(fh)
+    bounds = [b for st in man["stats"].values() for b in st["url"] if b]
+    assert bounds and all(len(b) <= _STATS_MAX_LEN for b in bounds)
+    # soundness per file: recorded bounds bracket that file's real values
+    for f, st in man["stats"].items():
+        vals = [r.url for r in spark.read.parquet(f"{path}/{f}").collect()]
+        lo, hi = st["url"]
+        assert lo <= min(vals)
+        assert hi is None or hi > max(vals)
+
+    # exactness through the skipping read, on a range the truncation spans
+    lo, hi = "urlbucket03/", "urlbucket05/zzz"
+    got = _rows(read_where(spark, path, "url", lo, hi))
+    want = _rows(
+        read_version(spark, path).filter(F.col("url").between(lo, hi))
+    )
+    assert got == want and got
+    # disjoint range still prunes files despite 80-char values
+    _, pruned = files_for_range(path, "url", "zzz", "zzzz")
+    assert pruned > 0
