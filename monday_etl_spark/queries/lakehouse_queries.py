@@ -440,3 +440,56 @@ def scd2_maintenance_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, ingest, os.path.join(root, "scd2_table"),
         os.path.join(root, "ckpt"), glob="*.events.parquet",
     )
+
+
+@register(
+    "tableformat_rename_evolution",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 1000 = 1 THEN CAST(-1.0 AS DOUBLE)
+                WHEN o_orderkey % 1000 = 2 THEN CAST(-2.0 AS DOUBLE)
+                ELSE o_totalprice END AS price
+    FROM orders WHERE o_orderkey % 4 = 1
+    """,
+    doc="Rename/drop schema evolution (r06): a versioned orders subset gets "
+        "a pre-rename MERGE, a METADATA-ONLY o_totalprice->price rename "
+        "(zero data I/O at any table size), a post-rename MERGE keyed on "
+        "the new name, and a column drop — then one read resolves files "
+        "from BOTH naming epochs through the manifest's alias chain "
+        "(coalesce over physical names, exact because name reuse is "
+        "blocked). The oracle is the plain relational restatement; "
+        "tests/test_rename_drop.py pins NULL-through-alias, key-column "
+        "rename, stats rekeying, and resurrection guards "
+        "(tableformat.rename_column/drop_column).",
+)
+def tableformat_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tableformat import (
+        drop_column,
+        merge_versioned,
+        read_version,
+        rename_column,
+        write_versioned,
+    )
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(F.col("o_orderkey") % 4 == 1)
+    )
+    root = tempfile.mkdtemp(prefix="tfmt_rename_q_")
+    path = os.path.join(root, "orders_renamed")
+    write_versioned(orders, path, key="o_orderkey", n_buckets=8)
+    merge_versioned(
+        spark, path,
+        orders.filter(F.col("o_orderkey") % 1000 == 1)
+        .withColumn("o_totalprice", F.lit(-1.0)),
+    )
+    rename_column(path, "o_totalprice", "price")
+    merge_versioned(
+        spark, path,
+        orders.filter(F.col("o_orderkey") % 1000 == 2).select(
+            "o_orderkey", "o_orderstatus", F.lit(-2.0).alias("price")
+        ),
+    )
+    drop_column(path, "o_orderstatus")
+    return read_version(spark, path).select("o_orderkey", "price")

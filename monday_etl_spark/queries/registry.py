@@ -57,6 +57,7 @@ _EVIDENCE_PRIORITY = [
     # r06: NEW queries or results/plans CHANGED this round — evidence first
     "streaming_interval_join", "tableformat_health",          # new in r06
     "streaming_decontaminate",                                # new in r06
+    "tableformat_rename_evolution",                           # new in r06
     "tableformat_merge_history", "tableformat_cdc_diff",      # demo subset
     "tableformat_dataskip",                                   # demo subset
     "semantic_dedup_auto",                                    # oracle added

@@ -29,7 +29,12 @@ Layout::
   widens the table with the update's new columns; the MANIFEST schema (not
   the parquet footers) governs every read, so files written before the
   evolution surface NULLs for the added columns and each retained version
-  time-travels with its own schema.
+  time-travels with its own schema. ``rename_column``/``drop_column`` are
+  METADATA-ONLY commits (zero data I/O at any table size): renames record
+  the prior name as an alias and reads coalesce the alias chain; drops
+  retire the name and reads stop requesting the bytes. Name reuse is
+  blocked (the restriction that makes name-based resolution exact without
+  Iceberg's per-file field-id projection).
 - **Data skipping**: commits can record per-file column [min, max]
   (``stats_cols`` on ``write_versioned``; ``optimize_zorder`` starts
   tracking its clustered columns automatically) read from parquet FOOTERS
@@ -311,6 +316,157 @@ def write_versioned(df: DataFrame, path: str, key,
     return version
 
 
+def _read_files_with_manifest_schema(spark: SparkSession, files: list[str],
+                                     man: dict) -> DataFrame:
+    """Read data files through the MANIFEST schema (Delta-style: schema
+    lives in the log, not the footers): files written before an additive
+    evolution surface the added columns as NULL, and column order is
+    stable. When the manifest carries ``aliases`` (renames), each renamed
+    column reads as ``coalesce(current_name, prior_names...)`` — a file
+    physically contains AT MOST ONE of those names (name reuse is blocked
+    at rename/evolve time), so the coalesce returns exactly the value of
+    whichever physical column the file has, including genuine NULLs.
+    Dropped columns are simply absent from the manifest schema; their bytes
+    stay in old files but no read requests them (Iceberg's drop
+    semantics)."""
+    from pyspark.sql.types import StructField, StructType
+
+    logical = StructType.fromJson(json.loads(man["schema"]))
+    aliases: dict[str, list[str]] = man.get("aliases") or {}
+    if not aliases:
+        return spark.read.schema(logical).parquet(*files)
+    read_fields = list(logical.fields)
+    for cur, priors in aliases.items():
+        dtype = logical[cur].dataType
+        read_fields += [StructField(p, dtype, True) for p in priors]
+    raw = spark.read.schema(StructType(read_fields)).parquet(*files)
+    return raw.select(*[
+        F.coalesce(f.name, *aliases[f.name]).alias(f.name)
+        if f.name in aliases else F.col(f.name)
+        for f in logical.fields
+    ])
+
+
+def _live_and_retired_names(man: dict) -> tuple[set, set]:
+    """(live logical names, names that must never be (re)introduced): every
+    prior name of a live column plus every name a drop retired. Reads
+    resolve prior names positionally-by-name inside old files, so giving a
+    NEW column a retired name would resurrect old bytes under it."""
+    from pyspark.sql.types import StructType
+
+    live = {f.name for f in StructType.fromJson(json.loads(man["schema"]))}
+    retired = set(man.get("retired") or [])
+    for priors in (man.get("aliases") or {}).values():
+        retired.update(priors)
+    return live, retired
+
+
+def _carry_naming(newman: dict, man: dict) -> dict:
+    """Carry rename/drop metadata (aliases, retired names) into a new
+    commit's manifest: every commit type must preserve them or files
+    written before a rename would stop resolving."""
+    for k in ("aliases", "retired"):
+        if man.get(k):
+            newman[k] = man[k]
+    return newman
+
+
+def _metadata_only_manifest(man: dict) -> dict:
+    """Next-version manifest skeleton reusing every data file by reference
+    (rename/drop are METADATA-ONLY commits: zero data I/O, any table size)."""
+    new = {k: (dict(v) if isinstance(v, dict) else v) for k, v in man.items()}
+    new["version"] = man["version"] + 1
+    new["spec"] = dict(man["spec"])
+    return new
+
+
+def rename_column(path: str, old: str, new: str, retries: int = 0) -> int:
+    """RENAME COLUMN as a metadata-only commit: the manifest schema renames
+    the field, records ``old`` as an alias, and rekeys any stats — no data
+    file is touched, so the commit is O(manifest) at any table size. Old
+    files keep their physical name; reads coalesce the alias chain (see
+    ``_read_files_with_manifest_schema``). Earlier versions time-travel
+    under their own names. ``new`` must never have been used by this table
+    (live, prior, or dropped name) — reuse would make name-based resolution
+    ambiguous; this is the restriction that lets the format skip Iceberg's
+    per-file field-id projection while keeping renames exact. Key columns
+    rename cleanly (bucketing hashes values, not names)."""
+    if retries:
+        return _retrying_commit(
+            lambda: rename_column(path, old, new, retries=0), retries)
+    version = current_version(path)
+    if version is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    man = _read_manifest(path, version)
+    live, retired = _live_and_retired_names(man)
+    if old not in live:
+        raise ValueError(f"no column {old!r} to rename (have {sorted(live)})")
+    if new in live or new in retired:
+        raise ValueError(
+            f"column name {new!r} was already used by this table (live or "
+            "historical); pick a fresh name — reuse would resurrect old data"
+        )
+    schema = json.loads(man["schema"])
+    for f in schema["fields"]:
+        if f["name"] == old:
+            f["name"] = new
+    newman = _metadata_only_manifest(man)
+    newman["schema"] = json.dumps(schema)
+    aliases = {k: list(v) for k, v in (man.get("aliases") or {}).items()}
+    aliases[new] = [old] + aliases.pop(old, [])
+    newman["aliases"] = aliases
+    spec = newman["spec"]
+    spec["key"] = [new if k == old else k for k in _keys(spec["key"])]
+    if old in (spec.get("stats_cols") or []):
+        spec["stats_cols"] = [new if c == old else c for c in spec["stats_cols"]]
+    if man.get("stats"):
+        newman["stats"] = {
+            f: {(new if c == old else c): rng for c, rng in per.items()}
+            for f, per in man["stats"].items()
+        }
+    _commit(path, newman)
+    return newman["version"]
+
+
+def drop_column(path: str, col: str, retries: int = 0) -> int:
+    """DROP COLUMN as a metadata-only commit: the field leaves the manifest
+    schema (reads stop requesting it — the bytes stay in old files until
+    those files age out, exactly Iceberg's drop), its name and any prior
+    names are retired against reuse, and its stats entries go. Key columns
+    cannot be dropped (the layout hashes them)."""
+    if retries:
+        return _retrying_commit(
+            lambda: drop_column(path, col, retries=0), retries)
+    version = current_version(path)
+    if version is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    man = _read_manifest(path, version)
+    live, _ = _live_and_retired_names(man)
+    if col not in live:
+        raise ValueError(f"no column {col!r} to drop (have {sorted(live)})")
+    if col in _keys(man["spec"]["key"]):
+        raise ValueError(f"{col!r} is a bucketing key column; cannot drop")
+    schema = json.loads(man["schema"])
+    schema["fields"] = [f for f in schema["fields"] if f["name"] != col]
+    newman = _metadata_only_manifest(man)
+    newman["schema"] = json.dumps(schema)
+    aliases = {k: list(v) for k, v in (man.get("aliases") or {}).items()}
+    retired = list(man.get("retired") or [])
+    retired += [col] + aliases.pop(col, [])
+    newman["aliases"] = aliases
+    newman["retired"] = retired
+    spec = newman["spec"]
+    if col in (spec.get("stats_cols") or []):
+        spec["stats_cols"] = [c for c in spec["stats_cols"] if c != col]
+    if man.get("stats"):
+        newman["stats"] = {
+            f: {c: rng for c, rng in per.items() if c != col}
+            for f, per in man["stats"].items()
+        }
+    _commit(path, newman)
+    return newman["version"]
+
+
 def read_version(spark: SparkSession, path: str,
                  version: int | None = None,
                  buckets: list[int] | None = None) -> DataFrame:
@@ -329,14 +485,7 @@ def read_version(spark: SparkSession, path: str,
     files = [os.path.join(path, f) for fs in wanted.values() for f in fs]
     schema_json = man.get("schema")
     if files and schema_json is not None:
-        # read through the MANIFEST schema (Delta-style: schema lives in the
-        # log, not the footers): files written before a schema evolution
-        # surface the added columns as NULL, and column order is stable
-        from pyspark.sql.types import StructType
-
-        return spark.read.schema(
-            StructType.fromJson(json.loads(schema_json))
-        ).parquet(*files)
+        return _read_files_with_manifest_schema(spark, files, man)
     if not files:
         # no data in the selected buckets: empty frame with the table schema
         any_files = [os.path.join(path, f)
@@ -468,9 +617,7 @@ def read_where(spark: SparkSession, path: str, col: str, lo, hi,
         # without the log schema Spark infers from one file — evolved
         # columns would silently vanish depending on which files survive
         # pruning
-        return spark.read.schema(
-            StructType.fromJson(json.loads(schema_json))
-        ).parquet(*paths).filter(pred)
+        return _read_files_with_manifest_schema(spark, paths, man).filter(pred)
     return spark.read.parquet(*paths).filter(pred)
 
 
@@ -532,6 +679,15 @@ def merge_versioned(spark: SparkSession, path: str,
                 f"{sorted(updates.columns)}; pass "
                 "allow_schema_evolution=True to widen the table"
             )
+        _, retired = _live_and_retired_names(man)
+        reused = (set(updates.columns) - set(current.columns)) & retired
+        if reused:
+            raise ValueError(
+                f"evolved column name(s) {sorted(reused)} were used by this "
+                "table before a rename/drop; reads resolve historical names "
+                "inside old files, so reusing one would resurrect old data — "
+                "pick fresh names"
+            )
         merged = current.join(
             updates.select(*key), key, "left_anti"
         ).unionByName(updates, allowMissingColumns=True)
@@ -553,6 +709,7 @@ def merge_versioned(spark: SparkSession, path: str,
         "schema": merged.drop(BUCKET_COL).schema.json(),
         "buckets": buckets,
     }
+    _carry_naming(newman, man)
     stats = _carry_stats(path, man, buckets)
     if stats is not None:
         newman["stats"] = stats
@@ -610,6 +767,7 @@ def compact_versioned(spark: SparkSession, path: str,
         "schema": man.get("schema"),
         "buckets": buckets,
     }
+    _carry_naming(newman, man)
     stats = _carry_stats(path, man, buckets)
     if stats is not None:
         newman["stats"] = stats
@@ -696,6 +854,7 @@ def delete_versioned(spark: SparkSession, path: str,
         "schema": man.get("schema"),
         "buckets": buckets,
     }
+    _carry_naming(newman, man)
     stats = _carry_stats(path, man, buckets)
     if stats is not None:
         newman["stats"] = stats
