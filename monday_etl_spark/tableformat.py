@@ -125,6 +125,12 @@ def _commit(path: str, manifest: dict) -> None:
     (os.rename would silently clobber the winner). On object stores this
     is the put-if-absent the real formats get from the Delta log store /
     Iceberg catalog."""
+    import time
+
+    # wall-clock commit stamp: powers read_as_of / vacuum retention windows.
+    # Clock skew across writers only blurs AS OF resolution, never
+    # correctness — versions stay totally ordered by number
+    manifest.setdefault("committed_at", time.time())
     os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
     final = _manifest_path(path, manifest["version"])
     tmp = f"{final}.{os.getpid()}.{id(manifest):x}.tmp"
@@ -302,6 +308,7 @@ def write_versioned(df: DataFrame, path: str, key,
         spec["stats_cols"] = list(stats_cols)
     man = {
         "version": version,
+        "operation": "write",
         "spec": spec,
         # schema travels in the manifest so empty versions (e.g. an empty
         # first micro-batch committing buckets={}) stay readable
@@ -371,11 +378,13 @@ def _carry_naming(newman: dict, man: dict) -> dict:
     return newman
 
 
-def _metadata_only_manifest(man: dict) -> dict:
+def _metadata_only_manifest(man: dict, operation: str) -> dict:
     """Next-version manifest skeleton reusing every data file by reference
     (rename/drop are METADATA-ONLY commits: zero data I/O, any table size)."""
     new = {k: (dict(v) if isinstance(v, dict) else v) for k, v in man.items()}
     new["version"] = man["version"] + 1
+    new["operation"] = operation
+    new.pop("committed_at", None)  # _commit restamps the new version
     new["spec"] = dict(man["spec"])
     return new
 
@@ -410,7 +419,7 @@ def rename_column(path: str, old: str, new: str, retries: int = 0) -> int:
     for f in schema["fields"]:
         if f["name"] == old:
             f["name"] = new
-    newman = _metadata_only_manifest(man)
+    newman = _metadata_only_manifest(man, "rename")
     newman["schema"] = json.dumps(schema)
     aliases = {k: list(v) for k, v in (man.get("aliases") or {}).items()}
     aliases[new] = [old] + aliases.pop(old, [])
@@ -448,7 +457,7 @@ def drop_column(path: str, col: str, retries: int = 0) -> int:
         raise ValueError(f"{col!r} is a bucketing key column; cannot drop")
     schema = json.loads(man["schema"])
     schema["fields"] = [f for f in schema["fields"] if f["name"] != col]
-    newman = _metadata_only_manifest(man)
+    newman = _metadata_only_manifest(man, "drop_column")
     newman["schema"] = json.dumps(schema)
     aliases = {k: list(v) for k, v in (man.get("aliases") or {}).items()}
     retired = list(man.get("retired") or [])
@@ -703,6 +712,7 @@ def merge_versioned(spark: SparkSession, path: str,
     buckets.update(_bucket_files(commit_dir))
     newman = {
         "version": new_version,
+        "operation": "merge",
         "spec": man["spec"],
         # the merged frame's schema — identical to the table's unless this
         # merge evolved it (new columns appended)
@@ -763,6 +773,7 @@ def compact_versioned(spark: SparkSession, path: str,
     buckets.update(_bucket_files(commit_dir))
     newman = {
         "version": new_version,
+        "operation": "compact",
         "spec": man["spec"],
         "schema": man.get("schema"),
         "buckets": buckets,
@@ -775,15 +786,66 @@ def compact_versioned(spark: SparkSession, path: str,
     return new_version
 
 
-def vacuum(path: str, keep_last: int = 1) -> list[int]:
-    """Drop all but the newest ``keep_last`` versions and delete every data
-    file no retained version references (including orphans from crashed
-    commits). Returns the versions removed. Time travel reaches only
-    retained versions afterwards."""
+def version_as_of(path: str, ts: float) -> int:
+    """TIMESTAMP AS OF resolution: the newest version committed at or
+    before ``ts`` (unix seconds). Manifests written before commit stamps
+    existed count as infinitely old (always eligible). Raises if the table
+    has no version that early."""
+    best = None
+    for v in list_versions(path):
+        at = _read_manifest(path, v).get("committed_at")
+        if at is None or at <= ts:
+            best = v
+    if best is None:
+        raise FileNotFoundError(
+            f"no version at {path} committed at or before {ts}"
+        )
+    return best
+
+
+def read_as_of(spark: SparkSession, path: str, ts: float) -> DataFrame:
+    """Delta's ``SELECT ... TIMESTAMP AS OF``: read the table as it was at
+    wall-clock ``ts``. Resolution is manifest-side (one tiny JSON read per
+    retained version, no data I/O)."""
+    return read_version(spark, path, version_as_of(path, ts))
+
+
+def table_history(path: str) -> list[dict]:
+    """DESCRIBE HISTORY: one dict per retained version — version number,
+    operation kind (write/merge/delete/compact/zorder/rename/drop_column),
+    commit timestamp, and file/bucket counts. Metadata-only."""
+    out = []
+    for v in list_versions(path):
+        man = _read_manifest(path, v)
+        out.append({
+            "version": v,
+            "operation": man.get("operation"),
+            "committed_at": man.get("committed_at"),
+            "n_buckets": len(man["buckets"]),
+            "n_files": sum(len(fs) for fs in man["buckets"].values()),
+        })
+    return out
+
+
+def vacuum(path: str, keep_last: int = 1,
+           retain_after: float | None = None) -> list[int]:
+    """Drop old versions and delete every data file no retained version
+    references (including orphans from crashed or lost-race commits).
+    Retained = the newest ``keep_last`` versions, plus — when
+    ``retain_after`` is given — every version committed at or after that
+    unix timestamp (Delta's ``RETAIN n HOURS`` window: guarantees
+    ``read_as_of`` keeps resolving inside the window even when many
+    commits land quickly). Returns the versions removed."""
     import shutil
 
     versions = list_versions(path)
-    keep = versions[-keep_last:] if keep_last > 0 else []
+    keep = set(versions[-keep_last:] if keep_last > 0 else [])
+    if retain_after is not None:
+        for v in versions:
+            at = _read_manifest(path, v).get("committed_at")
+            if at is not None and at >= retain_after:
+                keep.add(v)
+    keep = sorted(keep)
     drop = [v for v in versions if v not in keep]
 
     referenced: set[str] = set()
@@ -850,6 +912,7 @@ def delete_versioned(spark: SparkSession, path: str,
         buckets[str(b)] = new_files.get(str(b), [])
     newman = {
         "version": new_version,
+        "operation": "delete",
         "spec": man["spec"],
         "schema": man.get("schema"),
         "buckets": buckets,
@@ -970,6 +1033,7 @@ def optimize_zorder(spark: SparkSession, path: str, cols: list[str],
     spec["stats_cols"] = sorted(set(spec.get("stats_cols") or []) | set(cols))
     newman = {
         "version": new_version,
+        "operation": "zorder",
         "spec": spec,
         "schema": man.get("schema"),
         "buckets": buckets,

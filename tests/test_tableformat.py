@@ -252,3 +252,47 @@ def test_optimize_zorder_row_identical_and_tightens_stats(spark, tmp_path):
     files_v2 = _g.glob(str(tmp_path / "ztable/_data/c00002-*/*/*.parquet"))
     # b-spans were ~full-range before; z-ordering tightens them materially
     assert avg_span(files_v2, "b") < 0.7 * avg_span(files_v1, "b")
+
+
+def test_history_as_of_and_retention_window(spark, tmp_path):
+    """Commit stamps power DESCRIBE HISTORY, TIMESTAMP AS OF reads, and
+    vacuum's retention window — all metadata-only."""
+    import time
+
+    from monday_etl_spark.tableformat import (
+        compact_versioned,
+        read_as_of,
+        rename_column,
+        table_history,
+        vacuum,
+        version_as_of,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_versioned(_base_df(spark), path, key="id", n_buckets=N_BUCKETS)
+    t_after_v1 = time.time()
+    merge_versioned(spark, path, _updates(spark))
+    rename_column(path, "v", "val")
+    compact_versioned(spark, path)
+
+    hist = table_history(path)
+    assert [h["operation"] for h in hist] == \
+        ["write", "merge", "rename", "compact"]
+    stamps = [h["committed_at"] for h in hist]
+    assert all(stamps) and stamps == sorted(stamps)
+    # each version's stamp resolves back to that version
+    for h in hist:
+        assert version_as_of(path, h["committed_at"]) == h["version"]
+    # a timestamp between v1 and v2 reads v1 (pre-merge, pre-rename names)
+    asof = read_as_of(spark, path, t_after_v1)
+    assert asof.columns == ["id", "name", "v"]
+    assert asof.count() == 200
+
+    # retention window: keep_last=1 would drop v1-v3, but retain_after
+    # covering every commit keeps them all reachable
+    assert vacuum(path, keep_last=1, retain_after=stamps[0]) == []
+    assert version_as_of(path, t_after_v1) == 1
+    # window starting after v2's commit: v1 goes, v2+ stay
+    dropped = vacuum(path, keep_last=1, retain_after=stamps[1])
+    assert dropped == [1]
+    assert read_version(spark, path).count() == 201
