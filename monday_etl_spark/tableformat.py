@@ -827,6 +827,62 @@ def table_history(path: str) -> list[dict]:
     return out
 
 
+def rebucket_versioned(spark: SparkSession, path: str,
+                       n_buckets: int, retries: int = 0) -> int:
+    """Bucket-layout evolution: rewrite the table under a new bucket count,
+    committed as a row-identical new version whose spec governs all later
+    MERGE/DELETE routing. The operational need is growth — a table laid out
+    at 64 buckets that grows 100x ends up with multi-GB buckets that cap
+    merge parallelism and make every touched-bucket rewrite huge; stepping
+    to 1024 restores both. An explicit one-shot rewrite (one hash shuffle
+    of the current version, Delta/Hive's honest path) rather than
+    Iceberg-style spec layering: layered specs would make every later read
+    and merge resolve two layouts forever, and the rewrite cost is paid
+    once at a moment the operator chooses. Earlier versions time-travel
+    under their old layout; stats re-collect from the fresh footers."""
+    if retries:
+        return _retrying_commit(
+            lambda: rebucket_versioned(spark, path, n_buckets, retries=0),
+            retries)
+    version = current_version(path)
+    if version is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    man = _read_manifest(path, version)
+    key = _keys(man["spec"]["key"])
+    if n_buckets == man["spec"]["n_buckets"]:
+        return version
+
+    df = read_version(spark, path, version).withColumn(
+        BUCKET_COL, _bucket_expr(key, n_buckets)
+    )
+    new_version = version + 1
+    commit_dir = _new_commit_dir(path, new_version)
+    (
+        df.repartition(n_buckets, BUCKET_COL)
+        .write.mode("overwrite")
+        .partitionBy(BUCKET_COL)
+        .parquet(commit_dir)
+    )
+    buckets = _bucket_files(commit_dir)  # all-new layout, nothing carried
+    spec = dict(man["spec"])
+    spec["n_buckets"] = n_buckets
+    newman = {
+        "version": new_version,
+        "operation": "rebucket",
+        "spec": spec,
+        "schema": man.get("schema"),
+        "buckets": buckets,
+    }
+    _carry_naming(newman, man)
+    if spec.get("stats_cols"):
+        newman["stats"] = _footer_stats(
+            path, [f for fs in buckets.values() for f in fs],
+            spec["stats_cols"],
+        )
+    _commit(path, newman)
+    return new_version
+
+
 def vacuum(path: str, keep_last: int = 1,
            retain_after: float | None = None) -> list[int]:
     """Drop old versions and delete every data file no retained version

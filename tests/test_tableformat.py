@@ -296,3 +296,47 @@ def test_history_as_of_and_retention_window(spark, tmp_path):
     dropped = vacuum(path, keep_last=1, retain_after=stamps[1])
     assert dropped == [1]
     assert read_version(spark, path).count() == 201
+
+
+def test_rebucket_changes_layout_and_merges_route_correctly(spark, tmp_path):
+    """Bucket-count evolution: the rewrite is row-identical, the new spec
+    governs later merges (routing + touched-bucket pruning), time travel
+    keeps the old layout, and stats re-collect under the new files."""
+    from monday_etl_spark.tableformat import (
+        _read_manifest,
+        files_for_range,
+        read_where,
+        rebucket_versioned,
+        table_history,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_versioned(_base_df(spark), path, key="id", n_buckets=2,
+                    stats_cols=["v"])
+    assert rebucket_versioned(spark, path, 8) == 2
+    man = _read_manifest(path, 2)
+    assert man["spec"]["n_buckets"] == 8
+    assert len(man["buckets"]) > 2
+    # row-identical rewrite; v1 still answers under the old layout
+    want = sorted(map(tuple, _base_df(spark).collect()))
+    assert sorted(map(tuple, read_version(spark, path, 2).collect())) == want
+    assert len(_read_manifest(path, 1)["buckets"]) <= 2
+
+    # a merge AFTER the rebucket routes by the new spec and lands
+    merge_versioned(spark, path, _updates(spark))
+    rows = {r.id: (r.name, r.v) for r in read_version(spark, path).collect()}
+    assert rows[7] == ("name_7_v2", 700.0)
+    assert rows[1000] == ("name_1000", 1000.0)
+    assert len(rows) == 201
+
+    # stats survived the layout change: skipping still prunes and is exact
+    _, pruned = files_for_range(path, "v", 0.0, 10.0)
+    assert pruned > 0
+    got = sorted(
+        (r.id, r.v) for r in read_where(spark, path, "v", 0.0, 10.0).collect()
+    )
+    assert got == [(i, float(i)) for i in range(11) if i != 7]  # 7 -> 700.0
+    assert [h["operation"] for h in table_history(path)] == \
+        ["write", "rebucket", "merge"]
+    # no-op when the count already matches
+    assert rebucket_versioned(spark, path, 8) == 3
