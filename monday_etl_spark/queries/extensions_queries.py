@@ -1253,3 +1253,40 @@ def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("est_jaccard") - F.col("jaccard")).alias("abs_err"),
         )
     )
+
+
+@register(
+    "streaming_ivf_maintenance",
+    oracle=_sql_ivf(),
+    doc="Streaming-maintained flavor of ann_ivf_store: the embedding ingest "
+        "drains AvailableNow into the cell-partitioned index (first batch "
+        "builds, later batches append only membership-fresh vectors under "
+        "the FROZEN quantizer), then the query batch runs against the "
+        "maintained store. Per-batch cost is a pure-map assignment of the "
+        "batch plus an id anti-join — never a corpus re-assignment — and "
+        "any drain schedule produces the same store as one batch build "
+        "(exact int64 cell argmin depends only on vector + centroids), so "
+        "the lazy path's unrolled-CTE oracle holds unchanged "
+        "(streaming/ivf_maintenance.py; split/replay/late-append invariance "
+        "pinned by tests/test_ivf_maintenance.py).",
+)
+def streaming_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tf
+
+    from ..extensions.ivf import kmeans_fit
+    from ..extensions.ivf_store import query_ivf_index
+    from ..streaming.ivf_maintenance import run_ivf_maintenance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, iterations=3)
+    out_root = _tf.mkdtemp(prefix="ivf_maint_q_")
+    table = f"ivfm_{_os.path.basename(out_root).lower()}"
+    run_ivf_maintenance(spark, sf_dir, cents, table,
+                        _os.path.join(out_root, "ckpt"))
+    queries = emb.filter(F.col("vec_id").isin(*_QUERY_IDS))
+    res = query_ivf_index(spark, queries, cents, table=table, k=10, nprobe=2)
+    out = f"{out_root}/topk"
+    res.write.parquet(out)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    return spark.read.parquet(out)
