@@ -71,6 +71,12 @@ def update_ivf_index(new_vectors: DataFrame,
         .format("parquet")
         .saveAsTable(table)
     )
+    # an already-resolved relation for this table (the `existing` read
+    # above, or any earlier reader in the session) caches its file listing;
+    # appends do not always invalidate it — notably inside a foreachBatch
+    # execution context — and a stale listing would make the NEXT append's
+    # membership check re-admit these ids
+    spark.catalog.refreshTable(table)
 
 
 def query_ivf_index(spark: SparkSession, queries: DataFrame,

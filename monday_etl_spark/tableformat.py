@@ -48,8 +48,9 @@ Layout::
   put-if-absent manifest create (``_commit``) — of two writers racing to
   one version exactly one wins, the loser raises ``ConcurrentCommitError``
   and nothing of the winner's (manifest OR data files) can be touched.
-  ``merge_versioned``/``delete_versioned`` take ``retries=N`` to re-derive
-  against the new snapshot and retry, the standard optimistic loop. On an
+  Every mutator (merge/delete/compact/zorder/rebucket/rename/drop) takes
+  ``retries=N`` to re-derive against the new snapshot and retry, the
+  standard optimistic loop. On an
   object store without atomic link/rename the primitive becomes the
   store's conditional put (S3 If-None-Match) behind the same ``_commit``.
 
@@ -728,7 +729,8 @@ def merge_versioned(spark: SparkSession, path: str,
 
 
 def compact_versioned(spark: SparkSession, path: str,
-                      max_files_per_bucket: int = 1) -> int:
+                      max_files_per_bucket: int = 1,
+                      retries: int = 0) -> int:
     """OPTIMIZE-style compaction as a new version: rewrite every bucket
     whose file count exceeds ``max_files_per_bucket`` into freshly-packed
     files; carry already-compact buckets forward by reference. Returns the
@@ -742,6 +744,10 @@ def compact_versioned(spark: SparkSession, path: str,
     like merge, costs only the fragmented buckets' I/O. Readers pinned to
     older versions are unaffected; ``vacuum`` reclaims the fragmented
     originals once those versions age out."""
+    if retries:
+        return _retrying_commit(
+            lambda: compact_versioned(spark, path, max_files_per_bucket,
+                                      retries=0), retries)
     version = current_version(path)
     if version is None:
         raise FileNotFoundError(f"no committed version at {path}")
@@ -1036,7 +1042,8 @@ def diff_versions(spark: SparkSession, path: str,
 
 def optimize_zorder(spark: SparkSession, path: str, cols: list[str],
                     bits: int | None = None,
-                    files_per_bucket: int = 4) -> int:
+                    files_per_bucket: int = 4,
+                    retries: int = 0) -> int:
     """OPTIMIZE ... ZORDER BY for the versioned table: rewrite every bucket's
     files with rows sorted by the Morton z-value of ``cols``, committed as a
     new (row-identical) version. Bucketing by the entity key is preserved —
@@ -1053,6 +1060,10 @@ def optimize_zorder(spark: SparkSession, path: str, cols: list[str],
     scopes OPTIMIZE with a WHERE."""
     from .layout import DEFAULT_BITS, zorder_value
 
+    if retries:
+        return _retrying_commit(
+            lambda: optimize_zorder(spark, path, cols, bits,
+                                    files_per_bucket, retries=0), retries)
     version = current_version(path)
     if version is None:
         raise FileNotFoundError(f"no committed version at {path}")

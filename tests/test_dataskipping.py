@@ -394,3 +394,37 @@ def test_string_stats_truncated_and_skipping_sound(spark, tmp_path):
     # disjoint range still prunes files despite 80-char values
     _, pruned = files_for_range(path, "url", "zzz", "zzzz")
     assert pruned > 0
+
+
+def test_maintenance_ops_retry_after_lost_race(spark, tmp_path, monkeypatch):
+    """compact/zorder/rebucket also take the optimistic retries=N: each
+    re-derives against the snapshot the racing writer committed."""
+    import monday_etl_spark.tableformat as tf
+
+    path = str(tmp_path / "tbl")
+    write_versioned(_df(spark), path, key="id", n_buckets=4)
+    racer = spark.createDataFrame([(0, -1, "R")], "id bigint, v bigint, s string")
+
+    real_dir = tf._new_commit_dir
+    state = {"arm": False}
+
+    def ambushed_dir(p, version):
+        if state["arm"]:
+            state["arm"] = False
+            tf.merge_versioned(spark, p, racer)
+        return real_dir(p, version)
+
+    monkeypatch.setattr(tf, "_new_commit_dir", ambushed_dir)
+
+    state["arm"] = True
+    v = tf.compact_versioned(spark, path, retries=1)
+    assert v == 3  # racer took 2; compaction re-derived and committed 3
+    rows = {r.id: r.v for r in read_version(spark, path).collect()}
+    assert rows[0] == -1 and len(rows) == N  # racer's row survived
+
+    state["arm"] = True
+    v = tf.rebucket_versioned(spark, path, 8, retries=1)
+    # racer lost-to... racer commits first (v4), rebucket re-derives to v5
+    assert v == 5
+    assert tf._read_manifest(path, 5)["spec"]["n_buckets"] == 8
+    assert read_version(spark, path).count() == N
