@@ -477,6 +477,43 @@ def drop_column(path: str, col: str, retries: int = 0) -> int:
     return newman["version"]
 
 
+def read_key(spark: SparkSession, path: str, key_value,
+             version: int | None = None) -> DataFrame:
+    """Point lookup by entity key: hash the key value(s) to their bucket and
+    read ONLY that bucket's files — O(1/n_buckets) of the table per lookup,
+    the same routing MERGE uses, with no Spark job spent planning. The
+    bucket is computed driver-side through the identical xxhash64 expression
+    the writers froze into the layout (a one-row local relation, no scan),
+    so lookup and layout can never disagree. ``key_value`` is a scalar for
+    single-column keys or a tuple matching the composite key order; the real
+    equality predicate is applied after pruning, so hash collisions only
+    cost I/O, never correctness."""
+    version = version if version is not None else current_version(path)
+    if version is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    man = _read_manifest(path, version)
+    key = _keys(man["spec"]["key"])
+    vals = (key_value,) if not isinstance(key_value, (tuple, list)) \
+        else tuple(key_value)
+    if len(vals) != len(key):
+        raise ValueError(f"key {key} needs {len(key)} value(s), got {vals!r}")
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(man["schema"]))
+    types = {f.name: f.dataType for f in schema.fields}
+    one = spark.createDataFrame(
+        [vals],
+        ", ".join(f"`{k}` {types[k].simpleString()}" for k in key),
+    )
+    bucket = one.select(
+        _bucket_expr(key, man["spec"]["n_buckets"]).alias("b")
+    ).collect()[0][0]
+    df = read_version(spark, path, version, buckets=[bucket])
+    for k, v in zip(key, vals):
+        df = df.filter(F.col(k) == F.lit(v))
+    return df
+
+
 def read_version(spark: SparkSession, path: str,
                  version: int | None = None,
                  buckets: list[int] | None = None) -> DataFrame:

@@ -340,3 +340,53 @@ def test_rebucket_changes_layout_and_merges_route_correctly(spark, tmp_path):
         ["write", "rebucket", "merge"]
     # no-op when the count already matches
     assert rebucket_versioned(spark, path, 8) == 3
+
+
+def test_read_key_point_lookup_prunes_to_one_bucket(spark, tmp_path):
+    from monday_etl_spark.tableformat import (
+        _read_manifest,
+        read_key,
+        rename_column,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_versioned(_base_df(spark), path, key="id", n_buckets=N_BUCKETS)
+    merge_versioned(spark, path, _updates(spark))
+
+    got = read_key(spark, path, 42)
+    assert [(r.id, r.name, r.v) for r in got.collect()] == \
+        [(42, "name_42_v2", 4200.0)]
+    # the lookup's scan is one bucket's files, not the table's
+    man = _read_manifest(path, 2)
+    n_all = sum(len(fs) for fs in man["buckets"].values())
+    n_scanned = max(len(fs) for fs in man["buckets"].values())
+    assert n_scanned < n_all
+    assert got.count() == 1
+
+    # absent key: empty, typed
+    assert read_key(spark, path, 999_999).count() == 0
+    # time travel: pre-merge value
+    assert [r.v for r in read_key(spark, path, 42, version=1).collect()] == \
+        [42.0]
+    # lookup keeps working after a key-column rename (hash is over values)
+    rename_column(path, "id", "entity_id")
+    assert [(r.entity_id, r.v) for r in read_key(spark, path, 42).collect()] \
+        == [(42, 4200.0)]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="needs 1 value"):
+        read_key(spark, path, (1, 2))
+
+
+def test_read_key_composite(spark, tmp_path):
+    from monday_etl_spark.tableformat import read_key
+
+    path = str(tmp_path / "ctbl")
+    df = spark.createDataFrame(
+        [(i % 10, i, float(i)) for i in range(300)],
+        "grp int, seq bigint, v double",
+    )
+    write_versioned(df, path, key=["grp", "seq"], n_buckets=4)
+    assert [(r.grp, r.seq, r.v) for r in
+            read_key(spark, path, (7, 137)).collect()] == [(7, 137, 137.0)]
