@@ -98,7 +98,14 @@ def auto_salted_join(
     NULL-keyed left row would fail BOTH filters and vanish — wrong for left
     joins, where the plain join keeps it with NULL right columns. A NULL
     key never equi-matches anything, so the plain cold join gives it the
-    same fate the unsplit join would."""
+    same fate the unsplit join would.
+
+    A frequent NULL key (say >1% NULL-keyed left rows) is deliberately NOT
+    salted: NULLs produce no matches, so their skew is a sort/partition
+    cost, not a match-explosion — AQE's skew-split handles that case, and
+    in a left join the null-extended rows could equivalently be routed
+    around the join entirely. Salting here is reserved for keys whose
+    MATCHES concentrate."""
     hot = [k for k in hot_keys(left, on, threshold_frac) if k is not None]
     if not hot:
         return left.join(right, on, how)
