@@ -493,3 +493,57 @@ def tableformat_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drop_column(path, "o_orderstatus")
     return read_version(spark, path).select("o_orderkey", "price")
+
+
+@register(
+    "tableformat_point_lookup",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 4 = 1 AND o_orderkey IN (1, 9, 101, 1001, 4997)
+    """,
+    doc="Key point lookups through the bucket layout (r06): a versioned "
+        "orders subset takes a MERGE (keys divisible by 3 doubled), then five "
+        "read_key lookups — each hashes the key driver-side through the "
+        "frozen layout expression and scans ONE bucket's files, "
+        "O(1/n_buckets) of the table per lookup, the same routing MERGE "
+        "uses. An in-query assertion pins that every lookup's pruned scan "
+        "really opened fewer files than the table holds. Oracle is the "
+        "plain relational restatement (tableformat.read_key; hit/miss, "
+        "composite-key, and post-rename lookups in test_tableformat).",
+)
+def tableformat_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from ..tableformat import (
+        _read_manifest,
+        current_version,
+        merge_versioned,
+        read_key,
+        write_versioned,
+    )
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") % 4 == 1)
+    )
+    root = tempfile.mkdtemp(prefix="tfmt_lookup_q_")
+    path = os.path.join(root, "orders_lookup")
+    write_versioned(orders, path, key="o_orderkey", n_buckets=16)
+    merge_versioned(
+        spark, path,
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2),
+    )
+    man = _read_manifest(path, current_version(path))
+    n_all = sum(len(fs) for fs in man["buckets"].values())
+    n_max_bucket = max(len(fs) for fs in man["buckets"].values())
+    if not n_max_bucket < n_all:
+        raise AssertionError(
+            f"lookup would scan the whole table: {n_max_bucket} of {n_all}"
+        )
+    lookups = [read_key(spark, path, k) for k in (1, 9, 101, 1001, 4997)]
+    return reduce(lambda a, b: a.unionByName(b), lookups)

@@ -59,6 +59,7 @@ _EVIDENCE_PRIORITY = [
     "streaming_decontaminate",                                # new in r06
     "tableformat_rename_evolution",                           # new in r06
     "streaming_ivf_maintenance",                              # new in r06
+    "tableformat_point_lookup",                               # new in r06
     "tableformat_merge_history", "tableformat_cdc_diff",      # demo subset
     "tableformat_dataskip",                                   # demo subset
     "semantic_dedup_auto",                                    # oracle added
