@@ -502,7 +502,7 @@ def tableformat_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
                 ELSE o_totalprice END AS o_totalprice
     FROM orders
-    WHERE o_orderkey % 4 = 1 AND o_orderkey IN (1, 9, 101, 1001, 4997)
+    WHERE o_orderkey % 16 = 1 AND o_orderkey IN (1, 17, 97, 993, 4993)
     """,
     doc="Key point lookups through the bucket layout (r06): a versioned "
         "orders subset takes a MERGE (keys divisible by 3 doubled), then five "
@@ -528,7 +528,9 @@ def tableformat_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = (
         load_table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_totalprice")
-        .filter(F.col("o_orderkey") % 4 == 1)
+        # demo-sized subset: lookup cost is bucket routing, not table size,
+        # so 1/16th of orders demonstrates it as well as 1/4 did
+        .filter(F.col("o_orderkey") % 16 == 1)
     )
     root = tempfile.mkdtemp(prefix="tfmt_lookup_q_")
     path = os.path.join(root, "orders_lookup")
@@ -545,5 +547,5 @@ def tableformat_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(
             f"lookup would scan the whole table: {n_max_bucket} of {n_all}"
         )
-    lookups = [read_key(spark, path, k) for k in (1, 9, 101, 1001, 4997)]
+    lookups = [read_key(spark, path, k) for k in (1, 17, 97, 993, 4993)]
     return reduce(lambda a, b: a.unionByName(b), lookups)
