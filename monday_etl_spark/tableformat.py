@@ -592,25 +592,43 @@ def table_health(path: str, version: int | None = None,
     }
 
 
-def _files_for_range_man(man: dict, col: str, lo, hi) -> tuple[list[str], int]:
-    """files_for_range over an already-read manifest (shared by read_where,
-    which needs the manifest again for its schema — one read, one version)."""
+def _files_for_ranges_man(man: dict, preds: dict) -> tuple[list[str], int]:
+    """Conjunctive (AND) file skipping over an already-read manifest:
+    a file survives only if EVERY predicate's [lo, hi] can intersect its
+    recorded range — one missing-stats or unbounded side keeps the file for
+    that predicate (skipping is an optimization, never a correctness
+    filter), but any other predicate can still prune it. After a
+    multi-column ``optimize_zorder``, an N-dimensional range prunes
+    multiplicatively better than its best single column, because z-ordering
+    makes every clustered column's per-file range tight at once."""
     stats = man.get("stats", {})
     keep: list[str] = []
     pruned = 0
     for fs in man["buckets"].values():
         for f in fs:
-            rng = stats.get(f, {}).get(col)
-            # either bound may be None (= unbounded, e.g. an untruncatable
-            # string upper bound): that side simply never prunes
-            if rng is not None and (
-                (rng[0] is not None and rng[0] > hi)
-                or (rng[1] is not None and rng[1] < lo)
-            ):
+            st = stats.get(f, {})
+            drop = False
+            for col, (lo, hi) in preds.items():
+                rng = st.get(col)
+                # either bound may be None (= unbounded, e.g. an
+                # untruncatable string upper bound): that side never prunes
+                if rng is not None and (
+                    (rng[0] is not None and rng[0] > hi)
+                    or (rng[1] is not None and rng[1] < lo)
+                ):
+                    drop = True
+                    break
+            if drop:
                 pruned += 1
             else:
                 keep.append(f)
     return keep, pruned
+
+
+def _files_for_range_man(man: dict, col: str, lo, hi) -> tuple[list[str], int]:
+    """files_for_range over an already-read manifest (shared by read_where,
+    which needs the manifest again for its schema — one read, one version)."""
+    return _files_for_ranges_man(man, {col: (lo, hi)})
 
 
 def files_for_range(path: str, col: str, lo, hi,
@@ -664,6 +682,46 @@ def read_where(spark: SparkSession, path: str, col: str, lo, hi,
         # without the log schema Spark infers from one file — evolved
         # columns would silently vanish depending on which files survive
         # pruning
+        return _read_files_with_manifest_schema(spark, paths, man).filter(pred)
+    return spark.read.parquet(*paths).filter(pred)
+
+
+def read_where_all(spark: SparkSession, path: str, preds: dict,
+                   version: int | None = None) -> DataFrame:
+    """Conjunctive range read: ``preds`` maps column -> (lo, hi), all ANDed.
+    File skipping intersects every predicate's survivors in one manifest
+    pass — after a multi-column ``optimize_zorder`` a narrow N-dimensional
+    box touches O(matching files), where the best single-column prune would
+    still read every file matching that one column. Exact with or without
+    stats (the real predicate applies after pruning)."""
+    if not preds:
+        raise ValueError("read_where_all needs at least one (col, (lo, hi))")
+    version = version if version is not None else current_version(path)
+    if version is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    man = _read_manifest(path, version)
+    keep, _ = _files_for_ranges_man(man, preds)
+    from functools import reduce
+
+    pred = reduce(
+        lambda a, b: a & b,
+        [(F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))
+         for c, (lo, hi) in preds.items()],
+    )
+    schema_json = man.get("schema")
+    from pyspark.sql.types import StructType
+
+    if not keep:
+        if schema_json is None:
+            raise FileNotFoundError(
+                f"range read at {path} pruned every file and the manifest "
+                "carries no schema: cannot build a typed empty result"
+            )
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(schema_json))
+        ).filter(pred)
+    paths = [os.path.join(path, f) for f in keep]
+    if schema_json is not None:
         return _read_files_with_manifest_schema(spark, paths, man).filter(pred)
     return spark.read.parquet(*paths).filter(pred)
 

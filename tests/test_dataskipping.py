@@ -428,3 +428,44 @@ def test_maintenance_ops_retry_after_lost_race(spark, tmp_path, monkeypatch):
     assert v == 5
     assert tf._read_manifest(path, 5)["spec"]["n_buckets"] == 8
     assert read_version(spark, path).count() == N
+
+
+def test_multi_column_skipping_prunes_multiplicatively(spark, tmp_path):
+    """read_where_all: after a 2-column z-order, a narrow 2-D box prunes
+    strictly MORE files than either single-column predicate, and the result
+    equals the plain conjunctive filter."""
+    from monday_etl_spark.tableformat import (
+        _files_for_ranges_man,
+        read_where_all,
+    )
+
+    path = str(tmp_path / "tbl")
+    # two INDEPENDENT dimensions (low vs high digits of i) so a 2-D box is
+    # selective in both — (i * k) % 64 would be a bijection of i % 64 and
+    # the second predicate could never prune beyond the first
+    df = spark.createDataFrame(
+        [(i, i % 64, (i // 64) % 64) for i in range(N)],
+        "id bigint, x bigint, y bigint",
+    )
+    write_versioned(df, path, key="id", n_buckets=4)
+    optimize_zorder(spark, path, ["x", "y"], files_per_bucket=8)
+    man = _read_manifest(path, current_version(path))
+
+    box = {"x": (8, 15), "y": (8, 15)}
+    _, p_both = _files_for_ranges_man(man, box)
+    _, p_x = _files_for_ranges_man(man, {"x": box["x"]})
+    _, p_y = _files_for_ranges_man(man, {"y": box["y"]})
+    assert p_both > max(p_x, p_y), (p_both, p_x, p_y)
+
+    got = _rows(read_where_all(spark, path, box))
+    want = _rows(
+        read_version(spark, path).filter(
+            F.col("x").between(8, 15) & F.col("y").between(8, 15)
+        )
+    )
+    assert got == want and got
+
+    # empty box: typed empty frame, columns intact
+    empty = read_where_all(spark, path, {"x": (1000, 2000), "y": (8, 15)})
+    assert empty.count() == 0
+    assert empty.columns == ["id", "x", "y"]
