@@ -280,22 +280,28 @@ def tableformat_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     WHERE o_orderkey % 4 IN (1, 2)
       AND o_totalprice >= 100000 AND o_totalprice <= 110000
+      AND o_custkey >= 101 AND o_custkey <= 700
     """,
     doc="Data skipping end-to-end: commit orders as a versioned table, "
-        "OPTIMIZE-ZORDER on o_totalprice (manifest starts carrying per-file "
-        "min/max from parquet footers), then read_where a 1%-wide price "
-        "range — the manifest prunes files whose [min,max] misses the "
-        "range BEFORE any Spark scan, and the query asserts in-flight that "
-        "pruning actually happened (>=half the files skipped). Oracle = "
-        "the plain range filter: skipping must never change results. Demo "
-        "builds on the same sf-proportional half of orders as "
-        "tableformat_merge_history (base filter mirrored in the oracle).",
+        "OPTIMIZE-ZORDER on (o_totalprice, o_custkey) — the manifest "
+        "starts carrying BOTH columns' per-file min/max from parquet "
+        "footers — then read_where_all a 2-D (price, customer) box: the "
+        "manifest prunes files whose ranges miss EITHER predicate before "
+        "any Spark scan. In-query assertions pin that >=half the files "
+        "skipped and that the conjunction pruned at least as many as its "
+        "best single column (z-ordering keeps both dims' per-file ranges "
+        "tight at once — the multiplicative win the test suite pins "
+        "strictly on independent dims). Oracle = the plain conjunctive "
+        "filter: skipping must never change results. Demo builds on the "
+        "same sf-proportional half of orders as tableformat_merge_history.",
 )
 def tableformat_dataskip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tableformat import (
-        files_for_range,
+        _files_for_ranges_man,
+        _read_manifest,
+        current_version,
         optimize_zorder,
-        read_where,
+        read_where_all,
         write_versioned,
     )
 
@@ -307,16 +313,26 @@ def tableformat_dataskip(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="tfmt_skip_q_")
     path = os.path.join(root, "orders_skip")
     write_versioned(orders, path, key="o_orderkey", n_buckets=8)
-    optimize_zorder(spark, path, ["o_totalprice"], files_per_bucket=4)
+    optimize_zorder(spark, path, ["o_totalprice", "o_custkey"],
+                    files_per_bucket=4)
 
-    keep, pruned = files_for_range(path, "o_totalprice", 100000.0, 110000.0)
+    box = {"o_totalprice": (100000.0, 110000.0), "o_custkey": (101, 700)}
+    man = _read_manifest(path, current_version(path))
+    keep, pruned = _files_for_ranges_man(man, box)
     if not pruned or pruned < (pruned + len(keep)) // 2:
         raise AssertionError(
             f"data skipping ineffective: kept {len(keep)}, pruned {pruned}"
         )
-    return read_where(
-        spark, path, "o_totalprice", 100000.0, 110000.0
-    ).select("o_orderkey", "o_custkey", "o_totalprice")
+    best_single = max(
+        _files_for_ranges_man(man, {c: box[c]})[1] for c in box
+    )
+    if pruned < best_single:
+        raise AssertionError(
+            f"conjunction pruned {pruned} < best single column {best_single}"
+        )
+    return read_where_all(spark, path, box).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
 
 
 @register(
