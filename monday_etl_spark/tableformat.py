@@ -64,6 +64,7 @@ schema).
 
 from __future__ import annotations
 
+import contextlib
 import glob as _glob
 import json
 import os
@@ -107,9 +108,34 @@ def list_versions(path: str) -> list[int]:
     )
 
 
+def _hint_path(path: str) -> str:
+    return os.path.join(path, _MANIFESTS, "_latest")
+
+
 def current_version(path: str) -> int | None:
-    versions = list_versions(path)
-    return versions[-1] if versions else None
+    """Latest committed version, resolved in O(1) via the ``_latest`` hint
+    plus a forward probe — NOT a directory listing. Every operation calls
+    this, and on an object store a LIST over a long commit history is the
+    planning bottleneck (the problem Delta's ``_last_checkpoint`` exists
+    for). The hint is a best-effort lower bound written after each commit:
+    it can be stale or even regress under racing writers (last rename
+    wins), so resolution probes ``hint, hint+1, ...`` for existing
+    manifests and returns the last that exists — correct because versions
+    are dense (each commit is prior+1) and ``vacuum`` only ever drops OLD
+    versions. A missing or corrupt hint falls back to the listing."""
+    try:
+        with open(_hint_path(path)) as fh:
+            v = int(fh.read().strip())
+    except (OSError, ValueError):
+        versions = list_versions(path)
+        return versions[-1] if versions else None
+    if not os.path.exists(_manifest_path(path, v)):
+        # hint points at a vacuumed-away or never-committed version
+        versions = list_versions(path)
+        return versions[-1] if versions else None
+    while os.path.exists(_manifest_path(path, v + 1)):
+        v += 1
+    return v
 
 
 def _read_manifest(path: str, version: int) -> dict:
@@ -146,6 +172,17 @@ def _commit(path: str, manifest: dict) -> None:
         ) from None
     finally:
         os.unlink(tmp)
+    # best-effort latest-version hint (see current_version): a lower bound,
+    # never authoritative — losing this write (or a racing writer's rename
+    # landing after a newer one) only costs probe steps, never correctness
+    hint_tmp = f"{_hint_path(path)}.{os.getpid()}.tmp"
+    try:
+        with open(hint_tmp, "w") as fh:
+            fh.write(str(manifest["version"]))
+        os.replace(hint_tmp, _hint_path(path))
+    except OSError:
+        with contextlib.suppress(OSError):
+            os.unlink(hint_tmp)
 
 
 def _new_commit_dir(path: str, version: int) -> str:

@@ -390,3 +390,49 @@ def test_read_key_composite(spark, tmp_path):
     write_versioned(df, path, key=["grp", "seq"], n_buckets=4)
     assert [(r.grp, r.seq, r.v) for r in
             read_key(spark, path, (7, 137)).collect()] == [(7, 137, 137.0)]
+
+
+def test_latest_hint_resolution_and_degradation(spark, tmp_path):
+    """current_version resolves O(1) via the _latest hint + forward probe,
+    and every degraded hint state (stale, regressed, corrupt, missing,
+    pointing at a vacuumed version) still resolves correctly."""
+    from monday_etl_spark.tableformat import (
+        _hint_path,
+        current_version,
+        delete_versioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_versioned(_base_df(spark), path, key="id", n_buckets=N_BUCKETS)
+    merge_versioned(spark, path, _updates(spark))
+    delete_versioned(
+        spark, path, spark.createDataFrame([(3,)], "id bigint"))
+    hint = _hint_path(path)
+    with open(hint) as fh:
+        assert fh.read().strip() == "3"
+    assert current_version(path) == 3
+
+    # stale / regressed hint: probe-forward recovers
+    with open(hint, "w") as fh:
+        fh.write("1")
+    assert current_version(path) == 3
+    # corrupt hint: listing fallback
+    with open(hint, "w") as fh:
+        fh.write("garbage")
+    assert current_version(path) == 3
+    # missing hint: listing fallback
+    os.remove(hint)
+    assert current_version(path) == 3
+    # a further commit restores the hint
+    merge_versioned(
+        spark, path,
+        spark.createDataFrame([(2000, "late", 1.0)],
+                              "id bigint, name string, v double"))
+    with open(hint) as fh:
+        assert fh.read().strip() == "4"
+
+    # hint pointing at a vacuumed-away version: listing fallback
+    vacuum(path, keep_last=1)
+    with open(hint, "w") as fh:
+        fh.write("1")
+    assert current_version(path) == 4
