@@ -60,3 +60,85 @@ def pagerank_int(
         if checkpoint:
             ranks = ranks.localCheckpoint()
     return ranks.select(F.col("src").alias("node"), "rank_ppm")
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Global triangle census over an undirected graph.
+
+    ``edges``: one row per undirected edge (a, b), a < b, distinct.
+    Returns ONE row: (n_nodes, n_edges, n_wedges, n_triangles,
+    global_clustering_ppm) — all int64, ppm via floor division, so the
+    result is bit-deterministic and SQL-reproducible.
+
+    Scale shape (the part that matters at 100 TB): edges are ORIENTED from
+    the lower-(degree, id) endpoint to the higher one before the wedge
+    join, the classic degree-ordering trick — every oriented out-degree is
+    bounded by O(sqrt(m)) no matter how skewed the raw degree distribution
+    is, so the wedge self-join never explodes on hub nodes the way a naive
+    (a,b)x(a,c) join would. Each triangle is then generated exactly once
+    (at its lowest-ordered vertex) and confirmed with one hash semi-join
+    against the oriented edge list: two shuffles total, both on node keys.
+    """
+    both = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("node"), F.col("b").alias("peer")),
+                F.struct(F.col("b").alias("node"), F.col("a").alias("peer")),
+            )
+        ).alias("e")
+    ).select("e.node", "e.peer")
+    deg = both.groupBy("node").agg(F.count("*").alias("deg"))
+
+    # orient each edge by (deg, id): keeps out-degrees O(sqrt(m))
+    ed = (
+        edges.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(
+                    F.col("a").alias("src"),
+                    F.col("b").alias("dst"),
+                    F.col("db").alias("ddeg"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("b").alias("src"),
+                    F.col("a").alias("dst"),
+                    F.col("da").alias("ddeg"),
+                )
+            )
+            .alias("o")
+        )
+        .select("o.src", "o.dst", "o.ddeg")
+    )
+
+    e1, e2 = ed.alias("e1"), ed.alias("e2")
+    wedges = e1.join(e2, "src").where(
+        (F.col("e1.ddeg") < F.col("e2.ddeg"))
+        | ((F.col("e1.ddeg") == F.col("e2.ddeg")) & (F.col("e1.dst") < F.col("e2.dst")))
+    ).select(F.col("e1.dst").alias("src"), F.col("e2.dst").alias("dst"))
+    tri = wedges.join(ed.select("src", "dst"), ["src", "dst"], "left_semi")
+
+    counts = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    node_stats = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).cast("long").alias("n_wedges"),
+    )
+    tri_n = tri.agg(F.count("*").cast("long").alias("n_triangles"))
+    return (
+        node_stats.crossJoin(counts)
+        .crossJoin(tri_n)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr(
+                "CASE WHEN n_wedges > 0 THEN (3 * n_triangles * 1000000) div n_wedges "
+                "ELSE 0 END"
+            ).cast("long").alias("global_clustering_ppm"),
+        )
+    )

@@ -95,3 +95,90 @@ def pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("node div 2").alias("entity_key"),
         "rank_ppm",
     )
+
+
+_ORIENT = "da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)"
+
+
+@register(
+    "triangle_census",
+    oracle=f"""
+    WITH hi AS (
+        SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48
+    ),
+    edges AS (
+        SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+        FROM hi x JOIN hi y
+          ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+    ),
+    both_ends AS (
+        SELECT a AS node, b AS peer FROM edges
+        UNION ALL
+        SELECT b AS node, a AS peer FROM edges
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM both_ends GROUP BY node
+    ),
+    ed AS (
+        SELECT CASE WHEN {_ORIENT} THEN e.a ELSE e.b END AS src,
+               CASE WHEN {_ORIENT} THEN e.b ELSE e.a END AS dst,
+               CASE WHEN {_ORIENT} THEN db.deg ELSE da.deg END AS ddeg
+        FROM edges e
+        JOIN deg da ON da.node = e.a
+        JOIN deg db ON db.node = e.b
+    ),
+    wedges AS (
+        SELECT e1.dst AS src, e2.dst AS dst
+        FROM ed e1 JOIN ed e2 ON e1.src = e2.src
+        WHERE e1.ddeg < e2.ddeg
+           OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst)
+    ),
+    tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM wedges w
+        WHERE EXISTS (SELECT 1 FROM ed
+                      WHERE ed.src = w.src AND ed.dst = w.dst)
+    ),
+    node_stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+        FROM deg
+    ),
+    edge_stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CAST(CASE WHEN n_wedges > 0
+                     THEN (3 * n_triangles * 1000000) // n_wedges
+                     ELSE 0 END AS BIGINT) AS global_clustering_ppm
+    FROM node_stats, edge_stats, tri
+    """,
+    doc="Global triangle census + clustering coefficient over the supplier "
+        "co-supply graph (edge = two suppliers sharing an order among "
+        "high-quantity lineitems; the qty >= 48 cut keeps the bipartite "
+        "projection sparse at every sf instead of collapsing to a clique). "
+        "Degree-ordered orientation before the wedge self-join bounds every "
+        "out-degree by O(sqrt(m)) regardless of hub skew — the standard "
+        "scalable triangle-count shape — and each triangle is generated "
+        "exactly once at its lowest-ordered vertex, then confirmed by one "
+        "hash semi-join against the oriented edge list. All counts int64, "
+        "clustering in ppm by floor division: bit-exact vs the SQL oracle.",
+)
+def triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.graph import triangle_stats
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 48)
+        .select("l_orderkey", "l_suppkey")
+    )
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .select(F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b"))
+        .distinct()
+    )
+    return triangle_stats(edges)

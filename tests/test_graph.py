@@ -53,3 +53,47 @@ def test_mass_nearly_conserved(spark):
     n = 4
     assert total <= n * 1_000_000
     assert total >= n * 1_000_000 - 3 * 10 * n  # generous floor-loss bound
+
+
+def _und(spark, pairs):
+    from monday_etl_spark.extensions.graph import triangle_stats
+
+    df = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in pairs], "a long, b long"
+    ).distinct()
+    return triangle_stats(df).collect()[0].asDict()
+
+
+def test_triangle_k4(spark):
+    # K4: C(4,3)=4 triangles, wedges = 4*C(3,2)=12, clustering = 3*4/12 = 1.0
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    got = _und(spark, k4)
+    assert got == {
+        "n_nodes": 4,
+        "n_edges": 6,
+        "n_wedges": 12,
+        "n_triangles": 4,
+        "global_clustering_ppm": 1_000_000,
+    }
+
+
+def test_triangle_star_plus_one(spark):
+    # hub 0 connected to 1..4, plus edge (1,2): exactly one triangle
+    # (0,1,2); wedges = C(5,2)[hub? no, hub deg 4 -> C(4,2)=6] + deg1=2 ->1
+    # + deg2=2 ->1 = 8; clustering = 3*1/8 -> 375000 ppm
+    got = _und(spark, [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2)])
+    assert got == {
+        "n_nodes": 5,
+        "n_edges": 5,
+        "n_wedges": 8,
+        "n_triangles": 1,
+        "global_clustering_ppm": 375_000,
+    }
+
+
+def test_triangle_free(spark):
+    # path graph: wedges but no triangles
+    got = _und(spark, [(0, 1), (1, 2), (2, 3)])
+    assert got["n_triangles"] == 0
+    assert got["n_wedges"] == 2
+    assert got["global_clustering_ppm"] == 0
