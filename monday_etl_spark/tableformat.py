@@ -18,6 +18,10 @@ Layout::
 - **Time travel**: every manifest is kept until ``vacuum``; ``read_version``
   of any retained version reconstructs that table state exactly, because
   data files are never modified in place.
+- **Named refs (tags)**: ``create_tag``/``read_tag`` pin a human name to a
+  version (Iceberg tags) with the same put-if-absent primitive as commits;
+  ``vacuum`` retains tagged versions, making a tag a durable audit anchor
+  for "the exact snapshot this model trained on".
 - **File-reuse MERGE** (the Iceberg trick): ``merge_versioned`` writes ONLY
   the touched buckets' new files; the new manifest carries the untouched
   buckets' entries forward by reference. A merge touching 1% of keys
@@ -75,6 +79,7 @@ from pyspark.sql import functions as F
 
 _MANIFESTS = "_manifests"
 _DATA = "_data"
+_REFS = "_refs"
 BUCKET_COL = "__bucket"
 
 
@@ -1039,6 +1044,9 @@ def vacuum(path: str, keep_last: int = 1,
             at = _read_manifest(path, v).get("committed_at")
             if at is not None and at >= retain_after:
                 keep.add(v)
+    # tagged versions are pinned: a tag is an audit anchor ("the table the
+    # model trained on"), so vacuum never collects what one points at
+    keep.update(v for v in list_tags(path).values() if v in set(versions))
     keep = sorted(keep)
     drop = [v for v in versions if v not in keep]
 
@@ -1243,3 +1251,80 @@ def optimize_zorder(spark: SparkSession, path: str, cols: list[str],
     }
     _commit(path, newman)
     return new_version
+
+
+# ---------------------------------------------------------------------------
+# Named refs (Iceberg-style tags): human-named, immutable version pointers.
+# A tag is one tiny JSON file under _refs/ — pure metadata, no data I/O —
+# created with the same put-if-absent primitive as manifests so two writers
+# racing to claim a name cannot clobber each other. vacuum() treats tagged
+# versions as retained, which is what makes a tag a durable audit pin
+# ("the exact table the model was trained on") rather than a hint.
+# ---------------------------------------------------------------------------
+
+
+class RefError(RuntimeError):
+    """Tag name collision (create) or unknown tag (resolve/delete)."""
+
+
+def _ref_path(path: str, name: str) -> str:
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,127}", name):
+        raise RefError(f"invalid tag name: {name!r}")
+    return os.path.join(path, _REFS, f"{name}.json")
+
+
+def create_tag(path: str, name: str, version: int | None = None) -> int:
+    """Pin ``name`` to ``version`` (default: the current version). Tags are
+    immutable: re-creating an existing name raises ``RefError`` (delete it
+    first to move it — an explicit, auditable two-step, like Iceberg's
+    replace). Returns the pinned version."""
+    import time
+
+    version = version if version is not None else current_version(path)
+    if version is None or not os.path.exists(_manifest_path(path, version)):
+        raise FileNotFoundError(f"no committed version {version} at {path}")
+    final = _ref_path(path, name)
+    os.makedirs(os.path.join(path, _REFS), exist_ok=True)
+    tmp = f"{final}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"name": name, "version": version, "created_at": time.time()}, fh)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise RefError(f"tag {name!r} already exists at {path}") from None
+    finally:
+        os.unlink(tmp)
+    return version
+
+
+def list_tags(path: str) -> dict[str, int]:
+    """{tag name: version}, metadata-only."""
+    out: dict[str, int] = {}
+    for p in sorted(_glob.glob(os.path.join(path, _REFS, "*.json"))):
+        with open(p) as fh:
+            ref = json.load(fh)
+        out[ref["name"]] = int(ref["version"])
+    return out
+
+
+def resolve_tag(path: str, name: str) -> int:
+    try:
+        with open(_ref_path(path, name)) as fh:
+            return int(json.load(fh)["version"])
+    except FileNotFoundError:
+        raise RefError(f"unknown tag {name!r} at {path}") from None
+
+
+def delete_tag(path: str, name: str) -> None:
+    try:
+        os.remove(_ref_path(path, name))
+    except FileNotFoundError:
+        raise RefError(f"unknown tag {name!r} at {path}") from None
+
+
+def read_tag(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """``SELECT ... VERSION AS OF <tag>``: read the exact snapshot a tag
+    pins, through the same manifest-governed reader as read_version."""
+    return read_version(spark, path, resolve_tag(path, name))
