@@ -565,3 +565,77 @@ def tableformat_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     lookups = [read_key(spark, path, k) for k in (1, 17, 97, 993, 4993)]
     return reduce(lambda a, b: a.unionByName(b), lookups)
+
+
+@register(
+    "governance_erasure",
+    oracle="""
+    SELECT 'documents' AS table_name,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_before,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+             WHERE doc_id % 37 = 0) AS n_deleted,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+             WHERE doc_id % 37 <> 0) AS n_after
+    UNION ALL
+    SELECT 'embeddings' AS table_name,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_before,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+             WHERE vec_id % 37 = 0) AS n_deleted,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+             WHERE vec_id % 37 <> 0) AS n_after
+    """,
+    doc="Right-to-be-forgotten / takedown erasure across the corpus AND its "
+        "derived artifacts — the governance op every training-data pipeline "
+        "needs when an opt-out list arrives. Both tables are committed as "
+        "versioned tables, tagged 'pre-erasure' (the durable audit anchor "
+        "vacuum retains), then the opt-out keys are DELETEd from each via "
+        "the manifest-governed DML path (only colliding buckets rewrite; "
+        "at 100 TB the erasure cost is proportional to the touched buckets, "
+        "not the corpus). The audit row per table reports "
+        "before/deleted/after counts with before read through the TAG — so "
+        "the hash-checked result proves both the cascade delete and that "
+        "tag reads survive later commits. Oracle: plain relational counts.",
+)
+def governance_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tableformat import (
+        create_tag,
+        delete_versioned,
+        read_tag,
+        read_version,
+        write_versioned,
+    )
+
+    root = tempfile.mkdtemp(prefix="tfmt_erase_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    embs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.size("embedding").alias("dims")
+    )
+    specs = [
+        ("documents", docs, "doc_id"),
+        ("embeddings", embs, "vec_id"),
+    ]
+    out = None
+    for name, df, key in specs:
+        path = os.path.join(root, name)
+        write_versioned(df, path, key=key, n_buckets=8)
+        create_tag(path, "pre-erasure")
+        optout = df.where(F.col(key) % 37 == 0).select(key)
+        delete_versioned(spark, path, optout)
+        audit = (
+            read_tag(spark, path, "pre-erasure")
+            .agg(F.count("*").cast("long").alias("n_before"))
+            .crossJoin(
+                read_version(spark, path)
+                .agg(F.count("*").cast("long").alias("n_after"))
+            )
+            .select(
+                F.lit(name).alias("table_name"),
+                "n_before",
+                (F.col("n_before") - F.col("n_after")).cast("long").alias("n_deleted"),
+                "n_after",
+            )
+        )
+        out = audit if out is None else out.unionByName(audit)
+    return out
