@@ -299,3 +299,42 @@ def timeseries_moving_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_anomaly"),
     )
+
+
+@register(
+    "hopping_window_6h_2h",
+    oracle=f"""
+    SELECT ((epoch_us(ts) // 7200000000) - k.k) * 7200000000
+               AS window_start_us,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_money_sum('value')} AS total_value
+    FROM events, (SELECT UNNEST([0, 1, 2]) AS k) k
+    GROUP BY 1, event_type
+    """,
+    doc="Batch hopping (sliding) window: 6h windows every 2h, so each event "
+        "lands in exactly 3 overlapping windows — F.window(ts, '6 hours', "
+        "'2 hours'), the same operator Structured Streaming uses, run in "
+        "batch. Plan: one Expand node fans each row into its 3 window "
+        "slots BEFORE the hash aggregate, so partial (map-side) "
+        "aggregation still applies and the shuffle carries one row per "
+        "(window, type) group, not per event — the overlap factor "
+        "multiplies the pre-combine map output, never the shuffle. Oracle "
+        "derives the same slots with integer epoch-us arithmetic "
+        "(UNNEST([0,1,2]) hop offsets).",
+)
+def hopping_window_6h_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "2 hours").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            money_sum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
