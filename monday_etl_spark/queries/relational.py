@@ -544,3 +544,59 @@ def join_auto_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("revenue"),
     )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH hi_cust AS (
+        SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000
+    ),
+    o95 AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-01-01'
+        GROUP BY o_custkey
+    )
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_mktsegment,
+           o.n_orders,
+           CASE WHEN c.c_custkey IS NULL THEN 'right_only'
+                WHEN o.o_custkey IS NULL THEN 'left_only'
+                ELSE 'both' END AS match_type
+    FROM hi_cust c FULL OUTER JOIN o95 o ON o.o_custkey = c.c_custkey
+    """,
+    doc="FULL OUTER join — the one outer-join flavor the registry lacked: "
+        "high-balance customers vs their 1995 order counts, so BOTH sides "
+        "carry unmatched rows (rich customers who sat 1995 out; active "
+        "customers below the balance cut). Shuffle hash join on the key "
+        "with null-extended rows from each side; at scale the same plan "
+        "as an inner join — full outer only forbids the broadcast "
+        "fast-path for the preserved sides.",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 5000)
+        .select("c_custkey", "c_mktsegment")
+    )
+    o95 = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+    j = cust.join(o95, cust.c_custkey == o95.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_mktsegment",
+        "n_orders",
+        F.when(F.col("c_custkey").isNull(), F.lit("right_only"))
+        .when(F.col("o_custkey").isNull(), F.lit("left_only"))
+        .otherwise(F.lit("both"))
+        .alias("match_type"),
+    )

@@ -338,3 +338,48 @@ def hopping_window_6h_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "revenue_equidepth_histogram",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_extendedprice,
+               NTILE(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+                               l_linenumber) AS decile
+        FROM lineitem
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM ranked GROUP BY decile
+    """,
+    doc="Equi-depth (NTILE) histogram: 10 equal-population price buckets "
+        "with per-decile count/min/max/revenue — the distribution profile "
+        "equi-WIDTH histograms (revenue_histogram) distort under skew. "
+        "Deterministic across engines because the NTILE ordering carries a "
+        "unique (price, orderkey, linenumber) tie-break. The exact form "
+        "globally sorts (fine to ~1e8 rows); at 100 TB swap the NTILE for "
+        "approx_percentile boundaries + a broadcast range join — same "
+        "output schema, sketch-merge instead of total order.",
+)
+def revenue_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        li.select("l_extendedprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
