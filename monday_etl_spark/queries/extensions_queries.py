@@ -1290,3 +1290,46 @@ def streaming_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     res.write.parquet(out)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     return spark.read.parquet(out)
+
+
+@register(
+    "set_similarity_join",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split_regex({_NORM}, '\\s+') AS toks
+               FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    sz AS (SELECT doc_id, len(sh) AS sz FROM sh),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, inter,
+           CAST(sa.sz + sb.sz - inter AS BIGINT) AS union_sz,
+           CAST((inter * 1000000) // (sa.sz + sb.sz - inter) AS BIGINT)
+               AS jaccard_ppm
+    FROM inter
+    JOIN sz sa ON sa.doc_id = inter.doc_a
+    JOIN sz sb ON sb.doc_id = inter.doc_b
+    WHERE 2 * inter >= sa.sz + sb.sz - inter
+    """,
+    doc="EXACT set-similarity self-join at Jaccard >= 1/2 via prefix "
+        "filtering (AllPairs/PPJoin): shingle sets ordered rarest-token "
+        "first, only each set's (n div 2 + 1)-token prefix is indexed, "
+        "candidates must share a prefix token and pass the 2*min >= max "
+        "size bound, then exact intersection verifies. Zero false "
+        "negatives by the prefix theorem — the deterministic complement "
+        "to MinHash LSH (probabilistic recall) in the dedup stack. All "
+        "decisions integer (div-based prefix length, 2*inter >= union), "
+        "so the brute-force SQL oracle matches bit-for-bit. The oracle IS "
+        "all-pairs-on-shared-tokens (fine at sf0.01); the Spark side "
+        "never forms it.",
+)
+def set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup import shingle_arrays, spread
+    from ..extensions.setjoin import prefix_filter_pairs
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return prefix_filter_pairs(shingle_arrays(docs))
