@@ -79,6 +79,11 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     (at its lowest-ordered vertex) and confirmed with one hash semi-join
     against the oriented edge list: two shuffles total, both on node keys.
     """
+    # the edge list feeds degree, orientation, and the final count; the
+    # oriented list feeds both wedge sides and the closure probe — persist
+    # both so the (possibly expensive) upstream edge derivation runs ONCE,
+    # not once per branch
+    edges = edges.persist()
     both = edges.select(
         F.explode(
             F.array(
@@ -113,7 +118,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             .alias("o")
         )
         .select("o.src", "o.dst", "o.ddeg")
-    )
+    ).persist()
 
     e1, e2 = ed.alias("e1"), ed.alias("e2")
     wedges = e1.join(e2, "src").where(

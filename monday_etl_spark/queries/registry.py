@@ -55,6 +55,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # Purely an ordering hint; every query is still registered and runnable.
 _EVIDENCE_PRIORITY = [
     # r06: NEW queries or results/plans CHANGED this round — evidence first
+    "set_similarity_join", "triangle_census",                 # new in r06
+    "governance_erasure", "timeseries_moving_anomaly",        # new in r06
+    "hopping_window_6h_2h", "join_full_outer",                # new in r06
+    "revenue_equidepth_histogram",                            # new in r06
     "streaming_interval_join", "tableformat_health",          # new in r06
     "streaming_decontaminate",                                # new in r06
     "tableformat_rename_evolution",                           # new in r06

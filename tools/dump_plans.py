@@ -53,6 +53,10 @@ SHOWCASE = {
     "timeseries_gap_fill": "sequence spine broadcast; window over (types x days), never raw events",
     "bigram_lm_build": "adjacent pairs zipped in-place (slice+zip_with) — no positional self-join",
     "revenue_percentiles_sketch": "mergeable GK sketch: partial+final agg, no per-group sort shuffle",
+    "triangle_census": "degree-ordered orientation bounds wedge fan-out; semi-join closure check",
+    "set_similarity_join": "rarest-first prefix index self-join + pair-scoped verify — no all-pairs stage",
+    "timeseries_moving_anomaly": "distributed daily aggregate; RANGE window over the day spine only",
+    "hopping_window_6h_2h": "Expand into 3 hop slots BEFORE the partial aggregate — combine still map-side",
 }
 
 
