@@ -54,9 +54,11 @@ Layout::
   and nothing of the winner's (manifest OR data files) can be touched.
   Every mutator (merge/delete/compact/zorder/rebucket/rename/drop) takes
   ``retries=N`` to re-derive against the new snapshot and retry, the
-  standard optimistic loop. On an
-  object store without atomic link/rename the primitive becomes the
-  store's conditional put (S3 If-None-Match) behind the same ``_commit``.
+  standard optimistic loop. The publish primitive is pluggable
+  (``LogStore.put_if_absent`` / ``set_log_store``): the local default is
+  tmp-write + atomic ``os.link``; an object-store deployment swaps in the
+  store's conditional put (S3 ``If-None-Match: *``) without touching any
+  other code — the seam Delta's LogStore / Iceberg's catalog occupy.
 
 Scale: manifests are O(n_buckets) file lists — KBs at 4096 buckets — so
 planning cost is constant in data size; per-bucket file lists mean a
@@ -148,15 +150,46 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
+class LogStore:
+    """The publish primitive — the ONLY coordination the format needs from
+    its storage layer: atomically create ``final_path`` holding ``payload``
+    iff it does not already exist, raising ``FileExistsError`` when it does.
+    Everything else (data files, manifest reads) is plain immutable-blob
+    I/O. This default is the local/HDFS implementation: full write to a
+    unique temp name, then ``os.link`` (atomic, EEXIST on collision). An
+    object-store deployment swaps in a subclass whose ``put_if_absent`` is
+    the store's conditional put (S3 ``If-None-Match: *``, GCS
+    ``ifGenerationMatch=0``, Azure ``If-None-Match``) — the same seam
+    Delta's LogStore / Iceberg's catalog occupy — via ``set_log_store``;
+    nothing else in the format changes."""
+
+    def put_if_absent(self, final_path: str, payload: str) -> None:
+        tmp = f"{final_path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+        try:
+            os.link(tmp, final_path)
+        finally:
+            os.unlink(tmp)
+
+
+_LOG_STORE = LogStore()
+
+
+def set_log_store(store: LogStore) -> LogStore:
+    """Swap the publish primitive (returns the previous store). Affects
+    manifest commits AND tag creation — every publish routes through it."""
+    global _LOG_STORE
+    prev = _LOG_STORE
+    _LOG_STORE = store
+    return prev
+
+
 def _commit(path: str, manifest: dict) -> None:
-    """Version exists iff its manifest does. Put-if-absent: the manifest is
-    fully written to a unique temp name, then ``os.link``ed to the final
-    name — link(2) is atomic AND fails with EEXIST when the destination
-    already exists, so of two writers racing to commit the same version
-    number exactly one wins and the other gets ``ConcurrentCommitError``
-    (os.rename would silently clobber the winner). On object stores this
-    is the put-if-absent the real formats get from the Delta log store /
-    Iceberg catalog."""
+    """Version exists iff its manifest does. Put-if-absent via the log
+    store: of two writers racing to commit the same version number exactly
+    one wins and the other gets ``ConcurrentCommitError`` (a last-wins
+    rename would silently clobber the winner)."""
     import time
 
     # wall-clock commit stamp: powers read_as_of / vacuum retention windows.
@@ -165,18 +198,13 @@ def _commit(path: str, manifest: dict) -> None:
     manifest.setdefault("committed_at", time.time())
     os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
     final = _manifest_path(path, manifest["version"])
-    tmp = f"{final}.{os.getpid()}.{id(manifest):x}.tmp"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
     try:
-        os.link(tmp, final)
+        _LOG_STORE.put_if_absent(final, json.dumps(manifest))
     except FileExistsError:
         raise ConcurrentCommitError(
             f"version {manifest['version']} already committed at {path}: "
             "another writer won the race — re-read current_version and retry"
         ) from None
-    finally:
-        os.unlink(tmp)
     # best-effort latest-version hint (see current_version): a lower bound,
     # never authoritative — losing this write (or a racing writer's rename
     # landing after a newer one) only costs probe steps, never correctness
@@ -1287,15 +1315,13 @@ def create_tag(path: str, name: str, version: int | None = None) -> int:
         raise FileNotFoundError(f"no committed version {version} at {path}")
     final = _ref_path(path, name)
     os.makedirs(os.path.join(path, _REFS), exist_ok=True)
-    tmp = f"{final}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"name": name, "version": version, "created_at": time.time()}, fh)
+    payload = json.dumps(
+        {"name": name, "version": version, "created_at": time.time()}
+    )
     try:
-        os.link(tmp, final)
+        _LOG_STORE.put_if_absent(final, payload)
     except FileExistsError:
         raise RefError(f"tag {name!r} already exists at {path}") from None
-    finally:
-        os.unlink(tmp)
     return version
 
 
