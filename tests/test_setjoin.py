@@ -54,3 +54,22 @@ def test_no_false_negatives_vs_brute_force(spark):
     got = _run(spark, sets)
     assert got == expect
     assert len(expect) > 0  # the fixture actually exercises matches
+
+
+def test_adversarial_ties_and_boundary(spark):
+    # every token appears exactly twice globally -> the rarest-first order
+    # is decided ENTIRELY by the (freq, token) tie-break; pairs sit right
+    # at the J = 1/2 boundary on both sides
+    sets = [
+        (1, ["a", "b", "c", "d"]),          # J(1,2) = 2/6 < 1/2
+        (2, ["a", "b", "e", "f"]),
+        (3, ["c", "d", "e", "f"]),          # J(3,2) = 2/6, J(3,1) = 2/6
+        (4, ["g", "h", "i", "j"]),
+        (5, ["g", "h", "i", "j", "k", "l", "m", "n"]),  # J(4,5) = 4/8 = 1/2
+        (6, ["k", "l", "m", "n"]),          # J(6,5) = 4/8 = 1/2; J(4,6)=0
+    ]
+    got = _run(spark, sets)
+    assert got == {
+        (4, 5): (4, 8, 500_000),
+        (5, 6): (4, 8, 500_000),
+    }
