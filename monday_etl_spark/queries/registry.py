@@ -56,6 +56,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 _EVIDENCE_PRIORITY = [
     # r06: NEW queries or results/plans CHANGED this round — evidence first
     "set_similarity_join", "triangle_census",                 # new in r06
+    "collection_battery",                                     # new in r06
     "governance_erasure", "timeseries_moving_anomaly",        # new in r06
     "hopping_window_6h_2h", "join_full_outer",                # new in r06
     "revenue_equidepth_histogram",                            # new in r06

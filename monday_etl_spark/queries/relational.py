@@ -600,3 +600,56 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("both"))
         .alias("match_type"),
     )
+
+
+@register(
+    "collection_battery",
+    oracle="""
+    WITH arrs AS (
+        SELECT l_orderkey,
+               list_sort(list(CAST(l_quantity AS BIGINT))) AS arr
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(len(arr) AS INT) AS n_items,
+           CAST(list_reduce(arr, (a, b) -> a + b) AS BIGINT) AS total_qty,
+           CAST(len([x for x in arr if x >= 25]) AS INT) AS n_big,
+           CAST(len([x for x in arr if x <= 0]) = 0 AS INT) AS all_positive,
+           CAST(len([x for x in arr if x = 50]) > 0 AS INT) AS any_max,
+           CAST(list_reduce([arr[i] * i for i in range(1, len(arr) + 1)],
+                            (a, b) -> a + b) AS BIGINT) AS rank_weighted
+    FROM arrs
+    """,
+    doc="Higher-order collection functions end-to-end, each with a DuckDB "
+        "list twin: transform/zip_with (rank-weighted sum), filter "
+        "(conditional count), forall/exists (flags as INT for portable "
+        "hashing), aggregate (ordered integer fold — order-insensitive "
+        "ONLY because the array is sorted first and the elements are "
+        "integers; the cross-engine rule that makes folds exact). Arrays "
+        "built per order via sort_array(collect_list(...)): one shuffle, "
+        "then the whole battery is a single codegen'd projection — the "
+        "HOFs never leave the JVM (no Python, no explode round-trip).",
+)
+def collection_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    arrs = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.col("l_quantity").cast("long"))).alias("arr")
+    )
+    zero = F.lit(0).cast("long")
+    return arrs.select(
+        "l_orderkey",
+        F.size("arr").alias("n_items"),
+        F.aggregate("arr", zero, lambda a, x: a + x).alias("total_qty"),
+        F.size(F.filter("arr", lambda x: x >= 25)).alias("n_big"),
+        F.forall("arr", lambda x: x > 0).cast("int").alias("all_positive"),
+        F.exists("arr", lambda x: x == 50).cast("int").alias("any_max"),
+        F.aggregate(
+            F.zip_with(
+                "arr",
+                F.sequence(F.lit(1).cast("long"), F.size("arr").cast("long")),
+                lambda x, i: x * i,
+            ),
+            zero,
+            lambda a, x: a + x,
+        ).alias("rank_weighted"),
+    )
