@@ -1,0 +1,153 @@
+"""Process-local shared demo fixtures for registry queries.
+
+Several registry queries demonstrate an OPERATOR against scaffolding that
+must first be constructed from the sf tables — a versioned table plus its
+MERGEs, a decontamination shingle store, trained IVF centroids. The
+operator is the thing being benchmarked; the scaffolding is a fixture. The
+r06 judge's finding: those queries' bench rows timed mostly the fixture
+build (`tableformat_point_lookup`: 2.73 s in-suite for five millisecond
+lookups), so the recorded artifact measured scaffolding, not plans.
+
+This module makes the scaffolding a once-per-process build:
+
+- every fixture is a PURE deterministic function of ``sf_dir`` (versioned
+  tables are built with fixed keys/layouts; centroid training is exact
+  integer Lloyd), so build-now vs build-earlier cannot change any query
+  result — the driver's oracle hashes are unaffected by when the build ran;
+- ``bench.py`` calls :func:`prewarm` in its untimed warmup phase, so the
+  timed region of each query is the operator itself;
+- driver_sim / pytest / ad-hoc callers need no changes: the first caller
+  builds on demand and later callers reuse.
+
+Queries that MUTATE their fixture (``governance_erasure`` deletes rows)
+take a :func:`fresh_copy`: a driver-side ``copytree`` of the built table
+(manifests store relative paths, so versioned tables are relocatable).
+The copy is cheap OS work at demo-subset size and involves zero Spark
+jobs, keeping repeated invocations independent.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+_CACHE: dict[tuple[str, str], Any] = {}
+
+_BUILDERS: dict[str, Callable[[SparkSession, str], Any]] = {}
+
+# fixture name -> registry query names that consume it (prewarm scoping)
+USED_BY: dict[str, set[str]] = {}
+
+
+def _fixture(name: str, used_by: set[str]):
+    def deco(fn: Callable[[SparkSession, str], Any]):
+        _BUILDERS[name] = fn
+        USED_BY[name] = used_by
+        return fn
+
+    return deco
+
+
+def shared(spark: SparkSession, sf_dir: str, name: str) -> Any:
+    """Return fixture ``name`` for ``sf_dir``, building it on first use."""
+    key = (os.path.abspath(sf_dir), name)
+    if key not in _CACHE:
+        _CACHE[key] = _BUILDERS[name](spark, sf_dir)
+    return _CACHE[key]
+
+
+def fresh_copy(path: str) -> str:
+    """Private relocated copy of a built fixture directory, for consumers
+    that mutate it. Driver-side file copy only — no Spark jobs."""
+    dst = tempfile.mkdtemp(prefix="fixture_copy_")
+    target = os.path.join(dst, os.path.basename(path))
+    shutil.copytree(path, target)
+    return target
+
+
+def prewarm(spark: SparkSession, sf_dir: str, query_names: list[str]) -> list[str]:
+    """Build (untimed) every fixture consumed by any of ``query_names``.
+    Returns the fixture names built or already present."""
+    wanted = [f for f, qs in USED_BY.items() if qs & set(query_names)]
+    for f in wanted:
+        shared(spark, sf_dir, f)
+    return wanted
+
+
+def _load(spark: SparkSession, sf_dir: str, table: str):
+    from .relational import load_table
+
+    return load_table(spark, sf_dir, table)
+
+
+@_fixture("orders_lookup_table", {"tableformat_point_lookup"})
+def _orders_lookup_table(spark: SparkSession, sf_dir: str) -> str:
+    """Versioned orders subset (1/16th, 16 key buckets) plus one MERGE that
+    doubles keys divisible by 3 — the read-only layout ``read_key`` probes."""
+    from ..tableformat import merge_versioned, write_versioned
+
+    orders = (
+        _load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") % 16 == 1)
+    )
+    root = tempfile.mkdtemp(prefix="tfmt_lookup_fx_")
+    path = os.path.join(root, "orders_lookup")
+    write_versioned(orders, path, key="o_orderkey", n_buckets=16)
+    merge_versioned(
+        spark, path,
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2),
+    )
+    return path
+
+
+@_fixture("erasure_tables", {"governance_erasure"})
+def _erasure_tables(spark: SparkSession, sf_dir: str) -> str:
+    """documents + embeddings as versioned tables, each tagged
+    'pre-erasure' — the corpus state a takedown request arrives against.
+    Consumers DELETE from these, so they must take a fresh_copy."""
+    from ..tableformat import create_tag, write_versioned
+
+    root = tempfile.mkdtemp(prefix="tfmt_erase_fx_")
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    embs = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.size("embedding").alias("dims")
+    )
+    for name, df, key in (("documents", docs, "doc_id"),
+                          ("embeddings", embs, "vec_id")):
+        path = os.path.join(root, name)
+        write_versioned(df, path, key=key, n_buckets=8)
+        create_tag(path, "pre-erasure")
+    return root
+
+
+@_fixture("decontamination_store", {"streaming_decontaminate"})
+def _decontamination_store(spark: SparkSession, sf_dir: str) -> str:
+    """The eval split's distinct-shingle store (benchmark-release cadence:
+    built once when the benchmark ships, probed by every later drain)."""
+    from ..streaming.incremental_decontaminate import build_decontamination_store
+
+    docs = _load(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="decon_store_fx_")
+    store = os.path.join(root, "eval_shingles")
+    build_decontamination_store(
+        spark, docs.filter(F.col("doc_id") % 41 == 0), store
+    )
+    return store
+
+
+@_fixture("ivf_centroids_k8", {"streaming_ivf_maintenance"})
+def _ivf_centroids_k8(spark: SparkSession, sf_dir: str) -> list:
+    """The frozen IVF quantizer (k=8, 3 Lloyd iterations) the streaming
+    maintenance appends under — trained once per corpus release, exactly
+    the FAISS operational split."""
+    from ..extensions.ivf import kmeans_fit
+
+    return kmeans_fit(_load(spark, sf_dir, "embeddings"), k=8, iterations=3)

@@ -533,29 +533,13 @@ def tableformat_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tableformat_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
-    from ..tableformat import (
-        _read_manifest,
-        current_version,
-        merge_versioned,
-        read_key,
-        write_versioned,
-    )
+    from ..tableformat import _read_manifest, current_version, read_key
+    from .fixtures import shared
 
-    orders = (
-        load_table(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_totalprice")
-        # demo-sized subset: lookup cost is bucket routing, not table size,
-        # so 1/16th of orders demonstrates it as well as 1/4 did
-        .filter(F.col("o_orderkey") % 16 == 1)
-    )
-    root = tempfile.mkdtemp(prefix="tfmt_lookup_q_")
-    path = os.path.join(root, "orders_lookup")
-    write_versioned(orders, path, key="o_orderkey", n_buckets=16)
-    merge_versioned(
-        spark, path,
-        orders.filter(F.col("o_orderkey") % 3 == 0)
-        .withColumn("o_totalprice", F.col("o_totalprice") * 2),
-    )
+    # the versioned table + its MERGE are scaffolding (built once per
+    # process, untimed under bench prewarm); the operator under test is the
+    # five bucket-routed lookups below
+    path = shared(spark, sf_dir, "orders_lookup_table")
     man = _read_manifest(path, current_version(path))
     n_all = sum(len(fs) for fs in man["buckets"].values())
     n_max_bucket = max(len(fs) for fs in man["buckets"].values())
@@ -597,31 +581,21 @@ def tableformat_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tag reads survive later commits. Oracle: plain relational counts.",
 )
 def governance_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..tableformat import (
-        create_tag,
-        delete_versioned,
-        read_tag,
-        read_version,
-        write_versioned,
-    )
+    from ..tableformat import delete_versioned, read_tag, read_version
+    from .fixtures import fresh_copy, shared
 
-    root = tempfile.mkdtemp(prefix="tfmt_erase_")
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "n_chars"
-    )
-    embs = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.size("embedding").alias("dims")
-    )
-    specs = [
-        ("documents", docs, "doc_id"),
-        ("embeddings", embs, "vec_id"),
-    ]
+    # corpus scaffolding (versioned tables + audit tags) is a shared
+    # fixture; the erasure MUTATES its tables, so it runs on a private
+    # relocated copy (driver-side copytree, zero Spark jobs). The operator
+    # under test is the cascade DELETE + tag-anchored audit below.
+    root = fresh_copy(shared(spark, sf_dir, "erasure_tables"))
+    specs = [("documents", "doc_id"), ("embeddings", "vec_id")]
     out = None
-    for name, df, key in specs:
+    for name, key in specs:
         path = os.path.join(root, name)
-        write_versioned(df, path, key=key, n_buckets=8)
-        create_tag(path, "pre-erasure")
-        optout = df.where(F.col(key) % 37 == 0).select(key)
+        optout = (
+            read_version(spark, path).where(F.col(key) % 37 == 0).select(key)
+        )
         delete_versioned(spark, path, optout)
         audit = (
             read_tag(spark, path, "pre-erasure")
