@@ -292,7 +292,8 @@ def test_lost_race_retries_and_winner_data_survives(spark, tmp_path,
     # retains every live version still collects them
     n_dirs = len(glob.glob(os.path.join(path, "_data", "c*")))
     assert n_dirs == 6  # v1, A's v2, A's v3, B's v4 + B's two lost attempts
-    tf.vacuum(path, keep_last=4)
+    # orphan_retention_s=0: both writers have finished, nothing in flight
+    tf.vacuum(path, keep_last=4, orphan_retention_s=0)
     assert len(glob.glob(os.path.join(path, "_data", "c*"))) == 4
     assert _rows(read_version(spark, path, 1)) == sorted(v1)
     assert _rows(read_version(spark, path, 2)) == want_v2

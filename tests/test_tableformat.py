@@ -100,8 +100,12 @@ def test_half_commit_is_invisible(spark, tmp_path):
     assert current_version(path) == 1
     assert read_version(spark, path).count() == 200  # junk never read
 
-    # vacuum collects the orphan commit dir
+    # a FRESH unreferenced dir is indistinguishable from an in-flight
+    # commit: default retention must leave it alone
     vacuum(path, keep_last=5)
+    assert os.path.exists(os.path.join(path, "_data", "c00002-deadbeef"))
+    # past the retention window (here: declared zero) it is collectable
+    vacuum(path, keep_last=5, orphan_retention_s=0)
     assert not os.path.exists(os.path.join(path, "_data", "c00002-deadbeef"))
 
 
@@ -436,3 +440,135 @@ def test_latest_hint_resolution_and_degradation(spark, tmp_path):
     with open(hint, "w") as fh:
         fh.write("1")
     assert current_version(path) == 4
+
+
+def test_vacuum_hole_punching_cannot_underresolve(spark, tmp_path):
+    """A tag-pinned OLD version retained while newer intermediates drop
+    punches a hole in the version sequence; a stale hint equal to the
+    pinned version must not make current_version return it (the r06-judged
+    lost-update scenario: the next writer would commit into the hole)."""
+    from monday_etl_spark.tableformat import (
+        _hint_path,
+        _holes_marker_path,
+        create_tag,
+        delete_tag,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_versioned(_base_df(spark), path, key="id", n_buckets=N_BUCKETS)
+    for i in range(3):
+        merge_versioned(
+            spark, path,
+            spark.createDataFrame([(5000 + i, "x", 1.0)],
+                                  "id bigint, name string, v double"))
+    assert list_versions(path) == [1, 2, 3, 4]
+    create_tag(path, "pinned", version=2)
+
+    dropped = vacuum(path, keep_last=1, orphan_retention_s=0)
+    assert dropped == [1, 3]  # v2 pinned, v4 newest -> holes at 3
+    assert os.path.exists(_holes_marker_path(path))
+    # vacuum rewrote the hint to the true max
+    with open(_hint_path(path)) as fh:
+        assert fh.read().strip() == "4"
+
+    # the dangerous state: hint regressed to the pinned version
+    with open(_hint_path(path), "w") as fh:
+        fh.write("2")
+    assert current_version(path) == 4  # listing fallback, not the probe
+
+    # pinned snapshot still reads; a new commit lands at 5, not in the hole
+    assert read_version(spark, path, 2).count() == 201
+    merge_versioned(
+        spark, path,
+        spark.createDataFrame([(6000, "y", 1.0)],
+                              "id bigint, name string, v double"))
+    assert current_version(path) == 5
+
+    # dropping the pin and re-vacuuming restores density: marker self-heals
+    delete_tag(path, "pinned")
+    vacuum(path, keep_last=2, orphan_retention_s=0)
+    assert list_versions(path) == [4, 5]
+    assert not os.path.exists(_holes_marker_path(path))
+    assert current_version(path) == 5
+
+
+def test_empty_bucket_read_uses_manifest_schema_after_rename(spark, tmp_path):
+    """An empty-selected-bucket read must surface the LOGICAL schema (post
+    rename/drop), not arbitrary physical footers: filtering the renamed
+    column on an emptied bucket returns an empty typed frame instead of
+    raising AnalysisException (the r06-judged empty-path regression)."""
+    from pyspark.sql import functions as F
+
+    from monday_etl_spark.tableformat import (
+        _bucket_expr,
+        _read_manifest,
+        delete_versioned,
+        read_key,
+        rename_column,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_versioned(_base_df(spark), path, key="id", n_buckets=N_BUCKETS)
+    rename_column(path, "v", "value")
+
+    # empty one bucket entirely via DELETE of every key hashing into it
+    target = 3
+    doomed = (
+        _base_df(spark)
+        .withColumn("b", _bucket_expr("id", N_BUCKETS))
+        .where(F.col("b") == target)
+        .select("id")
+    )
+    n_doomed = doomed.count()
+    assert n_doomed > 0
+    delete_versioned(spark, path, doomed)
+    man = _read_manifest(path, current_version(path))
+    assert man["buckets"].get(str(target), []) == []
+
+    empty = read_version(spark, path, buckets=[target])
+    assert empty.columns == ["id", "name", "value"]
+    assert empty.where(F.col("value") > 0).count() == 0
+
+    # read_key routed to the emptied bucket: empty typed result, no raise
+    some_doomed = doomed.limit(1).collect()[0][0]
+    hit = read_key(spark, path, some_doomed)
+    assert hit.columns == ["id", "name", "value"]
+    assert hit.count() == 0
+
+
+def test_vacuum_orphan_retention_window(spark, tmp_path):
+    """Age-guarded orphan collection: a young unreferenced commit dir (an
+    in-flight commit's data) survives vacuum; once its mtime falls outside
+    the retention window it is collected; dirs referenced only by DROPPED
+    manifests are collected immediately at any age."""
+    import glob as _gg
+
+    path = str(tmp_path / "tbl")
+    write_versioned(_base_df(spark), path, key="id", n_buckets=N_BUCKETS)
+    merge_versioned(spark, path, _updates(spark))
+
+    # an in-flight commit: data written, manifest not yet published
+    inflight = os.path.join(path, "_data", "c00003-aaaaaaaa", "__bucket=0")
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "part-x.parquet"), "wb") as fh:
+        fh.write(b"pending")
+
+    vacuum(path, keep_last=5)  # default window: in-flight dir survives
+    assert _gg.glob(os.path.join(path, "_data", "c00003-*"))
+
+    # age the dir past a 1-second window
+    old = 1_000_000_000
+    root = os.path.join(path, "_data", "c00003-aaaaaaaa")
+    os.utime(root, (old, old))
+    vacuum(path, keep_last=5, orphan_retention_s=1)
+    assert not _gg.glob(os.path.join(path, "_data", "c00003-*"))
+
+    # dropped-manifest files: collected immediately despite fresh mtime,
+    # but only those no retained version still references
+    before = set(_gg.glob(os.path.join(path, "_data", "c*")))
+    assert vacuum(path, keep_last=1) == [1]
+    after = set(_gg.glob(os.path.join(path, "_data", "c*")))
+    # v2 (merge) references most v1 files -> c00001 survives; nothing young
+    # and unreferenced was touched
+    assert before == after
+    assert read_version(spark, path).count() == 201
