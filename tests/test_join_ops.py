@@ -166,3 +166,34 @@ def test_hot_keys_can_report_null_but_auto_join_stays_correct(spark):
                             threshold_frac=0.3)
     plain = fact.join(dim, "k", "left")
     assert _nsorted(auto.select(*plain.columns)) == _nsorted(plain)
+
+
+def test_hot_keys_sampled_parity_on_skew_fixture(spark):
+    """Sample-based detection finds the same hot set as the full pass on
+    the bench's pathological skew fixture (70% of rows on one key), and
+    the sampled auto_salted_join's RESULT equals the plain join exactly
+    (the split is exact regardless of how detection was costed)."""
+    from monday_etl_spark.operators.join_ops import auto_salted_join, hot_keys
+    from monday_etl_spark.queries.relational import skewed_join_inputs
+
+    left, dim = skewed_join_inputs(spark, "/root/testdata/sf0.001", hot=9)
+    full = set(hot_keys(left, "skey", threshold_frac=0.1))
+    sampled = set(
+        hot_keys(left, "skey", threshold_frac=0.1, sample_fraction=0.3)
+    )
+    assert full == sampled and full  # same detected set, non-empty
+
+    plain = sorted(map(tuple, left.join(dim, "skey").collect()))
+    auto = sorted(map(tuple, auto_salted_join(
+        left, dim, on="skey", salt=4, threshold_frac=0.1,
+        sample_fraction=0.3,
+    ).collect()))
+    assert auto == plain
+
+
+def test_hot_keys_empty_input(spark):
+    from monday_etl_spark.operators.join_ops import hot_keys
+
+    empty = spark.createDataFrame([], "k int, v int")
+    assert hot_keys(empty, "k") == []
+    assert hot_keys(empty, "k", sample_fraction=0.5) == []
