@@ -181,69 +181,121 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sketch_rank_sql(acc: int) -> str:
+    """DuckDB twin of the sketch query's bound check. The window BOUNDS are
+    cross-engine-exact (integer-cents elements picked at explicit integer
+    ranks — no interpolation, no floats); the ok_* booleans are the
+    CONTRACT: DuckDB asserts TRUE, Spark computes them honestly from its
+    sketch, so a sketch outside its documented rank window hash-mismatches
+    into a red driver row."""
+    qs = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+    rank_cols = ", ".join(
+        f"GREATEST(1, (n*{num} + {den} - 1) // {den} - slack) AS lo_{lbl}, "
+        f"LEAST(n, (n*{num} + {den} - 1) // {den} + slack) AS hi_{lbl}"
+        for lbl, num, den in qs
+    )
+    val_cols = ", ".join(
+        f"MIN(CASE WHEN r.rn = b.lo_{lbl} THEN r.pc END) AS lo_val_{lbl}, "
+        f"MIN(CASE WHEN r.rn = b.hi_{lbl} THEN r.pc END) AS hi_val_{lbl}"
+        for lbl, _, _ in qs
+    )
+    out_cols = ", ".join(
+        f"v.lo_val_{lbl} AS lo_{lbl}_cents, v.hi_val_{lbl} AS hi_{lbl}_cents, "
+        f"TRUE AS ok_{lbl}"
+        for lbl, _, _ in qs
+    )
+    return f"""
+    WITH t AS (
+        SELECT l_returnflag AS flag,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc
+        FROM lineitem
+    ),
+    n AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY flag),
+    k AS (SELECT flag, n,
+                 GREATEST(3, (2*n + {acc} - 1) // {acc} + 1) AS slack
+          FROM n),
+    b AS (SELECT flag, n, {rank_cols} FROM k),
+    r AS (SELECT flag, pc,
+                 ROW_NUMBER() OVER (PARTITION BY flag ORDER BY pc) AS rn
+          FROM t),
+    v AS (SELECT r.flag, {val_cols}
+          FROM r JOIN b ON r.flag = b.flag GROUP BY r.flag)
+    SELECT b.flag, b.n, {out_cols}
+    FROM b JOIN v ON b.flag = v.flag
+    """
+
+
 @register(
     "revenue_percentiles_sketch",
-    oracle=None,
+    oracle=_sketch_rank_sql(10000),
     doc="Approximate percentiles via approx_percentile (Greenwald-Khanna "
         "sketch, accuracy 10000 => rank error <= n/10000): the ONE-PASS, "
         "mergeable path that replaces revenue_percentiles' exact "
         "per-group sort at 100 TB — partial sketches combine "
         "associatively, so the plan is a partial+final aggregate like any "
-        "sum, with no per-group sort or full shuffle of values. No SQL "
-        "oracle (DuckDB's quantile sketch differs); correctness is "
-        "enforced IN-QUERY: each approximate quantile must sit within two "
-        "error-radii of the exact per-group distribution "
-        "(checked against one exact percentile() pass), or the query "
-        "raises.",
+        "sum, with no per-group sort or full shuffle of values. Sketch "
+        "VALUES are engine-specific by nature, so the driver-checked "
+        "result is the documented-error-bound AUDIT (the r06 verdict's "
+        "last rows-only upgrade): per group it emits n, the exact "
+        "integer-cents elements at ranks ceil(q*n) +/- slack (slack = two "
+        "GK error radii + 1 discrete-boundary rank, min 3 — all integer "
+        "rank math, bit-identical in DuckDB via ROW_NUMBER), and booleans "
+        "asserting the sketch lies inside its window. DuckDB hashes the "
+        "same bounds with TRUE literals: an out-of-bound sketch flips a "
+        "boolean and reds the row. The rank-window pass is the audit "
+        "query; production reads the sketch alone (no per-group sort).",
 )
 def revenue_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     acc = 10000
-    qs = [0.5, 0.9, 0.99]
-    approx = li.groupBy("l_returnflag").agg(
-        F.count("*").alias("n"),
-        F.approx_percentile("l_extendedprice", qs, acc).alias("ap"),
+    qs = [("p50", 1, 2, 0.5), ("p90", 9, 10, 0.9), ("p99", 99, 100, 0.99)]
+    t = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("pc"),
     )
-    out = approx.select(
-        "l_returnflag", "n",
-        F.col("ap")[0].alias("p50_approx"),
-        F.col("ap")[1].alias("p90_approx"),
-        F.col("ap")[2].alias("p99_approx"),
-    ).persist()
+    approx = t.groupBy("flag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.approx_percentile("pc", [q for _, _, _, q in qs], acc).alias("ap"),
+    )
+    bounds = approx.withColumn(
+        "slack", F.expr(f"greatest(3L, (2*n + {acc} - 1) div {acc} + 1)")
+    )
+    for lbl, num, den, _ in qs:
+        target = f"(n*{num} + {den} - 1) div {den}"
+        bounds = bounds.withColumn(
+            f"lo_{lbl}", F.expr(f"greatest(1L, {target} - slack)")
+        ).withColumn(f"hi_{lbl}", F.expr(f"least(n, {target} + slack)"))
 
-    # invariant: every approximate quantile lies between the exact values
-    # two error-radii around its rank (2*eps: GK guarantees the QUERY rank;
-    # the exact value at q-eps can itself sit a boundary rank away under
-    # percentile_disc's discrete rank definition). ALL six exact bounds
-    # come from ONE aggregation pass — the check must not cost three extra
-    # scans of the fact table.
-    rows = {r.l_returnflag: r for r in out.collect()}
-    # GK's rank error is max(1, eps*n): at small groups the FLOOR of one
-    # rank dominates, so express the window in quantile units as
-    # max(2*eps, 3/min_group_n) — ~3 ranks of slack at tiny n, 2 error
-    # radii (~n/5000 ranks) at scale
-    min_n = min(r.n for r in rows.values())
-    eps = max(2.0 / acc, 3.0 / max(min_n, 1)) / 2
-    cols = ("p50_approx", "p90_approx", "p99_approx")
-    bound_qs = []
-    for q in qs:
-        bound_qs += [max(q - 2 * eps, 0.0), min(q + 2 * eps, 1.0)]
-    arr = ", ".join(str(b) for b in bound_qs)
-    # exact percentile() with an ARRAY of quantiles: ONE value buffer and
-    # ONE sort per group for all six bounds (percentile_disc buffers and
-    # sorts per expression — 6x the work; measured 4.3s vs 1.4s at sf0.1).
-    # Interpolated bounds are safe here: the 2*eps slack is ~120 ranks at
-    # sf0.1 while interpolation moves a bound by <1 rank.
-    exact = li.groupBy("l_returnflag").agg(
-        F.expr(f"percentile(l_extendedprice, array({arr}))").alias("bounds")
+    ranked = t.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("flag").orderBy("pc"))
     )
-    for e in exact.collect():
-        for i, (q, col) in enumerate(zip(qs, cols)):
-            got = getattr(rows[e.l_returnflag], col)
-            lo, hi = e.bounds[2 * i], e.bounds[2 * i + 1]
-            if not (lo <= got <= hi):
-                raise AssertionError(
-                    f"sketch out of rank window: {col}[{e.l_returnflag}] "
-                    f"= {got}, window [{lo}, {hi}]"
-                )
-    return out
+    vals = (
+        ranked.join(F.broadcast(bounds.select(
+            "flag", *[c for lbl, _, _, _ in qs
+                      for c in (f"lo_{lbl}", f"hi_{lbl}")]
+        )), "flag")
+        .groupBy("flag")
+        .agg(*[
+            agg
+            for lbl, _, _, _ in qs
+            for agg in (
+                F.min(F.when(F.col("rn") == F.col(f"lo_{lbl}"), F.col("pc")))
+                .alias(f"lo_val_{lbl}"),
+                F.min(F.when(F.col("rn") == F.col(f"hi_{lbl}"), F.col("pc")))
+                .alias(f"hi_val_{lbl}"),
+            )
+        ])
+    )
+    out_cols = [F.col("flag"), F.col("n")]
+    for i, (lbl, _, _, _) in enumerate(qs):
+        out_cols += [
+            F.col(f"lo_val_{lbl}").alias(f"lo_{lbl}_cents"),
+            F.col(f"hi_val_{lbl}").alias(f"hi_{lbl}_cents"),
+            (F.col(f"lo_val_{lbl}") <= F.col("ap")[i])
+            .__and__(F.col("ap")[i] <= F.col(f"hi_val_{lbl}"))
+            .alias(f"ok_{lbl}"),
+        ]
+    return bounds.join(vals, "flag").select(*out_cols)
