@@ -34,11 +34,14 @@ Layout::
   the parquet footers) governs every read, so files written before the
   evolution surface NULLs for the added columns and each retained version
   time-travels with its own schema. ``rename_column``/``drop_column`` are
-  METADATA-ONLY commits (zero data I/O at any table size): renames record
-  the prior name as an alias and reads coalesce the alias chain; drops
-  retire the name and reads stop requesting the bytes. Name reuse is
-  blocked (the restriction that makes name-based resolution exact without
-  Iceberg's per-file field-id projection).
+  METADATA-ONLY commits (zero data I/O at any table size). Resolution is
+  by FIELD ID (Iceberg's model, r07): every column is born with a
+  monotonic id, each file-writing commit records its directory's
+  physical-name -> id epoch, and reads project id-by-id onto the current
+  names — so renames are free, dropped ids stay dead, and a historical
+  NAME may be reused by a new column (fresh id) without resurrecting old
+  bytes. Pre-field-id manifests keep the legacy alias-chain resolution
+  with its name-reuse block.
 - **Data skipping**: commits can record per-file column [min, max]
   (``stats_cols`` on ``write_versioned``; ``optimize_zorder`` starts
   tracking its clustered columns automatically) read from parquet FOOTERS
@@ -406,7 +409,9 @@ def write_versioned(df: DataFrame, path: str, key,
     min/max travel in every manifest from here on (data skipping via
     ``read_where``); later commits keep collecting them. Returns the
     committed version number."""
-    version = (current_version(path) or 0) + 1
+    prior_v = current_version(path)
+    version = (prior_v or 0) + 1
+    prior = _read_manifest(path, prior_v) if prior_v else None
     commit_dir = _new_commit_dir(path, version)
     (
         df.withColumn(BUCKET_COL, _bucket_expr(key, n_buckets))
@@ -427,6 +432,23 @@ def write_versioned(df: DataFrame, path: str, key,
         "schema": df.schema.json(),
         "buckets": buckets,
     }
+    # field ids: born with the table; a full-snapshot REwrite carries ids
+    # for names the prior version knew (same logical column) and mints
+    # fresh ids for new names — never reusing a prior id for a new column
+    prior_fid = (prior or {}).get("field_ids") or {}
+    next_id = (prior or {}).get("next_field_id", 0) or (
+        max(prior_fid.values(), default=0) + 1
+    )
+    fid: dict[str, int] = {}
+    for f in json.loads(man["schema"])["fields"]:
+        if f["name"] in prior_fid:
+            fid[f["name"]] = prior_fid[f["name"]]
+        else:
+            fid[f["name"]] = next_id
+            next_id += 1
+    man["field_ids"] = fid
+    man["next_field_id"] = next_id
+    _record_epoch(man, None, commit_dir)
     if stats_cols:
         man["stats"] = _footer_stats(
             path, [f for fs in buckets.values() for f in fs], list(stats_cols)
@@ -451,6 +473,10 @@ def _read_files_with_manifest_schema(spark: SparkSession, files: list[str],
     from pyspark.sql.types import StructField, StructType
 
     logical = StructType.fromJson(json.loads(man["schema"]))
+    if man.get("field_ids") and man.get("epochs") is not None:
+        return _read_files_by_field_id(
+            spark, files, logical, man["field_ids"], man["epochs"]
+        )
     aliases: dict[str, list[str]] = man.get("aliases") or {}
     if not aliases:
         return spark.read.schema(logical).parquet(*files)
@@ -464,6 +490,95 @@ def _read_files_with_manifest_schema(spark: SparkSession, files: list[str],
         if f.name in aliases else F.col(f.name)
         for f in logical.fields
     ])
+
+
+def _read_files_by_field_id(spark: SparkSession, files: list[str],
+                            logical, fid: dict, epochs: dict) -> DataFrame:
+    """Field-id resolution (Iceberg's model, r07): each commit directory's
+    ``epochs`` entry says which physical column name carried which field id
+    when those files were written. Files group by their epoch mapping —
+    one scan per distinct naming epoch (bounded by retained commits,
+    usually 1) — and each group projects id-by-id onto the CURRENT logical
+    names: a renamed column reads its old physical name, a column the
+    epoch predates reads NULL, and a REUSED name maps to the dead old id
+    in old epochs (so old bytes stay dead) and to the fresh id in new
+    ones. Exactly the per-file projection Delta column mapping / Iceberg
+    do; groups union by name."""
+    from pyspark.sql.types import StructField, StructType
+
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        d = _commit_dir_of(f)
+        emap = epochs.get(d)
+        if emap is None:
+            raise ValueError(
+                f"no naming epoch recorded for commit dir {d!r} — manifest "
+                "corruption (every file-writing commit records one)"
+            )
+        groups.setdefault(tuple(sorted(emap.items())), []).append(f)
+
+    parts = []
+    for emap_items in sorted(groups):
+        id_to_phys = {i: n for n, i in emap_items}
+        read_fields = [
+            StructField(id_to_phys[fid[f.name]], f.dataType, True)
+            for f in logical.fields
+            if f.name in fid and fid[f.name] in id_to_phys
+        ]
+        raw = spark.read.schema(StructType(read_fields)).parquet(
+            *groups[emap_items]
+        )
+        parts.append(raw.select(*[
+            F.col(id_to_phys[fid[f.name]]).alias(f.name)
+            if f.name in fid and fid[f.name] in id_to_phys
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in logical.fields
+        ]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _commit_dir_of(rel_or_abs: str) -> str:
+    """The commit-directory basename a data file belongs to (the epoch
+    key): the path component right after ``_data``."""
+    parts = rel_or_abs.replace("\\", "/").split("/")
+    i = len(parts) - 1 - parts[::-1].index(_DATA)
+    return parts[i + 1]
+
+
+def _record_epoch(newman: dict, man: dict | None, commit_dir: str) -> dict:
+    """Bookkeeping for a file-writing commit on a field-id table: carry the
+    id map forward (minting fresh ids for columns this commit evolved in —
+    never reusing a prior id, even for a reused NAME), record the new
+    commit dir's physical-name -> id epoch (files written now carry the
+    CURRENT logical names), and prune epoch entries for commit dirs the
+    new manifest no longer references. No-op for legacy (pre-field-id)
+    tables."""
+    fid = dict((man or {}).get("field_ids")
+               or newman.get("field_ids") or {})
+    if not fid:
+        return newman
+    next_id = (man or {}).get("next_field_id") \
+        or newman.get("next_field_id") or (max(fid.values()) + 1)
+    live_fields = [f["name"] for f in json.loads(newman["schema"])["fields"]]
+    for name in live_fields:
+        if name not in fid:
+            fid[name] = next_id
+            next_id += 1
+    newman["field_ids"] = fid
+    newman["next_field_id"] = next_id
+    epochs = dict((man or {}).get("epochs") or {})
+    epochs[os.path.basename(commit_dir.rstrip("/\\"))] = {
+        name: fid[name] for name in live_fields
+    }
+    used = {
+        _commit_dir_of(f)
+        for fs in newman["buckets"].values() for f in fs
+    }
+    newman["epochs"] = {d: m for d, m in epochs.items() if d in used}
+    return newman
 
 
 def _live_and_retired_names(man: dict) -> tuple[set, set]:
@@ -503,15 +618,16 @@ def _metadata_only_manifest(man: dict, operation: str) -> dict:
 
 def rename_column(path: str, old: str, new: str, retries: int = 0) -> int:
     """RENAME COLUMN as a metadata-only commit: the manifest schema renames
-    the field, records ``old`` as an alias, and rekeys any stats — no data
-    file is touched, so the commit is O(manifest) at any table size. Old
-    files keep their physical name; reads coalesce the alias chain (see
-    ``_read_files_with_manifest_schema``). Earlier versions time-travel
-    under their own names. ``new`` must never have been used by this table
-    (live, prior, or dropped name) — reuse would make name-based resolution
-    ambiguous; this is the restriction that lets the format skip Iceberg's
-    per-file field-id projection while keeping renames exact. Key columns
-    rename cleanly (bucketing hashes values, not names)."""
+    the field (the column keeps its FIELD ID), records ``old`` as an alias
+    for legacy readers, and rekeys any stats — no data file is touched, so
+    the commit is O(manifest) at any table size. Old files keep their
+    physical name; reads resolve by id through the commit-dir epochs (see
+    ``_read_files_by_field_id``), so a historical name may later be reused
+    by a NEW column under a fresh id. Earlier versions time-travel under
+    their own names. Only a LIVE name collision raises (legacy tables
+    without field ids additionally block historical reuse — their reads
+    resolve old files by name). Key columns rename cleanly (bucketing
+    hashes values, not names)."""
     if retries:
         return _retrying_commit(
             lambda: rename_column(path, old, new, retries=0), retries)
@@ -522,7 +638,12 @@ def rename_column(path: str, old: str, new: str, retries: int = 0) -> int:
     live, retired = _live_and_retired_names(man)
     if old not in live:
         raise ValueError(f"no column {old!r} to rename (have {sorted(live)})")
-    if new in live or new in retired:
+    if new in live:
+        raise ValueError(f"column name {new!r} is already a live column")
+    if new in retired and not man.get("field_ids"):
+        # legacy (pre-field-id) tables resolve historical names INSIDE old
+        # files by name, so reuse would resurrect old data. Field-id tables
+        # resolve by id (epochs) and reuse freely.
         raise ValueError(
             f"column name {new!r} was already used by this table (live or "
             "historical); pick a fresh name — reuse would resurrect old data"
@@ -536,6 +657,13 @@ def rename_column(path: str, old: str, new: str, retries: int = 0) -> int:
     aliases = {k: list(v) for k, v in (man.get("aliases") or {}).items()}
     aliases[new] = [old] + aliases.pop(old, [])
     newman["aliases"] = aliases
+    if man.get("field_ids"):
+        # metadata-only: the COLUMN keeps its id under the new name; epochs
+        # (which physical name carries which id in which commit dir) are
+        # untouched, so every old file keeps resolving
+        fid = dict(man["field_ids"])
+        fid[new] = fid.pop(old)
+        newman["field_ids"] = fid
     spec = newman["spec"]
     spec["key"] = [new if k == old else k for k in _keys(spec["key"])]
     if old in (spec.get("stats_cols") or []):
@@ -576,6 +704,13 @@ def drop_column(path: str, col: str, retries: int = 0) -> int:
     retired += [col] + aliases.pop(col, [])
     newman["aliases"] = aliases
     newman["retired"] = retired
+    if man.get("field_ids"):
+        # the id dies with the column (never reused); a future column may
+        # take the NAME under a fresh id — old files' epochs still map
+        # their physical column to the dead id, which no read requests
+        fid = dict(man["field_ids"])
+        fid.pop(col, None)
+        newman["field_ids"] = fid
     spec = newman["spec"]
     if col in (spec.get("stats_cols") or []):
         spec["stats_cols"] = [c for c in spec["stats_cols"] if c != col]
@@ -899,7 +1034,10 @@ def merge_versioned(spark: SparkSession, path: str,
             )
         _, retired = _live_and_retired_names(man)
         reused = (set(updates.columns) - set(current.columns)) & retired
-        if reused:
+        if reused and not man.get("field_ids"):
+            # legacy name-resolution tables only; field-id tables mint a
+            # fresh id for the reused name (_record_epoch) and old bytes
+            # stay dead under their dead id
             raise ValueError(
                 f"evolved column name(s) {sorted(reused)} were used by this "
                 "table before a rename/drop; reads resolve historical names "
@@ -929,6 +1067,7 @@ def merge_versioned(spark: SparkSession, path: str,
         "buckets": buckets,
     }
     _carry_naming(newman, man)
+    _record_epoch(newman, man, commit_dir)
     stats = _carry_stats(path, man, buckets)
     if stats is not None:
         newman["stats"] = stats
@@ -993,6 +1132,7 @@ def compact_versioned(spark: SparkSession, path: str,
         "buckets": buckets,
     }
     _carry_naming(newman, man)
+    _record_epoch(newman, man, commit_dir)
     stats = _carry_stats(path, man, buckets)
     if stats is not None:
         newman["stats"] = stats
@@ -1088,6 +1228,7 @@ def rebucket_versioned(spark: SparkSession, path: str,
         "buckets": buckets,
     }
     _carry_naming(newman, man)
+    _record_epoch(newman, man, commit_dir)
     if spec.get("stats_cols"):
         newman["stats"] = _footer_stats(
             path, [f for fs in buckets.values() for f in fs],
@@ -1224,6 +1365,7 @@ def delete_versioned(spark: SparkSession, path: str,
         "buckets": buckets,
     }
     _carry_naming(newman, man)
+    _record_epoch(newman, man, commit_dir)
     stats = _carry_stats(path, man, buckets)
     if stats is not None:
         newman["stats"] = stats
@@ -1353,6 +1495,8 @@ def optimize_zorder(spark: SparkSession, path: str, cols: list[str],
             spec["stats_cols"],
         ),
     }
+    _carry_naming(newman, man)
+    _record_epoch(newman, man, commit_dir)
     _commit(path, newman)
     return new_version
 

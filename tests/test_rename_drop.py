@@ -2,9 +2,13 @@
 
 - rename is metadata-only (no new data dirs), exact through old+new files,
   key columns and stats rekey, time travel keeps each version's own names;
-- genuine NULLs survive the alias coalesce;
-- drop hides the column, retires the name, and blocks resurrection
-  (re-adding a historical name via evolution or rename raises);
+- genuine NULLs survive the cross-epoch read;
+- drop hides the column; NAME REUSE after rename/drop is allowed (r07,
+  field-id resolution): the reused name binds a FRESH field id, so the
+  dropped column's bytes stay dead in old files — resurrection is
+  structurally impossible, not guarded by a block;
+- legacy (pre-field-id) manifests keep the old hard block, since they
+  resolve historical names inside old files BY NAME;
 - compaction and MERGE after a rename keep resolving pre-rename files.
 """
 
@@ -109,7 +113,11 @@ def test_rename_key_column_keeps_layout(spark, tmp_path):
     assert got.count() == N
 
 
-def test_drop_hides_column_and_blocks_resurrection(spark, tmp_path):
+def test_drop_then_name_reuse_keeps_old_bytes_dead(spark, tmp_path):
+    """The r06-verdict limitation, lifted: after drop, a NEW column may
+    take the dropped name — it binds a fresh field id, so every pre-drop
+    file resolves the reused name to NULL (the dead id's bytes never
+    surface), and only rows written after the rebirth carry values."""
     path = str(tmp_path / "tbl")
     write_versioned(_df(spark), path, key="id", n_buckets=4)
     assert drop_column(path, "s") == 2
@@ -117,22 +125,29 @@ def test_drop_hides_column_and_blocks_resurrection(spark, tmp_path):
     assert got.columns == ["id", "v"]
     assert read_version(spark, path, 1).columns == ["id", "v", "s"]
 
-    # the old bytes must NOT come back under a same-named new column
-    with pytest.raises(ValueError, match="resurrect"):
-        merge_versioned(
-            spark, path,
-            spark.createDataFrame([(1, 10, "fresh")],
-                                  "id bigint, v bigint, s string"),
-            allow_schema_evolution=True,
-        )
-    with pytest.raises(ValueError, match="already used"):
-        rename_column(path, "v", "s")
-    # a key column cannot be dropped
+    # rebirth via evolution: allowed, and old strings must NOT come back
+    merge_versioned(
+        spark, path,
+        spark.createDataFrame([(1, 10, "fresh")],
+                              "id bigint, v bigint, s string"),
+        allow_schema_evolution=True,
+    )
+    rows = {r.id: r.s for r in read_version(spark, path).collect()}
+    assert rows[1] == "fresh"
+    assert all(v is None for i, v in rows.items() if i != 1)  # bytes dead
+    # the dropped version still time-travels WITHOUT the reborn column's
+    # values bleeding back
+    assert read_version(spark, path, 2).columns == ["id", "v"]
+
+    # a key column still cannot be dropped
     with pytest.raises(ValueError, match="key column"):
         drop_column(path, "id")
+    # a LIVE name still cannot be taken
+    with pytest.raises(ValueError, match="live column"):
+        rename_column(path, "v", "s")
 
 
-def test_rename_chain_and_reuse_guard(spark, tmp_path):
+def test_rename_chain_and_name_reuse_resolution(spark, tmp_path):
     path = str(tmp_path / "tbl")
     write_versioned(_df(spark), path, key="id", n_buckets=4)
     rename_column(path, "v", "v2")
@@ -143,7 +158,46 @@ def test_rename_chain_and_reuse_guard(spark, tmp_path):
     assert got.columns == ["id", "v3", "s"]
     rows = {r.id: r.v3 for r in got.collect()}
     assert rows[2] == 20 and rows[N] == -1 and rows[5] is None
-    # every historical name of the chain is blocked for reuse
-    for stale in ("v", "v2"):
-        with pytest.raises(ValueError, match="already used"):
-            rename_column(path, "s", stale)
+
+    # reusing a historical chain name for ANOTHER live column: the id
+    # travels with the column, so s's strings now answer under the name
+    # 'v' while v3 keeps the original numeric column — no crosstalk
+    rename_column(path, "s", "v")
+    got2 = read_version(spark, path)
+    assert got2.columns == ["id", "v3", "v"]
+    r2 = {r.id: (r.v3, r.v) for r in got2.collect()}
+    assert r2[2] == (20, "s2") and r2[N] == (-1, "sA")
+    assert r2[5] == (None, "s5")
+
+
+def test_legacy_manifest_keeps_reuse_block(spark, tmp_path):
+    """Tables whose manifests predate field ids resolve historical names
+    inside old files BY NAME — for them the reuse block must survive."""
+    import json as _json
+
+    path = str(tmp_path / "tbl")
+    write_versioned(_df(spark), path, key="id", n_buckets=4)
+    # strip the field-id bookkeeping: the manifest a pre-r07 writer left
+    mpath = os.path.join(path, "_manifests", "v00001.json")
+    man = _json.load(open(mpath))
+    for k in ("field_ids", "next_field_id", "epochs"):
+        man.pop(k, None)
+    os.remove(mpath)
+    with open(mpath, "w") as fh:
+        _json.dump(man, fh)
+
+    rename_column(path, "v", "amount")
+    # legacy alias read still resolves old files
+    rows = {r.id: r.amount for r in read_version(spark, path).collect()}
+    assert rows[2] == 20 and rows[5] is None
+    # and historical names stay blocked for reuse
+    with pytest.raises(ValueError, match="already used"):
+        rename_column(path, "s", "v")
+    with pytest.raises(ValueError, match="resurrect"):
+        drop_column(path, "s")
+        merge_versioned(
+            spark, path,
+            spark.createDataFrame([(1, 10, "fresh")],
+                                  "id bigint, amount bigint, s string"),
+            allow_schema_evolution=True,
+        )
