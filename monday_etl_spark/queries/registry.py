@@ -54,36 +54,20 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # already-green entries. Refreshed each round from CORRECTNESS_r{N}.json.
 # Purely an ordering hint; every query is still registered and runnable.
 _EVIDENCE_PRIORITY = [
-    # r06: NEW queries or results/plans CHANGED this round — evidence first
-    "set_similarity_join", "triangle_census",                 # new in r06
-    "collection_battery",                                     # new in r06
-    "governance_erasure", "timeseries_moving_anomaly",        # new in r06
-    "hopping_window_6h_2h", "join_full_outer",                # new in r06
-    "revenue_equidepth_histogram",                            # new in r06
-    "streaming_interval_join", "tableformat_health",          # new in r06
-    "streaming_decontaminate",                                # new in r06
-    "tableformat_rename_evolution",                           # new in r06
-    "streaming_ivf_maintenance",                              # new in r06
-    "tableformat_point_lookup",                               # new in r06
-    "tableformat_merge_history", "tableformat_cdc_diff",      # demo subset
-    "tableformat_dataskip",                                   # demo subset
-    "semantic_dedup_auto",                                    # oracle added
-    "weekly_threshold",                                       # plan collapsed
-    "rollup_maintenance_drain", "scd2_maintenance_drain",     # single-drain
-    # r02-only official evidence (r04/r05 budgets never reached them —
-    # three-plus rounds stale); oldest official rows in the registry
-    "join_left_composite", "join_left_single", "join_semi", "join_anti",
-    "top10_orders", "union_counts", "setop_intersect", "setop_except",
-    "latest_snapshot", "rank_topn_per_group", "running_total",
-    "window_function_battery", "unpivot_measures", "revenue_histogram",
-    "revenue_percentiles", "price_quantity_corr", "deterministic_sample",
-    "stratified_sample", "text_scrub", "training_set_selection",
-    "corpus_curation",
-    # r03-latest evidence, oldest-first (a ~50 budget reaches the first
-    # ~20 of these after the 30 rows above; the rest lead round 7)
-    "normalize_projects", "normalize_subitems", "normalize_personnel_costs",
-    "normalize_travel_costs", "normalize_supplier_costs",
-    "filter_high_revenue", "filter_inlist", "filter_daterange",
+    # r07: RESULTS or code paths CHANGED this round — evidence first.
+    "revenue_percentiles_sketch",   # NEW oracle + result schema (was
+                                    # rows-only; now hashed rank-window)
+    "set_similarity_join",          # PPJoin positional filter + cache plan
+    "triangle_census",              # eager materialize + cache release
+    "tableformat_point_lookup", "governance_erasure",   # shared fixtures
+    "streaming_decontaminate", "streaming_ivf_maintenance",  # shared fxt
+    "tableformat_rename_evolution",  # field-id read resolution path
+    "tableformat_merge_history", "tableformat_cdc_diff",  # field-id commits
+    "tableformat_dataskip", "tableformat_health",         # field-id commits
+    "join_auto_salted",              # one-scan/sampled hot-key detection
+    # r03-latest evidence, never re-confirmed by an official driver run
+    # since (the r06 run's 50-budget stopped at filter_daterange) — the
+    # 40 stale rows the r06 verdict queued for refresh
     "filter_snapshot_eq", "fk_json_extract", "scalar_battery",
     "daily_metrics", "customer_order_stats", "snapshot_diff",
     "top_unshipped_orders", "ratio_kpi", "asof_join", "sessionize",
@@ -98,8 +82,9 @@ _EVIDENCE_PRIORITY = [
     "range_join_bucketed", "grouped_zscore_pandas", "approx_distinct_users",
     "grouping_sets_reports", "revenue_by_nation", "pivot_event_values",
     "tumbling_window_6h", "weighted_median_price",
-    # everything below here (unlisted) was re-verified green in r04/r05
-    # official artifacts or by the r05 judge's full driver_sim run
+    # everything below here (unlisted) holds r04-or-newer official
+    # evidence, or was re-verified green by the r06 judge's full
+    # driver_sim run (all 134 queries, FAILURES none)
 ]
 
 
