@@ -63,16 +63,26 @@ def prefix_filter_pairs(sets: DataFrame, id_col: str = "doc_id",
     toks = sets.select(F.col(id_col).alias("id"), F.explode(set_col).alias("s"))
     # only REPEATED tokens (freq >= 2) need a stored count — singletons all
     # coalesce to freq 1, which sorts identically to carrying the real 1.
-    # Most shingles are unique, so the shuffled/broadcast freq side shrinks
-    # to the repeated minority and AQE can turn the attach join into a
-    # broadcast instead of shuffling every exploded token.
+    # With a high-entropy corpus that is a small minority worth
+    # broadcasting; with a small-vocabulary corpus it is NOT, and the sf1
+    # rehearsal showed Catalyst's static estimate happily picking a
+    # broadcast whose build side OOMs the driver. Decide from the COUNTED
+    # size instead: one cheap action over the persisted aggregate, then an
+    # explicit broadcast under the cap or an explicit shuffle join above
+    # it (the hint forbids a mis-estimated broadcast at any scale).
     freq = (
         toks.groupBy("s").agg(F.count("*").alias("freq"))
         .where(F.col("freq") >= 2)
+        .persist()
+    )
+    n_repeated = freq.count()
+    freq_side = (
+        F.broadcast(freq) if n_repeated <= 300_000
+        else freq.hint("shuffle_hash")
     )
     # rarest-first total order per doc; prefix = first (n div 2 + 1) tokens
     ranked = (
-        toks.join(freq, "s", "left")
+        toks.join(freq_side, "s", "left")
         .select("id", F.coalesce("freq", F.lit(1)).alias("freq"), "s")
         .groupBy("id")
         .agg(F.array_sort(F.collect_list(F.struct("freq", "s"))).alias("arr"))
@@ -136,8 +146,18 @@ def prefix_filter_pairs(sets: DataFrame, id_col: str = "doc_id",
         .select("doc_a", "doc_b")
     )
 
+    # verify joins carry the FULL token arrays (fat rows, grow with the
+    # corpus): pick the strategy from the COUNTED doc total — sets is
+    # already cache-materialized by freq.count(), so this count is a cache
+    # scan — broadcast only small corpora, and above the cap hint
+    # shuffle-hash so a mis-estimate can never broadcast them
+    n_docs = sets.count()
     sa = sets.select(F.col(id_col).alias("doc_a"), F.col(set_col).alias("sha"))
     sb = sets.select(F.col(id_col).alias("doc_b"), F.col(set_col).alias("shb"))
+    if n_docs <= 30_000:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    else:
+        sa, sb = sa.hint("shuffle_hash"), sb.hint("shuffle_hash")
     verified = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -166,5 +186,6 @@ def prefix_filter_pairs(sets: DataFrame, id_col: str = "doc_id",
         out = out.localCheckpoint(eager=True)
     finally:
         sets.unpersist()
+        freq.unpersist()
         pref.unpersist()
     return out

@@ -65,6 +65,12 @@ def get_spark(app_name: str = DEFAULT_APP, shuffle_partitions: int | None = None
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
+        # local mode runs driver+executors in ONE JVM whose heap defaults
+        # to 1g — 32 concurrent tasks against a 125 GiB host were starving
+        # in GC (and OOMing the sf1 rehearsal) on the default. Must be set
+        # before JVM launch; ignored when attaching to a live session.
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         # -- correctness-critical --
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
