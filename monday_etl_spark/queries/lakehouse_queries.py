@@ -613,3 +613,54 @@ def governance_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = audit if out is None else out.unionByName(audit)
     return out
+
+
+@register(
+    "tableformat_fieldid_reuse",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 100 = 3 THEN 'R' ELSE NULL END
+               AS o_orderstatus
+    FROM orders WHERE o_orderkey % 8 = 3
+    """,
+    doc="Field-id schema evolution with NAME REUSE (r07): a versioned "
+        "orders subset DROPs o_orderstatus (metadata-only), then an "
+        "evolve-MERGE re-introduces a column under the SAME name with new "
+        "content for a key slice. Resolution is by field id through the "
+        "per-commit-dir epochs, so the reborn name binds a fresh id: "
+        "pre-drop files resolve it to NULL (the dead id's bytes never "
+        "surface — the resurrection the old name-based scheme had to "
+        "BLOCK is now structurally impossible), while the merge-written "
+        "files carry the new values. The oracle is the plain relational "
+        "restatement; rename-chain reuse and the legacy-manifest block "
+        "are pinned by tests/test_rename_drop.py "
+        "(tableformat._read_files_by_field_id / _record_epoch).",
+)
+def tableformat_fieldid_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tableformat import (
+        drop_column,
+        merge_versioned,
+        read_version,
+        write_versioned,
+    )
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(F.col("o_orderkey") % 8 == 3)
+    )
+    root = tempfile.mkdtemp(prefix="tfmt_fieldid_q_")
+    path = os.path.join(root, "orders_reuse")
+    write_versioned(orders, path, key="o_orderkey", n_buckets=8)
+    drop_column(path, "o_orderstatus")
+    merge_versioned(
+        spark, path,
+        orders.filter(F.col("o_orderkey") % 100 == 3).select(
+            "o_orderkey", "o_totalprice",
+            F.lit("R").alias("o_orderstatus"),
+        ),
+        allow_schema_evolution=True,
+    )
+    return read_version(spark, path).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
