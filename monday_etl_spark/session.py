@@ -98,4 +98,13 @@ def get_spark(app_name: str = DEFAULT_APP, shuffle_partitions: int | None = None
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # deployment/diagnosis seam: JSON dict of conf overrides applied last
+    # (e.g. '{"spark.sql.adaptive.coalescePartitions.parallelismFirst":
+    # "false"}') — the knobs a cluster operator would set per-site
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_conf:
+        import json as _json
+
+        for k, v in _json.loads(env_conf).items():
+            builder = builder.config(k, str(v))
     return builder.getOrCreate()
