@@ -71,6 +71,78 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def _leakage_split_oracle() -> str:
+    """Cluster closure (same CTE chain as dedup_cluster_resolution) →
+    whole-cluster split assignment by the first hex char of
+    md5(cluster_id): '0'..'b' = train (12/16), 'c'..'d' = val (2/16),
+    'e'..'f' = test (2/16). ASCII string comparison — identical in both
+    engines, no float math anywhere."""
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_cte()},
+    sym AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM sym),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT reach.a, e.dst FROM reach JOIN sym e ON reach.b = e.src
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a),
+    labeled AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)
+                     BETWEEN '0' AND 'b' THEN 'train'
+                WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)
+                     BETWEEN 'c' AND 'd' THEN 'val'
+                ELSE 'test' END AS split
+    FROM labeled
+    """
+
+
+@register(
+    "leakage_safe_split",
+    oracle=_leakage_split_oracle(),
+    doc="Leakage-safe train/val/test split: near-dup cluster resolution "
+        "(LSH candidates → connected components) labels every document "
+        "with its cluster, then the SPLIT is a deterministic hash of the "
+        "CLUSTER id — so a document and all its near-duplicates land in "
+        "the same split by construction, and an eval set can never "
+        "contain a near-copy of a training document (the leakage exact "
+        "split-by-doc-hash pipelines suffer). Singletons cluster as "
+        "themselves. 100 TB shape: one extra stateless map over the CC "
+        "output; the split needs no global coordination because the hash "
+        "is pure. Reference scope: composite of dedup + sampling "
+        "semantics (corpus-pipeline extension; no reference analogue).",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidates(docs).select("doc_a", "doc_b")
+    comp = dedup_clusters(pairs).select("doc_id", "component")
+    labeled = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    h = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 1)
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        F.when(h.between("0", "b"), F.lit("train"))
+        .when(h.between("c", "d"), F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
 def _semantic_dedup_oracle() -> str:
     """Embedding near-dup pairs (same CTEs as the green embedding_near_dup
     oracle) → recursive-CTE transitive closure → one keeper per cluster,

@@ -55,6 +55,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # Purely an ordering hint; every query is still registered and runnable.
 _EVIDENCE_PRIORITY = [
     # r07: RESULTS or code paths CHANGED this round — evidence first.
+    "leakage_safe_split",           # NEW query (cluster-aware split)
     "tableformat_fieldid_reuse",    # NEW query (field-id name reuse)
     "revenue_percentiles_sketch",   # NEW oracle + result schema (was
                                     # rows-only; now hashed rank-window)

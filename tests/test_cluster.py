@@ -49,3 +49,35 @@ def test_dedup_clusters_keepers(spark):
     rows = {r.doc_id: (r.component, r.is_keeper) for r in dedup_clusters(pairs).collect()}
     assert rows == {1: (1, True), 2: (1, False), 3: (1, False),
                     7: (7, True), 8: (7, False)}
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    """Every document is assigned exactly once; a cluster's members all land
+    in the same split (the leakage guard the query exists for); the split of
+    a cluster equals the md5-derived label of its id."""
+    from monday_etl_spark.queries.cluster_tfidf import leakage_safe_split
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_docs = docs.count()
+    rows = leakage_safe_split(spark, SF_SMOKE).collect()
+    assert len(rows) == n_docs
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+
+    by_cluster: dict[int, set[str]] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+
+    # cluster labels agree with the union-find ground truth on the real pairs
+    pairs = minhash_candidates(docs).select("doc_a", "doc_b")
+    truth = py_components([(r.doc_a, r.doc_b) for r in pairs.collect()])
+    for r in rows:
+        assert r.cluster_id == truth.get(r.doc_id, r.doc_id)
+
+    # deterministic hash boundary: recompute one cluster's split in Python
+    import hashlib
+
+    for r in rows[:50]:
+        h = hashlib.md5(str(r.cluster_id).encode()).hexdigest()[0]
+        want = "train" if "0" <= h <= "b" else ("val" if h in "cd" else "test")
+        assert r.split == want
