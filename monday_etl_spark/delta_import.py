@@ -1,0 +1,394 @@
+"""Read (and append to) external Delta Lake tables with zero libraries.
+
+The other half of the interop bridge (``delta_export`` writes our
+snapshots AS Delta; this module consumes tables OTHER engines wrote).
+delta-spark / delta-rs aren't in this container, but the Delta protocol is
+a public spec (github.com/delta-io/delta PROTOCOL.md): a table is plain
+parquet plus ``_delta_log/`` — ordered newline-delimited-JSON commits
+``<v:020d>.json``, optionally compacted into parquet checkpoints
+``<v:020d>.checkpoint.parquet`` advertised by ``_last_checkpoint``.
+
+Reading = log replay:
+
+1. pick the newest checkpoint at-or-below the requested version (none is
+   fine — replay starts at commit 0);
+2. the checkpoint's surviving ``add`` rows are resolved DISTRIBUTED (the
+   checkpoint can carry millions of file actions at 100 TB — it is read
+   as a DataFrame and reconciled against later removes Spark-side; only
+   the surviving file list is collected, which is the same driver-memory
+   contract delta-spark itself has);
+3. JSON commits after the checkpoint are replayed in order driver-side
+   (each is small by construction — Delta writers checkpoint every ~10
+   commits precisely so this tail stays short): ``add`` inserts by path,
+   ``remove`` deletes, latest ``metaData``/``protocol`` win;
+4. files are grouped by their ``partitionValues`` tuple and each group is
+   scanned ONCE with the snapshot schema (missing columns in old files
+   surface as NULL — additive evolution just works); partition columns
+   are injected as typed literals per the spec's serialization (they are
+   not stored in the data files);
+5. ``read_delta_where`` prunes the file list against the per-file
+   ``stats`` min/max BEFORE any Spark scan — the import-side twin of
+   ``tableformat.read_where``.
+
+Appending = one parquet write + one put-if-absent commit: new data files
+land under the table root, then ``<next_version:020d>.json`` (add actions
++ commitInfo) publishes through the same ``LogStore`` seam tableformat
+commits use — a lost race surfaces as ``FileExistsError``, never a
+clobbered commit. The appended table remains readable by any Delta
+engine.
+
+Honest refusals (loud, never silent data corruption): reader version > 1
+(column mapping / deletion vectors need reader features this baseline
+bridge does not implement), ``delta.columnMapping.mode`` set, any
+surviving file carrying a ``deletionVector``, and appends whose schema
+does not match the table's by name+type.
+
+Reference scope: the reference loads BigQuery tables any client can read
+(monday_etl_automated.py:571-590); this gives our engine the equivalent
+open-ecosystem surface in both directions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import urllib.parse
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_LOG_DIR = "_delta_log"
+_COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+_CKPT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+
+
+class DeltaProtocolError(RuntimeError):
+    """The table needs protocol features this baseline reader lacks."""
+
+
+# ---------------------------------------------------------------- log layout
+
+
+def _log_dir(path: str) -> str:
+    d = os.path.join(path, _LOG_DIR)
+    if not os.path.isdir(d):
+        raise FileNotFoundError(f"{path}: no {_LOG_DIR}/ — not a Delta table")
+    return d
+
+
+def _list_commits(path: str) -> dict[int, str]:
+    d = _log_dir(path)
+    out: dict[int, str] = {}
+    for name in os.listdir(d):
+        m = _COMMIT_RE.match(name)
+        if m:
+            out[int(m.group(1))] = os.path.join(d, name)
+    return out
+
+
+def _list_checkpoints(path: str) -> dict[int, str]:
+    d = _log_dir(path)
+    out: dict[int, str] = {}
+    for name in os.listdir(d):
+        m = _CKPT_RE.match(name)
+        if m:
+            out[int(m.group(1))] = os.path.join(d, name)
+    return out
+
+
+def delta_versions(path: str) -> list[int]:
+    """Committed versions visible in the log (checkpoint versions count:
+    a checkpointed writer may have cleaned the JSON commits it covers)."""
+    vs = set(_list_commits(path)) | set(_list_checkpoints(path))
+    return sorted(vs)
+
+
+def delta_history(path: str) -> list[dict]:
+    """Per-version operation metadata from commitInfo actions (empty dict
+    when a commit carries none — commitInfo is optional in the spec)."""
+    hist = []
+    for v, f in sorted(_list_commits(path).items()):
+        info: dict = {}
+        with open(f) as fh:
+            for line in fh:
+                if line.strip():
+                    a = json.loads(line)
+                    if "commitInfo" in a:
+                        info = a["commitInfo"]
+                        break
+        hist.append({"version": v, "commitInfo": info})
+    return hist
+
+
+# ------------------------------------------------------------- state replay
+
+
+def _check_protocol(protocol: dict | None) -> None:
+    if protocol and protocol.get("minReaderVersion", 1) > 1:
+        raise DeltaProtocolError(
+            f"minReaderVersion={protocol['minReaderVersion']}: this "
+            "baseline bridge implements reader version 1 (no column "
+            "mapping / deletion vectors / v2 checkpoints)"
+        )
+
+
+def _check_meta(meta: dict) -> None:
+    conf = meta.get("configuration") or {}
+    mode = conf.get("delta.columnMapping.mode", "none")
+    if mode not in ("", "none"):
+        raise DeltaProtocolError(
+            f"delta.columnMapping.mode={mode}: physical-name indirection "
+            "not implemented; columns here resolve by footer name"
+        )
+    fmt = (meta.get("format") or {}).get("provider", "parquet")
+    if fmt != "parquet":
+        raise DeltaProtocolError(f"format.provider={fmt}: parquet only")
+
+
+def _snapshot_state(
+    spark: SparkSession, path: str, version: int | None
+) -> tuple[int, dict, dict[str, dict]]:
+    """Replay the log to ``version`` (default latest). Returns
+    (version, metaData, {path: add-action}) for surviving files."""
+    commits = _list_commits(path)
+    ckpts = _list_checkpoints(path)
+    if version is None:
+        all_vs = set(commits) | set(ckpts)
+        if not all_vs:
+            raise FileNotFoundError(f"{path}: empty {_LOG_DIR}/")
+        version = max(all_vs)
+
+    ckpt_v = max((v for v in ckpts if v <= version), default=None)
+    meta: dict | None = None
+    protocol: dict | None = None
+    live: dict[str, dict] = {}
+
+    if ckpt_v is not None:
+        # distributed reconcile: a checkpoint is one row per action with
+        # null siblings. Only surviving adds come back to the driver.
+        cdf = spark.read.parquet(ckpts[ckpt_v])
+        cols = set(cdf.columns)
+        if "metaData" in cols:
+            row = cdf.filter(F.col("metaData").isNotNull()) \
+                     .select("metaData").first()
+            if row:
+                meta = row[0].asDict(recursive=True)
+        if "protocol" in cols:
+            row = cdf.filter(F.col("protocol").isNotNull()) \
+                     .select("protocol").first()
+            if row:
+                protocol = row[0].asDict(recursive=True)
+        if "add" in cols:
+            adds = cdf.filter(F.col("add").isNotNull()).select("add.*")
+            if "remove" in cols:
+                removed = cdf.filter(F.col("remove").isNotNull()) \
+                             .select(F.col("remove.path").alias("path"))
+                adds = adds.join(removed, "path", "left_anti")
+            for r in adds.collect():
+                live[r["path"]] = _row_to_add(r)
+
+    start = (ckpt_v + 1) if ckpt_v is not None else 0
+    for v in range(start, version + 1):
+        f = commits.get(v)
+        if f is None:
+            raise FileNotFoundError(
+                f"{path}: missing commit {v} (log has a hole below the "
+                f"requested version {version})"
+            )
+        with open(f) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "metaData" in a:
+                    meta = a["metaData"]
+                elif "protocol" in a:
+                    protocol = a["protocol"]
+                elif "add" in a:
+                    live[a["add"]["path"]] = a["add"]
+                elif "remove" in a:
+                    live.pop(a["remove"]["path"], None)
+
+    _check_protocol(protocol)
+    if meta is None:
+        raise DeltaProtocolError(f"{path}: no metaData action in log")
+    _check_meta(meta)
+    for add in live.values():
+        if add.get("deletionVector"):
+            raise DeltaProtocolError(
+                f"{add['path']}: carries a deletion vector; reading the "
+                "file whole would resurrect deleted rows"
+            )
+    return version, meta, live
+
+
+def _row_to_add(r) -> dict:
+    d = r.asDict(recursive=True)
+    return {k: v for k, v in d.items() if v is not None}
+
+
+# ------------------------------------------------------------------ reading
+
+
+def _partition_literal(value: str | None, dtype):
+    """Delta serializes partition values as strings (null for NULL); the
+    reader re-types them against the schema."""
+    if value is None:
+        return F.lit(None).cast(dtype)
+    return F.lit(value).cast(dtype)
+
+
+def read_delta(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read of a Delta table at ``version`` (default latest).
+    One scan per distinct partition tuple, schema from the log (NOT from
+    footers — old files missing later-added columns surface NULLs), and
+    partition columns injected as typed literals per the spec."""
+    _, meta, live = _snapshot_state(spark, path, version)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = meta.get("partitionColumns") or []
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    by_part: dict[tuple, list[str]] = {}
+    for add in live.values():
+        rel = urllib.parse.unquote(add["path"])
+        absf = rel if os.path.isabs(rel) else os.path.join(path, rel)
+        pv = add.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in part_cols)
+        by_part.setdefault(key, []).append(absf)
+
+    if not by_part:
+        return spark.createDataFrame([], schema)
+
+    pieces = []
+    for key, files in sorted(by_part.items()):
+        df = spark.read.schema(data_schema).parquet(*files)
+        for c, v in zip(part_cols, key):
+            df = df.withColumn(c, _partition_literal(v, schema[c].dataType))
+        pieces.append(df.select(*[f.name for f in schema.fields]))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def files_for_range(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """(matching absolute files, total live files) — stats-based pruning
+    over the adds' minValues/maxValues, before any Spark scan. A file
+    without stats for ``column`` can never be pruned (sound, like
+    tableformat.read_where)."""
+    _, _meta, live = _snapshot_state(spark, path, version)
+    keep: list[str] = []
+    for add in live.values():
+        rel = urllib.parse.unquote(add["path"])
+        absf = rel if os.path.isabs(rel) else os.path.join(path, rel)
+        stats = add.get("stats")
+        if stats:
+            s = json.loads(stats) if isinstance(stats, str) else stats
+            mins = (s.get("minValues") or {})
+            maxs = (s.get("maxValues") or {})
+            if column in mins and column in maxs:
+                if maxs[column] < lo or mins[column] > hi:
+                    continue
+        keep.append(absf)
+    return keep, len(live)
+
+
+def read_delta_where(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Range read with manifest-side data skipping: only stats-matching
+    files reach the scan; the exact predicate still applies on top."""
+    _, meta, _live = _snapshot_state(spark, path, version)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if meta.get("partitionColumns"):
+        # partition columns aren't in footers; fall back to the full read
+        # (partition pruning on them is the engine's job via the literal)
+        df = read_delta(spark, path, version)
+        return df.filter(F.col(column).between(lo, hi))
+    files, _total = files_for_range(spark, path, column, lo, hi, version)
+    if not files:
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.schema(schema).parquet(*files)
+        .filter(F.col(column).between(lo, hi))
+    )
+
+
+# ----------------------------------------------------------------- appends
+
+
+def append_delta(spark: SparkSession, df: DataFrame, path: str) -> int:
+    """Append ``df`` to an existing Delta table and return the committed
+    version. Write-then-publish: parquet files land under a
+    writer-unique directory first, and the commit JSON publishes through
+    the LogStore put-if-absent seam — two racing appenders cannot clobber
+    each other (the loser's FileExistsError surfaces; its orphaned data
+    files are unreferenced and harmless, exactly Delta's own model)."""
+    from . import tableformat as _tf
+
+    latest, meta, _live = _snapshot_state(spark, path, None)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if meta.get("partitionColumns"):
+        raise NotImplementedError(
+            "append to a partitioned Delta table: partition routing not "
+            "implemented in this bridge"
+        )
+    got = {(f.name, f.dataType.simpleString()) for f in df.schema.fields}
+    want = {(f.name, f.dataType.simpleString()) for f in schema.fields}
+    if got != want:
+        raise ValueError(
+            f"append schema mismatch: df has {sorted(got)}, "
+            f"table wants {sorted(want)}"
+        )
+
+    rel_dir = f"_data_a{latest + 1}-{uuid.uuid4().hex[:8]}"
+    out_dir = os.path.join(path, rel_dir)
+    df.select(*[f.name for f in schema.fields]).write.parquet(out_dir)
+    import pyarrow.parquet as pq
+
+    adds = []
+    for name in sorted(os.listdir(out_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        absf = os.path.join(out_dir, name)
+        adds.append({
+            "add": {
+                "path": urllib.parse.quote(f"{rel_dir}/{name}", safe="/=%"),
+                "partitionValues": {},
+                "size": os.path.getsize(absf),
+                "modificationTime": int(os.path.getmtime(absf) * 1000),
+                "dataChange": True,
+                "stats": json.dumps(
+                    {"numRecords": pq.ParquetFile(absf).metadata.num_rows}
+                ),
+            }
+        })
+    commit = [{
+        "commitInfo": {
+            "operation": "WRITE",
+            "operationParameters": {"mode": "Append"},
+            "engineInfo": "monday-etl-spark delta bridge",
+        }
+    }] + adds
+    payload = "\n".join(json.dumps(a) for a in commit) + "\n"
+    target = os.path.join(_log_dir(path), f"{latest + 1:020d}.json")
+    _tf._LOG_STORE.put_if_absent(target, payload)
+    return latest + 1

@@ -1,0 +1,304 @@
+"""Delta import bridge: log replay, partitions, checkpoints, appends.
+
+No Delta library exists in the container, so external tables are
+hand-built against the public PROTOCOL.md contract (JSON commit files +
+a Spark-written checkpoint) and the reader is verified to materialize
+exactly the state the spec prescribes — including the round trip through
+our own exporter (export → read_delta == read_version)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from monday_etl_spark.delta_export import export_delta_log
+from monday_etl_spark.delta_import import (
+    DeltaProtocolError,
+    append_delta,
+    delta_history,
+    delta_versions,
+    files_for_range,
+    read_delta,
+    read_delta_where,
+)
+from monday_etl_spark.tableformat import read_version, write_versioned
+
+_SCHEMA_JSON = json.dumps({
+    "type": "struct",
+    "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+    ],
+})
+
+
+def _write_file(spark, table, name, rows):
+    """One physical parquet data file under the table root; returns its
+    relative path and row count."""
+    tmp = os.path.join(table, f"_stage_{name}")
+    spark.createDataFrame(rows, "id long, v double").coalesce(1) \
+        .write.parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    rel = f"data/{name}.parquet"
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    os.replace(os.path.join(tmp, part), os.path.join(table, rel))
+    import shutil
+
+    shutil.rmtree(tmp)
+    return rel, len(rows)
+
+
+def _commit(table, version, actions):
+    log = os.path.join(table, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    with open(os.path.join(log, f"{version:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+
+def _add(rel, stats=None):
+    a = {"path": rel, "partitionValues": {}, "size": 1, "dataChange": True,
+         "modificationTime": 0}
+    if stats is not None:
+        a["stats"] = json.dumps(stats)
+    return {"add": a}
+
+
+def _meta(schema_json=_SCHEMA_JSON, partition_cols=(), configuration=None):
+    return {"metaData": {
+        "id": "11111111-1111-1111-1111-111111111111",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_json,
+        "partitionColumns": list(partition_cols),
+        "configuration": configuration or {},
+    }}
+
+
+_PROTO = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+
+def _external_table(spark, root, name="ext"):
+    """Three commits: v0 adds f0+f1, v1 removes f1 and adds f2, v2 adds f3.
+    Live state at v2: f0, f2, f3."""
+    table = str(root / name)
+    os.makedirs(table)
+    f0, _ = _write_file(spark, table, "f0", [(i, float(i)) for i in range(5)])
+    f1, _ = _write_file(spark, table, "f1", [(9, 9.0)])
+    f2, _ = _write_file(spark, table, "f2",
+                        [(i, float(i)) for i in range(10, 13)])
+    f3, _ = _write_file(spark, table, "f3", [(20, 20.0)])
+    _commit(table, 0, [_PROTO, _meta(),
+                       _add(f0, {"numRecords": 5,
+                                 "minValues": {"id": 0}, "maxValues": {"id": 4}}),
+                       _add(f1, {"numRecords": 1,
+                                 "minValues": {"id": 9}, "maxValues": {"id": 9}})])
+    _commit(table, 1, [{"remove": {"path": f1, "dataChange": True}},
+                       _add(f2, {"numRecords": 3,
+                                 "minValues": {"id": 10},
+                                 "maxValues": {"id": 12}})])
+    _commit(table, 2, [{"commitInfo": {"operation": "WRITE"}}, _add(f3)])
+    return table
+
+
+def test_replay_applies_adds_and_removes(spark, tmp_path):
+    table = _external_table(spark, tmp_path)
+    ids = sorted(r.id for r in read_delta(spark, table).collect())
+    assert ids == [0, 1, 2, 3, 4, 10, 11, 12, 20]  # f1's 9 is removed
+    # time travel: at v0 the removed file is still live
+    ids_v0 = sorted(r.id for r in read_delta(spark, table, version=0).collect())
+    assert ids_v0 == [0, 1, 2, 3, 4, 9]
+    assert delta_versions(table) == [0, 1, 2]
+    hist = delta_history(table)
+    assert hist[2]["commitInfo"]["operation"] == "WRITE"
+
+
+def test_stats_pruning_skips_files(spark, tmp_path):
+    table = _external_table(spark, tmp_path)
+    files, total = files_for_range(spark, table, "id", 10, 12)
+    assert total == 3
+    # f0 (0-4) pruned by stats; f3 has NO stats so it can never be pruned
+    assert len(files) == 2
+    ids = sorted(r.id for r in read_delta_where(spark, table, "id", 10, 12)
+                 .collect())
+    assert ids == [10, 11, 12]
+
+
+def test_partition_values_injected_as_typed_columns(spark, tmp_path):
+    table = str(tmp_path / "part")
+    os.makedirs(table)
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+        {"name": "day", "type": "date", "nullable": True, "metadata": {}},
+    ]})
+    fa, _ = _write_file(spark, table, "a", [(1, 1.0)])
+    fb, _ = _write_file(spark, table, "b", [(2, 2.0)])
+    adds = []
+    for rel, day in ((fa, "2026-01-01"), (fb, "2026-01-02")):
+        a = _add(rel)
+        a["add"]["partitionValues"] = {"day": day}
+        adds.append(a)
+    _commit(table, 0, [_PROTO, _meta(schema, partition_cols=["day"])] + adds)
+    rows = {r.id: r for r in read_delta(spark, table).collect()}
+    assert str(rows[1].day) == "2026-01-01" and str(rows[2].day) == "2026-01-02"
+    assert read_delta(spark, table).schema["day"].dataType.simpleString() == "date"
+
+
+def test_schema_from_log_not_footers(spark, tmp_path):
+    """A file written before a column existed surfaces NULL for it — the
+    additive-evolution contract. Footer-only reading would error or drop
+    the column."""
+    table = str(tmp_path / "evolve")
+    os.makedirs(table)
+    tmp = os.path.join(table, "_stage_old")
+    spark.createDataFrame([(1,)], "id long").coalesce(1).write.parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    os.replace(os.path.join(tmp, part), os.path.join(table, "data/old.parquet"))
+    _commit(table, 0, [_PROTO, _meta(), _add("data/old.parquet")])
+    row = read_delta(spark, table).collect()[0]
+    assert row.id == 1 and row.v is None
+
+
+def test_checkpoint_replay(spark, tmp_path):
+    """State reconstructable from a checkpoint parquet alone: the JSON
+    commits it covers are deleted, _last_checkpoint-style discovery via
+    file listing still resolves, and later JSON commits still apply."""
+    table = _external_table(spark, tmp_path)
+    # build the v1 checkpoint: live adds at v1 (f0, f2) + meta + protocol
+    from monday_etl_spark.delta_import import _snapshot_state
+
+    _v, meta, live = _snapshot_state(spark, table, 1)
+    ckpt_schema = (
+        "add struct<path:string, partitionValues:map<string,string>, "
+        "size:bigint, modificationTime:bigint, dataChange:boolean, "
+        "stats:string>, "
+        "metaData struct<id:string, "
+        "format:struct<provider:string,options:map<string,string>>, "
+        "schemaString:string, partitionColumns:array<string>, "
+        "configuration:map<string,string>>, "
+        "protocol struct<minReaderVersion:int, minWriterVersion:int>"
+    )
+    add_rows = [
+        ({"path": a["path"],
+          "partitionValues": a.get("partitionValues") or {},
+          "size": a.get("size", 0),
+          "modificationTime": a.get("modificationTime", 0),
+          "dataChange": True, "stats": a.get("stats")}, None, None)
+        for a in live.values()
+    ]
+    meta_row = (None,
+                {"id": meta["id"],
+                 "format": {"provider": "parquet", "options": {}},
+                 "schemaString": meta["schemaString"],
+                 "partitionColumns": [], "configuration": {}},
+                None)
+    proto_row = (None, None, {"minReaderVersion": 1, "minWriterVersion": 2})
+    ckpt_df = spark.createDataFrame(add_rows + [meta_row, proto_row],
+                                    ckpt_schema)
+    tmp_ck = os.path.join(table, "_delta_log", "_ckpt_stage")
+    ckpt_df.coalesce(1).write.parquet(tmp_ck)
+    part = next(f for f in os.listdir(tmp_ck) if f.endswith(".parquet"))
+    os.replace(os.path.join(tmp_ck, part),
+               os.path.join(table, "_delta_log",
+                            f"{1:020d}.checkpoint.parquet"))
+    import shutil
+
+    shutil.rmtree(tmp_ck)
+    # writer cleaned the commits the checkpoint covers
+    os.unlink(os.path.join(table, "_delta_log", f"{0:020d}.json"))
+    os.unlink(os.path.join(table, "_delta_log", f"{1:020d}.json"))
+
+    ids = sorted(r.id for r in read_delta(spark, table).collect())
+    assert ids == [0, 1, 2, 3, 4, 10, 11, 12, 20]
+    ids_v1 = sorted(r.id for r in read_delta(spark, table, version=1).collect())
+    assert ids_v1 == [0, 1, 2, 3, 4, 10, 11, 12]
+
+
+def test_roundtrip_with_exporter_and_append(spark, tmp_path):
+    """export → read_delta row-identical to read_version; append_delta
+    publishes a commit any Delta reader (and our reader) sees."""
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(50)],
+        "id bigint, name string, v double",
+    )
+    write_versioned(df, path, key="id", n_buckets=4, stats_cols=["id", "v"])
+    export_delta_log(path)
+
+    got = read_delta(spark, path)
+    want = read_version(spark, path)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    extra = spark.createDataFrame([(100, "n100", 100.0)],
+                                  "id bigint, name string, v double")
+    v = append_delta(spark, extra, path)
+    assert v == 1
+    after = read_delta(spark, path)
+    assert after.count() == 51
+    assert after.filter(F.col("id") == 100).count() == 1
+    assert delta_versions(path) == [0, 1]
+
+    # append is schema-checked by name+type
+    bad = spark.createDataFrame([(1, 2)], "id bigint, wrong bigint")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        append_delta(spark, bad, path)
+
+
+def test_append_race_loses_loudly(spark, tmp_path):
+    """A concurrent writer publishing the same version between snapshot
+    and publish surfaces as FileExistsError — never a clobbered commit
+    (same injected-conflict pattern as test_logstore)."""
+    from monday_etl_spark.tableformat import LogStore, set_log_store
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a", 1.0)],
+                               "id bigint, name string, v double")
+    write_versioned(df, path, key="id", n_buckets=2)
+    export_delta_log(path)
+
+    class RacingStore(LogStore):
+        def put_if_absent(self, final_path, payload):
+            if "_delta_log" in final_path:  # the other appender wins first
+                with open(final_path, "w") as fh:
+                    fh.write('{"commitInfo":{"operation":"WRITE"}}\n')
+            super().put_if_absent(final_path, payload)
+
+    prev = set_log_store(RacingStore())
+    try:
+        with pytest.raises(FileExistsError):
+            append_delta(spark, df, path)
+    finally:
+        set_log_store(prev)
+
+
+def test_refusals(spark, tmp_path):
+    table = str(tmp_path / "cm")
+    os.makedirs(table)
+    f0, _ = _write_file(spark, table, "f0", [(1, 1.0)])
+    _commit(table, 0, [_PROTO,
+                       _meta(configuration={"delta.columnMapping.mode": "name"}),
+                       _add(f0)])
+    with pytest.raises(DeltaProtocolError, match="columnMapping"):
+        read_delta(spark, table)
+
+    table2 = str(tmp_path / "rv3")
+    os.makedirs(table2)
+    f0, _ = _write_file(spark, table2, "f0", [(1, 1.0)])
+    _commit(table2, 0, [{"protocol": {"minReaderVersion": 3,
+                                      "minWriterVersion": 7}},
+                        _meta(), _add(f0)])
+    with pytest.raises(DeltaProtocolError, match="minReaderVersion"):
+        read_delta(spark, table2)
+
+    table3 = str(tmp_path / "dv")
+    os.makedirs(table3)
+    f0, _ = _write_file(spark, table3, "f0", [(1, 1.0)])
+    a = _add(f0)
+    a["add"]["deletionVector"] = {"storageType": "u", "pathOrInlineDv": "x",
+                                  "offset": 1, "sizeInBytes": 1, "cardinality": 1}
+    _commit(table3, 0, [_PROTO, _meta(), a])
+    with pytest.raises(DeltaProtocolError, match="deletion vector"):
+        read_delta(spark, table3)
