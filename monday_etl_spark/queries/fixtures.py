@@ -143,6 +143,34 @@ def _decontamination_store(spark: SparkSession, sf_dir: str) -> str:
     return store
 
 
+@_fixture("delta_interop_table",
+          {"delta_interop_roundtrip", "delta_stats_pruning"})
+def _delta_interop_table(spark: SparkSession, sf_dir: str) -> str:
+    """A lineitem subset handed off through the Delta bridge: committed as a
+    versioned table, Z-ordered on l_extendedprice (tight per-file ranges, so
+    the exported per-file stats actually prune), exported in place as Delta
+    log version 0, then grown by one ``append_delta`` commit (Delta v1).
+    Consumers only READ (log replay / time travel / stats pruning), so the
+    fixture is shared without copies."""
+    from ..delta_export import export_delta_log
+    from ..delta_import import append_delta
+    from ..tableformat import optimize_zorder, write_versioned
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    root = tempfile.mkdtemp(prefix="delta_interop_fx_")
+    path = os.path.join(root, "lineitem_delta")
+    write_versioned(
+        li.filter(F.col("l_orderkey") % 16 == 3), path,
+        key="l_orderkey", n_buckets=8, stats_cols=["l_extendedprice"],
+    )
+    optimize_zorder(spark, path, ["l_extendedprice"], files_per_bucket=4)
+    export_delta_log(path)  # Delta v0 = the Z-ordered snapshot
+    append_delta(spark, li.filter(F.col("l_orderkey") % 16 == 7), path)
+    return path
+
+
 @_fixture("ivf_centroids_k8", {"streaming_ivf_maintenance"})
 def _ivf_centroids_k8(spark: SparkSession, sf_dir: str) -> list:
     """The frozen IVF quantizer (k=8, 3 Lloyd iterations) the streaming

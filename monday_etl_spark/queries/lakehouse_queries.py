@@ -664,3 +664,89 @@ def tableformat_fieldid_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_version(spark, path).select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
+
+
+@register(
+    "delta_interop_roundtrip",
+    oracle=f"""
+    SELECT CAST(0 AS INTEGER) AS log_version, l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_money_sum('l_quantity')} AS sum_qty
+    FROM lineitem WHERE l_orderkey % 16 = 3
+    GROUP BY l_returnflag
+    UNION ALL
+    SELECT CAST(1 AS INTEGER) AS log_version, l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_money_sum('l_quantity')} AS sum_qty
+    FROM lineitem WHERE l_orderkey % 16 IN (3, 7)
+    GROUP BY l_returnflag
+    """,
+    doc="Delta Lake interop round trip (r07): a versioned-table snapshot is "
+        "exported in place as a protocol-conformant _delta_log (zero data "
+        "movement), grown by an append_delta commit, and both Delta log "
+        "versions are read back through log REPLAY (delta_import.read_delta: "
+        "adds reconciled against removes, schema from the log, not footers). "
+        "Per-returnflag aggregates at v0 (the frozen export) and v1 (after "
+        "the append) must equal the plain relational restatement of the two "
+        "lineitem subsets — pinning export, append, and time travel in one "
+        "exact oracle. The table stays readable by any external Delta "
+        "engine; reference scope: open-ecosystem tables as in "
+        "monday_etl_automated.py:571-590 (BigQuery-readable outputs).",
+)
+def delta_interop_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..delta_import import read_delta
+    from ..functions import money_sum
+    from .fixtures import shared
+
+    path = shared(spark, sf_dir, "delta_interop_table")
+
+    def snap(v: int, df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                money_sum(F.col("l_quantity")).alias("sum_qty"),
+            )
+            .select(
+                F.lit(v).cast("int").alias("log_version"),
+                "l_returnflag", "n_rows", "sum_qty",
+            )
+        )
+
+    return snap(0, read_delta(spark, path, version=0)).unionByName(
+        snap(1, read_delta(spark, path))
+    )
+
+
+@register(
+    "delta_stats_pruning",
+    oracle="""
+    SELECT l_orderkey, l_returnflag, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_orderkey % 16 = 3 AND l_extendedprice BETWEEN 0 AND 20000
+    """,
+    doc="Stats-based file pruning through the EXPORTED Delta log (r07): the "
+        "add actions carry per-file min/max for the Z-ordered column, and "
+        "delta_import.files_for_range prunes the file list BEFORE any Spark "
+        "scan — the import-side twin of tableformat.read_where. The in-query "
+        "assertion pins that at least a quarter of the snapshot's files were "
+        "skipped (hash-bucketed layout without Z-order would prune ~none); "
+        "the oracle is the plain filter, because skipping must never change "
+        "results. Reads Delta v0 so the appended files (numRecords-only "
+        "stats, never prunable) don't dilute the assertion.",
+)
+def delta_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..delta_import import files_for_range, read_delta_where
+    from .fixtures import shared
+
+    path = shared(spark, sf_dir, "delta_interop_table")
+    keep, total = files_for_range(
+        spark, path, "l_extendedprice", 0.0, 20000.0, version=0
+    )
+    if not keep or len(keep) > total - max(1, total // 4):
+        raise AssertionError(
+            f"delta stats pruning ineffective: kept {len(keep)} of {total}"
+        )
+    return read_delta_where(
+        spark, path, "l_extendedprice", 0.0, 20000.0, version=0
+    )

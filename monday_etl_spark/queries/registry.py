@@ -55,6 +55,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # Purely an ordering hint; every query is still registered and runnable.
 _EVIDENCE_PRIORITY = [
     # r07: RESULTS or code paths CHANGED this round — evidence first.
+    "delta_interop_roundtrip",      # NEW query (Delta export+append+replay)
+    "delta_stats_pruning",          # NEW query (pruning via exported stats)
     "leakage_safe_split",           # NEW query (cluster-aware split)
     "tableformat_fieldid_reuse",    # NEW query (field-id name reuse)
     "revenue_percentiles_sketch",   # NEW oracle + result schema (was
