@@ -33,9 +33,21 @@ Reading = log replay:
 Appending = one parquet write + one put-if-absent commit: new data files
 land under the table root, then ``<next_version:020d>.json`` (add actions
 + commitInfo) publishes through the same ``LogStore`` seam tableformat
-commits use — a lost race surfaces as ``FileExistsError``, never a
-clobbered commit. The appended table remains readable by any Delta
-engine.
+commits use — a lost race surfaces as ``FileExistsError`` (or, with
+``retries``, re-derives against the new snapshot and re-publishes the
+same already-written files at the next version), never a clobbered
+commit. The appended table remains readable by any Delta engine.
+
+Exactly-once appends: the spec's *Transaction Identifiers* (``txn``
+actions) ride the same replay — ``append_delta(app_id=..., txn_version=n)``
+records (appId, version) in the commit and SKIPS the append entirely when
+the replayed state already holds ``txn_version >= n`` for that appId.
+That is precisely the contract an at-least-once producer (Structured
+Streaming's foreachBatch) needs to make batch replays idempotent: see
+``streaming/delta_sink.py``. The appId owns its version sequence — reuse
+an appId with a reset/unrelated batch numbering and the skip logic will
+treat lower-numbered batches as replays (the same rule delta-spark's
+``txnAppId``/``txnVersion`` writer options document).
 
 Honest refusals (loud, never silent data corruption): reader version > 1
 (column mapping / deletion vectors need reader features this baseline
@@ -150,9 +162,10 @@ def _check_meta(meta: dict) -> None:
 
 def _snapshot_state(
     spark: SparkSession, path: str, version: int | None
-) -> tuple[int, dict, dict[str, dict]]:
+) -> tuple[int, dict, dict[str, dict], dict[str, int]]:
     """Replay the log to ``version`` (default latest). Returns
-    (version, metaData, {path: add-action}) for surviving files."""
+    (version, metaData, {path: add-action}, {appId: latest txn version})
+    for surviving files and transaction identifiers."""
     commits = _list_commits(path)
     ckpts = _list_checkpoints(path)
     if version is None:
@@ -165,6 +178,7 @@ def _snapshot_state(
     meta: dict | None = None
     protocol: dict | None = None
     live: dict[str, dict] = {}
+    txns: dict[str, int] = {}
 
     if ckpt_v is not None:
         # distributed reconcile: a checkpoint is one row per action with
@@ -181,6 +195,11 @@ def _snapshot_state(
                      .select("protocol").first()
             if row:
                 protocol = row[0].asDict(recursive=True)
+        if "txn" in cols:
+            for r in (
+                cdf.filter(F.col("txn").isNotNull()).select("txn.*").collect()
+            ):
+                txns[r["appId"]] = max(txns.get(r["appId"], -1), r["version"])
         if "add" in cols:
             adds = cdf.filter(F.col("add").isNotNull()).select("add.*")
             if "remove" in cols:
@@ -211,6 +230,9 @@ def _snapshot_state(
                     live[a["add"]["path"]] = a["add"]
                 elif "remove" in a:
                     live.pop(a["remove"]["path"], None)
+                elif "txn" in a:
+                    app = a["txn"]["appId"]
+                    txns[app] = max(txns.get(app, -1), a["txn"]["version"])
 
     _check_protocol(protocol)
     if meta is None:
@@ -222,7 +244,7 @@ def _snapshot_state(
                 f"{add['path']}: carries a deletion vector; reading the "
                 "file whole would resurrect deleted rows"
             )
-    return version, meta, live
+    return version, meta, live, txns
 
 
 def _row_to_add(r) -> dict:
@@ -248,7 +270,7 @@ def read_delta(
     One scan per distinct partition tuple, schema from the log (NOT from
     footers — old files missing later-added columns surface NULLs), and
     partition columns injected as typed literals per the spec."""
-    _, meta, live = _snapshot_state(spark, path, version)
+    _, meta, live, _txns = _snapshot_state(spark, path, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = meta.get("partitionColumns") or []
     data_schema = StructType(
@@ -289,7 +311,7 @@ def files_for_range(
     over the adds' minValues/maxValues, before any Spark scan. A file
     without stats for ``column`` can never be pruned (sound, like
     tableformat.read_where)."""
-    _, _meta, live = _snapshot_state(spark, path, version)
+    _, _meta, live, _txns = _snapshot_state(spark, path, version)
     keep: list[str] = []
     for add in live.values():
         rel = urllib.parse.unquote(add["path"])
@@ -316,7 +338,7 @@ def read_delta_where(
 ) -> DataFrame:
     """Range read with manifest-side data skipping: only stats-matching
     files reach the scan; the exact predicate still applies on top."""
-    _, meta, _live = _snapshot_state(spark, path, version)
+    _, meta, _live, _txns = _snapshot_state(spark, path, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     if meta.get("partitionColumns"):
         # partition columns aren't in footers; fall back to the full read
@@ -335,16 +357,43 @@ def read_delta_where(
 # ----------------------------------------------------------------- appends
 
 
-def append_delta(spark: SparkSession, df: DataFrame, path: str) -> int:
+def last_txn_version(spark: SparkSession, path: str, app_id: str) -> int | None:
+    """Latest committed ``txn`` version for ``app_id`` (None if the appId
+    never committed) — the restart-recovery read an idempotent producer
+    does before resuming."""
+    _, _meta, _live, txns = _snapshot_state(spark, path, None)
+    v = txns.get(app_id)
+    return None if v is None or v < 0 else v
+
+
+def append_delta(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    app_id: str | None = None,
+    txn_version: int | None = None,
+    retries: int = 0,
+) -> int:
     """Append ``df`` to an existing Delta table and return the committed
     version. Write-then-publish: parquet files land under a
     writer-unique directory first, and the commit JSON publishes through
     the LogStore put-if-absent seam — two racing appenders cannot clobber
-    each other (the loser's FileExistsError surfaces; its orphaned data
-    files are unreferenced and harmless, exactly Delta's own model)."""
+    each other. A lost race raises ``FileExistsError``; with ``retries``
+    it re-replays the log and re-publishes the SAME already-written files
+    at the next version (the orphaned-loser model is Delta's own).
+
+    ``app_id``/``txn_version`` make the append idempotent via the spec's
+    transaction identifiers: when the table already holds a ``txn`` with
+    ``version >= txn_version`` for this appId, the append is a replayed
+    batch and is SKIPPED (returns the current version, writes nothing)."""
     from . import tableformat as _tf
 
-    latest, meta, _live = _snapshot_state(spark, path, None)
+    if (app_id is None) != (txn_version is None):
+        raise ValueError("app_id and txn_version must be given together")
+
+    latest, meta, _live, txns = _snapshot_state(spark, path, None)
+    if app_id is not None and txns.get(app_id, -1) >= txn_version:
+        return latest  # replayed batch: already committed, exactly-once skip
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     if meta.get("partitionColumns"):
         raise NotImplementedError(
@@ -388,7 +437,23 @@ def append_delta(spark: SparkSession, df: DataFrame, path: str) -> int:
             "engineInfo": "monday-etl-spark delta bridge",
         }
     }] + adds
+    if app_id is not None:
+        commit.append({"txn": {"appId": app_id, "version": txn_version}})
     payload = "\n".join(json.dumps(a) for a in commit) + "\n"
-    target = os.path.join(_log_dir(path), f"{latest + 1:020d}.json")
-    _tf._LOG_STORE.put_if_absent(target, payload)
-    return latest + 1
+
+    for attempt in range(retries + 1):
+        target = os.path.join(_log_dir(path), f"{latest + 1:020d}.json")
+        try:
+            _tf._LOG_STORE.put_if_absent(target, payload)
+            return latest + 1
+        except FileExistsError:
+            if attempt == retries:
+                raise
+            # a concurrent writer won this version: re-derive against the
+            # new snapshot (their commit may even have been OUR batch via
+            # another worker — the txn check catches that) and re-publish
+            # the same data files at the next version
+            latest, _meta2, _live2, txns = _snapshot_state(spark, path, None)
+            if app_id is not None and txns.get(app_id, -1) >= txn_version:
+                return latest
+    raise AssertionError("unreachable")

@@ -171,6 +171,39 @@ def _delta_interop_table(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+@_fixture("delta_sink_base", {"streaming_delta_sink"})
+def _delta_sink_base(spark: SparkSession, sf_dir: str) -> str:
+    """Base state for the streaming Delta sink demo: an orders subset
+    committed + exported as Delta v0 (under ``table/``), and a two-file
+    ingest directory (``ingest/``) whose deterministic key split gives the
+    drain exactly two micro-batches. Consumers APPEND to the table, so
+    they must take a fresh_copy of ``table/``; ``ingest/`` is read-only."""
+    from ..delta_export import export_delta_log
+    from ..tableformat import write_versioned
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="delta_sink_fx_")
+    table = os.path.join(root, "table")
+    write_versioned(
+        orders.filter(F.col("o_orderkey") % 32 == 1), table,
+        key="o_orderkey", n_buckets=2,
+    )
+    export_delta_log(table)
+    ingest = os.path.join(root, "ingest")
+    os.makedirs(ingest)
+    for i, residue in enumerate((9, 41)):  # both ≡ 9 (mod 32), disjoint
+        stage = os.path.join(root, f"_stage_{i}")
+        orders.filter(F.col("o_orderkey") % 64 == residue).coalesce(1) \
+            .write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.replace(os.path.join(stage, part),
+                   os.path.join(ingest, f"f{i}.parquet"))
+        shutil.rmtree(stage)
+    return root
+
+
 @_fixture("ivf_centroids_k8", {"streaming_ivf_maintenance"})
 def _ivf_centroids_k8(spark: SparkSession, sf_dir: str) -> list:
     """The frozen IVF quantizer (k=8, 3 Lloyd iterations) the streaming

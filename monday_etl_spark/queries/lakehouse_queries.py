@@ -750,3 +750,72 @@ def delta_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta_where(
         spark, path, "l_extendedprice", 0.0, 20000.0, version=0
     )
+
+
+@register(
+    "streaming_delta_sink",
+    oracle=f"""
+    SELECT CAST(3 AS INTEGER) AS n_commits, CAST(1 AS INTEGER) AS last_txn,
+           o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM orders WHERE o_orderkey % 32 IN (1, 9)
+    GROUP BY o_orderstatus
+    """,
+    doc="Exactly-once streaming ingest INTO the Delta bridge (r07): an "
+        "AvailableNow drain appends each micro-batch to an exported Delta "
+        "table through delta_import.append_delta with the spec's "
+        "transaction identifiers (txn appId/version = foreachBatch's "
+        "batch id), then a batch is RE-DELIVERED with fresh producer "
+        "memory — the at-least-once hazard — and the table-side txn check "
+        "skips it. The oracle pins the whole contract: n_commits=3 (base "
+        "export + exactly one commit per micro-batch, none for the "
+        "replay), last_txn=1, and per-status aggregates equal to the "
+        "plain union of the base and ingest subsets (a duplicated replay "
+        "would double counts AND bump n_commits). Streaming state lives "
+        "in the table's own log — no state store; each drain commit is "
+        "instantly readable by any external Delta engine (reference "
+        "scope: streamed rows readable by any BigQuery client, "
+        "monday_etl_automated.py:571-590).",
+)
+def streaming_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..delta_import import (
+        append_delta,
+        delta_versions,
+        last_txn_version,
+        read_delta,
+    )
+    from ..functions import money_sum
+    from ..streaming.delta_sink import run_delta_append_stream
+    from .fixtures import fresh_copy, shared
+
+    root = shared(spark, sf_dir, "delta_sink_base")
+    # the base table is scaffolding (shared, prewarmed); the drain MUTATES
+    # it, so each invocation appends into its own relocated copy
+    table = fresh_copy(os.path.join(root, "table"))
+    ingest = os.path.join(root, "ingest")
+    ckpt = tempfile.mkdtemp(prefix="delta_sink_ckpt_")
+    run_delta_append_stream(
+        spark, ingest, table, app_id="orders-ingest",
+        checkpoint_dir=os.path.join(ckpt, "c1"),
+        max_files_per_trigger=1,
+    )
+    # re-deliver a drained batch with fresh producer memory (the
+    # at-least-once hazard): the table-side txn check must skip it
+    replay = spark.read.parquet(os.path.join(ingest, "f0.parquet"))
+    append_delta(spark, replay, table, app_id="orders-ingest", txn_version=0)
+
+    n_commits = len(delta_versions(table))
+    last = last_txn_version(spark, table, "orders-ingest")
+    return (
+        read_delta(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            F.lit(n_commits).cast("int").alias("n_commits"),
+            F.lit(last).cast("int").alias("last_txn"),
+            "o_orderstatus", "n_orders", "total_price",
+        )
+    )

@@ -57,6 +57,7 @@ _EVIDENCE_PRIORITY = [
     # r07: RESULTS or code paths CHANGED this round — evidence first.
     "delta_interop_roundtrip",      # NEW query (Delta export+append+replay)
     "delta_stats_pruning",          # NEW query (pruning via exported stats)
+    "streaming_delta_sink",         # NEW query (exactly-once txn appends)
     "leakage_safe_split",           # NEW query (cluster-aware split)
     "tableformat_fieldid_reuse",    # NEW query (field-id name reuse)
     "revenue_percentiles_sketch",   # NEW oracle + result schema (was

@@ -21,6 +21,7 @@ from monday_etl_spark.delta_import import (
     delta_history,
     delta_versions,
     files_for_range,
+    last_txn_version,
     read_delta,
     read_delta_where,
 )
@@ -170,7 +171,7 @@ def test_checkpoint_replay(spark, tmp_path):
     # build the v1 checkpoint: live adds at v1 (f0, f2) + meta + protocol
     from monday_etl_spark.delta_import import _snapshot_state
 
-    _v, meta, live = _snapshot_state(spark, table, 1)
+    _v, meta, live, _txns = _snapshot_state(spark, table, 1)
     ckpt_schema = (
         "add struct<path:string, partitionValues:map<string,string>, "
         "size:bigint, modificationTime:bigint, dataChange:boolean, "
@@ -179,14 +180,15 @@ def test_checkpoint_replay(spark, tmp_path):
         "format:struct<provider:string,options:map<string,string>>, "
         "schemaString:string, partitionColumns:array<string>, "
         "configuration:map<string,string>>, "
-        "protocol struct<minReaderVersion:int, minWriterVersion:int>"
+        "protocol struct<minReaderVersion:int, minWriterVersion:int>, "
+        "txn struct<appId:string, version:bigint>"
     )
     add_rows = [
         ({"path": a["path"],
           "partitionValues": a.get("partitionValues") or {},
           "size": a.get("size", 0),
           "modificationTime": a.get("modificationTime", 0),
-          "dataChange": True, "stats": a.get("stats")}, None, None)
+          "dataChange": True, "stats": a.get("stats")}, None, None, None)
         for a in live.values()
     ]
     meta_row = (None,
@@ -194,10 +196,14 @@ def test_checkpoint_replay(spark, tmp_path):
                  "format": {"provider": "parquet", "options": {}},
                  "schemaString": meta["schemaString"],
                  "partitionColumns": [], "configuration": {}},
-                None)
-    proto_row = (None, None, {"minReaderVersion": 1, "minWriterVersion": 2})
-    ckpt_df = spark.createDataFrame(add_rows + [meta_row, proto_row],
-                                    ckpt_schema)
+                None, None)
+    proto_row = (None, None, {"minReaderVersion": 1, "minWriterVersion": 2},
+                 None)
+    # a checkpoint-resident transaction identifier must survive the replay
+    txn_row = (None, None, None, {"appId": "ingest", "version": 7})
+    ckpt_df = spark.createDataFrame(
+        add_rows + [meta_row, proto_row, txn_row], ckpt_schema
+    )
     tmp_ck = os.path.join(table, "_delta_log", "_ckpt_stage")
     ckpt_df.coalesce(1).write.parquet(tmp_ck)
     part = next(f for f in os.listdir(tmp_ck) if f.endswith(".parquet"))
@@ -215,6 +221,8 @@ def test_checkpoint_replay(spark, tmp_path):
     assert ids == [0, 1, 2, 3, 4, 10, 11, 12, 20]
     ids_v1 = sorted(r.id for r in read_delta(spark, table, version=1).collect())
     assert ids_v1 == [0, 1, 2, 3, 4, 10, 11, 12]
+    assert last_txn_version(spark, table, "ingest") == 7
+    assert last_txn_version(spark, table, "other-app") is None
 
 
 def test_roundtrip_with_exporter_and_append(spark, tmp_path):
