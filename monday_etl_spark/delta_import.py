@@ -67,6 +67,7 @@ import os
 import re
 import urllib.parse
 import uuid
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -160,12 +161,18 @@ def _check_meta(meta: dict) -> None:
         raise DeltaProtocolError(f"format.provider={fmt}: parquet only")
 
 
+class _Snapshot(NamedTuple):
+    version: int
+    meta: dict
+    live: dict[str, dict]   # {path: surviving add action}
+    txns: dict[str, int]    # {appId: latest txn version}
+    protocol: dict          # latest protocol action (defaulted if absent)
+
+
 def _snapshot_state(
     spark: SparkSession, path: str, version: int | None
-) -> tuple[int, dict, dict[str, dict], dict[str, int]]:
-    """Replay the log to ``version`` (default latest). Returns
-    (version, metaData, {path: add-action}, {appId: latest txn version})
-    for surviving files and transaction identifiers."""
+) -> _Snapshot:
+    """Replay the log to ``version`` (default latest)."""
     commits = _list_commits(path)
     ckpts = _list_checkpoints(path)
     if version is None:
@@ -244,7 +251,10 @@ def _snapshot_state(
                 f"{add['path']}: carries a deletion vector; reading the "
                 "file whole would resurrect deleted rows"
             )
-    return version, meta, live, txns
+    return _Snapshot(
+        version, meta, live, txns,
+        protocol or {"minReaderVersion": 1, "minWriterVersion": 2},
+    )
 
 
 def _row_to_add(r) -> dict:
@@ -270,7 +280,8 @@ def read_delta(
     One scan per distinct partition tuple, schema from the log (NOT from
     footers — old files missing later-added columns surface NULLs), and
     partition columns injected as typed literals per the spec."""
-    _, meta, live, _txns = _snapshot_state(spark, path, version)
+    snap = _snapshot_state(spark, path, version)
+    meta, live = snap.meta, snap.live
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = meta.get("partitionColumns") or []
     data_schema = StructType(
@@ -311,7 +322,7 @@ def files_for_range(
     over the adds' minValues/maxValues, before any Spark scan. A file
     without stats for ``column`` can never be pruned (sound, like
     tableformat.read_where)."""
-    _, _meta, live, _txns = _snapshot_state(spark, path, version)
+    live = _snapshot_state(spark, path, version).live
     keep: list[str] = []
     for add in live.values():
         rel = urllib.parse.unquote(add["path"])
@@ -338,7 +349,7 @@ def read_delta_where(
 ) -> DataFrame:
     """Range read with manifest-side data skipping: only stats-matching
     files reach the scan; the exact predicate still applies on top."""
-    _, meta, _live, _txns = _snapshot_state(spark, path, version)
+    meta = _snapshot_state(spark, path, version).meta
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     if meta.get("partitionColumns"):
         # partition columns aren't in footers; fall back to the full read
@@ -354,6 +365,87 @@ def read_delta_where(
     )
 
 
+# ------------------------------------------------------------- checkpoints
+
+_CKPT_DDL = (
+    "txn struct<appId:string, version:bigint>, "
+    "add struct<path:string, partitionValues:map<string,string>, "
+    "size:bigint, modificationTime:bigint, dataChange:boolean, "
+    "stats:string>, "
+    "remove struct<path:string, dataChange:boolean>, "
+    "metaData struct<id:string, name:string, description:string, "
+    "format:struct<provider:string, options:map<string,string>>, "
+    "schemaString:string, partitionColumns:array<string>, "
+    "configuration:map<string,string>, createdTime:bigint>, "
+    "protocol struct<minReaderVersion:int, minWriterVersion:int>"
+)
+
+
+def write_checkpoint(
+    spark: SparkSession, path: str, clean_commits: bool = False
+) -> str:
+    """Compact the log's latest state into ``<v:020d>.checkpoint.parquet``
+    plus the ``_last_checkpoint`` pointer external readers discover it by
+    (PROTOCOL.md §Checkpoints). The checkpoint carries the latest
+    protocol (verbatim — never downgraded) and metaData, every surviving
+    ``add``, and every appId's latest ``txn``, so replay from it needs
+    only the JSON tail — this is what keeps log replay O(tail) when the
+    streaming sink commits once per micro-batch forever.
+
+    ``clean_commits=True`` additionally deletes the JSON commits the
+    checkpoint covers (Delta's log cleanup). Time travel BELOW the
+    checkpoint version then (correctly) fails with a missing-commit
+    error; versions at or above stay readable. Returns the checkpoint
+    file path."""
+    import shutil
+    import tempfile
+
+    snap = _snapshot_state(spark, path, None)
+    txn_rows = [
+        ({"appId": a, "version": v}, None, None, None, None)
+        for a, v in sorted(snap.txns.items()) if v >= 0
+    ]
+    add_rows = [
+        (None,
+         {"path": a["path"],
+          "partitionValues": a.get("partitionValues") or {},
+          "size": a.get("size"), "modificationTime": a.get("modificationTime"),
+          "dataChange": bool(a.get("dataChange", True)),
+          "stats": (a["stats"] if isinstance(a.get("stats"), str)
+                    else json.dumps(a["stats"]) if a.get("stats") else None)},
+         None, None, None)
+        for _p, a in sorted(snap.live.items())
+    ]
+    meta_row = (None, None, None,
+                {k: snap.meta.get(k) for k in
+                 ("id", "name", "description", "format", "schemaString",
+                  "partitionColumns", "configuration", "createdTime")},
+                None)
+    proto_row = (None, None, None, None,
+                 {"minReaderVersion": snap.protocol.get("minReaderVersion", 1),
+                  "minWriterVersion": snap.protocol.get("minWriterVersion", 2)})
+    rows = txn_rows + add_rows + [meta_row, proto_row]
+
+    stage = tempfile.mkdtemp(prefix="delta_ckpt_")
+    try:
+        spark.createDataFrame(rows, _CKPT_DDL).coalesce(1) \
+            .write.mode("overwrite").parquet(stage)
+        part = next(f for f in sorted(os.listdir(stage))
+                    if f.endswith(".parquet"))
+        target = os.path.join(_log_dir(path),
+                              f"{snap.version:020d}.checkpoint.parquet")
+        os.replace(os.path.join(stage, part), target)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    with open(os.path.join(_log_dir(path), "_last_checkpoint"), "w") as fh:
+        json.dump({"version": snap.version, "size": len(rows)}, fh)
+    if clean_commits:
+        for v, f in _list_commits(path).items():
+            if v <= snap.version:
+                os.unlink(f)
+    return target
+
+
 # ----------------------------------------------------------------- appends
 
 
@@ -361,8 +453,7 @@ def last_txn_version(spark: SparkSession, path: str, app_id: str) -> int | None:
     """Latest committed ``txn`` version for ``app_id`` (None if the appId
     never committed) — the restart-recovery read an idempotent producer
     does before resuming."""
-    _, _meta, _live, txns = _snapshot_state(spark, path, None)
-    v = txns.get(app_id)
+    v = _snapshot_state(spark, path, None).txns.get(app_id)
     return None if v is None or v < 0 else v
 
 
@@ -391,8 +482,9 @@ def append_delta(
     if (app_id is None) != (txn_version is None):
         raise ValueError("app_id and txn_version must be given together")
 
-    latest, meta, _live, txns = _snapshot_state(spark, path, None)
-    if app_id is not None and txns.get(app_id, -1) >= txn_version:
+    snap = _snapshot_state(spark, path, None)
+    latest, meta = snap.version, snap.meta
+    if app_id is not None and snap.txns.get(app_id, -1) >= txn_version:
         return latest  # replayed batch: already committed, exactly-once skip
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     if meta.get("partitionColumns"):
@@ -453,7 +545,8 @@ def append_delta(
             # new snapshot (their commit may even have been OUR batch via
             # another worker — the txn check catches that) and re-publish
             # the same data files at the next version
-            latest, _meta2, _live2, txns = _snapshot_state(spark, path, None)
-            if app_id is not None and txns.get(app_id, -1) >= txn_version:
+            snap = _snapshot_state(spark, path, None)
+            latest = snap.version
+            if app_id is not None and snap.txns.get(app_id, -1) >= txn_version:
                 return latest
     raise AssertionError("unreachable")

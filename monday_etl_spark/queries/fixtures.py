@@ -153,7 +153,7 @@ def _delta_interop_table(spark: SparkSession, sf_dir: str) -> str:
     Consumers only READ (log replay / time travel / stats pruning), so the
     fixture is shared without copies."""
     from ..delta_export import export_delta_log
-    from ..delta_import import append_delta
+    from ..delta_import import append_delta, write_checkpoint
     from ..tableformat import optimize_zorder, write_versioned
 
     li = _load(spark, sf_dir, "lineitem").select(
@@ -168,6 +168,10 @@ def _delta_interop_table(spark: SparkSession, sf_dir: str) -> str:
     optimize_zorder(spark, path, ["l_extendedprice"], files_per_bucket=4)
     export_delta_log(path)  # Delta v0 = the Z-ordered snapshot
     append_delta(spark, li.filter(F.col("l_orderkey") % 16 == 7), path)
+    # checkpoint at v1 (JSON commits kept): the roundtrip query's latest
+    # read replays from the checkpoint parquet, its v0 read from the JSON
+    # commit — both protocol replay modes under one driver oracle
+    write_checkpoint(spark, path)
     return path
 
 

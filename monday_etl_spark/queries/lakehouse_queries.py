@@ -686,6 +686,9 @@ def tableformat_fieldid_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "movement), grown by an append_delta commit, and both Delta log "
         "versions are read back through log REPLAY (delta_import.read_delta: "
         "adds reconciled against removes, schema from the log, not footers). "
+        "The fixture also writes a parquet CHECKPOINT at v1, so the latest "
+        "read replays from the checkpoint while the v0 read replays the "
+        "JSON commit — both protocol replay modes under one oracle. "
         "Per-returnflag aggregates at v0 (the frozen export) and v1 (after "
         "the append) must equal the plain relational restatement of the two "
         "lineitem subsets — pinning export, append, and time travel in one "

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..delta_import import append_delta, read_delta
+from ..delta_import import append_delta, read_delta, write_checkpoint
 
 
 def run_delta_append_stream(
@@ -48,12 +48,17 @@ def run_delta_append_stream(
     transform=None,
     max_files_per_trigger: int | None = None,
     retries: int = 3,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """AvailableNow drain of ``source_dir`` appended into the Delta table
     at ``table_path``, one commit per micro-batch, exactly-once under
     replay via ``(app_id, batch_id)`` txn identifiers. ``transform``
     (DataFrame -> DataFrame, optional) maps each batch onto the table
-    schema. Returns the table's post-drain snapshot (lazy)."""
+    schema. ``checkpoint_every=N`` compacts the log into a parquet
+    checkpoint whenever the committed version divides N — the Delta
+    writers' ~10-commit cadence that keeps replay O(tail) under a
+    forever-appending stream. Returns the table's post-drain snapshot
+    (lazy)."""
     from ..session import ensure_session_confs
 
     ensure_session_confs(spark)
@@ -66,10 +71,12 @@ def run_delta_append_stream(
     def handle(batch: DataFrame, batch_id: int) -> None:
         if transform is not None:
             batch = transform(batch)
-        append_delta(
+        v = append_delta(
             spark, batch, table_path,
             app_id=app_id, txn_version=batch_id, retries=retries,
         )
+        if checkpoint_every and v % checkpoint_every == 0:
+            write_checkpoint(spark, table_path)
 
     q = (
         stream.writeStream.foreachBatch(handle)

@@ -171,7 +171,8 @@ def test_checkpoint_replay(spark, tmp_path):
     # build the v1 checkpoint: live adds at v1 (f0, f2) + meta + protocol
     from monday_etl_spark.delta_import import _snapshot_state
 
-    _v, meta, live, _txns = _snapshot_state(spark, table, 1)
+    snap = _snapshot_state(spark, table, 1)
+    meta, live = snap.meta, snap.live
     ckpt_schema = (
         "add struct<path:string, partitionValues:map<string,string>, "
         "size:bigint, modificationTime:bigint, dataChange:boolean, "

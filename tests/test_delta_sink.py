@@ -135,3 +135,68 @@ def test_reset_appid_rule_documented_behavior(spark, tmp_path):
                      path, app_id="app", txn_version=3)
     assert v == 1  # skipped
     assert read_delta(spark, path).filter(F.col("id") == 2000).count() == 0
+
+
+def test_write_checkpoint_bounds_replay(spark, tmp_path):
+    """Writer-side checkpoint: latest state compacts into one parquet +
+    _last_checkpoint; the JSON commits it covers can be deleted and the
+    table (including txn state) still replays; later appends land in the
+    tail; time travel below the checkpoint correctly reports the hole."""
+    import json as _json
+
+    from monday_etl_spark.delta_import import write_checkpoint
+
+    path = _mk_table(spark, tmp_path)
+    append_delta(spark, spark.createDataFrame([(100, 1.0)], _SCHEMA),
+                 path, app_id="app", txn_version=0)
+    append_delta(spark, spark.createDataFrame([(101, 2.0)], _SCHEMA),
+                 path, app_id="app", txn_version=1)
+
+    ckpt = write_checkpoint(spark, path, clean_commits=True)
+    assert os.path.basename(ckpt) == f"{2:020d}.checkpoint.parquet"
+    with open(os.path.join(path, "_delta_log", "_last_checkpoint")) as fh:
+        assert _json.load(fh)["version"] == 2
+    # the covered JSON commits are gone; replay is checkpoint-only
+    assert not [f for f in os.listdir(os.path.join(path, "_delta_log"))
+                if f.endswith(".json")]
+    got = read_delta(spark, path)
+    assert got.count() == 12
+    assert got.filter(F.col("id").isin(100, 101)).count() == 2
+    assert last_txn_version(spark, path, "app") == 1  # txn survived
+
+    # the tail applies on top of the checkpoint
+    append_delta(spark, spark.createDataFrame([(102, 3.0)], _SCHEMA),
+                 path, app_id="app", txn_version=2)
+    assert read_delta(spark, path).count() == 13
+    assert delta_versions(path) == [2, 3]
+
+    with pytest.raises(FileNotFoundError, match="hole"):
+        read_delta(spark, path, version=1)
+
+
+def test_stream_checkpoint_every(spark, tmp_path):
+    """checkpoint_every=2 on the drain: versions 2 and 4 get checkpoints,
+    and a fresh reader needs only the newest checkpoint + empty tail."""
+    path = _mk_table(spark, tmp_path)
+    src = tmp_path / "ingest"
+    os.makedirs(src)
+    for i in range(4):
+        stage = str(tmp_path / f"_stage_{i}")
+        spark.createDataFrame([(100 * (i + 1), float(i))], _SCHEMA) \
+            .coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.replace(os.path.join(stage, part), str(src / f"f{i}.parquet"))
+
+    run_delta_append_stream(
+        spark, str(src), path, app_id="drain",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, checkpoint_every=2,
+    )
+    log = os.path.join(path, "_delta_log")
+    ckpts = sorted(f for f in os.listdir(log)
+                   if f.endswith(".checkpoint.parquet"))
+    assert ckpts == [f"{2:020d}.checkpoint.parquet",
+                     f"{4:020d}.checkpoint.parquet"]
+    got = read_delta(spark, path)
+    assert got.count() == 14
+    assert last_txn_version(spark, path, "drain") == 3
