@@ -31,9 +31,11 @@ Reading = log replay:
    ``tableformat.read_where``.
 
 Appending = one parquet write + one put-if-absent commit: new data files
-land under the table root, then ``<next_version:020d>.json`` (add actions
-+ commitInfo) publishes through the same ``LogStore`` seam tableformat
-commits use — a lost race surfaces as ``FileExistsError`` (or, with
+land under the table root (partitioned tables route rows into Hive-style
+``key=value`` directories, recorded as ``partitionValues`` and kept OUT
+of the data files per the spec), then ``<next_version:020d>.json`` (add
+actions + commitInfo) publishes through the same ``LogStore`` seam
+tableformat commits use — a lost race surfaces as ``FileExistsError`` (or, with
 ``retries``, re-derives against the new snapshot and re-publishes the
 same already-written files at the next version), never a clobbered
 commit. The appended table remains readable by any Delta engine.
@@ -299,7 +301,11 @@ def read_delta(
         return spark.createDataFrame([], schema)
 
     pieces = []
-    for key, files in sorted(by_part.items()):
+    # None-safe ordering: a NULL partition value sorts after the strings
+    part_order = lambda kv: tuple(  # noqa: E731
+        (v is None, v or "") for v in kv[0]
+    )
+    for key, files in sorted(by_part.items(), key=part_order):
         df = spark.read.schema(data_schema).parquet(*files)
         for c, v in zip(part_cols, key):
             df = df.withColumn(c, _partition_literal(v, schema[c].dataType))
@@ -457,6 +463,45 @@ def last_txn_version(spark: SparkSession, path: str, app_id: str) -> int | None:
     return None if v is None or v < 0 else v
 
 
+def _collect_written_adds(
+    out_dir: str, rel_dir: str, part_cols: list[str]
+) -> list[dict]:
+    """Walk a freshly-written parquet directory into add actions: one per
+    data file, partitionValues parsed from the Hive-style key=value path
+    components (Spark's escaping is Hive's percent-encoding; the spec's
+    null marker maps back to None)."""
+    import pyarrow.parquet as pq
+
+    adds: list[dict] = []
+    for root, _dirs, files in sorted(os.walk(out_dir)):
+        rel_sub = os.path.relpath(root, out_dir)
+        pv: dict[str, str | None] = {}
+        if rel_sub != ".":
+            for comp in rel_sub.split(os.sep):
+                k, _, v = comp.partition("=")
+                v = urllib.parse.unquote(v)
+                pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+        if part_cols and set(pv) != set(part_cols):
+            continue  # not a leaf partition directory
+        for name in sorted(files):
+            if not name.endswith(".parquet"):
+                continue
+            absf = os.path.join(root, name)
+            rel = f"{rel_dir}/{name}" if rel_sub == "." else \
+                f"{rel_dir}/{rel_sub}/{name}"
+            adds.append({
+                "path": urllib.parse.quote(rel, safe="/=%"),
+                "partitionValues": pv,
+                "size": os.path.getsize(absf),
+                "modificationTime": int(os.path.getmtime(absf) * 1000),
+                "dataChange": True,
+                "stats": json.dumps(
+                    {"numRecords": pq.ParquetFile(absf).metadata.num_rows}
+                ),
+            })
+    return adds
+
+
 def append_delta(
     spark: SparkSession,
     df: DataFrame,
@@ -487,11 +532,6 @@ def append_delta(
     if app_id is not None and snap.txns.get(app_id, -1) >= txn_version:
         return latest  # replayed batch: already committed, exactly-once skip
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    if meta.get("partitionColumns"):
-        raise NotImplementedError(
-            "append to a partitioned Delta table: partition routing not "
-            "implemented in this bridge"
-        )
     got = {(f.name, f.dataType.simpleString()) for f in df.schema.fields}
     want = {(f.name, f.dataType.simpleString()) for f in schema.fields}
     if got != want:
@@ -499,29 +539,21 @@ def append_delta(
             f"append schema mismatch: df has {sorted(got)}, "
             f"table wants {sorted(want)}"
         )
+    part_cols = meta.get("partitionColumns") or []
 
     rel_dir = f"_data_a{latest + 1}-{uuid.uuid4().hex[:8]}"
     out_dir = os.path.join(path, rel_dir)
-    df.select(*[f.name for f in schema.fields]).write.parquet(out_dir)
-    import pyarrow.parquet as pq
-
-    adds = []
-    for name in sorted(os.listdir(out_dir)):
-        if not name.endswith(".parquet"):
-            continue
-        absf = os.path.join(out_dir, name)
-        adds.append({
-            "add": {
-                "path": urllib.parse.quote(f"{rel_dir}/{name}", safe="/=%"),
-                "partitionValues": {},
-                "size": os.path.getsize(absf),
-                "modificationTime": int(os.path.getmtime(absf) * 1000),
-                "dataChange": True,
-                "stats": json.dumps(
-                    {"numRecords": pq.ParquetFile(absf).metadata.num_rows}
-                ),
-            }
-        })
+    writer = df.select(*[f.name for f in schema.fields]).write
+    if part_cols:
+        # Hive-style routing: partition columns become key=value directory
+        # components and are NOT stored in the data files — exactly the
+        # spec's physical layout, so external readers re-inject them from
+        # partitionValues the same way read_delta does
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(out_dir)
+    adds = [
+        {"add": a} for a in _collect_written_adds(out_dir, rel_dir, part_cols)
+    ]
     commit = [{
         "commitInfo": {
             "operation": "WRITE",

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import urllib.parse
 
 import pytest
 from pyspark.sql import functions as F
@@ -311,3 +312,50 @@ def test_refusals(spark, tmp_path):
     _commit(table3, 0, [_PROTO, _meta(), a])
     with pytest.raises(DeltaProtocolError, match="deletion vector"):
         read_delta(spark, table3)
+
+
+def test_partitioned_append_routes_hive_style(spark, tmp_path):
+    """Appending to a PARTITIONED Delta table routes rows into key=value
+    directories, records partitionValues in the add actions, and keeps the
+    partition column OUT of the data files (the spec's physical layout) —
+    so both our reader and external engines re-inject it from the log."""
+    import pyarrow.parquet as pq
+
+    table = str(tmp_path / "part_app")
+    os.makedirs(table)
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+        {"name": "day", "type": "date", "nullable": True, "metadata": {}},
+    ]})
+    fa, _ = _write_file(spark, table, "a", [(1, 1.0)])
+    a = _add(fa)
+    a["add"]["partitionValues"] = {"day": "2026-01-01"}
+    _commit(table, 0, [_PROTO, _meta(schema, partition_cols=["day"]), a])
+
+    extra = spark.createDataFrame(
+        [(2, 2.0, "2026-01-02"), (3, 3.0, "2026-01-03"), (4, 4.0, None)],
+        "id long, v double, day string",
+    ).withColumn("day", F.col("day").cast("date"))
+    v = append_delta(spark, extra, table)
+    assert v == 1
+
+    got = {r.id: r for r in read_delta(spark, table).collect()}
+    assert len(got) == 4
+    assert str(got[2].day) == "2026-01-02" and str(got[3].day) == "2026-01-03"
+    assert got[4].day is None
+
+    # the appended data files must not contain the partition column
+    from monday_etl_spark.delta_import import _snapshot_state
+
+    snap = _snapshot_state(spark, table, None)
+    new_adds = [ad for p, ad in snap.live.items() if p != fa]
+    assert len(new_adds) == 3
+    for ad in new_adds:
+        pv = ad["partitionValues"]
+        assert set(pv) == {"day"}
+        absf = os.path.join(table, urllib.parse.unquote(ad["path"]))
+        assert "day" not in pq.ParquetFile(absf).schema_arrow.names
+    days = sorted((ad["partitionValues"]["day"] or "NULL")
+                  for ad in new_adds)
+    assert days == ["2026-01-02", "2026-01-03", "NULL"]
