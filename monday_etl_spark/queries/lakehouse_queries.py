@@ -822,3 +822,56 @@ def streaming_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus", "n_orders", "total_price",
         )
     )
+
+
+@register(
+    "delta_source_stream",
+    oracle=f"""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_money_sum('l_quantity')} AS sum_qty
+    FROM lineitem WHERE l_orderkey % 16 IN (3, 7)
+    GROUP BY l_returnflag
+    """,
+    doc="Streaming FROM a Delta table (r07): the version-tailing source "
+        "(delta_source.stream_delta — offsets are log versions, each "
+        "micro-batch is the files its commits added, data crosses the "
+        "Python boundary as per-file-parallel Arrow RecordBatches) drains "
+        "the interop fixture from starting_version=0: the v0 commit IS "
+        "the initial snapshot, the v1 append arrives as the tail — "
+        "delta-spark's streaming-source semantics over the library-free "
+        "bridge. Drained rows must aggregate exactly to the relational "
+        "restatement of both subsets; removes refuse loudly (tested in "
+        "test_delta_source). With streaming/delta_sink on the write side "
+        "this is a table-to-table streaming pipe whose state lives "
+        "entirely in the two logs.",
+)
+def delta_source_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..delta_source import stream_delta
+    from ..functions import money_sum
+    from .fixtures import shared
+
+    path = shared(spark, sf_dir, "delta_interop_table")
+    root = tempfile.mkdtemp(prefix="delta_src_q_")
+    out = os.path.join(root, "rows")
+    stream = stream_delta(spark, path, starting_version=0)
+
+    def handle(batch: DataFrame, bid: int) -> None:
+        batch.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch={bid}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum(F.col("l_quantity")).alias("sum_qty"),
+        )
+    )

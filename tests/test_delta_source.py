@@ -1,0 +1,125 @@
+"""Version-tailing Delta streaming source: initial snapshot, incremental
+tail, offset restart, and the loud refusal on removes."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from monday_etl_spark.delta_export import export_delta_log
+from monday_etl_spark.delta_import import append_delta, read_delta
+from monday_etl_spark.delta_source import stream_delta
+from monday_etl_spark.tableformat import write_versioned
+
+_SCHEMA = "id bigint, v double"
+
+
+def _mk_table(spark, root) -> str:
+    path = str(root / "tbl")
+    base = spark.createDataFrame([(i, float(i)) for i in range(10)], _SCHEMA)
+    write_versioned(base, path, key="id", n_buckets=2)
+    export_delta_log(path)
+    return path
+
+
+def _drain(spark, path, ckpt, collected, **opts):
+    stream = stream_delta(spark, path, **opts)
+
+    def handle(batch, _bid):
+        collected.extend((r.id, r.v) for r in batch.collect())
+
+    q = (stream.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def test_initial_snapshot_then_tail(spark, tmp_path):
+    path = _mk_table(spark, tmp_path)
+    append_delta(spark, spark.createDataFrame([(100, 1.0)], _SCHEMA), path)
+
+    got: list = []
+    ckpt = str(tmp_path / "ckpt")
+    _drain(spark, path, ckpt, got, starting_version=0)
+    want = sorted((r.id, r.v) for r in read_delta(spark, path).collect())
+    assert sorted(got) == want and len(got) == 11
+
+    # two more commits: the SAME checkpoint resumes at the stored offset
+    # and sees only the new versions
+    append_delta(spark, spark.createDataFrame([(101, 2.0)], _SCHEMA), path)
+    append_delta(spark, spark.createDataFrame([(102, 3.0)], _SCHEMA), path)
+    tail: list = []
+    _drain(spark, path, ckpt, tail, starting_version=0)
+    assert sorted(tail) == [(101, 2.0), (102, 3.0)]
+
+
+def test_default_start_streams_only_new_commits(spark, tmp_path):
+    path = _mk_table(spark, tmp_path)
+    got: list = []
+    ckpt = str(tmp_path / "ckpt")
+    _drain(spark, path, ckpt, got)  # default start = current version
+    assert got == []
+    append_delta(spark, spark.createDataFrame([(500, 5.0)], _SCHEMA), path)
+    _drain(spark, path, ckpt, got)
+    assert got == [(500, 5.0)]
+
+
+def test_schema_from_log_null_fills_old_files(spark, tmp_path):
+    """A file predating a column (hand-evolved log) surfaces NULLs through
+    the arrow reader, same contract as read_delta."""
+    table = str(tmp_path / "evolve")
+    os.makedirs(table)
+    stage = os.path.join(table, "_stage")
+    spark.createDataFrame([(1,)], "id bigint").coalesce(1).write.parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    os.makedirs(os.path.join(table, "data"))
+    os.replace(os.path.join(stage, part),
+               os.path.join(table, "data", "old.parquet"))
+    log = os.path.join(table, "_delta_log")
+    os.makedirs(log)
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+    ]})
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "x", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": schema, "partitionColumns": [],
+                      "configuration": {}}},
+        {"add": {"path": "data/old.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+    got: list = []
+    _drain(spark, table, str(tmp_path / "ckpt"), got, starting_version=0)
+    assert got == [(1, None)]
+
+
+def test_removes_refuse_loudly(spark, tmp_path):
+    path = _mk_table(spark, tmp_path)
+    append_delta(spark, spark.createDataFrame([(100, 1.0)], _SCHEMA), path)
+    # hand-write a remove commit (a delete/compaction happened upstream)
+    log = os.path.join(path, "_delta_log")
+    versions = sorted(int(f[:20]) for f in os.listdir(log)
+                      if f.endswith(".json"))
+    with open(os.path.join(log, f"{versions[-1] + 1:020d}.json"), "w") as fh:
+        fh.write(json.dumps(
+            {"remove": {"path": "gone.parquet", "dataChange": True}}
+        ) + "\n")
+
+    got: list = []
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException):
+        _drain(spark, path, str(tmp_path / "ckpt"), got, starting_version=0)
+
+    # with the opt-in, removes are skipped and adds still stream
+    got2: list = []
+    _drain(spark, path, str(tmp_path / "ckpt2"), got2,
+           starting_version=0, ignore_deletes=True)
+    assert len(got2) == 11
