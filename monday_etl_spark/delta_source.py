@@ -3,16 +3,16 @@
 The consumer half of the streaming interop story (``streaming/delta_sink``
 produces commits; this turns a Delta table INTO a stream). Semantics match
 delta-spark's streaming source: each micro-batch is the set of files ADDED
-between two log versions, offsets are log versions, and a ``remove``
-inside the tailed range is refused loudly (a compacted/deleted table
-cannot be replayed as an append stream — delta's own
+between two offsets, offsets address a file position *within* a log version
+(delta-spark's ``DeltaSourceOffset(reservoirVersion, index)`` shape), and a
+``remove`` inside the tailed range is refused loudly (a compacted/deleted
+table cannot be replayed as an append stream — delta's own
 ``ignoreDeletes``-off behavior).
 
 Spark-shaped despite the Python DataSource API:
 
 - planning is driver-side file-listing + JSON-tail replay (cheap by
-  construction: the tail is short when writers checkpoint; the initial
-  snapshot reads the parquet checkpoint via pyarrow);
+  construction: the tail is short when writers checkpoint);
 - data moves through ``read(partition)`` as **pyarrow RecordBatches** —
   one InputPartition per data file, so a micro-batch scans its files in
   parallel and rows cross the Python boundary Arrow-columnar, never
@@ -21,21 +21,42 @@ Spark-shaped despite the Python DataSource API:
   source exists for the *streaming* contract, where the per-batch file
   set is exactly what the log names.
 
-Offsets: ``{"version": v}`` = the last log version fully processed. The
+Offsets: ``{"version": v, "index": i}`` = the first ``i`` add-files of
+version ``v`` are processed and every version below ``v`` is complete.
+(Legacy ``{"version": v}`` checkpoints — written before rate limiting
+existed — mean "v fully processed" and normalize to ``(v+1, 0)``.) The
 ``starting_version`` option (default: the table's current version, i.e.
 only NEW commits stream) rewinds to include history; ``0`` replays the
 table from its first commit — with our exporter that first commit IS the
 full initial snapshot, delta-spark's initial-snapshot batch.
 
-Partitioned tables are refused for now (constant-injection into arrow
-batches is mechanical but untested territory; read_delta handles them
-batch-side).
+Rate limiting: ``max_files_per_batch`` caps how many add-files one
+micro-batch may contain (delta-spark's ``maxFilesPerTrigger``). The
+Python stream API's ``latestOffset()`` takes no start offset (and is
+called before the engine reveals ANY position, even ``initialOffset``),
+so the cap walks from self-tracked state seeded at the configured start.
+Two consequences, both safe: (1) after a checkpoint restart the first
+capped walk may lag the committed offset — the planned batch is clamped
+to empty against a delivered-high-water mark, the true position is folded
+in, and the next walk is right, so nothing is ever re-delivered; (2)
+``Trigger.AvailableNow`` plans exactly ONE batch for Python sources
+(Spark falls back to single-batch execution), so with a cap it becomes a
+*bounded resumable drain*: each ``.start()`` processes at most the cap
+and the checkpoint carries the position — re-run to completion. Replayed
+batches always use the engine's logged offsets, so the cap can never
+break exactly-once.
+
+Partitioned tables: partition columns are not in the data files (Hive
+layout, per the spec); each file's ``partitionValues`` strings ride the
+InputPartition and surface as typed constant Arrow columns.
 """
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
+import urllib.parse
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -51,7 +72,6 @@ from .delta_import import (
     DeltaProtocolError,
     _list_checkpoints,
     _list_commits,
-    _log_dir,
 )
 
 _ARROW_TYPES = {
@@ -89,42 +109,55 @@ def _current_version(path: str) -> int:
     return max(vs)
 
 
-def _adds_between(path: str, after: int, upto: int,
-                  allow_removes: bool) -> list[dict]:
-    """add actions of versions (after, upto], replayed in order. A commit
-    missing (checkpoint-cleaned hole) or a remove (without opt-in) refuses
-    loudly — an append stream cannot represent either."""
-    commits = _list_commits(path)
-    adds: list[dict] = []
-    for v in range(after + 1, upto + 1):
-        f = commits.get(v)
-        if f is None:
-            ckpt_note = (" (log cleaned by a checkpoint? start the stream "
-                         "at a retained version)")
-            raise FileNotFoundError(
-                f"{path}: cannot stream version {v}: commit missing"
-                + ckpt_note
-            )
-        with open(f) as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                a = json.loads(line)
-                if "add" in a:
-                    adds.append(a["add"])
-                elif "remove" in a and not allow_removes:
-                    raise DeltaProtocolError(
-                        f"{path}: version {v} removes "
-                        f"{a['remove']['path']}: a delete/compaction "
-                        "cannot replay as an append stream (set "
-                        "ignore_deletes to skip removes)"
-                    )
-    return adds
+def _version_actions(path: str, v: int) -> tuple[list[dict], bool]:
+    """(add actions in commit order, version-contains-a-remove) for one
+    version. A missing commit (checkpoint-cleaned hole) refuses loudly —
+    an append stream cannot replay what the log no longer names."""
+    f = _list_commits(path).get(v)
+    if f is None:
+        raise FileNotFoundError(
+            f"{path}: cannot stream version {v}: commit missing (log "
+            "cleaned by a checkpoint? start the stream at a retained "
+            "version)"
+        )
+    adds, has_remove = [], False
+    with open(f) as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if "add" in a:
+                adds.append(a["add"])
+            elif "remove" in a:
+                has_remove = True
+    return adds, has_remove
+
+
+def _part_cell(value: str | None, simple: str, col: str):
+    """Delta serializes partition values as canonical strings (absent/null
+    for NULL); re-type one for an arrow constant column."""
+    if value is None:
+        return None
+    if simple in ("bigint", "int", "smallint", "tinyint"):
+        return int(value)
+    if simple in ("double", "float"):
+        return float(value)
+    if simple == "boolean":
+        return value == "true"
+    if simple == "string":
+        return value
+    if simple == "date":
+        return datetime.date.fromisoformat(value)
+    raise DeltaProtocolError(
+        f"partition column {col}: type {simple} not supported by the "
+        "arrow stream reader"
+    )
 
 
 class DeltaFilePartition(InputPartition):
-    def __init__(self, abs_path: str):
+    def __init__(self, abs_path: str, part_values: dict | None = None):
         self.abs_path = abs_path
+        self.part_values = part_values or {}
 
 
 class DeltaStreamReader(DataSourceStreamReader):
@@ -135,45 +168,145 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.ignore_deletes = (
             str(options.get("ignore_deletes", "false")).lower() == "true"
         )
+        mf = options.get("max_files_per_batch")
+        self.max_files = int(mf) if mf is not None else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError("max_files_per_batch must be >= 1")
         meta = _local_meta(self.path)
-        if meta.get("partitionColumns"):
-            raise DeltaProtocolError(
-                "streaming from a PARTITIONED Delta table is not supported "
-                "by this source yet; use delta_import.read_delta for "
-                "batch reads"
-            )
+        self.part_cols = meta.get("partitionColumns") or []
         self.schema = StructType.fromJson(json.loads(meta["schemaString"]))
         start = options.get("starting_version")
-        # offset = last processed version; current → only NEW commits
-        self._initial = (int(start) - 1 if start is not None
-                         else _current_version(self.path))
+        if start is not None:
+            self._initial = {"version": int(start), "index": 0}
+        else:
+            # only NEW commits stream: the current head, fully consumed
+            self._initial = self._head_offset()
+        # Two self-tracked watermarks (the Python API's latestOffset()
+        # has no start argument, so the reader must keep position state):
+        # _pos = advisory max position ever seen (feeds the rate-limit
+        # walk), _hw = max end handed out by partitions() this lifetime
+        # (clamps re-delivery: a capped latestOffset computed before a
+        # checkpoint restart revealed the true committed offset may lag
+        # it, and the engine would otherwise replay already-delivered
+        # files; see latestOffset/partitions)
+        self._pos: tuple[int, int] | None = None
+        self._hw: tuple[int, int] | None = None
 
-    def initialOffset(self) -> dict:
-        return {"version": self._initial}
+    # -------------------------------------------------------- offsets
 
-    def latestOffset(self) -> dict:
+    @staticmethod
+    def _norm(off: dict) -> tuple[int, int]:
+        v = off["version"]
+        if "index" in off:
+            return (v, off["index"])
+        return (v + 1, 0)  # index-free form: v fully processed
+
+    def _head_offset(self) -> dict:
+        """The table head, fully consumed — the index-free form, so no
+        commit parse is needed. Batches ending here traverse the head
+        version completely, which is what makes a remove-only head commit
+        refuse loudly at plan time instead of silently stalling the
+        stream one index short of it."""
         return {"version": _current_version(self.path)}
 
-    def partitions(self, start: dict, end: dict):
-        import urllib.parse
+    def _advance(self, pos: tuple[int, int], head_v: int,
+                 budget: int) -> tuple[int, int]:
+        """Walk at most ``budget`` add-files forward from ``pos``, never
+        past the end of version ``head_v``."""
+        v, i = pos
+        while budget > 0 and v <= head_v:
+            adds, _ = _version_actions(self.path, v)
+            if i >= len(adds):
+                if v >= head_v:
+                    break
+                v, i = v + 1, 0
+                continue
+            take = min(len(adds) - i, budget)
+            i += take
+            budget -= take
+        return (v, i)
 
-        adds = _adds_between(
-            self.path, start["version"], end["version"], self.ignore_deletes
-        )
-        parts = []
-        for a in adds:
-            rel = urllib.parse.unquote(a["path"])
-            absf = rel if os.path.isabs(rel) else os.path.join(self.path, rel)
-            parts.append(DeltaFilePartition(absf))
+    def _trace(self, msg: str) -> None:
+        t = os.environ.get("SPARK_GRAFT_DS_TRACE")
+        if t:
+            with open(t, "a") as fh:
+                fh.write(f"pid={os.getpid()} {msg}\n")
+
+    def initialOffset(self) -> dict:
+        self._trace(f"initialOffset pos={self._pos}")
+        i = self._norm(self._initial)
+        self._pos = max(self._pos or i, i)
+        return self._initial
+
+    def latestOffset(self) -> dict:
+        self._trace(f"latestOffset pos={self._pos}")
+        head = self._head_offset()
+        if self.max_files is None:
+            end = self._norm(head)
+            self._pos = max(self._pos or end, end)
+            return head
+        # the engine calls latestOffset before revealing any position
+        # (even before initialOffset on a fresh stream), so the first
+        # walk starts from the configured start. After a checkpoint
+        # restart this may lag the committed offset — partitions() then
+        # plans an empty batch and folds the true position into _pos/_hw,
+        # so the next walk is right and nothing is re-delivered.
+        base = self._pos if self._pos is not None else self._norm(self._initial)
+        end = self._advance(base, _current_version(self.path),
+                            self.max_files)
+        self._pos = max(base, end)
+        if end == self._norm(head):
+            # caught up: return head's own dict so an idle stream keeps
+            # comparing equal under the engine's offset-equality check
+            return head
+        return {"version": end[0], "index": end[1]}
+
+    # ------------------------------------------------------- planning
+
+    def partitions(self, start: dict, end: dict):
+        self._trace(f"partitions {start} {end} pos={self._pos} hw={self._hw}")
+        s, e = self._norm(start), self._norm(end)
+        # clamp below the delivered high-water: after a restart, a capped
+        # latestOffset computed before the engine revealed its committed
+        # offset can lag it; the engine then plans (committed, lagging) —
+        # deliver nothing already handed out, and fold the true position
+        # so the next capped walk starts from it
+        lo = max(s, self._hw) if self._hw is not None else s
+        self._hw = max(self._hw or e, s, e)
+        self._pos = max(self._pos or e, s, e)
+        parts: list[DeltaFilePartition] = []
+        for v in range(lo[0], e[0] + 1) if e > lo else ():
+            if v == e[0] and e[1] == 0:
+                break  # nothing taken from the end version
+            adds, has_remove = _version_actions(self.path, v)
+            # any traversed version with a remove refuses — even one whose
+            # adds-slice is empty (a pure delete commit), since the delete
+            # itself cannot be represented in an append stream
+            if has_remove and not self.ignore_deletes:
+                raise DeltaProtocolError(
+                    f"{self.path}: version {v} removes files: a delete/"
+                    "compaction cannot replay as an append stream (set "
+                    "ignore_deletes to skip removes)"
+                )
+            plo = lo[1] if v == lo[0] else 0
+            phi = e[1] if v == e[0] else len(adds)
+            for a in adds[plo:phi]:
+                rel = urllib.parse.unquote(a["path"])
+                absf = (rel if os.path.isabs(rel)
+                        else os.path.join(self.path, rel))
+                parts.append(
+                    DeltaFilePartition(absf, a.get("partitionValues") or {})
+                )
         # an empty batch still needs ≥1 partition for the API contract
         return parts or [DeltaFilePartition("")]
+
+    # -------------------------------------------------------- reading
 
     def read(self, partition: DeltaFilePartition):
         if not partition.abs_path:
             return iter([])
-        fields = self.schema.fields
         want = [(f.name, _ARROW_TYPES.get(f.dataType.simpleString()))
-                for f in fields]
+                for f in self.schema.fields]
         for name, at in want:
             if at is None:
                 raise DeltaProtocolError(
@@ -181,6 +314,13 @@ class DeltaStreamReader(DataSourceStreamReader):
                     f"{self.schema[name].dataType.simpleString()} not "
                     "supported by the arrow stream reader"
                 )
+        part_cells = {
+            c: _part_cell(
+                partition.part_values.get(c),
+                self.schema[c].dataType.simpleString(), c,
+            )
+            for c in self.part_cols
+        }
 
         def batches():
             pf = pq.ParquetFile(partition.abs_path)
@@ -189,7 +329,13 @@ class DeltaStreamReader(DataSourceStreamReader):
                 n = rb.num_rows
                 cols = []
                 for name, at in want:
-                    if name in present:
+                    if name in self.part_cols:
+                        # Hive layout: the value lives in partitionValues,
+                        # not the file — surface it as a typed constant
+                        cell = part_cells[name]
+                        cols.append(pa.nulls(n, type=at) if cell is None
+                                    else pa.array([cell] * n, type=at))
+                    elif name in present:
                         cols.append(rb.column(rb.schema.get_field_index(name))
                                     .cast(at))
                     else:
@@ -203,7 +349,9 @@ class DeltaStreamReader(DataSourceStreamReader):
         return batches()
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are log versions; nothing to clean up
+        self._trace(f"commit {end} pos={self._pos}")
+        e = self._norm(end)
+        self._pos = max(self._pos or e, e)
 
 
 class DeltaStreamDataSource(DataSource):
@@ -228,9 +376,10 @@ class DeltaStreamDataSource(DataSource):
 
 def stream_delta(spark: SparkSession, path: str,
                  starting_version: int | None = None,
-                 ignore_deletes: bool = False) -> DataFrame:
+                 ignore_deletes: bool = False,
+                 max_files_per_batch: int | None = None) -> DataFrame:
     """readStream over a Delta table's commit log: one micro-batch per
-    range of new versions, file-parallel Arrow reads. Pair with any
+    range of new file positions, file-parallel Arrow reads. Pair with any
     writeStream sink; with ``streaming/delta_sink`` on the other side this
     is a table-to-table streaming pipe whose state lives entirely in the
     two tables' logs."""
@@ -243,4 +392,7 @@ def stream_delta(spark: SparkSession, path: str,
         reader = reader.option("starting_version", str(starting_version))
     if ignore_deletes:
         reader = reader.option("ignore_deletes", "true")
+    if max_files_per_batch is not None:
+        reader = reader.option("max_files_per_batch",
+                               str(max_files_per_batch))
     return reader.load()

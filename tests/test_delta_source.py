@@ -3,6 +3,7 @@ tail, offset restart, and the loud refusal on removes."""
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 
@@ -123,3 +124,134 @@ def test_removes_refuse_loudly(spark, tmp_path):
     _drain(spark, path, str(tmp_path / "ckpt2"), got2,
            starting_version=0, ignore_deletes=True)
     assert len(got2) == 11
+
+
+def test_partitioned_table_streams_typed_partition_columns(spark, tmp_path):
+    """Partition columns live in partitionValues (Hive layout), not the
+    data files; the stream surfaces them as typed constant columns."""
+    table = str(tmp_path / "part")
+    os.makedirs(table)
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+        {"name": "day", "type": "date", "nullable": True, "metadata": {}},
+    ]})
+    stage = os.path.join(table, "_stage")
+    spark.createDataFrame([(1, 1.0), (2, 2.0)], _SCHEMA) \
+        .coalesce(1).write.parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    os.makedirs(os.path.join(table, "data"))
+    os.replace(os.path.join(stage, part),
+               os.path.join(table, "data", "d0.parquet"))
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "x", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": schema,
+                      "partitionColumns": ["day"], "configuration": {}}},
+        {"add": {"path": "data/d0.parquet",
+                 "partitionValues": {"day": "2026-01-05"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    log = os.path.join(table, "_delta_log")
+    os.makedirs(log)
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    # v1 through the append path (Hive key=value routing)
+    append_delta(
+        spark,
+        spark.createDataFrame(
+            [(3, 3.0, datetime.date(2026, 1, 6))],
+            "id bigint, v double, day date"),
+        table,
+    )
+
+    stream = stream_delta(spark, table, starting_version=0)
+    assert stream.schema["day"].dataType.simpleString() == "date"
+    got: list = []
+
+    def handle(batch, _bid):
+        got.extend((r.id, r.v, r.day) for r in batch.collect())
+
+    q = (stream.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert sorted(got) == [
+        (1, 1.0, datetime.date(2026, 1, 5)),
+        (2, 2.0, datetime.date(2026, 1, 5)),
+        (3, 3.0, datetime.date(2026, 1, 6)),
+    ]
+
+
+def _mk_multifile_table(spark, root):
+    """v0 = 3 files (10 rows), v1 and v2 = 2 files (4 rows) each."""
+    path = str(root / "tbl")
+    base = spark.createDataFrame([(i, float(i)) for i in range(10)], _SCHEMA)
+    write_versioned(base, path, key="id", n_buckets=3)
+    export_delta_log(path)
+    for k in range(2):
+        rows = [(100 + 10 * k + j, 0.0) for j in range(4)]
+        append_delta(
+            spark,
+            spark.createDataFrame(rows, _SCHEMA).repartition(2), path,
+        )
+    return path
+
+
+def test_max_files_per_batch_bounds_processing_time_batches(spark, tmp_path):
+    """Under a processing-time trigger the cap yields multiple bounded
+    micro-batches that union to exactly-once delivery. 7 files / cap 2
+    -> at least 4 non-empty batches."""
+    import time
+
+    path = _mk_multifile_table(spark, tmp_path)
+    want = sorted((r.id, r.v) for r in read_delta(spark, path).collect())
+    batches: list = []
+
+    def handle(batch, bid):
+        rows = [(r.id, r.v) for r in batch.collect()]
+        if rows:
+            batches.append(rows)
+
+    stream = stream_delta(spark, path, starting_version=0,
+                          max_files_per_batch=2)
+    q = (stream.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(processingTime="0 seconds").start())
+    deadline = time.time() + 120
+    while sum(len(b) for b in batches) < len(want):
+        assert time.time() < deadline, f"drained {batches} of {len(want)}"
+        time.sleep(0.2)
+    q.stop()
+
+    assert sorted(r for b in batches for r in b) == want  # exactly once
+    assert len(batches) >= 4  # 7 files at <=2 per batch
+
+
+def test_available_now_with_cap_is_a_bounded_resumable_drain(spark, tmp_path):
+    """Spark runs Python sources under Trigger.AvailableNow as a single
+    batch, so a capped stream drains at most the cap per .start(); the
+    checkpoint carries the position and repeated runs complete the
+    backfill exactly once."""
+    path = _mk_multifile_table(spark, tmp_path)
+    want = sorted((r.id, r.v) for r in read_delta(spark, path).collect())
+    got: list = []
+    ckpt = str(tmp_path / "ckpt")
+    runs = 0
+    while sorted(got) != want:
+        before = len(got)
+        _drain(spark, path, ckpt, got,
+               starting_version=0, max_files_per_batch=2)
+        runs += 1
+        assert runs <= 10, f"no convergence: {sorted(got)}"
+        assert len(got) > before, "a run made no progress"
+    assert runs >= 4  # 7 files at <=2 per run
+    assert sorted(got) == want  # exactly once, nothing duplicated
+
+
+def test_offset_forms_normalize():
+    from monday_etl_spark.delta_source import DeltaStreamReader
+
+    assert DeltaStreamReader._norm({"version": 3}) == (4, 0)
+    assert DeltaStreamReader._norm({"version": 3, "index": 2}) == (3, 2)
