@@ -299,3 +299,67 @@ def revenue_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"ok_{lbl}"),
         ]
     return bounds.join(vals, "flag").select(*out_cols)
+
+
+@register(
+    "distinct_count_sketch",
+    oracle="""
+    WITH per AS (
+        SELECT l_returnflag AS flag,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    g AS (
+        SELECT '_ALL_' AS flag,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact
+        FROM lineitem
+    )
+    SELECT flag, n_exact, TRUE AS ok FROM per
+    UNION ALL
+    SELECT flag, n_exact, TRUE AS ok FROM g
+    """,
+    doc="Mergeable distinct-count sketches (Apache DataSketches HLL via "
+        "hll_sketch_agg / hll_union_agg / hll_sketch_estimate): per "
+        "l_returnflag a binary sketch column estimates distinct "
+        "l_orderkey, and the GLOBAL estimate comes from hll_union_agg "
+        "over the three group sketches — NO second scan of the fact "
+        "table, and the union correctly de-duplicates orders whose "
+        "lineitems span flags (a plain SUM of per-group counts cannot). "
+        "That re-aggregation-without-rescan is the 100 TB rollup story: "
+        "sketches are partial-aggregate state, so any rollup level is a "
+        "merge, not a scan. Sketch estimates are engine-specific, so the "
+        "driver-checked result is the bounded-error AUDIT (the "
+        "revenue_percentiles_sketch pattern): each row carries the exact "
+        "distinct count and a boolean asserting the estimate lies within "
+        "10% (>=6 sigma at the default lgK=12, sigma~1.04/sqrt(2^12)); "
+        "DuckDB hashes the same exacts with TRUE literals, so a "
+        "drifted sketch flips a boolean and reds the row. The exact "
+        "COUNT(DISTINCT) pass exists only to audit; production reads "
+        "the sketches alone.",
+)
+def distinct_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def tol(n):  # 10% of exact, >= 16 — generous vs the ~1.6% sigma
+        return F.greatest(F.lit(16).cast("long"),
+                          F.ceil(n * F.lit(0.10)).cast("long"))
+
+    per = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk"),
+        F.count_distinct("l_orderkey").cast("long").alias("n_exact"),
+    )
+    per_rows = per.select(
+        "flag", "n_exact",
+        (F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+         <= tol(F.col("n_exact"))).alias("ok"),
+    )
+    merged = per.agg(F.hll_union_agg("sk").alias("sk_all"))
+    global_exact = li.agg(
+        F.count_distinct("l_orderkey").cast("long").alias("n_exact")
+    )
+    global_row = global_exact.crossJoin(merged).select(
+        F.lit("_ALL_").alias("flag"), "n_exact",
+        (F.abs(F.hll_sketch_estimate("sk_all") - F.col("n_exact"))
+         <= tol(F.col("n_exact"))).alias("ok"),
+    )
+    return per_rows.unionByName(global_row)
