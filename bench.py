@@ -37,7 +37,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-SEGMENT_SIZE = 20
+SEGMENT_SIZE = int(os.environ.get("SPARK_GRAFT_SEGMENT_SIZE", "20"))
 WARM_SF = "/root/testdata/sf0.001"
 
 
