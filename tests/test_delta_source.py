@@ -255,3 +255,59 @@ def test_offset_forms_normalize():
 
     assert DeltaStreamReader._norm({"version": 3}) == (4, 0)
     assert DeltaStreamReader._norm({"version": 3, "index": 2}) == (3, 2)
+
+
+def test_advance_walk_properties(tmp_path):
+    """Property-check the rate-limit walk against a synthetic log: it
+    never exceeds the budget, never regresses, never passes head, and
+    walking in capped steps visits exactly the uncapped file sequence."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from monday_etl_spark.delta_source import DeltaStreamReader
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(min_value=0, max_value=5),
+                       min_size=1, max_size=8),
+        cap=st.integers(min_value=1, max_value=7),
+    )
+    def check(sizes, cap):
+        table = tmp_path / f"t{abs(hash((tuple(sizes), cap)))}"
+        log = table / "_delta_log"
+        log.mkdir(parents=True, exist_ok=True)
+        meta = {"metaData": {
+            "id": "p", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}}]}),
+            "partitionColumns": [], "configuration": {}}}
+        for v, n in enumerate(sizes):
+            actions = [meta] if v == 0 else []
+            actions += [{"add": {"path": f"f{v}_{i}.parquet",
+                                 "partitionValues": {}, "size": 1,
+                                 "modificationTime": 0, "dataChange": True}}
+                        for i in range(n)]
+            (log / f"{v:020d}.json").write_text(
+                "\n".join(json.dumps(a) for a in actions) + "\n")
+
+        r = DeltaStreamReader({"path": str(table), "starting_version": "0",
+                               "max_files_per_batch": str(cap)})
+        head_v = len(sizes) - 1
+        pos, seen = (0, 0), []
+        for _ in range(sum(sizes) + len(sizes) + 2):
+            nxt = r._advance(pos, head_v, cap)
+            assert nxt >= pos, "walk regressed"
+            taken = [(v, i) for v in range(pos[0], nxt[0] + 1)
+                     for i in range(pos[1] if v == pos[0] else 0,
+                                    nxt[1] if v == nxt[0] else sizes[v])]
+            assert len(taken) <= cap, "budget exceeded"
+            seen += taken
+            if nxt == pos:
+                break
+            pos = nxt
+        assert pos == (head_v, sizes[head_v]), "walk did not reach head"
+        want = [(v, i) for v, n in enumerate(sizes) for i in range(n)]
+        assert seen == want, "capped walk skipped or duplicated files"
+
+    check()
