@@ -60,6 +60,7 @@ _EVIDENCE_PRIORITY = [
     "streaming_delta_sink",         # NEW query (exactly-once txn appends)
     "delta_source_stream",          # NEW query (version-tailing source)
     "distinct_count_sketch",        # NEW query (mergeable HLL audit)
+    "sql_correlated_subquery",      # NEW query (raw-SQL entry path)
     "leakage_safe_split",           # NEW query (cluster-aware split)
     "tableformat_fieldid_reuse",    # NEW query (field-id name reuse)
     "revenue_percentiles_sketch",   # NEW oracle + result schema (was

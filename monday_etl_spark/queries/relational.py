@@ -653,3 +653,39 @@ def collection_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, x: a + x,
         ).alias("rank_weighted"),
     )
+
+
+_CORRELATED_SQL = """
+SELECT l.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_small,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 2) AS small_revenue
+FROM {li} l
+WHERE l.l_quantity < (
+    SELECT 0.5 * AVG(l2.l_quantity) FROM {li} l2
+    WHERE l2.l_partkey = l.l_partkey
+)
+GROUP BY l.l_returnflag
+"""
+
+
+@register(
+    "sql_correlated_subquery",
+    oracle=_CORRELATED_SQL.replace("{li}", "lineitem"),
+    doc="Raw ANSI SQL as the entry path (the reference's users write SQL "
+        "against BigQuery; this engine accepts the same text via "
+        "spark.sql with DataFrame named-argument substitution — no temp "
+        "views, no session state). The query is the construct only SQL "
+        "states directly: a CORRELATED scalar subquery (TPC-H Q17 shape "
+        "— lineitems under half their part's average quantity). Catalyst "
+        "DECORRELATES it into one per-part aggregate joined back onto "
+        "the fact scan, so at 100 TB the 'per-row subquery' is a single "
+        "partial+final aggregate plus one join — never re-executed per "
+        "row. Bit-exact cross-engine because l_quantity is "
+        "integer-valued: the AVG's double sum is exact (< 2^53), halving "
+        "is exact in binary, and the oracle is the IDENTICAL text run by "
+        "DuckDB.",
+)
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return spark.sql(_CORRELATED_SQL, li=li)
