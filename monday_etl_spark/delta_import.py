@@ -67,6 +67,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time as _time
 import urllib.parse
 import uuid
 from typing import NamedTuple
@@ -275,13 +276,76 @@ def _partition_literal(value: str | None, dtype):
     return F.lit(value).cast(dtype)
 
 
+def commit_timestamps(path: str) -> dict[int, int]:
+    """version -> commit time (epoch ms), monotone non-decreasing.
+
+    Per the spec, a commit's time is its log file's modification time;
+    an in-commit ``commitInfo.timestamp`` (which real engines write, and
+    this bridge now writes too) is preferred when present because mtimes
+    do not survive copies. Like delta-spark, out-of-order raw times are
+    clamped forward so the mapping is monotone — timestamp resolution is
+    then a well-defined cut. Checkpoint-cleaned versions (no commit JSON
+    retained) are absent: timestamp addressing needs the retained tail."""
+    commits = _list_commits(path)
+    out: dict[int, int] = {}
+    prev = 0
+    for v in sorted(commits):
+        f = commits[v]
+        t = None
+        with open(f) as fh:
+            for line in fh:
+                if line.strip():
+                    a = json.loads(line)
+                    if "commitInfo" in a:
+                        t = a["commitInfo"].get("timestamp")
+                        break
+        if t is None:
+            t = int(os.path.getmtime(f) * 1000)
+        prev = max(prev, int(t))
+        out[v] = prev
+    return out
+
+
+def version_at_or_before(path: str, ts_ms: int) -> int:
+    """Latest version whose commit time <= ts_ms (AS OF semantics)."""
+    times = commit_timestamps(path)
+    ok = [v for v, t in times.items() if t <= ts_ms]
+    if not ok:
+        earliest = min(times.values()) if times else None
+        raise ValueError(
+            f"{path}: no commit at or before {ts_ms} "
+            f"(earliest retained commit: {earliest})"
+        )
+    return max(ok)
+
+
+def version_at_or_after(path: str, ts_ms: int) -> int:
+    """Earliest version whose commit time >= ts_ms (streaming
+    startingTimestamp semantics); errors past the latest commit, like
+    delta-spark."""
+    times = commit_timestamps(path)
+    ok = [v for v, t in times.items() if t >= ts_ms]
+    if not ok:
+        latest = max(times.values()) if times else None
+        raise ValueError(
+            f"{path}: {ts_ms} is after the latest commit time ({latest})"
+        )
+    return min(ok)
+
+
 def read_delta(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession, path: str, version: int | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
-    """Snapshot read of a Delta table at ``version`` (default latest).
+    """Snapshot read of a Delta table at ``version`` (default latest) or
+    AS OF ``timestamp_ms`` (the latest commit at or before it).
     One scan per distinct partition tuple, schema from the log (NOT from
     footers — old files missing later-added columns surface NULLs), and
     partition columns injected as typed literals per the spec."""
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("give version OR timestamp_ms, not both")
+        version = version_at_or_before(path, timestamp_ms)
     snap = _snapshot_state(spark, path, version)
     meta, live = snap.meta, snap.live
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
@@ -556,6 +620,7 @@ def append_delta(
     ]
     commit = [{
         "commitInfo": {
+            "timestamp": int(_time.time() * 1000),
             "operation": "WRITE",
             "operationParameters": {"mode": "Append"},
             "engineInfo": "monday-etl-spark delta bridge",

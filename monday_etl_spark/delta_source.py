@@ -176,6 +176,17 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.part_cols = meta.get("partitionColumns") or []
         self.schema = StructType.fromJson(json.loads(meta["schemaString"]))
         start = options.get("starting_version")
+        start_ts = options.get("starting_timestamp")
+        if start is not None and start_ts is not None:
+            raise ValueError(
+                "give starting_version OR starting_timestamp, not both"
+            )
+        if start_ts is not None:
+            from .delta_import import version_at_or_after
+
+            # delta-spark's startingTimestamp: the earliest commit at or
+            # after the timestamp; errors past the latest commit
+            start = version_at_or_after(self.path, int(start_ts))
         if start is not None:
             self._initial = {"version": int(start), "index": 0}
         else:
@@ -376,6 +387,7 @@ class DeltaStreamDataSource(DataSource):
 
 def stream_delta(spark: SparkSession, path: str,
                  starting_version: int | None = None,
+                 starting_timestamp: int | None = None,
                  ignore_deletes: bool = False,
                  max_files_per_batch: int | None = None) -> DataFrame:
     """readStream over a Delta table's commit log: one micro-batch per
@@ -385,11 +397,17 @@ def stream_delta(spark: SparkSession, path: str,
     two tables' logs."""
     from .session import ensure_session_confs
 
+    if starting_version is not None and starting_timestamp is not None:
+        raise ValueError(
+            "give starting_version OR starting_timestamp, not both"
+        )
     ensure_session_confs(spark)
     spark.dataSource.register(DeltaStreamDataSource)
     reader = spark.readStream.format("delta_stream").option("path", path)
     if starting_version is not None:
         reader = reader.option("starting_version", str(starting_version))
+    if starting_timestamp is not None:
+        reader = reader.option("starting_timestamp", str(starting_timestamp))
     if ignore_deletes:
         reader = reader.option("ignore_deletes", "true")
     if max_files_per_batch is not None:

@@ -359,3 +359,47 @@ def test_partitioned_append_routes_hive_style(spark, tmp_path):
     days = sorted((ad["partitionValues"]["day"] or "NULL")
                   for ad in new_adds)
     assert days == ["2026-01-02", "2026-01-03", "NULL"]
+
+
+def test_commit_timestamps_and_timestamp_travel(spark, tmp_path):
+    """Commit times come from commitInfo.timestamp (written by this
+    bridge) with mtime fallback, clamped monotone; timestamp_ms reads
+    resolve AS OF (latest at-or-before), stream starts resolve
+    at-or-after."""
+    from monday_etl_spark.delta_import import (
+        commit_timestamps,
+        version_at_or_after,
+        version_at_or_before,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    f0, _ = _write_file(spark, table, "a", [(1, 1.0)])
+    _commit(table, 0, [_PROTO, _meta(), _add(f0)])
+    v1 = append_delta(spark, spark.createDataFrame([(2, 2.0)],
+                                                   "id long, v double"), table)
+    v2 = append_delta(spark, spark.createDataFrame([(3, 3.0)],
+                                                   "id long, v double"), table)
+    times = commit_timestamps(table)
+    assert sorted(times) == [0, v1, v2]
+    assert times[0] <= times[v1] <= times[v2]  # monotone
+
+    # v1 and v2 carry commitInfo.timestamp; v0 (hand-written) fell back
+    # to file mtime
+    assert version_at_or_before(table, times[v1]) in (v1, v2)
+    assert version_at_or_after(table, times[v1]) <= v1
+
+    # exact boundaries when times are distinct
+    if times[v1] < times[v2]:
+        assert version_at_or_before(table, times[v2] - 1) == v1
+        assert version_at_or_after(table, times[v1] + 1) == v2
+    rows = read_delta(spark, table, timestamp_ms=times[v1]).collect()
+    have = {r.id for r in rows}
+    assert 2 in have and (3 in have) == (times[v2] <= times[v1])
+
+    with pytest.raises(ValueError):
+        version_at_or_before(table, times[0] - 10_000)
+    with pytest.raises(ValueError):
+        version_at_or_after(table, times[v2] + 10_000)
+    with pytest.raises(ValueError):
+        read_delta(spark, table, version=1, timestamp_ms=times[v1])

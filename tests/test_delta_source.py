@@ -311,3 +311,24 @@ def test_advance_walk_properties(tmp_path):
         assert seen == want, "capped walk skipped or duplicated files"
 
     check()
+
+
+def test_starting_timestamp_resolves_to_first_commit_at_or_after(
+        spark, tmp_path):
+    from monday_etl_spark.delta_import import commit_timestamps
+
+    path = _mk_table(spark, tmp_path)           # v0: ids 0..9
+    append_delta(spark, spark.createDataFrame([(100, 1.0)], _SCHEMA), path)
+    append_delta(spark, spark.createDataFrame([(101, 2.0)], _SCHEMA), path)
+    times = commit_timestamps(path)
+
+    got: list = []
+    _drain(spark, path, str(tmp_path / "ckpt"), got,
+           starting_timestamp=times[1])
+    # earliest version at-or-after times[1]: v1 (and v2 if clamped equal)
+    assert (100, 1.0) in got and (101, 2.0) in got
+    assert all(i >= 100 for i, _ in got)
+
+    with pytest.raises(Exception):
+        stream_delta(spark, path, starting_version=0,
+                     starting_timestamp=times[1])
