@@ -79,6 +79,19 @@ def export_delta_log(path: str, version: int | None = None) -> str:
     stats_map = man.get("stats", {}) or {}
 
     actions: list[dict] = [
+        {
+            # the exported version's commit time is the ORIGINAL manifest
+            # commit time, not the export run's clock: timestamp
+            # addressing (AS OF reads, startingTimestamp streams) on the
+            # exported table then reflects the table's true history, and
+            # log-file mtime never needs consulting
+            "commitInfo": {
+                "timestamp": committed_ms,
+                "operation": "WRITE",
+                "operationParameters": {"mode": "ErrorIfExists"},
+                "engineInfo": "monday-etl-spark delta bridge",
+            }
+        },
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
         {
             "metaData": {

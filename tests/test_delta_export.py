@@ -131,3 +131,19 @@ def test_export_pinned_old_version(spark, tmp_path):
             == sorted(f for fs in man1["buckets"].values() for f in fs))
     n = sum(json.loads(a["stats"])["numRecords"] for a in adds)
     assert n == read_version(spark, path, 1).count() == 120
+
+
+def test_exported_commit_time_is_the_original_manifest_time(spark, tmp_path):
+    """Timestamp addressing on an exported table reflects the snapshot's
+    TRUE commit time (manifest committed_at), not the export run's clock
+    or the log file's mtime."""
+    from monday_etl_spark.delta_import import commit_timestamps
+    from monday_etl_spark.tableformat import _read_manifest
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    write_versioned(df, path, key="id", n_buckets=1)
+    export_delta_log(path)
+    # tableformat versions are 1-based; the exported Delta log is v0
+    want_ms = int(float(_read_manifest(path, 1)["committed_at"]) * 1000)
+    assert commit_timestamps(path)[0] == want_ms
