@@ -59,6 +59,7 @@ SHOWCASE = {
     "hopping_window_6h_2h": "Expand into 3 hop slots BEFORE the partial aggregate — combine still map-side",
     "distinct_count_sketch": "mergeable HLL: partial+final sketch agg per group; global = hll_union_agg over 3 sketch rows, no second fact scan",
     "leakage_safe_split": "near-dup CC clusters -> one md5 band per cluster: split decided without materializing pairwise edges twice",
+    "sql_correlated_subquery": "correlated scalar subquery DECORRELATED: one per-part aggregate + one join, no per-row re-execution",
 }
 
 
