@@ -75,11 +75,25 @@ def assert_known_events_vintage(sf_dir: str) -> None:
         )
 
 
+# inferred schema per (dir, table): the testdata/scale dirs are immutable,
+# and without this EVERY load_table pays a footer schema-inference Spark
+# job — a per-read planning tax a production deployment would avoid with a
+# declared catalog (catalog.py is exactly that for the monday tables)
+_SCHEMA_CACHE: dict[tuple[str, str], "object"] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from .session import ensure_session_confs
 
     ensure_session_confs(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    key = (sf_dir, name)
+    cached = _SCHEMA_CACHE.get(key)
+    if cached is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(cached).parquet(path)
     if name == "events":
         df = normalize_event_ts(df)
     return df
