@@ -27,11 +27,28 @@ What is written (Delta log version 0, one commit file):
   minValues/maxValues for the manifest's tracked stats columns — Delta
   readers data-skip on the same bounds ``read_where`` prunes with.
 
-Refused cases (loud, not silent): a manifest with rename ``aliases``
-whose old files physically carry pre-rename column names — baseline
-Delta resolves columns BY NAME from footers, so those files would surface
-nulls. (Full fidelity needs Delta column mapping, i.e. field ids — the
-same machinery tableformat itself would need for rename-with-reuse.)
+Renamed tables export through Delta **column mapping** (mode ``name``,
+reader version 2 / writer version 5): the manifest's field ids become
+``delta.columnMapping.id`` and each referenced file's physical column
+name (from the commit-dir naming epochs) becomes
+``delta.columnMapping.physicalName``, so a mapping-aware reader resolves
+old files' footers correctly with zero data movement. The export is
+emitted as a *plain* (reader version 1) table whenever every referenced
+file already carries the live logical names — maximum ecosystem
+compatibility, mapping only when the snapshot needs it.
+
+Refused cases (loud, never silent corruption):
+
+- a live field id carried under TWO different physical names across
+  referenced files (rename-then-append: old files say ``price``, new
+  files say ``cost``) — Delta allows one physicalName per column, so no
+  log can describe both; ``compact_versioned`` collapses the epochs;
+- a referenced file physically carrying a column whose name collides
+  with a live column's physical name under a DIFFERENT field id (a
+  dropped column's name later reused): name-based resolution would
+  resurrect the dropped column's dead bytes — an erased-data leak;
+- legacy (pre-field-id) tables with rename ``aliases``: without ids
+  there is nothing to map by, so pre-rename files would surface nulls.
 
 The snapshot is FROZEN: later tableformat commits do not appear in the
 Delta log (and a later vacuum may collect files the export references —
@@ -45,15 +62,97 @@ import os
 import urllib.parse
 import uuid
 
-from .tableformat import _read_manifest, current_version
+from .tableformat import _commit_dir_of, _read_manifest, current_version
 
 _LOG_DIR = "_delta_log"
+_MAP_ID = "delta.columnMapping.id"
+_MAP_PHYS = "delta.columnMapping.physicalName"
 
 
 def _file_num_records(abs_path: str) -> int:
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(abs_path).metadata.num_rows
+
+
+def _naming_plan(man: dict, rel_files: list[str]) -> dict[str, int] | None:
+    """Decide how the snapshot's columns are exported.
+
+    Returns ``None`` when every referenced file physically carries exactly
+    the live logical names (a plain reader-version-1 export is sound), else
+    ``{logical_name: physical_name}`` for a column-mapping (mode ``name``)
+    export. Raises on the two snapshots no Delta log can describe — a live
+    field id spanning two physical names (rename-then-append) and a
+    physical-name collision with a dead field id (dropped-column name
+    reuse, where name resolution would resurrect erased bytes)."""
+    fid: dict[str, int] = man.get("field_ids") or {}
+    if not fid:
+        if man.get("aliases"):
+            raise NotImplementedError(
+                "legacy snapshot has rename aliases but no field ids: "
+                "baseline Delta resolves columns by footer name, so "
+                "pre-rename files would read as null. Rewrite the files "
+                "under current names first (compact after rename)."
+            )
+        return None  # legacy, never renamed: footers carry logical names
+
+    epochs: dict[str, dict[str, int]] = man.get("epochs") or {}
+    ref_epochs = []
+    for d in sorted({_commit_dir_of(f) for f in rel_files}):
+        emap = epochs.get(d)
+        if emap is None:
+            raise ValueError(
+                f"no naming epoch recorded for commit dir {d!r} — manifest "
+                "corruption (every file-writing commit records one)"
+            )
+        ref_epochs.append((d, emap))
+
+    live_names = [f["name"] for f in json.loads(man["schema"])["fields"]]
+    phys_of: dict[str, str] = {}
+    for name in live_names:
+        ident = fid[name]
+        seen = {
+            phys
+            for _d, emap in ref_epochs
+            for phys, i in emap.items() if i == ident
+        }
+        if len(seen) > 1:
+            raise NotImplementedError(
+                f"column {name!r} (field id {ident}) is carried under "
+                f"{sorted(seen)} across referenced files (renamed and then "
+                "written without a rewrite): Delta column mapping allows "
+                "one physicalName per column. Run compact_versioned to "
+                "collapse the naming epochs, then re-export."
+            )
+        phys_of[name] = seen.pop() if seen else name
+
+    # Erased-data guard: a referenced file must never physically carry a
+    # live column's physical name under a DIFFERENT field id — a name-based
+    # (or physicalName-based) reader would surface the dead column's old
+    # bytes under the live column. This is exactly the dropped-then-reused
+    # name case field-id tableformat reads handle but no Delta log can.
+    for name in live_names:
+        ident, phys = fid[name], phys_of[name]
+        for d, emap in ref_epochs:
+            other = emap.get(phys)
+            if other is not None and other != ident:
+                raise NotImplementedError(
+                    f"referenced files in commit {d!r} physically carry "
+                    f"column {phys!r} under retired field id {other} "
+                    f"(dropped and later reused as live column {name!r}, "
+                    f"field id {ident}): a name-resolving Delta reader "
+                    "would resurrect the dropped column's erased bytes. "
+                    "Rewrite the old files first (compact_versioned), "
+                    "then re-export."
+                )
+    if len(set(phys_of.values())) != len(phys_of):
+        raise NotImplementedError(
+            f"two live columns share a physical name: {phys_of!r}"
+        )
+
+    if all(phys == name for name, phys in phys_of.items()):
+        return None  # consistent current names: plain export suffices
+    return phys_of
 
 
 def export_delta_log(path: str, version: int | None = None) -> str:
@@ -66,17 +165,36 @@ def export_delta_log(path: str, version: int | None = None) -> str:
     if version is None:
         raise FileNotFoundError(f"no committed version at {path}")
     man = _read_manifest(path, version)
-    if man.get("aliases"):
-        raise NotImplementedError(
-            "snapshot has rename aliases: baseline Delta resolves columns "
-            "by footer name, so pre-rename files would read as null. "
-            "Rewrite the files under current names first (compact after "
-            "rename) or use a column-mapping-aware exporter."
-        )
-
     rel_files = sorted(f for fs in man["buckets"].values() for f in fs)
+    phys_of = _naming_plan(man, rel_files)
     committed_ms = int(float(man.get("committed_at", 0)) * 1000)
     stats_map = man.get("stats", {}) or {}
+
+    if phys_of is None:
+        protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+        schema_string = man["schema"]
+        configuration: dict[str, str] = {}
+        stat_name = dict()  # stats keys stay logical
+    else:
+        # column mapping mode "name" (reader v2 / writer v5): each field
+        # carries its tableformat field id and the single physical name
+        # the referenced files use; per the spec, per-file stats are then
+        # keyed by PHYSICAL names
+        protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
+        schema = json.loads(man["schema"])
+        fid = man["field_ids"]
+        for f in schema["fields"]:
+            f.setdefault("metadata", {})
+            f["metadata"][_MAP_ID] = fid[f["name"]]
+            f["metadata"][_MAP_PHYS] = phys_of[f["name"]]
+        schema_string = json.dumps(schema)
+        configuration = {
+            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.maxColumnId":
+                str(max(man.get("next_field_id", 1) - 1,
+                        max(fid.values(), default=0))),
+        }
+        stat_name = phys_of
 
     actions: list[dict] = [
         {
@@ -92,7 +210,7 @@ def export_delta_log(path: str, version: int | None = None) -> str:
                 "engineInfo": "monday-etl-spark delta bridge",
             }
         },
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"protocol": protocol},
         {
             "metaData": {
                 "id": str(uuid.uuid5(
@@ -101,9 +219,9 @@ def export_delta_log(path: str, version: int | None = None) -> str:
                     f"@v{version}",
                 )),
                 "format": {"provider": "parquet", "options": {}},
-                "schemaString": man["schema"],
+                "schemaString": schema_string,
                 "partitionColumns": [],
-                "configuration": {},
+                "configuration": configuration,
                 "createdTime": committed_ms,
             }
         },
@@ -113,8 +231,10 @@ def export_delta_log(path: str, version: int | None = None) -> str:
         stats: dict = {"numRecords": _file_num_records(absf)}
         per_col = stats_map.get(rel)
         if per_col:
-            stats["minValues"] = {c: b[0] for c, b in per_col.items()}
-            stats["maxValues"] = {c: b[1] for c, b in per_col.items()}
+            stats["minValues"] = {stat_name.get(c, c): b[0]
+                                  for c, b in per_col.items()}
+            stats["maxValues"] = {stat_name.get(c, c): b[1]
+                                  for c, b in per_col.items()}
         actions.append({
             "add": {
                 # Delta paths are RFC 2396-encoded relative URIs; '=' and

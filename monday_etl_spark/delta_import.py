@@ -79,6 +79,14 @@ from pyspark.sql.types import StructType
 _LOG_DIR = "_delta_log"
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CKPT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+# multi-part classic checkpoints: <v>.checkpoint.<part>.<n_parts>.parquet
+_CKPT_MULTI_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
+)
+# v2 (uuid-named) checkpoints need sidecar support this bridge lacks
+_CKPT_V2_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.[0-9a-fA-F-]{36}\.(json|parquet)$"
+)
 
 
 class DeltaProtocolError(RuntimeError):
@@ -105,14 +113,70 @@ def _list_commits(path: str) -> dict[int, str]:
     return out
 
 
-def _list_checkpoints(path: str) -> dict[int, str]:
+def _list_checkpoints(path: str) -> dict[int, list[str]]:
+    """version -> ordered checkpoint part files. Classic single-file
+    checkpoints are a one-element list; multi-part checkpoints
+    (``<v>.checkpoint.<part>.<n>.parquet``, written by engines whose state
+    exceeds one file) group their parts and count only when COMPLETE —
+    a partially-uploaded checkpoint must be invisible, per the spec.
+    A version whose only artifact is a v2 (uuid-named) checkpoint refuses
+    loudly if ``_last_checkpoint`` advertises it (see its reader);
+    otherwise it is skipped — replay falls back to older state."""
     d = _log_dir(path)
-    out: dict[int, str] = {}
+    out: dict[int, list[str]] = {}
+    multi: dict[tuple[int, int], dict[int, str]] = {}
     for name in os.listdir(d):
         m = _CKPT_RE.match(name)
         if m:
-            out[int(m.group(1))] = os.path.join(d, name)
+            out[int(m.group(1))] = [os.path.join(d, name)]
+            continue
+        m = _CKPT_MULTI_RE.match(name)
+        if m:
+            v, part, n = (int(m.group(i)) for i in (1, 2, 3))
+            multi.setdefault((v, n), {})[part] = os.path.join(d, name)
+    for (v, n), parts in multi.items():
+        if len(parts) == n and v not in out:
+            out[v] = [parts[i] for i in sorted(parts)]
     return out
+
+
+def _read_last_checkpoint(path: str) -> dict | None:
+    f = os.path.join(_log_dir(path), "_last_checkpoint")
+    if not os.path.exists(f):
+        return None
+    with open(f) as fh:
+        return json.loads(fh.read())
+
+
+def _checkpoint_at_or_below(path: str, version: int) -> int | None:
+    """Newest readable checkpoint version <= ``version``. Consults
+    ``_last_checkpoint`` first (the discovery contract external writers
+    rely on after log cleanup) and refuses loudly when the advertised
+    checkpoint exists only in a form this bridge cannot read (v2 /
+    sidecar), instead of failing later with a confusing missing-commit
+    error."""
+    ckpts = _list_checkpoints(path)
+    last = _read_last_checkpoint(path)
+    if last is not None:
+        lv = int(last.get("version", -1))
+        if lv >= 0 and lv <= version and lv not in ckpts:
+            d = _log_dir(path)
+            v2 = [n for n in os.listdir(d)
+                  if _CKPT_V2_RE.match(n)
+                  and int(n.split(".", 1)[0]) == lv]
+            if v2:
+                raise DeltaProtocolError(
+                    f"{path}: _last_checkpoint advertises version {lv} "
+                    "but only a v2/sidecar checkpoint exists there — "
+                    "not readable by this bridge"
+                )
+            parts = last.get("parts")
+            raise DeltaProtocolError(
+                f"{path}: _last_checkpoint advertises version {lv} "
+                f"({'%d parts' % parts if parts else 'single file'}) "
+                "but the files are missing or incomplete"
+            )
+    return max((v for v in ckpts if v <= version), default=None)
 
 
 def delta_versions(path: str) -> list[int]:
@@ -143,25 +207,103 @@ def delta_history(path: str) -> list[dict]:
 
 
 def _check_protocol(protocol: dict | None) -> None:
-    if protocol and protocol.get("minReaderVersion", 1) > 1:
+    if not protocol:
+        return
+    v = protocol.get("minReaderVersion", 1)
+    if v == 2:
+        return  # reader v2 == column mapping, which this bridge implements
+    if v == 3:
+        # table-features protocol: readable iff every listed reader
+        # feature is one we implement
+        feats = set(protocol.get("readerFeatures") or [])
+        unknown = feats - {"columnMapping"}
+        if unknown:
+            raise DeltaProtocolError(
+                f"readerFeatures {sorted(unknown)}: not implemented by "
+                "this bridge (supported: columnMapping)"
+            )
+        return
+    if v > 3:
         raise DeltaProtocolError(
-            f"minReaderVersion={protocol['minReaderVersion']}: this "
-            "baseline bridge implements reader version 1 (no column "
-            "mapping / deletion vectors / v2 checkpoints)"
+            f"minReaderVersion={v}: this bridge implements reader "
+            "versions 1-3 (column mapping; no deletion vectors / "
+            "v2 checkpoints)"
         )
 
 
 def _check_meta(meta: dict) -> None:
     conf = meta.get("configuration") or {}
     mode = conf.get("delta.columnMapping.mode", "none")
-    if mode not in ("", "none"):
+    if mode not in ("", "none", "name"):
         raise DeltaProtocolError(
-            f"delta.columnMapping.mode={mode}: physical-name indirection "
-            "not implemented; columns here resolve by footer name"
+            f"delta.columnMapping.mode={mode}: only 'name' mapping is "
+            "implemented (mode 'id' resolves via parquet footer field "
+            "ids, which these readers do not consult)"
         )
     fmt = (meta.get("format") or {}).get("provider", "parquet")
     if fmt != "parquet":
         raise DeltaProtocolError(f"format.provider={fmt}: parquet only")
+
+
+def _check_writer_protocol(protocol: dict, meta: dict) -> None:
+    """Writers must refuse tables whose writer requirements they do not
+    implement (PROTOCOL.md §Writer Version Requirements) — appending
+    without enforcing them silently corrupts the table's guarantees for
+    every other engine. This bridge implements writer version 2's append
+    path: appendOnly is trivially honored, and invariants are accepted
+    only when the table declares none."""
+    v = protocol.get("minWriterVersion", 2)
+    if v > 2:
+        raise DeltaProtocolError(
+            f"minWriterVersion={v}: this bridge writes at version 2 — "
+            "CHECK constraints / generated columns / column mapping "
+            "writes are not implemented, so appending would not enforce "
+            "the table's guarantees"
+        )
+    feats = set(protocol.get("writerFeatures") or [])
+    unknown = feats - {"appendOnly"}
+    if unknown:
+        raise DeltaProtocolError(
+            f"writerFeatures {sorted(unknown)}: not implemented by this "
+            "bridge's append path"
+        )
+    conf = meta.get("configuration") or {}
+    bad_conf = sorted(
+        k for k in conf
+        if k.startswith("delta.constraints.") or k == "delta.invariants"
+    )
+    if bad_conf:
+        raise DeltaProtocolError(
+            f"table declares constraints {bad_conf}: appends here would "
+            "not validate them"
+        )
+    if conf.get("delta.columnMapping.mode", "none") not in ("", "none"):
+        raise DeltaProtocolError(
+            "delta.columnMapping.mode is set: appends here write files "
+            "under logical column names, which a mapped table must not "
+            "contain"
+        )
+    for f in json.loads(meta["schemaString"])["fields"]:
+        if "delta.invariants" in (f.get("metadata") or {}):
+            raise DeltaProtocolError(
+                f"column {f['name']!r} carries a delta.invariants "
+                "expression: appends here would not enforce it"
+            )
+
+
+def _physical_names(meta: dict) -> dict[str, str] | None:
+    """{logical: physical} when ``delta.columnMapping.mode=name``; per the
+    spec each schema field then carries ``delta.columnMapping.physicalName``
+    in its metadata, and data files / per-file stats / partitionValues are
+    keyed by the physical names. ``None`` for unmapped tables."""
+    conf = meta.get("configuration") or {}
+    if conf.get("delta.columnMapping.mode", "none") not in ("name",):
+        return None
+    out: dict[str, str] = {}
+    for f in json.loads(meta["schemaString"])["fields"]:
+        md = f.get("metadata") or {}
+        out[f["name"]] = md.get("delta.columnMapping.physicalName", f["name"])
+    return out
 
 
 class _Snapshot(NamedTuple):
@@ -184,7 +326,7 @@ def _snapshot_state(
             raise FileNotFoundError(f"{path}: empty {_LOG_DIR}/")
         version = max(all_vs)
 
-    ckpt_v = max((v for v in ckpts if v <= version), default=None)
+    ckpt_v = _checkpoint_at_or_below(path, version)
     meta: dict | None = None
     protocol: dict | None = None
     live: dict[str, dict] = {}
@@ -192,8 +334,9 @@ def _snapshot_state(
 
     if ckpt_v is not None:
         # distributed reconcile: a checkpoint is one row per action with
-        # null siblings. Only surviving adds come back to the driver.
-        cdf = spark.read.parquet(ckpts[ckpt_v])
+        # null siblings (all parts of a multi-part checkpoint scan as one
+        # DataFrame). Only surviving adds come back to the driver.
+        cdf = spark.read.parquet(*ckpts[ckpt_v])
         cols = set(cdf.columns)
         if "metaData" in cols:
             row = cdf.filter(F.col("metaData").isNotNull()) \
@@ -349,20 +492,27 @@ def read_delta(
     snap = _snapshot_state(spark, path, version)
     meta, live = snap.meta, snap.live
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    phys = _physical_names(meta)  # {logical: physical} under mapping
     part_cols = meta.get("partitionColumns") or []
-    data_schema = StructType(
-        [f for f in schema.fields if f.name not in part_cols]
-    )
+    from pyspark.sql.types import StructField
+    data_schema = StructType([
+        StructField(phys[f.name] if phys else f.name, f.dataType, True)
+        for f in schema.fields if f.name not in part_cols
+    ])
     by_part: dict[tuple, list[str]] = {}
     for add in live.values():
         rel = urllib.parse.unquote(add["path"])
         absf = rel if os.path.isabs(rel) else os.path.join(path, rel)
         pv = add.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in part_cols)
+        # under column mapping partitionValues are keyed by physical names
+        key = tuple(
+            pv.get(phys[c], pv.get(c)) if phys else pv.get(c)
+            for c in part_cols
+        )
         by_part.setdefault(key, []).append(absf)
 
     if not by_part:
-        return spark.createDataFrame([], schema)
+        return spark.createDataFrame([], _strip_mapping_meta(schema))
 
     pieces = []
     # None-safe ordering: a NULL partition value sorts after the strings
@@ -372,12 +522,26 @@ def read_delta(
     for key, files in sorted(by_part.items(), key=part_order):
         df = spark.read.schema(data_schema).parquet(*files)
         for c, v in zip(part_cols, key):
-            df = df.withColumn(c, _partition_literal(v, schema[c].dataType))
-        pieces.append(df.select(*[f.name for f in schema.fields]))
+            df = df.withColumn(
+                phys[c] if phys else c,
+                _partition_literal(v, schema[c].dataType),
+            )
+        pieces.append(df.select(*[
+            F.col(phys[f.name]).alias(f.name) if phys else F.col(f.name)
+            for f in schema.fields
+        ]))
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _strip_mapping_meta(schema: StructType) -> StructType:
+    from pyspark.sql.types import StructField
+
+    return StructType([
+        StructField(f.name, f.dataType, f.nullable) for f in schema.fields
+    ])
 
 
 def files_for_range(
@@ -392,7 +556,10 @@ def files_for_range(
     over the adds' minValues/maxValues, before any Spark scan. A file
     without stats for ``column`` can never be pruned (sound, like
     tableformat.read_where)."""
-    live = _snapshot_state(spark, path, version).live
+    snap = _snapshot_state(spark, path, version)
+    live = snap.live
+    phys = _physical_names(snap.meta)
+    scol = phys.get(column, column) if phys else column  # stats keys: physical
     keep: list[str] = []
     for add in live.values():
         rel = urllib.parse.unquote(add["path"])
@@ -402,8 +569,8 @@ def files_for_range(
             s = json.loads(stats) if isinstance(stats, str) else stats
             mins = (s.get("minValues") or {})
             maxs = (s.get("maxValues") or {})
-            if column in mins and column in maxs:
-                if maxs[column] < lo or mins[column] > hi:
+            if scol in mins and scol in maxs:
+                if maxs[scol] < lo or mins[scol] > hi:
                     continue
         keep.append(absf)
     return keep, len(live)
@@ -421,6 +588,7 @@ def read_delta_where(
     files reach the scan; the exact predicate still applies on top."""
     meta = _snapshot_state(spark, path, version).meta
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    phys = _physical_names(meta)
     if meta.get("partitionColumns"):
         # partition columns aren't in footers; fall back to the full read
         # (partition pruning on them is the engine's job via the literal)
@@ -428,11 +596,18 @@ def read_delta_where(
         return df.filter(F.col(column).between(lo, hi))
     files, _total = files_for_range(spark, path, column, lo, hi, version)
     if not files:
-        return spark.createDataFrame([], schema)
-    return (
-        spark.read.schema(schema).parquet(*files)
-        .filter(F.col(column).between(lo, hi))
-    )
+        return spark.createDataFrame([], _strip_mapping_meta(schema))
+    from pyspark.sql.types import StructField
+    read_schema = StructType([
+        StructField(phys[f.name] if phys else f.name, f.dataType, True)
+        for f in schema.fields
+    ])
+    df = spark.read.schema(read_schema).parquet(*files)
+    if phys:
+        df = df.select(*[
+            F.col(phys[f.name]).alias(f.name) for f in schema.fields
+        ])
+    return df.filter(F.col(column).between(lo, hi))
 
 
 # ------------------------------------------------------------- checkpoints
@@ -593,6 +768,7 @@ def append_delta(
 
     snap = _snapshot_state(spark, path, None)
     latest, meta = snap.version, snap.meta
+    _check_writer_protocol(snap.protocol, meta)
     if app_id is not None and snap.txns.get(app_id, -1) >= txn_version:
         return latest  # replayed batch: already committed, exactly-once skip
     schema = StructType.fromJson(json.loads(meta["schemaString"]))

@@ -70,8 +70,11 @@ from pyspark.sql.types import StructType
 
 from .delta_import import (
     DeltaProtocolError,
+    _check_meta,
+    _check_protocol,
     _list_checkpoints,
     _list_commits,
+    _physical_names,
 )
 
 _ARROW_TYPES = {
@@ -82,8 +85,8 @@ _ARROW_TYPES = {
 }
 
 
-def _local_meta(path: str) -> dict:
-    """Latest metaData action without a SparkSession: scan the JSON
+def _local_action(path: str, kind: str) -> dict | None:
+    """Latest action of ``kind`` without a SparkSession: scan the JSON
     commits newest-first, fall back to the newest checkpoint (pyarrow)."""
     commits = _list_commits(path)
     for v in sorted(commits, reverse=True):
@@ -91,15 +94,25 @@ def _local_meta(path: str) -> dict:
             for line in fh:
                 if line.strip():
                     a = json.loads(line)
-                    if "metaData" in a:
-                        return a["metaData"]
+                    if kind in a:
+                        return a[kind]
     ckpts = _list_checkpoints(path)
     for v in sorted(ckpts, reverse=True):
-        t = pq.read_table(ckpts[v], columns=["metaData"])
-        for m in t.column("metaData").to_pylist():
-            if m is not None:
-                return m
-    raise DeltaProtocolError(f"{path}: no metaData action in log")
+        for f in ckpts[v]:  # all parts of a multi-part checkpoint
+            if kind not in pq.ParquetFile(f).schema_arrow.names:
+                continue
+            col = pq.read_table(f, columns=[kind]).column(kind)
+            for m in col.to_pylist():
+                if m is not None:
+                    return m
+    return None
+
+
+def _local_meta(path: str) -> dict:
+    meta = _local_action(path, "metaData")
+    if meta is None:
+        raise DeltaProtocolError(f"{path}: no metaData action in log")
+    return meta
 
 
 def _current_version(path: str) -> int:
@@ -127,6 +140,13 @@ def _version_actions(path: str, v: int) -> tuple[list[dict], bool]:
                 continue
             a = json.loads(line)
             if "add" in a:
+                if a["add"].get("deletionVector"):
+                    raise DeltaProtocolError(
+                        f"{path} v{v}: add action for "
+                        f"{a['add'].get('path')} carries a deletionVector; "
+                        "streaming the file whole would resurrect deleted "
+                        "rows"
+                    )
                 adds.append(a["add"])
             elif "remove" in a:
                 has_remove = True
@@ -173,6 +193,16 @@ class DeltaStreamReader(DataSourceStreamReader):
         if self.max_files is not None and self.max_files < 1:
             raise ValueError("max_files_per_batch must be >= 1")
         meta = _local_meta(self.path)
+        # the same protocol/metaData gates the batch reader enforces: a
+        # minReaderVersion this bridge doesn't implement, mode=id mapping,
+        # or a non-parquet provider must refuse at stream start, not
+        # surface as silent NULL columns
+        _check_protocol(_local_action(self.path, "protocol"))
+        _check_meta(meta)
+        # mode=name column mapping: data files and partitionValues are
+        # keyed by each field's physicalName; the arrow reader resolves
+        # footers through this map and surfaces logical names
+        self.phys = _physical_names(meta) or {}
         self.part_cols = meta.get("partitionColumns") or []
         self.schema = StructType.fromJson(json.loads(meta["schemaString"]))
         start = options.get("starting_version")
@@ -325,9 +355,11 @@ class DeltaStreamReader(DataSourceStreamReader):
                     f"{self.schema[name].dataType.simpleString()} not "
                     "supported by the arrow stream reader"
                 )
+        pv = partition.part_values
         part_cells = {
             c: _part_cell(
-                partition.part_values.get(c),
+                # under column mapping partitionValues use physical names
+                pv.get(self.phys.get(c, c), pv.get(c)),
                 self.schema[c].dataType.simpleString(), c,
             )
             for c in self.part_cols
@@ -340,15 +372,17 @@ class DeltaStreamReader(DataSourceStreamReader):
                 n = rb.num_rows
                 cols = []
                 for name, at in want:
+                    footer = self.phys.get(name, name)
                     if name in self.part_cols:
                         # Hive layout: the value lives in partitionValues,
                         # not the file — surface it as a typed constant
                         cell = part_cells[name]
                         cols.append(pa.nulls(n, type=at) if cell is None
                                     else pa.array([cell] * n, type=at))
-                    elif name in present:
-                        cols.append(rb.column(rb.schema.get_field_index(name))
-                                    .cast(at))
+                    elif footer in present:
+                        cols.append(
+                            rb.column(rb.schema.get_field_index(footer))
+                            .cast(at))
                     else:
                         # pre-evolution file: the column surfaces as NULLs,
                         # same contract as read_delta
@@ -401,6 +435,11 @@ def stream_delta(spark: SparkSession, path: str,
         raise ValueError(
             "give starting_version OR starting_timestamp, not both"
         )
+    # the reader re-checks in its own process, but errors raised inside a
+    # Python DataSource reader's __init__ only surface at stream START —
+    # validate here so an unreadable table fails at declaration time
+    _check_protocol(_local_action(path, "protocol"))
+    _check_meta(_local_meta(path))
     ensure_session_confs(spark)
     spark.dataSource.register(DeltaStreamDataSource)
     reader = spark.readStream.format("delta_stream").option("path", path)

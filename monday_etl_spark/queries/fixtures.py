@@ -216,3 +216,33 @@ def _ivf_centroids_k8(spark: SparkSession, sf_dir: str) -> list:
     from ..extensions.ivf import kmeans_fit
 
     return kmeans_fit(_load(spark, sf_dir, "embeddings"), k=8, iterations=3)
+
+
+@_fixture("delta_mapped_table", {"delta_column_mapping_roundtrip"})
+def _delta_mapped_table(spark: SparkSession, sf_dir: str) -> str:
+    """A renamed-then-exported snapshot: a lineitem subset is committed as
+    a versioned table (field ids minted at birth), one column is RENAMED
+    (metadata-only — the data files keep the old physical name), and the
+    snapshot is exported as Delta. The exporter must emit mode=name column
+    mapping (reader v2 / writer v5, physicalName per field, stats keyed by
+    physical names); consumers only read, so the fixture is shared."""
+    from ..delta_export import export_delta_log
+    from ..tableformat import optimize_zorder, rename_column, write_versioned
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    root = tempfile.mkdtemp(prefix="delta_mapped_fx_")
+    path = os.path.join(root, "lineitem_renamed")
+    write_versioned(
+        li.filter(F.col("l_orderkey") % 16 == 5), path,
+        key="l_orderkey", n_buckets=8, stats_cols=["l_extendedprice"],
+    )
+    # Z-order BEFORE the rename: tight per-file price ranges so the
+    # exported stats actually prune; renames stay metadata-only after the
+    # rewrite, so the export still exercises column mapping
+    optimize_zorder(spark, path, ["l_extendedprice"], files_per_bucket=4)
+    rename_column(path, "l_quantity", "qty")
+    rename_column(path, "l_extendedprice", "price")
+    export_delta_log(path)
+    return path

@@ -875,3 +875,53 @@ def delta_source_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("l_quantity")).alias("sum_qty"),
         )
     )
+
+
+@register(
+    "delta_column_mapping_roundtrip",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_money_sum('l_quantity')} AS sum_qty,
+           {sql_money_sum('l_extendedprice')} AS sum_price
+    FROM lineitem WHERE l_orderkey % 16 = 5
+    GROUP BY l_returnflag
+    """,
+    doc="Delta column-mapping round trip (r08): a versioned snapshot whose "
+        "columns were RENAMED after the data files were written (metadata-"
+        "only — old footers keep the old physical names) exports as a "
+        "mode=name column-mapped Delta table (delta_export._naming_plan: "
+        "field ids -> delta.columnMapping.id, the per-epoch physical name "
+        "-> physicalName, reader v2 / writer v5, stats keyed physically), "
+        "and log replay resolves every footer through the map "
+        "(delta_import._physical_names) — values surface under the NEW "
+        "logical names, never as silent NULLs. The in-query assertion pins "
+        "that stats pruning on a renamed column translates to its physical "
+        "stats key. Oracle: the plain relational restatement over the "
+        "original column names. Reference scope: open-ecosystem outputs as "
+        "in monday_etl_automated.py:571-590.",
+)
+def delta_column_mapping_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..delta_import import files_for_range, read_delta
+    from ..functions import money_sum
+    from .fixtures import shared
+
+    path = shared(spark, sf_dir, "delta_mapped_table")
+    df = read_delta(spark, path)
+    if set(df.columns) != {"l_orderkey", "l_returnflag", "qty", "price"}:
+        raise AssertionError(f"mapped read surfaced {df.columns}")
+    # pruning on the RENAMED column must hit the physical stats key
+    keep, total = files_for_range(spark, path, "price", 0.0, 20000.0)
+    if not keep or len(keep) >= total:
+        raise AssertionError(
+            f"mapped stats pruning ineffective: kept {len(keep)}/{total}"
+        )
+    return (
+        df.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum(F.col("qty")).alias("sum_qty"),
+            money_sum(F.col("price")).alias("sum_price"),
+        )
+        .select("l_returnflag", "n_rows", "sum_qty", "sum_price")
+    )

@@ -54,45 +54,33 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # already-green entries. Refreshed each round from CORRECTNESS_r{N}.json.
 # Purely an ordering hint; every query is still registered and runnable.
 _EVIDENCE_PRIORITY = [
-    # r07: RESULTS or code paths CHANGED this round — evidence first.
-    "delta_interop_roundtrip",      # NEW query (Delta export+append+replay)
-    "delta_stats_pruning",          # NEW query (pruning via exported stats)
-    "streaming_delta_sink",         # NEW query (exactly-once txn appends)
-    "delta_source_stream",          # NEW query (version-tailing source)
-    "distinct_count_sketch",        # NEW query (mergeable HLL audit)
-    "sql_correlated_subquery",      # NEW query (raw-SQL entry path)
-    "leakage_safe_split",           # NEW query (cluster-aware split)
-    "tableformat_fieldid_reuse",    # NEW query (field-id name reuse)
-    "revenue_percentiles_sketch",   # NEW oracle + result schema (was
-                                    # rows-only; now hashed rank-window)
-    "set_similarity_join",          # PPJoin positional filter + cache plan
-    "triangle_census",              # eager materialize + cache release
-    "tableformat_point_lookup", "governance_erasure",   # shared fixtures
-    "streaming_decontaminate", "streaming_ivf_maintenance",  # shared fxt
-    "tableformat_rename_evolution",  # field-id read resolution path
-    "tableformat_merge_history", "tableformat_cdc_diff",  # field-id commits
-    "tableformat_dataskip", "tableformat_health",         # field-id commits
-    "join_auto_salted",              # one-scan/sampled hot-key detection
-    # r03-latest evidence, never re-confirmed by an official driver run
-    # since (the r06 run's 50-budget stopped at filter_daterange) — the
-    # 40 stale rows the r06 verdict queued for refresh
-    "filter_snapshot_eq", "fk_json_extract", "scalar_battery",
-    "daily_metrics", "customer_order_stats", "snapshot_diff",
-    "top_unshipped_orders", "ratio_kpi", "asof_join", "sessionize",
-    "streaming_stateful_sessions", "streaming_daily_rollup",
-    "streaming_incremental_dedup", "multimodal_decode",
-    "multimodal_frame_sample", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_minhash_store", "dedup_ngram_jaccard", "decontaminate",
-    "decontaminate_bloom", "text_fingerprint", "text_quality",
-    "text_lang_id", "text_perplexity", "doc_repetition_filter",
-    "tfidf_top_terms", "token_stats", "sequence_packing",
-    "ann_brute_force", "ann_ivf_store", "ann_recall_at_10",
+    # r08: RESULTS or code paths NEW/CHANGED this round — evidence first.
+    "delta_column_mapping_roundtrip",  # NEW query (mode=name mapping)
+    # r03-latest evidence (11 rows; newest official driver confirmation is
+    # CORRECTNESS_r03.json) — the r07 verdict queued these for refresh.
     "range_join_bucketed", "grouped_zscore_pandas", "approx_distinct_users",
-    "grouping_sets_reports", "revenue_by_nation", "pivot_event_values",
-    "tumbling_window_6h", "weighted_median_price",
-    # everything below here (unlisted) holds r04-or-newer official
-    # evidence, or was re-verified green by the r06 judge's full
-    # driver_sim run (all 134 queries, FAILURES none)
+    "grouping_sets_reports", "revenue_by_nation", "ann_brute_force",
+    "pivot_event_values", "tumbling_window_6h", "weighted_median_price",
+    "ann_ivf_store", "ann_recall_at_10",
+    # r05-latest evidence (42 rows; newest official confirmation is
+    # CORRECTNESS_r05.json).
+    "ann_ivf", "ann_ivf_recall_sweep", "ann_lsh_bucketed", "bigram_lm_build",
+    "bm25_topk", "chunk_dedup", "chunk_dedup_rewrite", "cohort_retention",
+    "corpus_source_stats", "cube_flag_status", "data_quality_audit",
+    "dedup_cluster_resolution", "dedup_minhash_quality", "dedup_simhash",
+    "dedup_simhash_near", "doc_chunking", "duplicate_detection",
+    "embedding_near_dup", "embedding_quantize_int8", "freshness",
+    "funnel_analysis", "global_aggs", "hot_key_detection",
+    "mixture_token_allocation", "pagerank_influence", "pricing_summary",
+    "quality_classifier_score", "rollup_priority_status", "salted_join_skew",
+    "scd2_history", "search_index_build", "semantic_dedup",
+    "sequence_packing_sharded", "source_temperature_resample",
+    "streaming_enriched_rollup", "streaming_trending_topk", "substring_dedup",
+    "substring_dedup_rolling", "table_profile", "timeseries_gap_fill",
+    "training_order_shuffle", "zorder_key",
+    # everything below here (unlisted) holds r06-or-newer official
+    # evidence, or was re-verified exact by the r07 judge's full 142-query
+    # driver_sim run (FAILURES none, zero rows-only)
 ]
 
 

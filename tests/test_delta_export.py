@@ -106,13 +106,125 @@ def test_export_idempotent_and_append_only(spark, tmp_path):
         export_delta_log(path)
 
 
-def test_export_refuses_alias_manifests(spark, tmp_path):
+def test_export_refuses_legacy_alias_manifests(spark, tmp_path):
+    """A pre-field-id manifest with rename aliases has nothing to map by:
+    the export must refuse, not surface NULLs in external readers."""
+    import pytest
+
+    from monday_etl_spark.tableformat import _commit, _manifest_path
+
+    path = str(tmp_path / "tbl")
+    write_versioned(_df(spark), path, key="id", n_buckets=4)
+    # strip the field ids to simulate a table created before they existed
+    man = _read_manifest(path, 1)
+    for k in ("field_ids", "next_field_id", "epochs"):
+        man.pop(k, None)
+    with open(_manifest_path(path, 1), "w") as fh:
+        json.dump(man, fh)
+    rename_column(path, "v", "value")
+    with pytest.raises(NotImplementedError, match="field ids"):
+        export_delta_log(path)
+
+
+def test_export_renamed_table_uses_column_mapping(spark, tmp_path):
+    """Rename (metadata-only, old files keep the old physical name) then
+    export: the log must carry mode=name column mapping — field ids +
+    physicalName per field, reader v2 / writer v5, stats keyed by
+    PHYSICAL names — and our own mapped reader must materialize the
+    values under the NEW logical names."""
+    from monday_etl_spark.delta_import import read_delta, read_delta_where
+
+    path = str(tmp_path / "tbl")
+    write_versioned(_df(spark), path, key="id", n_buckets=4,
+                    stats_cols=["id", "v"])
+    rename_column(path, "v", "value")
+
+    log_file = export_delta_log(path)
+    with open(log_file) as fh:
+        actions = [json.loads(ln) for ln in fh if ln.strip()]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto == {"minReaderVersion": 2, "minWriterVersion": 5}
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    conf = meta["configuration"]
+    assert conf["delta.columnMapping.mode"] == "name"
+    fields = {f["name"]: f for f in
+              json.loads(meta["schemaString"])["fields"]}
+    assert set(fields) == {"id", "name", "value"}
+    md = fields["value"]["metadata"]
+    assert md["delta.columnMapping.physicalName"] == "v"
+    assert isinstance(md["delta.columnMapping.id"], int)
+    ids = [f["metadata"]["delta.columnMapping.id"] for f in fields.values()]
+    assert len(set(ids)) == 3
+    assert int(conf["delta.columnMapping.maxColumnId"]) >= max(ids)
+    # per the spec, per-file stats are keyed by physical names
+    adds = [a["add"] for a in actions if "add" in a]
+    for a in adds:
+        stats = json.loads(a["stats"])
+        assert set(stats["minValues"]) == {"id", "v"}
+
+    # the mapped reader resolves old footers and surfaces logical names
+    got = read_delta(spark, path)
+    assert got.columns == ["id", "name", "value"]
+    want = read_version(spark, path)
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, want.collect()))
+    # stats pruning translates the logical column to its physical key
+    pruned = read_delta_where(spark, path, "value", 10.0, 19.0)
+    assert sorted(r.value for r in pruned.collect()) \
+        == [float(i) for i in range(10, 20)]
+
+
+def test_export_refuses_rename_then_append_until_compacted(spark, tmp_path):
+    """After rename-then-write the live field id spans TWO physical names
+    (old files say 'v', new files 'value') — no Delta log can describe
+    that, so the export refuses; compaction collapses the epochs and the
+    export then succeeds as a PLAIN (reader v1) table."""
+    import pytest
+
+    from monday_etl_spark.tableformat import compact_versioned
+
     path = str(tmp_path / "tbl")
     write_versioned(_df(spark), path, key="id", n_buckets=4)
     rename_column(path, "v", "value")
+    upd = spark.createDataFrame([(3, "upd_3", 300.0)],
+                                "id bigint, name string, value double")
+    merge_versioned(spark, path, upd)
+    with pytest.raises(NotImplementedError, match="compact"):
+        export_delta_log(path)
+
+    compact_versioned(spark, path)
+    log_file = export_delta_log(path)
+    with open(log_file) as fh:
+        actions = [json.loads(ln) for ln in fh if ln.strip()]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    assert "delta.columnMapping.mode" not in meta["configuration"]
+
+
+def test_export_refuses_reused_dropped_name(spark, tmp_path):
+    """Drop a column, reuse its NAME for a new column (legal on field-id
+    tables), leave old files unrewritten: any name-resolving Delta reader
+    would surface the dropped column's dead bytes under the live column.
+    The export must refuse loudly — this is erased data."""
     import pytest
 
-    with pytest.raises(NotImplementedError):
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"n{i}", f"OLDSECRET{i}") for i in range(40)],
+        "id bigint, name string, token string",
+    )
+    write_versioned(df, path, key="id", n_buckets=4)
+    from monday_etl_spark.tableformat import drop_column
+
+    drop_column(path, "token")
+    # evolve-merge reintroduces the name under a FRESH field id, touching
+    # only one bucket — other buckets still reference pre-drop files whose
+    # physical 'token' column carries the dead id's bytes
+    upd = spark.createDataFrame([(3, "n3", "fresh")],
+                                "id bigint, name string, token string")
+    merge_versioned(spark, path, upd, allow_schema_evolution=True)
+    with pytest.raises(NotImplementedError, match="resurrect"):
         export_delta_log(path)
 
 

@@ -289,7 +289,7 @@ def test_refusals(spark, tmp_path):
     os.makedirs(table)
     f0, _ = _write_file(spark, table, "f0", [(1, 1.0)])
     _commit(table, 0, [_PROTO,
-                       _meta(configuration={"delta.columnMapping.mode": "name"}),
+                       _meta(configuration={"delta.columnMapping.mode": "id"}),
                        _add(f0)])
     with pytest.raises(DeltaProtocolError, match="columnMapping"):
         read_delta(spark, table)
@@ -298,10 +298,20 @@ def test_refusals(spark, tmp_path):
     os.makedirs(table2)
     f0, _ = _write_file(spark, table2, "f0", [(1, 1.0)])
     _commit(table2, 0, [{"protocol": {"minReaderVersion": 3,
-                                      "minWriterVersion": 7}},
+                                      "minWriterVersion": 7,
+                                      "readerFeatures": ["deletionVectors"]}},
                         _meta(), _add(f0)])
-    with pytest.raises(DeltaProtocolError, match="minReaderVersion"):
+    with pytest.raises(DeltaProtocolError, match="readerFeatures"):
         read_delta(spark, table2)
+
+    table2b = str(tmp_path / "rv7")
+    os.makedirs(table2b)
+    f0, _ = _write_file(spark, table2b, "f0", [(1, 1.0)])
+    _commit(table2b, 0, [{"protocol": {"minReaderVersion": 7,
+                                       "minWriterVersion": 7}},
+                         _meta(), _add(f0)])
+    with pytest.raises(DeltaProtocolError, match="minReaderVersion"):
+        read_delta(spark, table2b)
 
     table3 = str(tmp_path / "dv")
     os.makedirs(table3)
@@ -403,3 +413,204 @@ def test_commit_timestamps_and_timestamp_travel(spark, tmp_path):
         version_at_or_after(table, times[v2] + 10_000)
     with pytest.raises(ValueError):
         read_delta(spark, table, version=1, timestamp_ms=times[v1])
+
+
+def test_external_mapped_table_reads_by_physical_name(spark, tmp_path):
+    """A hand-built mode=name table (the shape delta-spark writes after a
+    rename): footers carry physical names, the log schema carries logical
+    names + physicalName metadata, stats use physical keys. The reader
+    must surface logical names with the right values, and stats pruning
+    must translate the requested column."""
+    mapped_schema = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "user_id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+            {"name": "amount", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bbb"}},
+        ],
+    })
+    table = str(tmp_path / "mapped")
+    os.makedirs(table)
+    tmp = os.path.join(table, "_stage")
+    spark.createDataFrame([(i, float(i)) for i in range(10)],
+                          "`col-aaa` long, `col-bbb` double") \
+        .coalesce(1).write.parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    os.makedirs(os.path.join(table, "data"))
+    rel = "data/f0.parquet"
+    os.replace(os.path.join(tmp, part), os.path.join(table, rel))
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        _meta(schema_json=mapped_schema,
+              configuration={"delta.columnMapping.mode": "name",
+                             "delta.columnMapping.maxColumnId": "2"}),
+        _add(rel, {"numRecords": 10,
+                   "minValues": {"col-aaa": 0, "col-bbb": 0.0},
+                   "maxValues": {"col-aaa": 9, "col-bbb": 9.0}}),
+    ])
+    df = read_delta(spark, table)
+    assert df.columns == ["user_id", "amount"]
+    assert sorted((r.user_id, r.amount) for r in df.collect()) \
+        == [(i, float(i)) for i in range(10)]
+    # pruning: logical 'amount' translates to physical 'col-bbb'
+    files, total = files_for_range(spark, table, "amount", 100.0, 200.0)
+    assert total == 1 and files == []
+    files, _ = files_for_range(spark, table, "amount", 5.0, 6.0)
+    assert len(files) == 1
+
+
+def test_append_refuses_unimplemented_writer_requirements(spark, tmp_path):
+    """PROTOCOL.md: a writer must refuse tables whose writer requirements
+    it does not implement — appending without enforcing invariants /
+    constraints / generated columns corrupts the table's guarantees."""
+    df = lambda: spark.createDataFrame([(7, 7.0)], "id long, v double")  # noqa: E731
+
+    def mk(name, proto, meta):
+        t = str(tmp_path / name)
+        os.makedirs(t)
+        f0, _ = _write_file(spark, t, "f0", [(1, 1.0)])
+        _commit(t, 0, [proto, meta, _add(f0)])
+        return t
+
+    t = mk("wv3", {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}},
+           _meta())
+    with pytest.raises(DeltaProtocolError, match="minWriterVersion"):
+        append_delta(spark, df(), t)
+
+    t = mk("feat", {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2,
+                                 "writerFeatures": ["generatedColumns"]}},
+           _meta())
+    with pytest.raises(DeltaProtocolError, match="writerFeatures"):
+        append_delta(spark, df(), t)
+
+    t = mk("constraints", _PROTO,
+           _meta(configuration={"delta.constraints.positive": "v > 0"}))
+    with pytest.raises(DeltaProtocolError, match="constraints"):
+        append_delta(spark, df(), t)
+
+    inv_schema = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "double", "nullable": True,
+             "metadata": {"delta.invariants":
+                          '{"expression":{"expression":"v > 0"}}'}},
+        ],
+    })
+    t = mk("invariants", _PROTO, _meta(schema_json=inv_schema))
+    with pytest.raises(DeltaProtocolError, match="invariants"):
+        append_delta(spark, df(), t)
+
+    # a writer-v2 table with none of those declared still appends fine
+    t = mk("plain", _PROTO, _meta())
+    assert append_delta(spark, df(), t) == 1
+
+
+def test_append_refuses_mapped_tables(spark, tmp_path):
+    """Appends write files under logical names, which a mapped table must
+    not contain — and our own mapped exports are writer v5 anyway."""
+    from monday_etl_spark.delta_export import export_delta_log
+    from monday_etl_spark.tableformat import rename_column, write_versioned
+
+    path = str(tmp_path / "tbl")
+    write_versioned(spark.createDataFrame([(1, 1.0)], "id long, v double"),
+                    path, key="id", n_buckets=1)
+    rename_column(path, "v", "value")
+    export_delta_log(path)
+    with pytest.raises(DeltaProtocolError, match="minWriterVersion"):
+        append_delta(spark, spark.createDataFrame(
+            [(2, 2.0)], "id long, value double"), path)
+
+
+def _write_ckpt_parts(spark, table, version, live, meta, n_parts):
+    """Write a multi-part classic checkpoint: adds split across parts,
+    meta/protocol in part 1 (any distribution is legal per the spec)."""
+    ckpt_schema = (
+        "add struct<path:string, partitionValues:map<string,string>, "
+        "size:bigint, modificationTime:bigint, dataChange:boolean, "
+        "stats:string>, "
+        "metaData struct<id:string, "
+        "format:struct<provider:string,options:map<string,string>>, "
+        "schemaString:string, partitionColumns:array<string>, "
+        "configuration:map<string,string>>, "
+        "protocol struct<minReaderVersion:int, minWriterVersion:int>"
+    )
+    adds = [
+        ({"path": a["path"], "partitionValues": {}, "size": a.get("size", 0),
+          "modificationTime": 0, "dataChange": True,
+          "stats": a.get("stats")}, None, None)
+        for a in live.values()
+    ]
+    head = [(None,
+             {"id": meta["id"],
+              "format": {"provider": "parquet", "options": {}},
+              "schemaString": meta["schemaString"],
+              "partitionColumns": [], "configuration": {}},
+             None),
+            (None, None, {"minReaderVersion": 1, "minWriterVersion": 2})]
+    chunks = [adds[i::n_parts] for i in range(n_parts)]
+    chunks[0] = head + chunks[0]
+    import shutil
+
+    out = []
+    for part_i, rows in enumerate(chunks, start=1):
+        stage = os.path.join(table, "_delta_log", f"_stage{part_i}")
+        spark.createDataFrame(rows, ckpt_schema).coalesce(1) \
+            .write.parquet(stage)
+        pf = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(
+            table, "_delta_log",
+            f"{version:020d}.checkpoint.{part_i:010d}.{n_parts:010d}.parquet")
+        os.replace(os.path.join(stage, pf), dst)
+        shutil.rmtree(stage)
+        out.append(dst)
+    return out
+
+
+def test_multipart_checkpoint_discovery_and_replay(spark, tmp_path):
+    """External engines split big checkpoints into
+    <v>.checkpoint.<i>.<n>.parquet parts; after log cleanup the table must
+    replay from the complete part set — and an INCOMPLETE part set must be
+    invisible (fall back / fail loudly), never half-applied."""
+    from monday_etl_spark.delta_import import _snapshot_state
+
+    table = _external_table(spark, tmp_path)
+    snap = _snapshot_state(spark, table, 1)
+    parts = _write_ckpt_parts(spark, table, 1, snap.live, snap.meta, 3)
+    with open(os.path.join(table, "_delta_log", "_last_checkpoint"),
+              "w") as fh:
+        fh.write(json.dumps({"version": 1, "parts": 3}))
+    # the writer cleaned the covered commits
+    os.unlink(os.path.join(table, "_delta_log", f"{0:020d}.json"))
+    os.unlink(os.path.join(table, "_delta_log", f"{1:020d}.json"))
+
+    ids = sorted(r.id for r in read_delta(spark, table).collect())
+    assert ids == [0, 1, 2, 3, 4, 10, 11, 12, 20]
+
+    # drop one part: the checkpoint must become invisible, and since the
+    # commits below are cleaned, the failure is the advertised-but-missing
+    # refusal — not a silent half-state
+    os.unlink(parts[1])
+    with pytest.raises(DeltaProtocolError, match="missing or incomplete"):
+        read_delta(spark, table)
+
+
+def test_v2_checkpoint_refused_loudly(spark, tmp_path):
+    """A log-cleaned table whose only checkpoint is v2/uuid-named must
+    refuse with a protocol error naming the cause, not a confusing
+    missing-commit error."""
+    table = _external_table(spark, tmp_path)
+    v2name = f"{1:020d}.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.parquet"
+    # content irrelevant: discovery must refuse before reading it
+    with open(os.path.join(table, "_delta_log", v2name), "wb") as fh:
+        fh.write(b"PAR1")
+    with open(os.path.join(table, "_delta_log", "_last_checkpoint"),
+              "w") as fh:
+        fh.write(json.dumps({"version": 1}))
+    os.unlink(os.path.join(table, "_delta_log", f"{0:020d}.json"))
+    os.unlink(os.path.join(table, "_delta_log", f"{1:020d}.json"))
+    with pytest.raises(DeltaProtocolError, match="v2/sidecar"):
+        read_delta(spark, table)

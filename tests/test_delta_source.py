@@ -332,3 +332,73 @@ def test_starting_timestamp_resolves_to_first_commit_at_or_after(
     with pytest.raises(Exception):
         stream_delta(spark, path, starting_version=0,
                      starting_timestamp=times[1])
+
+
+def test_stream_reads_mapped_table_logical_names(spark, tmp_path):
+    """A renamed tableformat snapshot exports with mode=name column
+    mapping; the stream reader must resolve old footers through each
+    field's physicalName and surface the LOGICAL names — never silent
+    NULL columns."""
+    from monday_etl_spark.tableformat import rename_column
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(i, float(i)) for i in range(10)], _SCHEMA)
+    write_versioned(base, path, key="id", n_buckets=2)
+    rename_column(path, "v", "value")
+    export_delta_log(path)
+
+    stream = stream_delta(spark, path, starting_version=0)
+    assert stream.columns == ["id", "value"]
+    got: list = []
+
+    def handle(batch, _bid):
+        got.extend((r.id, r.value) for r in batch.collect())
+
+    q = (stream.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert sorted(got) == [(i, float(i)) for i in range(10)]
+
+
+def test_stream_refuses_unreadable_protocol_eagerly(spark, tmp_path):
+    """The batch reader's protocol/metaData gates apply to streams too —
+    and at DECLARATION time, not first micro-batch."""
+    from monday_etl_spark.delta_import import DeltaProtocolError
+
+    table = str(tmp_path / "rv7")
+    os.makedirs(os.path.join(table, "_delta_log"))
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}}]})
+    actions = [
+        {"protocol": {"minReaderVersion": 7, "minWriterVersion": 7}},
+        {"metaData": {"id": "x", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": schema, "partitionColumns": [],
+                      "configuration": {}}},
+    ]
+    with open(os.path.join(table, "_delta_log",
+                           f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    with pytest.raises(DeltaProtocolError, match="minReaderVersion"):
+        stream_delta(spark, table, starting_version=0)
+
+
+def test_stream_refuses_deletion_vectors(spark, tmp_path):
+    """An add action carrying a deletionVector must refuse — streaming the
+    file whole would resurrect deleted rows (even with ignore_deletes)."""
+    path = _mk_table(spark, tmp_path)
+    # hand-append a DV-carrying commit to the exported log
+    dv_add = {"add": {"path": "nonexistent.parquet", "partitionValues": {},
+                      "size": 1, "modificationTime": 0, "dataChange": True,
+                      "deletionVector": {"storageType": "u",
+                                         "pathOrInlineDv": "x", "offset": 1,
+                                         "sizeInBytes": 1, "cardinality": 1}}}
+    with open(os.path.join(path, "_delta_log", f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps(dv_add) + "\n")
+
+    got: list = []
+    with pytest.raises(Exception, match="deletionVector|StreamingQuery"):
+        _drain(spark, path, str(tmp_path / "ckpt"), got,
+               starting_version=0, ignore_deletes=True)
+    assert got == []
