@@ -53,9 +53,9 @@ from .tableformat import _commit_dir_of, _read_manifest, current_version
 
 _META_DIR = "metadata"
 
-# Spark simpleString -> Iceberg primitive type
+# Spark schema-JSON type name -> Iceberg primitive type
 _TYPES = {
-    "bigint": "long", "int": "int", "smallint": "int", "tinyint": "int",
+    "long": "long", "integer": "int", "short": "int", "byte": "int",
     "double": "double", "float": "float", "string": "string",
     "boolean": "boolean", "date": "date", "timestamp": "timestamptz",
     "binary": "binary",

@@ -246,3 +246,39 @@ def _delta_mapped_table(spark: SparkSession, sf_dir: str) -> str:
     rename_column(path, "l_extendedprice", "price")
     export_delta_log(path)
     return path
+
+
+@_fixture("iceberg_mapped_table", {"iceberg_export_roundtrip"})
+def _iceberg_mapped_table(spark: SparkSession, sf_dir: str) -> str:
+    """A renamed-then-APPENDED snapshot handed off through the Iceberg
+    bridge — the case the Delta log cannot describe (one physicalName per
+    column) but Iceberg name mapping can (multiple footer names per field
+    id): lineitem subset committed, l_quantity renamed to qty
+    (metadata-only), then a disjoint-key subset merged in (pure insert —
+    its files carry the NEW name), and the snapshot exported as Iceberg
+    v2 metadata. Consumers only read; shared without copies."""
+    from ..iceberg_export import export_iceberg
+    from ..tableformat import merge_versioned, rename_column, write_versioned
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_fx_")
+    path = os.path.join(root, "lineitem_iceberg")
+    write_versioned(
+        li.filter(F.col("l_orderkey") % 16 == 9), path,
+        key="l_orderkey", n_buckets=8, stats_cols=["l_extendedprice"],
+    )
+    rename_column(path, "l_quantity", "qty")
+    # merge exactly ONE disjoint key: it touches a single bucket, so the
+    # other buckets keep their pre-rename files — the snapshot then spans
+    # two naming epochs, which is the whole point of the fixture
+    new_key = (li.filter(F.col("l_orderkey") % 16 == 11)
+               .agg(F.min("l_orderkey")).collect()[0][0])
+    merge_versioned(
+        spark, path,
+        li.filter(F.col("l_orderkey") == new_key)
+        .withColumnRenamed("l_quantity", "qty"),
+    )
+    export_iceberg(path)
+    return path

@@ -925,3 +925,58 @@ def delta_column_mapping_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .select("l_returnflag", "n_rows", "sum_qty", "sum_price")
     )
+
+
+@register(
+    "iceberg_export_roundtrip",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_money_sum('l_quantity')} AS sum_qty,
+           {sql_money_sum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    WHERE l_orderkey % 16 = 9
+       OR l_orderkey = (SELECT MIN(l_orderkey) FROM lineitem
+                        WHERE l_orderkey % 16 = 11)
+    GROUP BY l_returnflag
+    """,
+    doc="Iceberg interop round trip (r08): a versioned snapshot that was "
+        "RENAMED and then WRITTEN (old files carry the old footer name, "
+        "new files the new one — inexpressible in a Delta log, refused by "
+        "that bridge) exports as Iceberg v2 metadata with zero data "
+        "movement: metadata.json + Avro manifest list + manifest "
+        "(spec-subset Avro OCF writer, avro_ocf.py), per-file record "
+        "counts and single-value-serialized bounds, and a "
+        "schema.name-mapping.default property giving the renamed field "
+        "BOTH footer names under its field id. The read path walks the "
+        "manifest chain and resolves every file through the mapping "
+        "(iceberg_export.read_iceberg) — values surface under the NEW "
+        "logical name. Oracle: the plain relational restatement of the "
+        "two lineitem subsets under the original names. Reference scope: "
+        "open-ecosystem outputs as in monday_etl_automated.py:571-590.",
+)
+def iceberg_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    from ..functions import money_sum
+    from ..iceberg_export import read_iceberg, read_iceberg_meta
+    from .fixtures import shared
+
+    path = shared(spark, sf_dir, "iceberg_mapped_table")
+    meta = read_iceberg_meta(path)
+    mapping = {m["field-id"]: sorted(m["names"]) for m in _json.loads(
+        meta["properties"]["schema.name-mapping.default"])}
+    qty_id = next(f["id"] for f in meta["schemas"][0]["fields"]
+                  if f["name"] == "qty")
+    if mapping[qty_id] != ["l_quantity", "qty"]:
+        raise AssertionError(f"name mapping wrong: {mapping[qty_id]}")
+    df = read_iceberg(spark, path)
+    return (
+        df.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum(F.col("qty")).alias("sum_qty"),
+            money_sum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+        .select("l_returnflag", "n_rows", "sum_qty", "sum_price")
+    )

@@ -56,6 +56,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 _EVIDENCE_PRIORITY = [
     # r08: RESULTS or code paths NEW/CHANGED this round — evidence first.
     "delta_column_mapping_roundtrip",  # NEW query (mode=name mapping)
+    "iceberg_export_roundtrip",        # NEW query (Iceberg v2 bridge)
     # r03-latest evidence (11 rows; newest official driver confirmation is
     # CORRECTNESS_r03.json) — the r07 verdict queued these for refresh.
     "range_join_bucketed", "grouped_zscore_pandas", "approx_distinct_users",
