@@ -188,3 +188,67 @@ def autodetect_drift(spark: SparkSession, path: str, table: str,
         if name not in declared:
             drift.append(f"undeclared column: {name}")
     return drift
+
+
+# ------------------------------------------------------- sf test tables
+
+# Declared schemas for the benchmark/test tables (r08, verdict item #8):
+# the same declared-catalog discipline the monday tables get, extended to
+# the sf parquet tables so ``io.load_table`` NEVER runs a Spark
+# schema-inference job — it types reads from the parquet footer
+# (driver-side pyarrow) and validates the result against these
+# declarations, so generator drift fails loudly at the fix site instead
+# of surfacing NULL columns eleven queries later (the r02 events.ts
+# lesson). ``events.ts`` is declared per-vintage flexible: the generator
+# has shipped both raw-int64-nanos and timestamp encodings, and
+# ``normalize_event_ts`` handles either — the vintage guard
+# (assert_known_events_vintage) owns that contract.
+SF_TABLE_DDL: dict[str, str] = {
+    "region": "r_regionkey int, r_name string",
+    "nation": "n_nationkey int, n_name string, n_regionkey int",
+    "customer": "c_custkey bigint, c_name string, c_nationkey int, "
+                "c_acctbal double, c_mktsegment string",
+    "supplier": "s_suppkey bigint, s_name string, s_nationkey int, "
+                "s_acctbal double",
+    "part": "p_partkey bigint, p_name string, p_brand string, "
+            "p_type string, p_size int, p_retailprice double",
+    "orders": "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+              "o_totalprice double, o_orderdate timestamp, "
+              "o_orderpriority string",
+    "lineitem": "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+                "l_linenumber int, l_quantity double, "
+                "l_extendedprice double, l_discount double, l_tax double, "
+                "l_returnflag string, l_linestatus string, "
+                "l_shipdate timestamp",
+    "events": "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string",
+    "documents": "doc_id bigint, text string, lang string, source string, "
+                 "n_chars bigint",
+    "embeddings": "vec_id bigint, embedding array<float>, label int",
+}
+
+_TS_VINTAGES = {"timestamp", "bigint"}  # raw int64 nanos or typed
+
+
+def assert_sf_schema(name: str, schema) -> None:
+    """Loud drift guard: a footer-resolved sf-table schema must match its
+    declaration (names, order, types). Unknown table names pass (ad-hoc
+    paths routed through load_table are the caller's contract)."""
+    ddl = SF_TABLE_DDL.get(name)
+    if ddl is None:
+        return
+    declared = [tuple(c.rsplit(" ", 1)) for c in ddl.split(", ")]
+    got = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+    for (dn, dt), (gn, gt) in zip(declared, got):
+        if dn != gn or (dt != gt and not (
+                name == "events" and dn == "ts" and gt in _TS_VINTAGES)):
+            raise AssertionError(
+                f"sf table {name!r} drifted from the declared catalog: "
+                f"footer has {gn} {gt}, catalog declares {dn} {dt} — "
+                "update catalog.SF_TABLE_DDL if the generator changed"
+            )
+    if len(declared) != len(got):
+        raise AssertionError(
+            f"sf table {name!r}: {len(got)} footer columns vs "
+            f"{len(declared)} declared — update catalog.SF_TABLE_DDL"
+        )

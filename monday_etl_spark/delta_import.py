@@ -306,10 +306,174 @@ def _physical_names(meta: dict) -> dict[str, str] | None:
     return out
 
 
+_DV_ERR = (
+    "{path}: carries a deletion vector; reading the file whole would "
+    "resurrect deleted rows"
+)
+
+_ADD_FIELDS = ("path", "partitionValues", "size", "modificationTime",
+               "dataChange", "stats")
+
+
+class _LiveSet:
+    """A snapshot's surviving add actions, kept DISTRIBUTED when the
+    snapshot is checkpoint-backed.
+
+    Tail-only snapshots (no checkpoint at or below the version) hold the
+    adds in a driver dict — bounded by the writer's checkpoint cadence,
+    the same contract delta-spark has for its log tail. When a checkpoint
+    exists, its add rows STAY a DataFrame (a 100 TB table's checkpoint
+    carries millions of add actions — materializing them costs GBs of
+    driver heap, the r07 audit finding); the short JSON tail overlays it,
+    and each accessor collects only what its read needs: file paths +
+    partition values for a scan, and range pruning evaluates the per-file
+    stats Spark-side, returning surviving paths only."""
+
+    def __init__(self, spark: SparkSession, ckpt_adds: DataFrame | None,
+                 tail_adds: dict[str, dict], tail_removes: set[str]):
+        self._spark = spark
+        self._ckpt = ckpt_adds
+        self._tail = tail_adds
+        self._removed = tail_removes
+
+    def _ckpt_surviving(self) -> DataFrame | None:
+        if self._ckpt is None:
+            return None
+        df = self._ckpt
+        shadowed = sorted(set(self._tail) | self._removed)
+        if shadowed:
+            df = df.filter(~F.col("path").isin(shadowed))
+        return df
+
+    @staticmethod
+    def _guard_dv(add: dict) -> dict:
+        if add.get("deletionVector"):
+            raise DeltaProtocolError(_DV_ERR.format(path=add["path"]))
+        return add
+
+    def file_entries(self) -> list[dict]:
+        """[{path, partitionValues}] for a scan — never the stats blobs."""
+        out = [
+            {"path": a["path"],
+             "partitionValues": a.get("partitionValues") or {}}
+            for a in map(self._guard_dv, self._tail.values())
+        ]
+        ck = self._ckpt_surviving()
+        if ck is not None:
+            cols = [F.col("path"), F.col("partitionValues")]
+            have_dv = "deletionVector" in ck.columns
+            if have_dv:
+                cols.append(F.col("deletionVector").isNotNull().alias("dv"))
+            for r in ck.select(*cols).collect():
+                if have_dv and r["dv"]:
+                    raise DeltaProtocolError(_DV_ERR.format(path=r["path"]))
+                out.append({"path": r["path"],
+                            "partitionValues":
+                                dict(r["partitionValues"] or {})})
+        return out
+
+    def prune_range(self, column: str, lo, hi) -> tuple[list[str], int]:
+        """(paths whose stats may intersect [lo, hi], total live files).
+        Checkpoint rows evaluate Spark-side; only surviving paths return
+        to the driver. A file without stats for ``column`` can never be
+        pruned (sound)."""
+        total, keep = 0, []
+        for a in map(self._guard_dv, self._tail.values()):
+            total += 1
+            stats = a.get("stats")
+            if stats:
+                s = json.loads(stats) if isinstance(stats, str) else stats
+                mins = s.get("minValues") or {}
+                maxs = s.get("maxValues") or {}
+                if column in mins and column in maxs:
+                    if maxs[column] < lo or mins[column] > hi:
+                        continue
+            keep.append(a["path"])
+        ck = self._ckpt_surviving()
+        if ck is not None:
+            cast = ("double" if isinstance(lo, (int, float))
+                    and not isinstance(lo, bool) else "string")
+            mn = F.get_json_object("stats", f"$.minValues.{column}") \
+                .cast(cast)
+            mx = F.get_json_object("stats", f"$.maxValues.{column}") \
+                .cast(cast)
+            survives = (mn.isNull() | mx.isNull()
+                        | ~((mx < F.lit(lo)) | (mn > F.lit(hi))))
+            cols = [F.col("path"), survives.alias("keep")]
+            have_dv = "deletionVector" in ck.columns
+            if have_dv:
+                cols.append(F.col("deletionVector").isNotNull().alias("dv"))
+            for r in ck.select(*cols).collect():
+                if have_dv and r["dv"]:
+                    raise DeltaProtocolError(_DV_ERR.format(path=r["path"]))
+                total += 1
+                if r["keep"]:
+                    keep.append(r["path"])
+        return keep, total
+
+    def add_actions_df(self) -> DataFrame:
+        """Every surviving add as a DataFrame in the checkpoint's add-struct
+        shape — checkpoint rows pass through WITHOUT driver
+        materialization; only the tail is built driver-side."""
+        add_ddl = (
+            "path string, partitionValues map<string,string>, size bigint, "
+            "modificationTime bigint, dataChange boolean, stats string"
+        )
+        tail_rows = [
+            tuple(
+                (json.dumps(a["stats"])
+                 if f == "stats" and isinstance(a.get("stats"), dict)
+                 else bool(a.get(f, True)) if f == "dataChange"
+                 else a.get("partitionValues") or {} if f == "partitionValues"
+                 else a.get(f))
+                for f in _ADD_FIELDS
+            )
+            for a in map(self._guard_dv, self._tail.values())
+        ]
+        df = self._spark.createDataFrame(tail_rows, add_ddl)
+        ck = self._ckpt_surviving()
+        if ck is not None:
+            have = set(ck.columns)
+            norm = ck.select(*[
+                (F.col(f) if f in have else F.lit(None)).alias(f)
+                for f in _ADD_FIELDS
+            ])
+            df = df.unionByName(norm.selectExpr(
+                "path", "partitionValues", "CAST(size AS bigint) AS size",
+                "CAST(modificationTime AS bigint) AS modificationTime",
+                "CAST(dataChange AS boolean) AS dataChange",
+                "CAST(stats AS string) AS stats",
+            ))
+        return df
+
+    # -- full materialization: tests and tail-only contexts. Checkpoint-
+    # -- backed snapshots pay the driver cost here and ONLY here.
+    def materialize(self) -> dict[str, dict]:
+        out = dict(self._tail)
+        ck = self._ckpt_surviving()
+        if ck is not None:
+            for r in ck.collect():
+                out[r["path"]] = self._guard_dv(_row_to_add(r))
+        for a in out.values():
+            self._guard_dv(a)
+        return out
+
+    def items(self):
+        return self.materialize().items()
+
+    def values(self):
+        return self.materialize().values()
+
+    def __len__(self):
+        ck = self._ckpt_surviving()
+        n = 0 if ck is None else ck.count()
+        return n + len(self._tail)
+
+
 class _Snapshot(NamedTuple):
     version: int
     meta: dict
-    live: dict[str, dict]   # {path: surviving add action}
+    live: "_LiveSet"        # surviving add actions (see _LiveSet)
     txns: dict[str, int]    # {appId: latest txn version}
     protocol: dict          # latest protocol action (defaulted if absent)
 
@@ -329,13 +493,18 @@ def _snapshot_state(
     ckpt_v = _checkpoint_at_or_below(path, version)
     meta: dict | None = None
     protocol: dict | None = None
-    live: dict[str, dict] = {}
+    ckpt_adds: DataFrame | None = None
+    tail_adds: dict[str, dict] = {}
+    tail_removes: set[str] = set()
     txns: dict[str, int] = {}
 
     if ckpt_v is not None:
         # distributed reconcile: a checkpoint is one row per action with
         # null siblings (all parts of a multi-part checkpoint scan as one
-        # DataFrame). Only surviving adds come back to the driver.
+        # DataFrame). The surviving adds STAY a DataFrame — only the
+        # singleton metaData/protocol rows and the (small) txn set come
+        # back to the driver here; file lists are collected per-read by
+        # _LiveSet, never as full add actions.
         cdf = spark.read.parquet(*ckpts[ckpt_v])
         cols = set(cdf.columns)
         if "metaData" in cols:
@@ -354,13 +523,11 @@ def _snapshot_state(
             ):
                 txns[r["appId"]] = max(txns.get(r["appId"], -1), r["version"])
         if "add" in cols:
-            adds = cdf.filter(F.col("add").isNotNull()).select("add.*")
+            ckpt_adds = cdf.filter(F.col("add").isNotNull()).select("add.*")
             if "remove" in cols:
                 removed = cdf.filter(F.col("remove").isNotNull()) \
                              .select(F.col("remove.path").alias("path"))
-                adds = adds.join(removed, "path", "left_anti")
-            for r in adds.collect():
-                live[r["path"]] = _row_to_add(r)
+                ckpt_adds = ckpt_adds.join(removed, "path", "left_anti")
 
     start = (ckpt_v + 1) if ckpt_v is not None else 0
     for v in range(start, version + 1):
@@ -380,9 +547,13 @@ def _snapshot_state(
                 elif "protocol" in a:
                     protocol = a["protocol"]
                 elif "add" in a:
-                    live[a["add"]["path"]] = a["add"]
+                    p = a["add"]["path"]
+                    tail_adds[p] = a["add"]
+                    tail_removes.discard(p)
                 elif "remove" in a:
-                    live.pop(a["remove"]["path"], None)
+                    p = a["remove"]["path"]
+                    tail_adds.pop(p, None)
+                    tail_removes.add(p)
                 elif "txn" in a:
                     app = a["txn"]["appId"]
                     txns[app] = max(txns.get(app, -1), a["txn"]["version"])
@@ -391,12 +562,9 @@ def _snapshot_state(
     if meta is None:
         raise DeltaProtocolError(f"{path}: no metaData action in log")
     _check_meta(meta)
-    for add in live.values():
-        if add.get("deletionVector"):
-            raise DeltaProtocolError(
-                f"{add['path']}: carries a deletion vector; reading the "
-                "file whole would resurrect deleted rows"
-            )
+    live = _LiveSet(spark, ckpt_adds, tail_adds, tail_removes)
+    for add in tail_adds.values():
+        live._guard_dv(add)
     return _Snapshot(
         version, meta, live, txns,
         protocol or {"minReaderVersion": 1, "minWriterVersion": 2},
@@ -500,10 +668,10 @@ def read_delta(
         for f in schema.fields if f.name not in part_cols
     ])
     by_part: dict[tuple, list[str]] = {}
-    for add in live.values():
-        rel = urllib.parse.unquote(add["path"])
+    for entry in live.file_entries():
+        rel = urllib.parse.unquote(entry["path"])
         absf = rel if os.path.isabs(rel) else os.path.join(path, rel)
-        pv = add.get("partitionValues") or {}
+        pv = entry["partitionValues"]
         # under column mapping partitionValues are keyed by physical names
         key = tuple(
             pv.get(phys[c], pv.get(c)) if phys else pv.get(c)
@@ -557,23 +725,14 @@ def files_for_range(
     without stats for ``column`` can never be pruned (sound, like
     tableformat.read_where)."""
     snap = _snapshot_state(spark, path, version)
-    live = snap.live
     phys = _physical_names(snap.meta)
     scol = phys.get(column, column) if phys else column  # stats keys: physical
-    keep: list[str] = []
-    for add in live.values():
-        rel = urllib.parse.unquote(add["path"])
-        absf = rel if os.path.isabs(rel) else os.path.join(path, rel)
-        stats = add.get("stats")
-        if stats:
-            s = json.loads(stats) if isinstance(stats, str) else stats
-            mins = (s.get("minValues") or {})
-            maxs = (s.get("maxValues") or {})
-            if scol in mins and scol in maxs:
-                if maxs[scol] < lo or mins[scol] > hi:
-                    continue
-        keep.append(absf)
-    return keep, len(live)
+    kept, total = snap.live.prune_range(scol, lo, hi)
+    keep = []
+    for rel in kept:
+        rel = urllib.parse.unquote(rel)
+        keep.append(rel if os.path.isabs(rel) else os.path.join(path, rel))
+    return keep, total
 
 
 def read_delta_where(
@@ -650,17 +809,6 @@ def write_checkpoint(
         ({"appId": a, "version": v}, None, None, None, None)
         for a, v in sorted(snap.txns.items()) if v >= 0
     ]
-    add_rows = [
-        (None,
-         {"path": a["path"],
-          "partitionValues": a.get("partitionValues") or {},
-          "size": a.get("size"), "modificationTime": a.get("modificationTime"),
-          "dataChange": bool(a.get("dataChange", True)),
-          "stats": (a["stats"] if isinstance(a.get("stats"), str)
-                    else json.dumps(a["stats"]) if a.get("stats") else None)},
-         None, None, None)
-        for _p, a in sorted(snap.live.items())
-    ]
     meta_row = (None, None, None,
                 {k: snap.meta.get(k) for k in
                  ("id", "name", "description", "format", "schemaString",
@@ -669,12 +817,29 @@ def write_checkpoint(
     proto_row = (None, None, None, None,
                  {"minReaderVersion": snap.protocol.get("minReaderVersion", 1),
                   "minWriterVersion": snap.protocol.get("minWriterVersion", 2)})
-    rows = txn_rows + add_rows + [meta_row, proto_row]
+    singles = spark.createDataFrame(
+        txn_rows + [meta_row, proto_row], _CKPT_DDL
+    )
+    # add rows pass through DISTRIBUTED: a prior checkpoint's adds never
+    # round-trip the driver, only the JSON tail's do (_LiveSet contract)
+    adds = snap.live.add_actions_df()
+    n_adds = adds.count()
+    ckpt_df = singles.unionByName(
+        adds.select(
+            F.lit(None).cast(singles.schema["txn"].dataType).alias("txn"),
+            F.struct(*[F.col(f) for f in _ADD_FIELDS]).alias("add"),
+            F.lit(None).cast(singles.schema["remove"].dataType)
+            .alias("remove"),
+            F.lit(None).cast(singles.schema["metaData"].dataType)
+            .alias("metaData"),
+            F.lit(None).cast(singles.schema["protocol"].dataType)
+            .alias("protocol"),
+        )
+    )
 
     stage = tempfile.mkdtemp(prefix="delta_ckpt_")
     try:
-        spark.createDataFrame(rows, _CKPT_DDL).coalesce(1) \
-            .write.mode("overwrite").parquet(stage)
+        ckpt_df.coalesce(1).write.mode("overwrite").parquet(stage)
         part = next(f for f in sorted(os.listdir(stage))
                     if f.endswith(".parquet"))
         target = os.path.join(_log_dir(path),
@@ -683,7 +848,8 @@ def write_checkpoint(
     finally:
         shutil.rmtree(stage, ignore_errors=True)
     with open(os.path.join(_log_dir(path), "_last_checkpoint"), "w") as fh:
-        json.dump({"version": snap.version, "size": len(rows)}, fh)
+        json.dump({"version": snap.version,
+                   "size": n_adds + len(txn_rows) + 2}, fh)
     if clean_commits:
         for v, f in _list_commits(path).items():
             if v <= snap.version:

@@ -75,11 +75,53 @@ def assert_known_events_vintage(sf_dir: str) -> None:
         )
 
 
-# inferred schema per (dir, table): the testdata/scale dirs are immutable,
-# and without this EVERY load_table pays a footer schema-inference Spark
-# job — a per-read planning tax a production deployment would avoid with a
-# declared catalog (catalog.py is exactly that for the monday tables)
-_SCHEMA_CACHE: dict[tuple[str, str], "object"] = {}
+# resolved schema per (dir, table), keyed by a stat fingerprint so a
+# regenerated table directory can never serve a stale schema (the r07
+# audit's invalidation gap). Schemas come from the parquet FOOTER via
+# pyarrow — driver-side metadata, zero Spark jobs — validated against the
+# catalog's declared sf-table schemas (catalog.SF_TABLE_DDL) so generator
+# drift fails loudly instead of surfacing NULL columns. Without this
+# EVERY load_table pays a footer schema-inference Spark job — the
+# per-read planning tax that silently defeated bench plan reuse for most
+# of r07.
+_SCHEMA_CACHE: dict[tuple[str, str], tuple[tuple, "object"]] = {}
+
+
+def _schema_source(path: str) -> str:
+    """The parquet file whose footer speaks for ``path`` (a Spark-written
+    table is a directory of part files sharing one schema)."""
+    if not os.path.isdir(path):
+        return path
+    for f in sorted(os.listdir(path)):
+        if f.endswith(".parquet"):
+            return os.path.join(path, f)
+    raise FileNotFoundError(f"{path}: no parquet files")
+
+
+def _fingerprint(path: str) -> tuple:
+    st = os.stat(path)
+    return (st.st_mtime_ns, st.st_size)
+
+
+def _resolve_schema(path: str, name: str):
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    from .catalog import assert_sf_schema
+
+    schema = from_arrow_schema(pq.read_schema(_schema_source(path)))
+    assert_sf_schema(name, schema)
+    return schema
+
+
+def invalidate_schema_cache(sf_dir: str | None = None) -> None:
+    """Explicit hook for generators that rewrite table paths in-process
+    (the stat fingerprint already catches rewrites that touch mtime)."""
+    if sf_dir is None:
+        _SCHEMA_CACHE.clear()
+    else:
+        for k in [k for k in _SCHEMA_CACHE if k[0] == sf_dir]:
+            del _SCHEMA_CACHE[k]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -88,12 +130,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     path = table_path(sf_dir, name)
     key = (sf_dir, name)
+    fp = _fingerprint(path)
     cached = _SCHEMA_CACHE.get(key)
-    if cached is None:
-        df = spark.read.parquet(path)
-        _SCHEMA_CACHE[key] = df.schema
-    else:
-        df = spark.read.schema(cached).parquet(path)
+    if cached is None or cached[0] != fp:
+        _SCHEMA_CACHE[key] = (fp, _resolve_schema(path, name))
+    df = spark.read.schema(_SCHEMA_CACHE[key][1]).parquet(path)
     if name == "events":
         df = normalize_event_ts(df)
     return df

@@ -614,3 +614,41 @@ def test_v2_checkpoint_refused_loudly(spark, tmp_path):
     os.unlink(os.path.join(table, "_delta_log", f"{1:020d}.json"))
     with pytest.raises(DeltaProtocolError, match="v2/sidecar"):
         read_delta(spark, table)
+
+
+def test_checkpoint_reads_never_materialize_full_adds(spark, tmp_path):
+    """The r07 audit: checkpoint-backed snapshots must not pull every add
+    action (stats blobs included) into driver memory per read. Reads pin
+    the contract by running with full materialization FORBIDDEN."""
+    from monday_etl_spark.delta_import import _LiveSet, write_checkpoint
+
+    table = str(tmp_path / "big")
+    os.makedirs(table)
+    adds = []
+    for i in range(6):
+        rel, _ = _write_file(spark, table, f"f{i}", [(i, float(i))])
+        adds.append(_add(rel, {"numRecords": 1,
+                               "minValues": {"id": i, "v": float(i)},
+                               "maxValues": {"id": i, "v": float(i)}}))
+    _commit(table, 0, [_PROTO, _meta()] + adds)
+    write_checkpoint(spark, table)
+    rel6, _ = _write_file(spark, table, "f6", [(6, 6.0)])
+    _commit(table, 1, [_add(rel6)])  # a short JSON tail over the ckpt
+
+    def boom(self):
+        raise AssertionError("read path materialized the full add set")
+
+    orig = _LiveSet.materialize
+    _LiveSet.materialize = boom
+    try:
+        ids = sorted(r.id for r in read_delta(spark, table).collect())
+        assert ids == [0, 1, 2, 3, 4, 5, 6]
+        files, total = files_for_range(spark, table, "v", 2.0, 3.0)
+        assert total == 7
+        # f2, f3 kept by stats; f6 (no stats) unprunable
+        assert len(files) == 3
+        got = sorted(r.id for r in
+                     read_delta_where(spark, table, "v", 2.0, 3.0).collect())
+        assert got == [2, 3]
+    finally:
+        _LiveSet.materialize = orig
