@@ -242,13 +242,28 @@ def _commit(path: str, manifest: dict) -> None:
     manifest.setdefault("committed_at", time.time())
     os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
     final = _manifest_path(path, manifest["version"])
+    payload = json.dumps(manifest)
     try:
-        _LOG_STORE.put_if_absent(final, json.dumps(manifest))
+        _LOG_STORE.put_if_absent(final, payload)
     except FileExistsError:
-        raise ConcurrentCommitError(
-            f"version {manifest['version']} already committed at {path}: "
-            "another writer won the race — re-read current_version and retry"
-        ) from None
+        # Lost-ack recovery (the classic object-store ambiguity: the
+        # conditional put landed but the response didn't — S3 timeout,
+        # duplicate delivery, backend-internal retry): if the object that
+        # "already exists" is byte-identical to OUR payload, our write
+        # won and this attempt is an idempotent success. Anything else is
+        # a genuine lost race. committed_at is stamped per attempt, so
+        # two different writers cannot produce identical bytes.
+        try:
+            with open(final) as fh:
+                existing = fh.read()
+        except OSError:
+            existing = None
+        if existing != payload:
+            raise ConcurrentCommitError(
+                f"version {manifest['version']} already committed at "
+                f"{path}: another writer won the race — re-read "
+                "current_version and retry"
+            ) from None
     # best-effort latest-version hint (see current_version): a lower bound,
     # never authoritative — losing this write (or a racing writer's rename
     # landing after a newer one) only costs probe steps, never correctness
