@@ -121,11 +121,96 @@ def gen_embeddings(out_dir: str) -> None:
     _write(out_dir, "embeddings", parts)
 
 
+# -------------------------------------------------- zipfian documents (r08)
+#
+# The r07 rehearsal's one superlinear row (set_similarity_join 10-19x at
+# 10x data) was diagnosed as saturated shingle entropy: the source corpus
+# has a ~31-word vocabulary, so at sf1 EVERY 3-shingle is hot and prefix
+# filtering's rare-token premise cannot hold. To discharge that diagnosis
+# the generator can now synthesize documents over a realistic ~50k-token
+# zipfian vocabulary (s ~ 1.3, the classic natural-language shape):
+# per-document token sequences keep the source corpus's length
+# distribution, and replicas > 0 perturb replica 0's tokens at p=0.3 —
+# the same near-dup structure (3-shingle survival ~0.34, cross-replica
+# Jaccard ~0.2) as the low-entropy generator, so ONLY the entropy
+# changes between the two experiments.
+
+VOCAB = 50_000
+ZIPF_A = 1.3
+
+
+def _zipf_tokens(rng: "np.random.Generator", n: int) -> "np.ndarray":
+    """n token ids, zipf(ZIPF_A)-distributed over [0, VOCAB)."""
+    out = np.empty(0, dtype=np.int64)
+    while out.size < n:
+        draw = rng.zipf(ZIPF_A, size=int((n - out.size) * 1.3) + 16)
+        out = np.concatenate([out, draw[draw <= VOCAB] - 1])
+    return out[:n]
+
+
+def gen_documents_zipf(out_dir: str, replicas: int) -> None:
+    base = _read("documents")
+    lengths = [len(t.split()) for t in base.column("text").to_pylist()]
+    rng = np.random.default_rng(4208)
+    base_tokens = [_zipf_tokens(rng, ln) for ln in lengths]
+    parts = []
+    for r in range(replicas):
+        toks = base_tokens
+        if r > 0:
+            toks = []
+            for bt in base_tokens:
+                mask = rng.random(bt.size) < 0.3
+                repl = _zipf_tokens(rng, int(mask.sum()))
+                t = bt.copy()
+                t[mask] = repl
+                toks.append(t)
+        # 10% of each replica's docs get an in-replica near-dup twin
+        # (perturbed at p=0.1 -> 3-shingle survival ~0.73, Jaccard ~0.57,
+        # ABOVE the 1/2 join threshold), so the verify stage has work
+        # proportional to corpus size at every scale
+        twins = []
+        for k, bt in enumerate(toks):
+            if k % 10 == 7:
+                mask = rng.random(bt.size) < 0.1
+                tw = bt.copy()
+                tw[mask] = _zipf_tokens(rng, int(mask.sum()))
+                twins.append(tw)
+        texts = [" ".join(f"w{i}" for i in t) for t in toks]
+        t = base.set_column(
+            base.schema.get_field_index("text"), "text",
+            pa.array(texts, type=pa.string()),
+        )
+        t = t.set_column(
+            t.schema.get_field_index("n_chars"), "n_chars",
+            pa.array([len(x) for x in texts], type=pa.int64()),
+        )
+        parts.append(_offset(t, "doc_id", r * 1_000_000))
+        twin_texts = [" ".join(f"w{i}" for i in t) for t in twins]
+        tw = base.slice(0, len(twins))
+        tw = tw.set_column(
+            tw.schema.get_field_index("text"), "text",
+            pa.array(twin_texts, type=pa.string()),
+        )
+        tw = tw.set_column(
+            tw.schema.get_field_index("n_chars"), "n_chars",
+            pa.array([len(x) for x in twin_texts], type=pa.int64()),
+        )
+        parts.append(_offset(tw, "doc_id", r * 1_000_000 + 500_000))
+    _write(out_dir, "documents", parts)
+
+
 def main() -> None:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else str(
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_dir = args[0] if args else str(
         Path(__file__).resolve().parent.parent / ".scratch" / "sf1"
     )
     os.makedirs(out_dir, exist_ok=True)
+    zipf = next((a for a in sys.argv[1:] if a.startswith("--zipf-docs")),
+                None)
+    if zipf is not None:
+        # documents-only zipfian corpus at the requested replica count
+        gen_documents_zipf(out_dir, int(zipf.split("=")[1]))
+        return
     gen_lineitem(out_dir)
     gen_orders(out_dir)
     gen_documents(out_dir)
