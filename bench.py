@@ -78,8 +78,14 @@ def _warm(spark, names: list[str]) -> None:
             list(ex.map(one, names))
     # streaming/store warmups briefly pin spark.sql.shuffle.partitions
     # (set/restore in a finally); a cross-thread interleave could leave the
-    # pinned value behind — reset before anything is timed
-    spark.conf.unset("spark.sql.shuffle.partitions")
+    # pinned value behind — RESTORE the session's own value before anything
+    # is timed. (Never conf.unset here: unset falls back to the SQL
+    # default of 200, not the builder's 32 — that one line silently timed
+    # every r07 segment's queries with 6x the shuffle tasks, the bulk of
+    # the in-suite vs isolated gap.)
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   spark.sparkContext.getConf().get(
+                       "spark.sql.shuffle.partitions", "32"))
     spark.catalog.clearCache()
     # collect the warmup's dead broadcast/shuffle state NOW (untimed)
     spark.sparkContext._jvm.System.gc()
