@@ -11,13 +11,19 @@ specification (avro.apache.org/docs/1.12.0/specification/):
 - binary encoding: zig-zag varint ints/longs, length-prefixed UTF-8
   strings / bytes, records as field concatenation, unions as a branch
   index + value, arrays/maps as blocked sequences terminated by 0;
-- codec: ``null`` (uncompressed) — every Avro reader must support it.
+- codecs: ``null`` (uncompressed — every Avro reader must support it) and
+  ``deflate`` (raw RFC 1951 streams, the Avro-spec required-optional codec;
+  iceberg-java's default ``write.avro.compression-codec=gzip`` property
+  writes exactly this codec, so external manifests commonly carry it).
 
 Supported schema subset (everything Iceberg metadata files use): record,
-string, bytes, int, long, boolean, float, double, nullable unions
-``["null", T]``, arrays of records, and maps. Schemas are passed as the
-standard JSON dicts, so attributes Iceberg requires (``field-id``,
-element/key/value ids) travel verbatim into the file metadata.
+string, bytes, fixed, int, long, boolean, float, double, nullable unions
+``["null", T]``, arrays of records, maps, and NAMED-TYPE REFERENCES (a
+string type naming a record/fixed defined earlier in the same schema —
+external writers reuse e.g. a partition-tuple record by name). Schemas
+are passed as the standard JSON dicts, so attributes Iceberg requires
+(``field-id``, element/key/value ids) travel verbatim into the file
+metadata.
 
 This is general Avro plumbing, not Iceberg-specific: the Iceberg bridge
 layers its schemas on top (see ``iceberg_export``).
@@ -31,6 +37,41 @@ import os
 import struct
 
 _MAGIC = b"Obj\x01"
+
+_PRIMITIVES = {
+    "null", "boolean", "int", "long", "float", "double", "string", "bytes",
+}
+
+
+def _collect_names(schema, reg: dict) -> None:
+    """Register every named type (record/fixed/enum) defined in ``schema``
+    so later string references to the name resolve (Avro spec: a name is a
+    valid type once defined)."""
+    if isinstance(schema, list):
+        for s in schema:
+            _collect_names(s, reg)
+        return
+    if not isinstance(schema, dict):
+        return
+    t = schema.get("type")
+    if t in ("record", "fixed", "enum") and schema.get("name"):
+        reg[schema["name"]] = schema
+    if t == "record":
+        for f in schema.get("fields", []):
+            _collect_names(f.get("type"), reg)
+    elif t == "array":
+        _collect_names(schema.get("items"), reg)
+    elif t == "map":
+        _collect_names(schema.get("values"), reg)
+
+
+def _resolve(t: str, names: dict):
+    """A string type is a primitive or a reference to a defined name."""
+    if t in _PRIMITIVES:
+        return t
+    if t in names:
+        return names[t]
+    raise NotImplementedError(f"avro type {t!r}")
 
 
 # ----------------------------------------------------------- binary encode
@@ -57,16 +98,21 @@ def _enc_str(v: str) -> bytes:
     return _enc_bytes(v.encode("utf-8"))
 
 
-def encode(schema, value) -> bytes:
+def encode(schema, value, names: dict | None = None) -> bytes:
     """Binary-encode ``value`` against ``schema`` (JSON-dict form)."""
+    if names is None:
+        names = {}
+        _collect_names(schema, names)
     if isinstance(schema, str):
+        if schema not in _PRIMITIVES:
+            return encode(_resolve(schema, names), value, names)
         t = schema
     elif isinstance(schema, list):  # union: pick the matching branch
         if value is None:
             idx = schema.index("null")
             return _zigzag(idx)
         idx = next(i for i, s in enumerate(schema) if s != "null")
-        return _zigzag(idx) + encode(schema[idx], value)
+        return _zigzag(idx) + encode(schema[idx], value, names)
     else:
         t = schema["type"]
 
@@ -84,11 +130,19 @@ def encode(schema, value) -> bytes:
         return _enc_str(value)
     if t == "bytes":
         return _enc_bytes(bytes(value))
+    if t == "fixed":
+        raw = bytes(value)
+        if len(raw) != schema["size"]:
+            raise ValueError(
+                f"fixed {schema.get('name')!r}: {len(raw)} bytes != "
+                f"size {schema['size']}"
+            )
+        return raw
     if t == "record":
         out = bytearray()
         for f in schema["fields"]:
             try:
-                out += encode(f["type"], value.get(f["name"]))
+                out += encode(f["type"], value.get(f["name"]), names)
             except StopIteration:
                 raise ValueError(
                     f"field {f['name']!r}: no union branch for "
@@ -101,7 +155,7 @@ def encode(schema, value) -> bytes:
             return _zigzag(0)
         out = bytearray(_zigzag(len(items)))
         for it in items:
-            out += encode(schema["items"], it)
+            out += encode(schema["items"], it, names)
         out += _zigzag(0)
         return bytes(out)
     if t == "map":
@@ -110,7 +164,7 @@ def encode(schema, value) -> bytes:
             return _zigzag(0)
         out = bytearray(_zigzag(len(entries)))
         for k, v in entries.items():
-            out += _enc_str(k) + encode(schema["values"], v)
+            out += _enc_str(k) + encode(schema["values"], v, names)
         out += _zigzag(0)
         return bytes(out)
     raise NotImplementedError(f"avro type {t!r}")
@@ -120,9 +174,10 @@ def encode(schema, value) -> bytes:
 
 
 class _Reader:
-    def __init__(self, buf: bytes):
+    def __init__(self, buf: bytes, names: dict | None = None):
         self.buf = buf
         self.pos = 0
+        self.names = names or {}
 
     def read(self, n: int) -> bytes:
         out = self.buf[self.pos:self.pos + n]
@@ -143,6 +198,8 @@ class _Reader:
 
     def decode(self, schema):
         if isinstance(schema, str):
+            if schema not in _PRIMITIVES:
+                return self.decode(_resolve(schema, self.names))
             t = schema
         elif isinstance(schema, list):
             idx = self.varint()
@@ -164,6 +221,10 @@ class _Reader:
             return self.read(self.varint()).decode("utf-8")
         if t == "bytes":
             return self.read(self.varint())
+        if t == "fixed":
+            return self.read(schema["size"])
+        if t == "enum":
+            return schema["symbols"][self.varint()]
         if t == "record":
             return {f["name"]: self.decode(f["type"])
                     for f in schema["fields"]}
@@ -194,16 +255,23 @@ _META_SCHEMA = {"type": "map", "values": "bytes"}
 
 def write_ocf(path: str, schema: dict, records: list[dict],
               metadata: dict[str, str] | None = None,
-              sync: bytes | None = None) -> str:
-    """Write an Avro Object Container File (codec ``null``). ``metadata``
-    adds extra file-metadata keys (Iceberg stamps ``schema``,
-    ``partition-spec`` etc. there). Returns ``path``."""
+              sync: bytes | None = None, codec: str = "null") -> str:
+    """Write an Avro Object Container File. ``metadata`` adds extra
+    file-metadata keys (Iceberg stamps ``schema``, ``partition-spec`` etc.
+    there). ``codec`` is ``null`` or ``deflate``. Returns ``path``."""
+    import zlib
+
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"avro codec {codec!r}")
     sync = sync or os.urandom(16)
     meta = {"avro.schema": json.dumps(schema).encode(),
-            "avro.codec": b"null"}
+            "avro.codec": codec.encode()}
     for k, v in (metadata or {}).items():
         meta[k] = v.encode() if isinstance(v, str) else v
     payload = b"".join(encode(schema, r) for r in records)
+    if codec == "deflate":  # raw RFC 1951 stream (no zlib header)
+        co = zlib.compressobj(wbits=-15)
+        payload = co.compress(payload) + co.flush()
     with open(path, "wb") as fh:
         fh.write(_MAGIC)
         fh.write(encode(_META_SCHEMA, meta))
@@ -216,8 +284,10 @@ def write_ocf(path: str, schema: dict, records: list[dict],
 
 
 def read_ocf(path: str) -> tuple[dict, dict[str, bytes], list[dict]]:
-    """Read an OCF written with codec ``null``: returns
+    """Read an OCF (codec ``null`` or ``deflate``): returns
     ``(schema, file_metadata, records)``."""
+    import zlib
+
     with open(path, "rb") as fh:
         buf = fh.read()
     if buf[:4] != _MAGIC:
@@ -226,16 +296,28 @@ def read_ocf(path: str) -> tuple[dict, dict[str, bytes], list[dict]]:
     r.pos = 4
     meta = r.decode(_META_SCHEMA)
     codec = meta.get("avro.codec", b"null")
-    if codec != b"null":
-        raise NotImplementedError(f"avro codec {codec!r}")
+    if codec not in (b"null", b"deflate"):
+        raise NotImplementedError(
+            f"avro codec {codec!r} (external writer used a compression "
+            "library this environment does not ship; null and deflate are "
+            "supported)"
+        )
     schema = json.loads(meta["avro.schema"])
+    names: dict = {}
+    _collect_names(schema, names)
     sync = r.read(16)
     records: list[dict] = []
     while r.pos < len(buf):
         n = r.varint()
-        r.varint()  # block byte length (codec null: payload follows)
+        blen = r.varint()
+        block = r.read(blen)
+        if codec == b"deflate":
+            block = zlib.decompress(block, wbits=-15)
+        br = _Reader(block, names)
         for _ in range(n):
-            records.append(r.decode(schema))
+            records.append(br.decode(schema))
+        if br.pos != len(block):
+            raise ValueError(f"{path}: trailing bytes in block")
         if r.read(16) != sync:
             raise ValueError(f"{path}: sync marker mismatch")
     return schema, meta, records

@@ -234,11 +234,10 @@ def _check_protocol(protocol: dict | None) -> None:
 def _check_meta(meta: dict) -> None:
     conf = meta.get("configuration") or {}
     mode = conf.get("delta.columnMapping.mode", "none")
-    if mode not in ("", "none", "name"):
+    if mode not in ("", "none", "name", "id"):
         raise DeltaProtocolError(
-            f"delta.columnMapping.mode={mode}: only 'name' mapping is "
-            "implemented (mode 'id' resolves via parquet footer field "
-            "ids, which these readers do not consult)"
+            f"delta.columnMapping.mode={mode}: modes none/name/id are "
+            "implemented"
         )
     fmt = (meta.get("format") or {}).get("provider", "parquet")
     if fmt != "parquet":
@@ -291,19 +290,58 @@ def _check_writer_protocol(protocol: dict, meta: dict) -> None:
             )
 
 
-def _physical_names(meta: dict) -> dict[str, str] | None:
-    """{logical: physical} when ``delta.columnMapping.mode=name``; per the
-    spec each schema field then carries ``delta.columnMapping.physicalName``
-    in its metadata, and data files / per-file stats / partitionValues are
-    keyed by the physical names. ``None`` for unmapped tables."""
+def _mapping_mode(meta: dict) -> str:
     conf = meta.get("configuration") or {}
-    if conf.get("delta.columnMapping.mode", "none") not in ("name",):
+    return conf.get("delta.columnMapping.mode", "none") or "none"
+
+
+def _physical_names(meta: dict) -> dict[str, str] | None:
+    """{logical: physical} when ``delta.columnMapping.mode`` is ``name``
+    or ``id``; per the spec each schema field then carries
+    ``delta.columnMapping.physicalName`` in its metadata, and data files /
+    per-file stats / partitionValues are keyed by the physical names (in
+    BOTH modes — id mode only changes which piece is authoritative for
+    data-column resolution). ``None`` for unmapped tables."""
+    if _mapping_mode(meta) not in ("name", "id"):
         return None
     out: dict[str, str] = {}
     for f in json.loads(meta["schemaString"])["fields"]:
         md = f.get("metadata") or {}
         out[f["name"]] = md.get("delta.columnMapping.physicalName", f["name"])
     return out
+
+
+def _field_ids(meta: dict) -> dict[str, int]:
+    """{logical: delta.columnMapping.id} — required on every field when a
+    mapping mode is set."""
+    out: dict[str, int] = {}
+    for f in json.loads(meta["schemaString"])["fields"]:
+        md = f.get("metadata") or {}
+        if "delta.columnMapping.id" in md:
+            out[f["name"]] = int(md["delta.columnMapping.id"])
+    return out
+
+
+def _id_requested_schema(spark, meta: dict, fields) -> "StructType":
+    """Requested scan schema for ``mode=id``: logical names resolved by
+    FIELD ID through Spark's native parquet fieldId reader (the ids are
+    authoritative in this mode; footers must carry them). The enabling
+    conf stays set — it is resolved at action time and only engages for
+    requested schemas that carry field-id metadata."""
+    from pyspark.sql.types import StructField
+
+    fid = _field_ids(meta)
+    missing = [f.name for f in fields if f.name not in fid]
+    if missing:
+        raise DeltaProtocolError(
+            f"columnMapping.mode=id but fields {missing} carry no "
+            "delta.columnMapping.id — corrupt metadata"
+        )
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    return StructType([
+        StructField(f.name, f.dataType, True, {"parquet.field.id": fid[f.name]})
+        for f in fields
+    ])
 
 
 _DV_ERR = (
@@ -661,12 +699,17 @@ def read_delta(
     meta, live = snap.meta, snap.live
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     phys = _physical_names(meta)  # {logical: physical} under mapping
+    mode_id = _mapping_mode(meta) == "id"
     part_cols = meta.get("partitionColumns") or []
     from pyspark.sql.types import StructField
-    data_schema = StructType([
-        StructField(phys[f.name] if phys else f.name, f.dataType, True)
-        for f in schema.fields if f.name not in part_cols
-    ])
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    if mode_id:
+        data_schema = _id_requested_schema(spark, meta, data_fields)
+    else:
+        data_schema = StructType([
+            StructField(phys[f.name] if phys else f.name, f.dataType, True)
+            for f in data_fields
+        ])
     by_part: dict[tuple, list[str]] = {}
     for entry in live.file_entries():
         rel = urllib.parse.unquote(entry["path"])
@@ -691,13 +734,16 @@ def read_delta(
         df = spark.read.schema(data_schema).parquet(*files)
         for c, v in zip(part_cols, key):
             df = df.withColumn(
-                phys[c] if phys else c,
+                c if mode_id else (phys[c] if phys else c),
                 _partition_literal(v, schema[c].dataType),
             )
-        pieces.append(df.select(*[
-            F.col(phys[f.name]).alias(f.name) if phys else F.col(f.name)
-            for f in schema.fields
-        ]))
+        if mode_id:
+            pieces.append(df.select(*[F.col(f.name) for f in schema.fields]))
+        else:
+            pieces.append(df.select(*[
+                F.col(phys[f.name]).alias(f.name) if phys else F.col(f.name)
+                for f in schema.fields
+            ]))
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
@@ -757,6 +803,10 @@ def read_delta_where(
     if not files:
         return spark.createDataFrame([], _strip_mapping_meta(schema))
     from pyspark.sql.types import StructField
+    if _mapping_mode(meta) == "id":
+        read_schema = _id_requested_schema(spark, meta, schema.fields)
+        df = spark.read.schema(read_schema).parquet(*files)
+        return df.filter(F.col(column).between(lo, hi))
     read_schema = StructType([
         StructField(phys[f.name] if phys else f.name, f.dataType, True)
         for f in schema.fields

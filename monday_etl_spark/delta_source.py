@@ -199,6 +199,18 @@ class DeltaStreamReader(DataSourceStreamReader):
         # surface as silent NULL columns
         _check_protocol(_local_action(self.path, "protocol"))
         _check_meta(meta)
+        from .delta_import import DeltaProtocolError, _mapping_mode
+
+        if _mapping_mode(meta) == "id":
+            # the batch reader resolves mode=id through Spark's parquet
+            # fieldId reader; this Arrow-based stream reader resolves
+            # footers by NAME only — refuse rather than trust that the
+            # physical names match what the authoritative ids say
+            raise DeltaProtocolError(
+                "delta.columnMapping.mode=id: the streaming source "
+                "resolves footers by physical name; use the batch "
+                "read_delta for id-mapped tables"
+            )
         # mode=name column mapping: data files and partitionValues are
         # keyed by each field's physicalName; the arrow reader resolves
         # footers through this map and surfaces logical names
@@ -439,7 +451,16 @@ def stream_delta(spark: SparkSession, path: str,
     # Python DataSource reader's __init__ only surface at stream START —
     # validate here so an unreadable table fails at declaration time
     _check_protocol(_local_action(path, "protocol"))
-    _check_meta(_local_meta(path))
+    _meta_eager = _local_meta(path)
+    _check_meta(_meta_eager)
+    from .delta_import import DeltaProtocolError, _mapping_mode
+
+    if _mapping_mode(_meta_eager) == "id":
+        raise DeltaProtocolError(
+            "delta.columnMapping.mode=id: the streaming source resolves "
+            "footers by physical name; use the batch read_delta for "
+            "id-mapped tables"
+        )
     ensure_session_confs(spark)
     spark.dataSource.register(DeltaStreamDataSource)
     reader = spark.readStream.format("delta_stream").option("path", path)

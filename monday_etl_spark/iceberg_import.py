@@ -1,0 +1,791 @@
+"""Read (and append to) Apache Iceberg tables that OTHER engines wrote.
+
+``iceberg_export`` is the outbound half of the second open-ecosystem
+bridge; this is the inbound half, implemented — like ``delta_import`` —
+directly from the PUBLIC table spec (iceberg.apache.org/spec/), no
+Iceberg library required:
+
+- **discovery**: ``metadata/version-hint.text`` (HadoopCatalog) when
+  present, else the highest ``vN.metadata.json`` / ``NNNNN-<uuid>
+  .metadata.json`` in the metadata dir (the spec's two file-naming
+  conventions);
+- **snapshot selection**: current snapshot, explicit ``snapshot_id``, or
+  ``as_of_ms`` resolved through ``snapshot-log`` (time travel);
+- **manifest walk**: Avro manifest list -> Avro manifests (``avro_ocf``
+  decodes with each file's own embedded writer schema, codecs null and
+  deflate — iceberg-java's default), entries live when status is
+  ADDED/EXISTING;
+- **column resolution is by FIELD ID**, the property that makes Iceberg
+  renames metadata-only. Files whose parquet footers carry ids (what real
+  engines write) resolve through Spark's native field-id reader
+  (``spark.sql.parquet.fieldId.read.enabled`` + ``parquet.field.id``
+  requested-schema metadata) — ONE JVM-side scan for every id-stamped
+  file regardless of rename history. Files without footer ids (Hive
+  migrations via ``add_files``, our own exporter) resolve through the
+  table's ``schema.name-mapping.default`` property, one scan with
+  per-field coalesce over the mapped candidate names; identity-partition
+  source columns physically absent from such files are injected as typed
+  constants from the manifest's partition tuple (the spec's rule for
+  migrated files);
+- **stats pruning**: per-file ``lower_bounds``/``upper_bounds`` decode
+  from Iceberg single-value serialization and files are pruned BEFORE any
+  Spark scan; manifest entries are decoded on EXECUTORS above a small
+  threshold so a 100 TB table's million-entry manifests never
+  materialize on the driver (the r07 ``delta_import`` audit finding,
+  applied here at design time);
+- **appends** commit a new snapshot under the HadoopCatalog protocol: new
+  parquet files written by Spark, a new Avro manifest with per-file
+  bounds, a manifest list carrying the prior snapshot's manifests, and
+  ``v(N+1).metadata.json`` published through the ``tableformat.LogStore``
+  conditional-put seam — a lost race raises instead of clobbering.
+
+Loud refusals (``IcebergProtocolError``) for everything the spec says a
+non-implementing reader must not silently ignore: format-version 3, live
+DELETE manifests / delete data files (applying them is not implemented,
+and ignoring them resurrects deleted rows), nested struct/map columns,
+and unsupported Avro codecs.
+
+Reference scope: the reference emits open-ecosystem BigQuery tables
+(monday_etl_automated.py:571-590); the two bridge halves give this engine
+the equivalent two-way handoff surface in the Iceberg ecosystem.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import struct
+import urllib.parse
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    DataType,
+    DateType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+    _parse_datatype_string,
+)
+
+from . import tableformat as _tf
+from .avro_ocf import read_ocf
+from .iceberg_export import _MANIFEST_ENTRY, _bound_bytes
+from .tableformat import ConcurrentCommitError
+
+_META_DIR = "metadata"
+
+# file count below which manifest entries decode driver-side (the constant
+# per-query cost of a Spark job outweighs decoding a few KB of Avro); above
+# it, entries decode on executors and only surviving paths return.
+_DRIVER_DECODE_MAX_MANIFESTS = 8
+
+
+class IcebergProtocolError(RuntimeError):
+    """The table uses a spec feature this bridge does not implement;
+    reading anyway would return wrong data, so it refuses loudly."""
+
+
+# ------------------------------------------------------------- discovery
+
+
+_V_RE = re.compile(r"^v(\d+)\.metadata\.json$")
+_SEQ_RE = re.compile(r"^(\d+)-[0-9a-f-]+(?:\.gz)?\.metadata\.json$")
+
+
+def _meta_dir(path: str) -> str:
+    return os.path.join(path, _META_DIR)
+
+
+def metadata_versions(path: str) -> dict[int, str]:
+    """Every metadata file in the table's metadata dir, keyed by version —
+    both spec naming conventions (``vN.metadata.json`` from HadoopCatalog,
+    ``NNNNN-<uuid>.metadata.json`` from Hive/REST catalog writers)."""
+    out: dict[int, str] = {}
+    for name in os.listdir(_meta_dir(path)):
+        m = _V_RE.match(name) or _SEQ_RE.match(name)
+        if m:
+            if name.endswith(".gz.metadata.json"):
+                raise IcebergProtocolError(
+                    f"{name}: gzip-compressed metadata is not supported"
+                )
+            out[int(m.group(1))] = os.path.join(_meta_dir(path), name)
+    return out
+
+
+def read_metadata(path: str, version: int | None = None) -> dict:
+    """The table metadata dict: ``version`` if given, else the
+    version-hint's target when the hint exists and resolves, else the
+    highest discoverable version (the spec's listing fallback)."""
+    versions = metadata_versions(path)
+    if version is None:
+        hint = os.path.join(_meta_dir(path), "version-hint.text")
+        if os.path.exists(hint):
+            with open(hint) as fh:
+                hv = int(fh.read().strip())
+            if hv in versions:
+                version = hv
+        if version is None:
+            if not versions:
+                raise FileNotFoundError(
+                    f"no metadata.json under {_meta_dir(path)}"
+                )
+            version = max(versions)
+    with open(versions[version]) as fh:
+        meta = json.load(fh)
+    fv = meta.get("format-version", 1)
+    if fv not in (1, 2):
+        raise IcebergProtocolError(
+            f"format-version {fv}: this bridge implements v1/v2 tables "
+            "(v3 adds row lineage and binary deletion vectors)"
+        )
+    return meta
+
+
+def _from_uri(p: str) -> str:
+    if p.startswith("file://"):
+        return urllib.parse.unquote(p[len("file://"):])
+    return p
+
+
+# ------------------------------------------------------ snapshot selection
+
+
+def iceberg_history(path: str) -> list[dict]:
+    """``[{snapshot_id, timestamp_ms, operation}]`` oldest-first."""
+    meta = read_metadata(path)
+    return [
+        {
+            "snapshot_id": s["snapshot-id"],
+            "timestamp_ms": s.get("timestamp-ms"),
+            "operation": (s.get("summary") or {}).get("operation"),
+        }
+        for s in sorted(
+            meta.get("snapshots", []), key=lambda s: s.get("timestamp-ms", 0)
+        )
+    ]
+
+
+def _select_snapshot(meta: dict, snapshot_id: int | None,
+                     as_of_ms: int | None, ref: str | None = None) -> dict:
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if ref is not None:
+        refs = meta.get("refs") or {}
+        if ref not in refs:
+            raise ValueError(
+                f"ref {ref!r} not in table metadata "
+                f"(known: {sorted(refs)})"
+            )
+        snapshot_id = refs[ref]["snapshot-id"]
+    if snapshot_id is not None:
+        if snapshot_id not in snaps:
+            raise ValueError(f"snapshot {snapshot_id} not in table metadata")
+        return snaps[snapshot_id]
+    if as_of_ms is not None:
+        log = sorted(
+            meta.get("snapshot-log", []), key=lambda e: e["timestamp-ms"]
+        )
+        live = [e for e in log if e["timestamp-ms"] <= as_of_ms]
+        if not live:
+            raise ValueError(
+                f"no snapshot at or before {as_of_ms} (earliest logged: "
+                f"{log[0]['timestamp-ms'] if log else 'none'})"
+            )
+        return snaps[live[-1]["snapshot-id"]]
+    cur = meta.get("current-snapshot-id")
+    if cur is None or cur == -1 or cur not in snaps:
+        raise ValueError("table has no current snapshot")
+    return snaps[cur]
+
+
+def _schema_for(meta: dict, snap: dict) -> dict:
+    """The Iceberg schema the snapshot was written under (v2 ``schemas`` by
+    id; v1 single ``schema`` fallback)."""
+    if "schemas" in meta:
+        sid = snap.get("schema-id", meta.get("current-schema-id", 0))
+        for s in meta["schemas"]:
+            if s.get("schema-id", 0) == sid:
+                return s
+    if "schema" in meta:
+        return meta["schema"]
+    raise IcebergProtocolError("metadata carries no schema")
+
+
+# --------------------------------------------------------- manifest walk
+
+
+def _manifest_paths(meta: dict, snap: dict) -> list[dict]:
+    """The snapshot's manifest-file records. v2: via ``manifest-list``
+    Avro; v1 also allowed an inline ``manifests`` path list."""
+    if snap.get("manifest-list"):
+        _, _, manifests = read_ocf(_from_uri(snap["manifest-list"]))
+        return manifests
+    if snap.get("manifests") is not None:
+        return [{"manifest_path": p, "content": 0}
+                for p in snap["manifests"]]
+    raise IcebergProtocolError("snapshot names no manifests")
+
+
+def _decode_manifest(mpath: str) -> list[tuple]:
+    """One manifest's entries, projected to the tuple shape pruning and
+    scanning need. Runs on executors for large tables — keep it
+    self-contained (only stdlib + avro_ocf)."""
+    import base64
+
+    from .avro_ocf import read_ocf as _read
+
+    _, _, entries = _read(_from_uri(mpath))
+    out = []
+    for e in entries:
+        d = e.get("data_file") or {}
+        b64 = {
+            side: json.dumps({
+                str(kv["key"]): base64.b64encode(kv["value"]).decode()
+                for kv in (d.get(f"{side}_bounds") or [])
+                if kv.get("value") is not None
+            })
+            for side in ("lower", "upper")
+        }
+        out.append((
+            int(e.get("status", 1)),
+            d.get("file_path"),
+            (d.get("file_format") or "PARQUET").upper(),
+            int(d.get("record_count", 0)),
+            int(d.get("content", 0)),
+            json.dumps(d.get("partition") or {}, default=str),
+            b64["lower"],
+            b64["upper"],
+        ))
+    return out
+
+
+def _live_entries_df(spark: SparkSession, data_manifests: list[str]) -> DataFrame:
+    """Live (ADDED/EXISTING) data-file entries as a DataFrame. Small
+    manifest sets decode driver-side (no job); larger sets decode on
+    EXECUTORS — one task per manifest, exactly how Iceberg's own planning
+    distributes — so entry sets scale with the cluster, not driver heap."""
+    schema = (
+        "status int, file_path string, file_format string, "
+        "record_count bigint, content int, partition_json string, "
+        "lower_json string, upper_json string"
+    )
+    if len(data_manifests) <= _DRIVER_DECODE_MAX_MANIFESTS:
+        rows = [t for m in data_manifests for t in _decode_manifest(m)]
+        df = spark.createDataFrame(rows, schema)
+    else:
+        rdd = (
+            spark.sparkContext
+            .parallelize(data_manifests, len(data_manifests))
+            .flatMap(_decode_manifest)
+        )
+        df = spark.createDataFrame(rdd, schema)
+    return df.filter(F.col("status").isin(0, 1))
+
+
+def _live_manifest_paths(meta: dict, snap: dict) -> list[str]:
+    """Data-manifest paths for the snapshot, refusing live deletes."""
+    manifests = _manifest_paths(meta, snap)
+    deletes = [m for m in manifests if m.get("content", 0) == 1]
+    for m in deletes:
+        if (m.get("added_files_count", 1) or 0) + (
+            m.get("existing_files_count", 0) or 0
+        ) > 0:
+            raise IcebergProtocolError(
+                f"snapshot carries a live DELETE manifest "
+                f"({os.path.basename(m['manifest_path'])}): this bridge "
+                "does not apply position/equality deletes, and ignoring "
+                "them would resurrect deleted rows. Compact the table "
+                "with its native engine first (rewrite_data_files)."
+            )
+    return [m["manifest_path"] for m in manifests
+            if m.get("content", 0) == 0]
+
+
+def _guard_entries(entries: list[tuple]) -> None:
+    for t in entries:
+        if t[4] != 0:  # data_file.content: 1/2 are delete files
+            raise IcebergProtocolError(
+                f"{t[1]}: data_file content={t[4]} (delete file) — "
+                "delete application is not implemented"
+            )
+        if t[2] != "PARQUET":
+            raise IcebergProtocolError(
+                f"{t[1]}: file_format {t[2]} — only PARQUET data files "
+                "are readable here"
+            )
+
+
+# ----------------------------------------------------- schema conversion
+
+
+def _spark_type(t) -> DataType:
+    if isinstance(t, dict):
+        if t.get("type") == "list":
+            el = _spark_type(t["element"])
+            return _parse_datatype_string(f"array<{el.simpleString()}>")
+        raise IcebergProtocolError(
+            f"nested type {t.get('type')!r}: struct/map columns are not "
+            "supported by this bridge"
+        )
+    prim = {
+        "boolean": BooleanType(), "int": IntegerType(), "long": LongType(),
+        "float": FloatType(), "double": DoubleType(), "date": DateType(),
+        "string": StringType(), "binary": BinaryType(),
+        "timestamptz": TimestampType(), "timestamp": TimestampNTZType(),
+    }
+    if t in prim:
+        return prim[t]
+    if isinstance(t, str) and t.startswith("decimal("):
+        return _parse_datatype_string(t)
+    if isinstance(t, str) and t.startswith("fixed"):
+        return BinaryType()
+    raise IcebergProtocolError(f"iceberg type {t!r}: no Spark mapping")
+
+
+def _name_mapping(meta: dict) -> dict[int, list[str]]:
+    """``{field id: candidate footer names}`` from
+    ``schema.name-mapping.default`` (empty when the property is absent)."""
+    raw = (meta.get("properties") or {}).get("schema.name-mapping.default")
+    if not raw:
+        return {}
+    return {
+        m["field-id"]: list(m.get("names") or [])
+        for m in json.loads(raw)
+        if m.get("field-id") is not None
+    }
+
+
+def _identity_sources(meta: dict) -> dict[int, str]:
+    """{source field id: partition field NAME in the manifest's partition
+    tuple} for identity transforms of the default spec (the only transform
+    whose values inject losslessly as column constants)."""
+    specs = meta.get("partition-specs")
+    if specs is None and meta.get("partition-spec") is not None:
+        fields = meta["partition-spec"]
+    else:
+        spec_id = meta.get("default-spec-id", 0)
+        fields = next(
+            (s.get("fields", []) for s in (specs or [])
+             if s.get("spec-id", 0) == spec_id),
+            [],
+        )
+    return {
+        f["source-id"]: f["name"]
+        for f in fields if f.get("transform") == "identity"
+    }
+
+
+# ------------------------------------------------------------------ read
+
+
+def _footer_has_ids(files: list[str], spark: SparkSession) -> dict[str, bool]:
+    """Whether each parquet footer stamps field ids (what iceberg-native
+    writers do). Probed distributed above a small file count so a huge
+    table's planning never serializes a million footer reads on the
+    driver."""
+
+    def probe(batch):
+        import pyarrow.parquet as pq
+
+        out = []
+        for f in batch:
+            sch = pq.ParquetFile(f).schema_arrow
+            has = all(
+                (fld.metadata or {}).get(b"PARQUET:field_id") is not None
+                for fld in sch
+            )
+            out.append((f, has))
+        return out
+
+    if len(files) <= 64:
+        return dict(probe(files))
+    rdd = spark.sparkContext.parallelize(files, max(1, len(files) // 64))
+    return dict(rdd.mapPartitions(lambda it: probe(list(it))).collect())
+
+
+def _read_id_files(spark: SparkSession, files: list[str],
+                   fields: list[dict]) -> DataFrame:
+    """ONE scan of every id-stamped file: the requested schema carries
+    ``parquet.field.id`` per field and Spark's vectorized reader resolves
+    columns by id — renames across the file set cost nothing. The enabling
+    conf stays set for the session (it is resolved at ACTION time, so a
+    set-and-restore around the lazy read definition would silently disable
+    resolution at execution); it only engages for requested schemas that
+    carry field-id metadata, i.e. exactly these reads."""
+    req = StructType([
+        StructField(f["name"], _spark_type(f["type"]), True,
+                    {"parquet.field.id": f["id"]})
+        for f in fields
+    ])
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    return spark.read.schema(req).parquet(*files)
+
+
+def _part_lit(value, dt: DataType):
+    """A manifest partition value as a typed Spark literal. Avro decodes
+    logical types to their physical carriers (date -> int days,
+    timestamp -> long micros)."""
+    if value is None:
+        return F.lit(None).cast(dt)
+    if isinstance(dt, DateType) and isinstance(value, int):
+        return F.date_from_unix_date(F.lit(value))
+    if isinstance(dt, (TimestampType, TimestampNTZType)) and isinstance(
+        value, int
+    ):
+        return F.timestamp_micros(F.lit(value)).cast(dt)
+    return F.lit(value).cast(dt)
+
+
+def _read_mapped_files(spark: SparkSession, files_parts: list[tuple],
+                       fields: list[dict], mapping: dict[int, list[str]],
+                       id_part: dict[int, str]) -> DataFrame:
+    """Scan of footer-id-less files through the name mapping: each field
+    reads as a coalesce over its candidate footer names (a conforming
+    table carries each id under at most one name per file). A field with
+    NO footer candidate in a file group and an identity-partition source
+    injects the manifest partition value as a typed constant (the spec's
+    migrated-Hive rule); groups are keyed by partition tuple so the
+    constant is per-group."""
+    parts = []
+    for part_json, files in files_parts:
+        pvals = json.loads(part_json)
+        read_fields, exprs = [], []
+        for f in fields:
+            dt = _spark_type(f["type"])
+            names = mapping.get(f["id"]) or [f["name"]]
+            for n in names:
+                read_fields.append(StructField(n, dt, True))
+            base = (
+                F.coalesce(*[F.col(f"`{n}`") for n in names])
+                if len(names) > 1 else F.col(f"`{names[0]}`")
+            )
+            pname = id_part.get(f["id"])
+            if pname is not None and pname in pvals:
+                base = F.coalesce(base, _part_lit(pvals[pname], dt))
+            exprs.append(base.alias(f["name"]))
+        raw = spark.read.schema(StructType(read_fields)).parquet(*files)
+        parts.append(raw.select(*exprs))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def read_iceberg_table(spark: SparkSession, path: str,
+                       snapshot_id: int | None = None,
+                       as_of_ms: int | None = None,
+                       metadata_version: int | None = None,
+                       ref: str | None = None) -> DataFrame:
+    """Materialize an Iceberg table another engine wrote (current
+    snapshot, or time travel by ``snapshot_id`` / ``as_of_ms`` / a named
+    branch or tag ``ref``)."""
+    meta = read_metadata(path, metadata_version)
+    snap = _select_snapshot(meta, snapshot_id, as_of_ms, ref)
+    fields = _schema_for(meta, snap)["fields"]
+    entries = [
+        t for m in _live_manifest_paths(meta, snap)
+        for t in _decode_manifest(m)
+        if t[0] in (0, 1)
+    ]
+    _guard_entries(entries)
+    if not entries:
+        return spark.createDataFrame(
+            [], StructType([
+                StructField(f["name"], _spark_type(f["type"]), True)
+                for f in fields
+            ])
+        )
+    files = {_from_uri(t[1]): t for t in entries}
+    has_ids = _footer_has_ids(sorted(files), spark)
+    id_files = sorted(f for f, h in has_ids.items() if h)
+    plain: dict[str, list[str]] = {}
+    for f, h in has_ids.items():
+        if not h:
+            plain.setdefault(files[f][5], []).append(f)
+
+    parts = []
+    if id_files:
+        parts.append(_read_id_files(spark, id_files, fields))
+    if plain:
+        parts.append(_read_mapped_files(
+            spark, sorted((pj, sorted(fs)) for pj, fs in plain.items()),
+            fields, _name_mapping(meta), _identity_sources(meta),
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --------------------------------------------------------- stats pruning
+
+
+def _decode_bound(raw: bytes, ice_type: str):
+    """Iceberg single-value serialization -> Python value (None = this
+    type does not participate in pruning)."""
+    if ice_type in ("int", "date"):
+        return struct.unpack("<i", raw)[0] if len(raw) == 4 else None
+    if ice_type in ("long", "timestamp", "timestamptz"):
+        return struct.unpack("<q", raw)[0] if len(raw) == 8 else None
+    if ice_type == "float":
+        return struct.unpack("<f", raw)[0] if len(raw) == 4 else None
+    if ice_type == "double":
+        return struct.unpack("<d", raw)[0] if len(raw) == 8 else None
+    if ice_type == "string":
+        return raw.decode("utf-8", errors="replace")
+    return None
+
+
+def iceberg_files_where(spark: SparkSession, path: str, column: str,
+                        lo, hi, snapshot_id: int | None = None
+                        ) -> tuple[list[str], int]:
+    """``(surviving file paths, total live files)`` for ``lo <= column <=
+    hi``, decided from manifest bounds BEFORE any data scan. Entries decode
+    distributed for large manifest sets; only paths return to the driver.
+    Files without bounds for the column are conservatively kept."""
+    import base64
+
+    meta = read_metadata(path)
+    snap = _select_snapshot(meta, snapshot_id, None)
+    fields = _schema_for(meta, snap)["fields"]
+    fld = next((f for f in fields if f["name"] == column), None)
+    if fld is None:
+        raise ValueError(f"column {column!r} not in table schema")
+    ice_type = fld["type"] if isinstance(fld["type"], str) else None
+    entries = _live_entries_df(
+        spark, _live_manifest_paths(meta, snap)
+    ).select("file_path", "lower_json", "upper_json")
+
+    key = str(fld["id"])
+
+    @F.pandas_udf("boolean")
+    def survives(lower_json, upper_json):
+        import pandas as pd
+
+        def one(lj, uj):
+            if ice_type is None:
+                return True
+            lows = json.loads(lj or "{}")
+            ups = json.loads(uj or "{}")
+            if key not in lows or key not in ups:
+                return True  # no bounds recorded: cannot prune
+            mn = _decode_bound(base64.b64decode(lows[key]), ice_type)
+            mx = _decode_bound(base64.b64decode(ups[key]), ice_type)
+            if mn is None or mx is None:
+                return True
+            return not (mx < lo or mn > hi)
+
+        return pd.Series([one(lj, uj)
+                          for lj, uj in zip(lower_json, upper_json)])
+
+    flagged = entries.withColumn(
+        "keep", survives("lower_json", "upper_json")
+    ).select("file_path", "keep").collect()
+    keep = sorted(_from_uri(r["file_path"]) for r in flagged if r["keep"])
+    return keep, len(flagged)
+
+
+# ------------------------------------------------------------------ append
+
+
+def append_iceberg(spark: SparkSession, df: DataFrame, path: str,
+                   target_file_rows: int | None = None) -> int:
+    """Append ``df`` as a new snapshot under the HadoopCatalog commit
+    protocol; returns the new metadata version. The new
+    ``v(N+1).metadata.json`` publishes through the LogStore conditional
+    put, so two racing appenders get one winner and one
+    ``ConcurrentCommitError`` — never a clobbered commit. Spark writes the
+    data files (no footer field ids), so the commit also ensures
+    ``schema.name-mapping.default`` covers every current column name —
+    any compliant reader resolves our files through the mapping."""
+    import pyarrow.parquet as pq
+
+    versions = metadata_versions(path)
+    cur_v = max(versions)
+    meta = read_metadata(path, cur_v)
+    if meta.get("format-version", 1) != 2:
+        raise IcebergProtocolError(
+            "append requires a format-version 2 table (v1 manifests use "
+            "the legacy schema this writer does not emit)"
+        )
+    if _identity_sources(meta) or any(
+        s.get("fields") for s in meta.get("partition-specs", [])
+        if s.get("spec-id", 0) == meta.get("default-spec-id", 0)
+    ):
+        raise IcebergProtocolError(
+            "append to a partitioned table is not implemented (data files "
+            "must be split per partition tuple)"
+        )
+    snap_prev = None
+    if meta.get("current-snapshot-id") not in (None, -1):
+        snap_prev = _select_snapshot(meta, None, None)
+    schema = _schema_for(meta, snap_prev or {})
+    fields = schema["fields"]
+    want = [f["name"] for f in fields]
+    if sorted(df.columns) != sorted(want):
+        raise ValueError(
+            f"append columns {sorted(df.columns)} != table schema "
+            f"{sorted(want)}"
+        )
+    typed = df.select(*[
+        F.col(f["name"]).cast(_spark_type(f["type"])) for f in fields
+    ])
+
+    # ---- data files (plain Spark parquet write, new unique dir)
+    token = uuid.uuid4().hex
+    data_dir = os.path.join(path, "data", f"append-{token}")
+    typed.write.parquet(data_dir)
+    rel_files = sorted(
+        os.path.join(data_dir, n) for n in os.listdir(data_dir)
+        if n.endswith(".parquet")
+    )
+
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
+    now_ms = int(os.stat(rel_files[0]).st_mtime * 1000) if rel_files else 0
+
+    # ---- manifest with per-file footer bounds (pruning parity)
+    type_of = {f["name"]: f["type"] for f in fields}
+    fid = {f["name"]: f["id"] for f in fields}
+    entries, total_rows = [], 0
+    for absf in rel_files:
+        pf = pq.ParquetFile(absf)
+        nrec = pf.metadata.num_rows
+        total_rows += nrec
+        lower, upper = [], []
+        stats: dict[str, tuple] = {}
+        for rg in range(pf.metadata.num_row_groups):
+            grp = pf.metadata.row_group(rg)
+            for ci in range(grp.num_columns):
+                col = grp.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                name = col.path_in_schema
+                mn, mx = st.min, st.max
+                if name in stats:
+                    omn, omx = stats[name]
+                    mn, mx = min(omn, mn), max(omx, mx)
+                stats[name] = (mn, mx)
+        for name, (mn, mx) in sorted(stats.items()):
+            t = type_of.get(name)
+            if not isinstance(t, str):
+                continue
+            lo_b, hi_b = _bound_bytes(mn, t), _bound_bytes(mx, t)
+            if lo_b is not None and hi_b is not None:
+                lower.append({"key": fid[name], "value": lo_b})
+                upper.append({"key": fid[name], "value": hi_b})
+        entries.append({
+            "status": 1, "snapshot_id": snapshot_id,
+            "sequence_number": seq, "file_sequence_number": seq,
+            "data_file": {
+                "content": 0,
+                "file_path": "file://" + urllib.parse.quote(
+                    absf.replace(os.sep, "/"), safe="/=%-._~"),
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": nrec,
+                "file_size_in_bytes": os.path.getsize(absf),
+                "lower_bounds": lower or None,
+                "upper_bounds": upper or None,
+            },
+        })
+
+    from .avro_ocf import write_ocf
+
+    meta_dir = _meta_dir(path)
+    manifest_path = os.path.join(meta_dir, f"{token}-m0.avro")
+    write_ocf(
+        manifest_path, _MANIFEST_ENTRY, entries,
+        metadata={
+            "schema": json.dumps(schema), "schema-id": "0",
+            "partition-spec": "[]", "partition-spec-id": "0",
+            "format-version": "2", "content": "data",
+        },
+    )
+
+    # ---- manifest list: prior snapshot's manifests carried + the new one
+    carried = _manifest_paths(meta, snap_prev) if snap_prev else []
+    new_entry = {
+        "manifest_path": "file://" + manifest_path.replace(os.sep, "/"),
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0, "content": 0,
+        "sequence_number": seq, "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(entries), "existing_files_count": 0,
+        "deleted_files_count": 0, "added_rows_count": total_rows,
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+        "partitions": None,
+    }
+    list_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{token}.avro")
+    from .iceberg_export import _MANIFEST_FILE
+
+    write_ocf(
+        list_path, _MANIFEST_FILE, carried + [new_entry],
+        metadata={"format-version": "2", "snapshot-id": str(snapshot_id),
+                  "sequence-number": str(seq),
+                  "parent-snapshot-id": str(
+                      snap_prev["snapshot-id"]) if snap_prev else "null"},
+    )
+
+    # ---- new metadata, committed via the conditional-put seam
+    newmeta = json.loads(json.dumps(meta))  # deep copy
+    props = newmeta.setdefault("properties", {})
+    mapping = json.loads(props.get("schema.name-mapping.default", "[]"))
+    by_id = {m.get("field-id"): m for m in mapping}
+    for f in fields:
+        m = by_id.get(f["id"])
+        if m is None:
+            mapping.append({"field-id": f["id"], "names": [f["name"]]})
+        elif f["name"] not in m.get("names", []):
+            m.setdefault("names", []).append(f["name"])
+    props["schema.name-mapping.default"] = json.dumps(mapping)
+    newmeta["last-sequence-number"] = seq
+    newmeta["last-updated-ms"] = now_ms
+    newmeta["current-snapshot-id"] = snapshot_id
+    newsnap = {
+        "snapshot-id": snapshot_id, "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": "file://" + list_path.replace(os.sep, "/"),
+        "summary": {"operation": "append",
+                    "added-data-files": str(len(entries)),
+                    "added-records": str(total_rows)},
+        "schema-id": schema.get("schema-id", 0),
+    }
+    if snap_prev:
+        newsnap["parent-snapshot-id"] = snap_prev["snapshot-id"]
+    newmeta.setdefault("snapshots", []).append(newsnap)
+    newmeta.setdefault("snapshot-log", []).append(
+        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms})
+    newmeta.setdefault("metadata-log", []).append({
+        "timestamp-ms": int(meta.get("last-updated-ms", 0)),
+        "metadata-file": "file://" + versions[cur_v].replace(os.sep, "/"),
+    })
+    newmeta.setdefault("refs", {})["main"] = {
+        "snapshot-id": snapshot_id, "type": "branch"}
+
+    new_v = cur_v + 1
+    final = os.path.join(meta_dir, f"v{new_v}.metadata.json")
+    try:
+        _tf._LOG_STORE.put_if_absent(final, json.dumps(newmeta, indent=2))
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"{final}: another writer committed metadata version {new_v} "
+            "first; re-read the table and retry the append"
+        ) from None
+    hint = os.path.join(meta_dir, "version-hint.text")
+    tmp = f"{hint}.{os.getpid()}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(new_v))
+    os.replace(tmp, hint)  # advisory: readers fall back to listing
+    return new_v

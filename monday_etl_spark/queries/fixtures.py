@@ -284,6 +284,173 @@ def _iceberg_mapped_table(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+@_fixture("iceberg_external_table", {"iceberg_import_external"})
+def _iceberg_external_table(spark: SparkSession, sf_dir: str) -> str:
+    """A table 'another engine wrote': parquet data files with footer
+    FIELD IDS stamped (pyarrow ``PARQUET:field_id``, what iceberg-java /
+    pyiceberg write), hand-built v2 metadata with TWO snapshots and a
+    rename between them — snapshot 1's file says ``qty`` in its footer,
+    snapshot 2's file says ``quantity``, both under field id 3. Import
+    must resolve by id, not name. Deterministic function of sf_dir
+    (values are lineitem subsets in sorted order; ids/timestamps fixed)."""
+    import json
+    import struct
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..avro_ocf import write_ocf
+    from ..iceberg_export import _MANIFEST_ENTRY, _MANIFEST_FILE
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_ext_fx_")
+    path = os.path.join(root, "lineitem_external")
+    data_dir = os.path.join(path, "data")
+    meta_dir = os.path.join(path, "metadata")
+    os.makedirs(data_dir)
+    os.makedirs(meta_dir)
+
+    def data_file(name, subset_mod, qty_footer_name):
+        pdf = (
+            li.filter(F.col("l_orderkey") % 16 == subset_mod)
+            .orderBy("l_orderkey", "l_linenumber")
+            .toPandas()
+        )
+        fields = [
+            pa.field("l_orderkey", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("l_returnflag", pa.string(),
+                     metadata={b"PARQUET:field_id": b"2"}),
+            pa.field(qty_footer_name, pa.float64(),
+                     metadata={b"PARQUET:field_id": b"3"}),
+        ]
+        tbl = pa.Table.from_arrays(
+            [pa.array(pdf["l_orderkey"], pa.int64()),
+             pa.array(pdf["l_returnflag"], pa.string()),
+             pa.array(pdf["l_quantity"], pa.float64())],
+            schema=pa.schema(fields),
+        )
+        absf = os.path.join(data_dir, name)
+        pq.write_table(tbl, absf)
+        return absf, len(pdf)
+
+    def schema(qty_name, sid):
+        return {"type": "struct", "schema-id": sid, "fields": [
+            {"id": 1, "name": "l_orderkey", "required": False,
+             "type": "long"},
+            {"id": 2, "name": "l_returnflag", "required": False,
+             "type": "string"},
+            {"id": 3, "name": qty_name, "required": False,
+             "type": "double"},
+        ]}
+
+    def manifest(name, absf, nrec, snap_id, sch, codec):
+        p = os.path.join(meta_dir, name)
+        write_ocf(p, _MANIFEST_ENTRY, [{
+            "status": 1, "snapshot_id": snap_id, "sequence_number": 1,
+            "file_sequence_number": 1,
+            "data_file": {
+                "content": 0, "file_path": "file://" + absf,
+                "file_format": "PARQUET", "partition": {},
+                "record_count": nrec,
+                "file_size_in_bytes": os.path.getsize(absf),
+                "lower_bounds": [{"key": 1, "value": struct.pack("<q", 0)}],
+                "upper_bounds": [
+                    {"key": 1, "value": struct.pack("<q", 1 << 40)}],
+            },
+        }], codec=codec, metadata={
+            "schema": json.dumps(sch), "schema-id": str(sch["schema-id"]),
+            "partition-spec": "[]", "partition-spec-id": "0",
+            "format-version": "2", "content": "data"})
+        return p
+
+    def mlist(name, snap_id, mans, nrows):
+        p = os.path.join(meta_dir, name)
+        write_ocf(p, _MANIFEST_FILE, [
+            {"manifest_path": "file://" + m,
+             "manifest_length": os.path.getsize(m),
+             "partition_spec_id": 0, "content": 0, "sequence_number": 1,
+             "min_sequence_number": 1, "added_snapshot_id": snap_id,
+             "added_files_count": 1, "existing_files_count": 0,
+             "deleted_files_count": 0, "added_rows_count": nrows,
+             "existing_rows_count": 0, "deleted_rows_count": 0,
+             "partitions": None} for m in mans
+        ], metadata={"format-version": "2", "snapshot-id": str(snap_id),
+                     "sequence-number": "1", "parent-snapshot-id": "null"})
+        return p
+
+    f1, n1 = data_file("f1.parquet", 13, "qty")
+    f2, n2 = data_file("f2.parquet", 3, "quantity")
+    s0, s1 = schema("qty", 0), schema("quantity", 1)
+    # snapshot 1's manifest deflate-coded (iceberg-java's default codec)
+    m1 = manifest("aaaa-m0.avro", f1, n1, 100, s0, "deflate")
+    m2 = manifest("bbbb-m0.avro", f2, n2, 200, s1, "null")
+    l1 = mlist("snap-100-1-aaaa.avro", 100, [m1], n1)
+    l2 = mlist("snap-200-1-bbbb.avro", 200, [m1, m2], n1 + n2)
+    meta = {
+        "format-version": 2, "table-uuid": "0" * 32,
+        "location": "file://" + path, "last-sequence-number": 2,
+        "last-updated-ms": 2000, "last-column-id": 3,
+        "current-schema-id": 1, "schemas": [s0, s1],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999, "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": 200,
+        "refs": {"main": {"snapshot-id": 200, "type": "branch"}},
+        "snapshots": [
+            {"snapshot-id": 100, "sequence-number": 1,
+             "timestamp-ms": 1000, "manifest-list": "file://" + l1,
+             "schema-id": 0, "summary": {"operation": "append"}},
+            {"snapshot-id": 200, "sequence-number": 2,
+             "timestamp-ms": 2000, "manifest-list": "file://" + l2,
+             "schema-id": 1, "summary": {"operation": "append"}},
+        ],
+        "snapshot-log": [
+            {"snapshot-id": 100, "timestamp-ms": 1000},
+            {"snapshot-id": 200, "timestamp-ms": 2000},
+        ],
+        "metadata-log": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return path
+
+
+@_fixture("iceberg_appended_table", {"iceberg_append_pipeline"})
+def _iceberg_appended_table(spark: SparkSession, sf_dir: str) -> str:
+    """An exported Iceberg snapshot (orders subset) that then took an
+    ``append_iceberg`` commit (a second disjoint subset, range-clustered
+    so its footer bounds prune): the two-way bridge exercised end to end.
+    Consumers only read; shared without copies."""
+    from ..iceberg_export import export_iceberg
+    from ..iceberg_import import append_iceberg
+    from ..tableformat import write_versioned
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_app_fx_")
+    path = os.path.join(root, "orders_iceberg")
+    write_versioned(
+        orders.filter(F.col("o_orderkey") % 16 == 6), path,
+        key="o_orderkey", n_buckets=4, stats_cols=["o_totalprice"],
+    )
+    export_iceberg(path)
+    append_iceberg(
+        spark,
+        orders.filter(F.col("o_orderkey") % 16 == 7)
+        .repartitionByRange(4, "o_orderkey"),
+        path,
+    )
+    return path
+
+
 @_fixture("minhash_pairs", {"dedup_cluster_resolution"})
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> str:
     """The banded-MinHash candidate pairs (doc_a, doc_b), materialized

@@ -980,3 +980,112 @@ def iceberg_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "n_rows", "sum_qty", "sum_price")
     )
+
+
+@register(
+    "iceberg_import_external",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_money_sum('l_quantity')} AS sum_qty
+    FROM lineitem WHERE l_orderkey % 16 IN (3, 13)
+    GROUP BY l_returnflag
+    """,
+    doc="Iceberg IMPORT (r08): a table 'another engine wrote' — parquet "
+        "data files with FOOTER FIELD IDS (pyarrow PARQUET:field_id, what "
+        "iceberg-java/pyiceberg stamp), hand-built v2 metadata, two "
+        "snapshots with a rename between them (snapshot 1's footer says "
+        "qty, snapshot 2's says quantity, both field id 3), one manifest "
+        "deflate-coded (iceberg-java's default Avro codec). "
+        "iceberg_import.read_iceberg_table resolves columns by FIELD ID "
+        "through Spark's native parquet fieldId reader — one JVM-side "
+        "scan, renames cost nothing — and the in-query assertions pin "
+        "time travel: snapshot_id / as_of_ms reads surface the OLD name "
+        "and only the first subset's rows. Oracle: the relational "
+        "restatement over the two lineitem subsets. Reference scope: "
+        "open-ecosystem tables as in monday_etl_automated.py:571-590.",
+)
+def iceberg_import_external(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import money_sum
+    from ..iceberg_import import iceberg_history, read_iceberg_table
+    from .fixtures import shared
+
+    path = shared(spark, sf_dir, "iceberg_external_table")
+    df = read_iceberg_table(spark, path)
+    if df.columns != ["l_orderkey", "l_returnflag", "quantity"]:
+        raise AssertionError(f"current schema surfaced {df.columns}")
+    hist = iceberg_history(path)
+    if [h["snapshot_id"] for h in hist] != [100, 200]:
+        raise AssertionError(f"history wrong: {hist}")
+    old = read_iceberg_table(spark, path, snapshot_id=100)
+    asof = read_iceberg_table(spark, path, as_of_ms=1500)
+    if old.columns != ["l_orderkey", "l_returnflag", "qty"]:
+        raise AssertionError(f"snapshot-1 schema surfaced {old.columns}")
+    n_old, n_asof, n_cur = old.count(), asof.count(), df.count()
+    if n_old != n_asof or not 0 < n_old < n_cur:
+        raise AssertionError(
+            f"time travel wrong: old={n_old} asof={n_asof} cur={n_cur}"
+        )
+    return (
+        df.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum(F.col("quantity")).alias("sum_qty"),
+        )
+        .select("l_returnflag", "n_rows", "sum_qty")
+    )
+
+
+@register(
+    "iceberg_append_pipeline",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM orders WHERE o_orderkey % 16 IN (6, 7)
+    GROUP BY o_orderstatus
+    """,
+    doc="Iceberg two-way pipeline (r08): an exported snapshot (orders "
+        "subset) takes an append_iceberg commit — Spark-written data "
+        "files, a new Avro manifest with footer-derived bounds, a "
+        "manifest list carrying the prior snapshot's manifests, and "
+        "v2.metadata.json published through the LogStore conditional-put "
+        "seam (a lost race raises, never clobbers). In-query assertions "
+        "pin that time travel to the pre-append snapshot excludes the "
+        "appended rows and that manifest bounds PRUNE files before any "
+        "scan on the appended key range. Oracle: the relational union "
+        "restatement. Reference scope: open-ecosystem tables as in "
+        "monday_etl_automated.py:571-590.",
+)
+def iceberg_append_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import money_sum
+    from ..iceberg_import import (
+        iceberg_files_where,
+        iceberg_history,
+        read_iceberg_table,
+    )
+    from .fixtures import shared
+
+    path = shared(spark, sf_dir, "iceberg_appended_table")
+    df = read_iceberg_table(spark, path)
+    first = iceberg_history(path)[0]["snapshot_id"]
+    n_first = read_iceberg_table(spark, path, snapshot_id=first).count()
+    if not 0 < n_first < df.count():
+        raise AssertionError(
+            f"pre-append snapshot not smaller: {n_first} vs {df.count()}"
+        )
+    keep, total = iceberg_files_where(
+        spark, path, "o_orderkey", 0, 10
+    )
+    if not keep or len(keep) >= total:
+        raise AssertionError(
+            f"bounds pruning ineffective: kept {len(keep)}/{total}"
+        )
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select("o_orderstatus", "n_rows", "total_price")
+    )

@@ -57,6 +57,8 @@ _EVIDENCE_PRIORITY = [
     # r08: RESULTS or code paths NEW/CHANGED this round — evidence first.
     "delta_column_mapping_roundtrip",  # NEW query (mode=name mapping)
     "iceberg_export_roundtrip",        # NEW query (Iceberg v2 bridge)
+    "iceberg_import_external",         # NEW query (import half, field ids)
+    "iceberg_append_pipeline",         # NEW query (append + pruning)
     # r03-latest evidence (11 rows; newest official driver confirmation is
     # CORRECTNESS_r03.json) — the r07 verdict queued these for refresh.
     "range_join_bucketed", "grouped_zscore_pandas", "approx_distinct_users",

@@ -652,3 +652,64 @@ def test_checkpoint_reads_never_materialize_full_adds(spark, tmp_path):
         assert got == [2, 3]
     finally:
         _LiveSet.materialize = orig
+
+
+def test_external_id_mapped_table_resolves_by_field_id(spark, tmp_path):
+    """A hand-built mode=id table: footers stamp FIELD IDS (authoritative
+    in this mode) under physical names that match nothing logical; the
+    reader must resolve through Spark's native parquet fieldId reader and
+    surface logical names with the right values; stats pruning still
+    translates through physicalName (stats are keyed physically in both
+    mapping modes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    mapped_schema = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "user_id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+            {"name": "amount", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bbb"}},
+        ],
+    })
+    table = str(tmp_path / "idmapped")
+    os.makedirs(os.path.join(table, "data"))
+    fields = [
+        pa.field("col-aaa", pa.int64(),
+                 metadata={b"PARQUET:field_id": b"1"}),
+        pa.field("col-bbb", pa.float64(),
+                 metadata={b"PARQUET:field_id": b"2"}),
+    ]
+    tbl = pa.Table.from_arrays(
+        [pa.array(list(range(10)), pa.int64()),
+         pa.array([float(i) for i in range(10)], pa.float64())],
+        schema=pa.schema(fields),
+    )
+    rel = "data/f0.parquet"
+    pq.write_table(tbl, os.path.join(table, rel))
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        _meta(schema_json=mapped_schema,
+              configuration={"delta.columnMapping.mode": "id",
+                             "delta.columnMapping.maxColumnId": "2"}),
+        _add(rel, {"numRecords": 10,
+                   "minValues": {"col-aaa": 0, "col-bbb": 0.0},
+                   "maxValues": {"col-aaa": 9, "col-bbb": 9.0}}),
+    ])
+    df = read_delta(spark, table)
+    assert df.columns == ["user_id", "amount"]
+    assert sorted((r.user_id, r.amount) for r in df.collect()) \
+        == [(i, float(i)) for i in range(10)]
+    files, total = files_for_range(spark, table, "amount", 100.0, 200.0)
+    assert total == 1 and files == []
+    got = read_delta_where(spark, table, "amount", 5.0, 6.0)
+    assert sorted((r.user_id, r.amount) for r in got.collect()) \
+        == [(5, 5.0), (6, 6.0)]
+    # the streaming source refuses id-mapped tables loudly
+    from monday_etl_spark.delta_source import stream_delta
+
+    with pytest.raises(DeltaProtocolError, match="mode=id"):
+        stream_delta(spark, table)

@@ -1,0 +1,379 @@
+"""Iceberg import: reading tables OTHER engines wrote, per the public
+table spec — field-id footer resolution across renames, name-mapping and
+migrated-Hive partition injection for id-less files, snapshot time
+travel, manifest-bounds pruning, protocol refusals, and conditional-put
+appends. External tables are hand-built (pyarrow-stamped footer ids,
+spec-subset Avro manifests incl. deflate codec) exactly as
+``test_delta_import`` hand-builds foreign Delta logs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from monday_etl_spark.avro_ocf import write_ocf
+from monday_etl_spark.iceberg_export import (
+    _MANIFEST_ENTRY,
+    _MANIFEST_FILE,
+    export_iceberg,
+)
+from monday_etl_spark.iceberg_import import (
+    IcebergProtocolError,
+    append_iceberg,
+    iceberg_files_where,
+    iceberg_history,
+    metadata_versions,
+    read_iceberg_table,
+    read_metadata,
+)
+from monday_etl_spark.tableformat import (
+    ConcurrentCommitError,
+    LogStore,
+    set_log_store,
+    write_versioned,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# --------------------------------------------------- external table builder
+
+
+def _write_data_file(path, names, ids, cols, types=None):
+    """A parquet data file 'an external engine' wrote: footer field ids
+    stamped via PARQUET:field_id (what iceberg-java/pyiceberg do)."""
+    types = types or [pa.int64()] * len(names)
+    arrays = [pa.array(c, t) for c, t in zip(cols, types)]
+    fields = [
+        pa.field(n, t, metadata={b"PARQUET:field_id": str(i).encode()})
+        for n, t, i in zip(names, types, ids)
+    ]
+    tbl = pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+    pq.write_table(tbl, path)
+    return path
+
+
+def _entry(abs_path, nrec, snapshot_id, partition=None, bounds=None,
+           content=0):
+    lower = upper = None
+    if bounds:
+        lower = [{"key": k, "value": struct.pack("<q", lo)}
+                 for k, (lo, _hi) in bounds.items()]
+        upper = [{"key": k, "value": struct.pack("<q", hi)}
+                 for k, (_lo, hi) in bounds.items()]
+    return {
+        "status": 1, "snapshot_id": snapshot_id,
+        "sequence_number": 1, "file_sequence_number": 1,
+        "data_file": {
+            "content": content,
+            "file_path": "file://" + abs_path,
+            "file_format": "PARQUET",
+            "partition": partition or {},
+            "record_count": nrec,
+            "file_size_in_bytes": os.path.getsize(abs_path),
+            "lower_bounds": lower, "upper_bounds": upper,
+        },
+    }
+
+
+def _manifest(meta_dir, entries, schema, codec="null", partition=None):
+    """Write one manifest; external partition tuples need the entry
+    schema's empty partition record swapped for a typed one."""
+    man_schema = json.loads(json.dumps(_MANIFEST_ENTRY))
+    if partition:
+        data_file = next(f for f in man_schema["fields"]
+                         if f["name"] == "data_file")
+        part = next(f for f in data_file["type"]["fields"]
+                    if f["name"] == "partition")
+        part["type"]["fields"] = [
+            {"name": n, "type": ["null", t], "default": None,
+             "field-id": 1000 + i}
+            for i, (n, t) in enumerate(partition.items())
+        ]
+    p = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+    write_ocf(p, man_schema, entries, codec=codec,
+              metadata={"schema": json.dumps(schema), "schema-id": "0",
+                        "partition-spec": "[]", "partition-spec-id": "0",
+                        "format-version": "2", "content": "data"})
+    return p
+
+
+def _manifest_list(meta_dir, snapshot_id, manifest_paths, nrows,
+                   content=0):
+    p = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro")
+    write_ocf(p, _MANIFEST_FILE, [
+        {"manifest_path": "file://" + m, "manifest_length": os.path.getsize(m),
+         "partition_spec_id": 0, "content": content, "sequence_number": 1,
+         "min_sequence_number": 1, "added_snapshot_id": snapshot_id,
+         "added_files_count": 1, "existing_files_count": 0,
+         "deleted_files_count": 0, "added_rows_count": nrows,
+         "existing_rows_count": 0, "deleted_rows_count": 0,
+         "partitions": None}
+        for m in manifest_paths
+    ], metadata={"format-version": "2", "snapshot-id": str(snapshot_id),
+                 "sequence-number": "1", "parent-snapshot-id": "null"})
+    return p
+
+
+def _metadata(path, schemas, snapshots, snapshot_log, current,
+              fmt=2, specs=None, props=None, hint=True, version=1):
+    meta_dir = os.path.join(path, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    meta = {
+        "format-version": fmt, "table-uuid": str(uuid.uuid4()),
+        "location": "file://" + path, "last-sequence-number": 1,
+        "last-updated-ms": max(
+            (s["timestamp-ms"] for s in snapshots), default=0),
+        "last-column-id": 99, "current-schema-id": schemas[-1].get(
+            "schema-id", 0),
+        "schemas": schemas, "default-spec-id": 0,
+        "partition-specs": specs or [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 1001, "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": props or {},
+        "current-snapshot-id": current,
+        "refs": {"main": {"snapshot-id": current, "type": "branch"}},
+        "snapshots": snapshots, "snapshot-log": snapshot_log,
+        "metadata-log": [],
+    }
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    if hint:
+        with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+            fh.write(str(version))
+    return meta
+
+
+# ------------------------------------------------------------------- tests
+
+
+def test_reads_our_own_export(spark, tmp_path):
+    """The import path reads the export bridge's output row-identically
+    (no footer ids -> name-mapping resolution)."""
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(50)],
+        "id bigint, name string, v double",
+    )
+    write_versioned(df, path, key="id", n_buckets=4, stats_cols=["id", "v"])
+    export_iceberg(path)
+    got = read_iceberg_table(spark, path)
+    assert _rows(got) == _rows(df)
+
+
+def test_external_rename_field_ids_and_time_travel(spark, tmp_path):
+    """An id-stamped external table renamed mid-history: current reads
+    surface BOTH files' values under the new name (by field id, not
+    footer name); snapshot_id / as_of_ms time-travel to the old state.
+    One manifest is deflate-coded (iceberg-java's default)."""
+    path = str(tmp_path / "ext")
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir)
+    os.makedirs(meta_dir)
+
+    f1 = _write_data_file(
+        os.path.join(data_dir, "f1.parquet"),
+        ["id", "qty"], [1, 2], [[1, 2, 3], [10, 20, 30]],
+    )
+    f2 = _write_data_file(
+        os.path.join(data_dir, "f2.parquet"),
+        ["id", "quantity"], [1, 2], [[4, 5], [40, 50]],
+    )
+    schema1 = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "qty", "required": False, "type": "long"},
+    ]}
+    schema2 = {"type": "struct", "schema-id": 1, "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "quantity", "required": False, "type": "long"},
+    ]}
+    m1 = _manifest(meta_dir, [_entry(f1, 3, 100)], schema1, codec="deflate")
+    m2 = _manifest(meta_dir, [_entry(f2, 2, 200)], schema2)
+    l1 = _manifest_list(meta_dir, 100, [m1], 3)
+    l2 = _manifest_list(meta_dir, 200, [m1, m2], 5)
+    snaps = [
+        {"snapshot-id": 100, "sequence-number": 1, "timestamp-ms": 1000,
+         "manifest-list": "file://" + l1, "schema-id": 0,
+         "summary": {"operation": "append"}},
+        {"snapshot-id": 200, "sequence-number": 2, "timestamp-ms": 2000,
+         "manifest-list": "file://" + l2, "schema-id": 1,
+         "summary": {"operation": "append"}},
+    ]
+    log = [{"snapshot-id": 100, "timestamp-ms": 1000},
+           {"snapshot-id": 200, "timestamp-ms": 2000}]
+    meta = _metadata(path, [schema1, schema2], snaps, log, current=200)
+    # add a tag ref pointing at the first snapshot (rewrite in place)
+    meta["refs"]["v1-release"] = {"snapshot-id": 100, "type": "tag"}
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+
+    cur = read_iceberg_table(spark, path)
+    assert cur.columns == ["id", "quantity"]
+    assert _rows(cur) == [(1, 10), (2, 20), (3, 30), (4, 40), (5, 50)]
+
+    old = read_iceberg_table(spark, path, snapshot_id=100)
+    assert old.columns == ["id", "qty"]
+    assert _rows(old) == [(1, 10), (2, 20), (3, 30)]
+
+    asof = read_iceberg_table(spark, path, as_of_ms=1500)
+    assert _rows(asof) == _rows(old)
+    tagged = read_iceberg_table(spark, path, ref="v1-release")
+    assert _rows(tagged) == _rows(old)
+    with pytest.raises(ValueError, match="not in table metadata"):
+        read_iceberg_table(spark, path, ref="nope")
+    hist = iceberg_history(path)
+    assert [h["snapshot_id"] for h in hist] == [100, 200]
+
+
+def test_migrated_hive_partition_injection(spark, tmp_path):
+    """Files without footer ids that physically OMIT the identity
+    partition column (Hive add_files migration): the manifest partition
+    tuple injects the value as a typed constant."""
+    path = str(tmp_path / "mig")
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir)
+    os.makedirs(meta_dir)
+    # no field ids, and no 'region' column in the file
+    t = pa.table({"v": pa.array([7, 8], pa.int64())})
+    fa = os.path.join(data_dir, "a.parquet")
+    fb = os.path.join(data_dir, "b.parquet")
+    pq.write_table(t, fa)
+    pq.write_table(pa.table({"v": pa.array([9], pa.int64())}), fb)
+
+    schema = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "region", "required": False, "type": "string"},
+        {"id": 2, "name": "v", "required": False, "type": "long"},
+    ]}
+    spec = [{"spec-id": 0, "fields": [
+        {"name": "region", "transform": "identity",
+         "source-id": 1, "field-id": 1000},
+    ]}]
+    m = _manifest(
+        meta_dir,
+        [_entry(fa, 2, 300, partition={"region": "EU"}),
+         _entry(fb, 1, 300, partition={"region": "US"})],
+        schema, partition={"region": "string"},
+    )
+    lst = _manifest_list(meta_dir, 300, [m], 3)
+    snaps = [{"snapshot-id": 300, "sequence-number": 1,
+              "timestamp-ms": 1000, "manifest-list": "file://" + lst,
+              "schema-id": 0, "summary": {"operation": "append"}}]
+    _metadata(path, [schema], snaps,
+              [{"snapshot-id": 300, "timestamp-ms": 1000}],
+              current=300, specs=spec,
+              props={"schema.name-mapping.default": json.dumps([
+                  {"field-id": 1, "names": ["region"]},
+                  {"field-id": 2, "names": ["v"]},
+              ])})
+    got = read_iceberg_table(spark, path)
+    assert _rows(got) == [("EU", 7), ("EU", 8), ("US", 9)]
+
+
+def test_delete_manifest_and_v3_refusals(spark, tmp_path):
+    path = str(tmp_path / "del")
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir)
+    os.makedirs(meta_dir)
+    f1 = _write_data_file(os.path.join(data_dir, "f1.parquet"),
+                          ["id"], [1], [[1]])
+    schema = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"}]}
+    m = _manifest(meta_dir, [_entry(f1, 1, 400)], schema)
+    # manifest list marks a second, DELETE-content manifest as live
+    lst = _manifest_list(meta_dir, 400, [m], 1)
+    dl = _manifest_list(meta_dir, 400, [m], 1, content=1)
+    # merge both entries into one list file
+    from monday_etl_spark.avro_ocf import read_ocf
+    _, _, rows1 = read_ocf(lst)
+    _, _, rows2 = read_ocf(dl)
+    both = os.path.join(meta_dir, f"snap-400-1-{uuid.uuid4().hex}.avro")
+    write_ocf(both, _MANIFEST_FILE, rows1 + rows2,
+              metadata={"format-version": "2", "snapshot-id": "400",
+                        "sequence-number": "1",
+                        "parent-snapshot-id": "null"})
+    snaps = [{"snapshot-id": 400, "sequence-number": 1,
+              "timestamp-ms": 1000, "manifest-list": "file://" + both,
+              "schema-id": 0, "summary": {"operation": "delete"}}]
+    _metadata(path, [schema], snaps,
+              [{"snapshot-id": 400, "timestamp-ms": 1000}], current=400)
+    with pytest.raises(IcebergProtocolError, match="DELETE manifest"):
+        read_iceberg_table(spark, path)
+
+    path3 = str(tmp_path / "v3")
+    os.makedirs(os.path.join(path3, "metadata"))
+    _metadata(path3, [schema], snaps,
+              [{"snapshot-id": 400, "timestamp-ms": 1000}],
+              current=400, fmt=3)
+    with pytest.raises(IcebergProtocolError, match="format-version 3"):
+        read_iceberg_table(spark, path3)
+
+
+def test_pruning_from_manifest_bounds(spark, tmp_path):
+    """Bounds in the manifest prune files before any scan — on our own
+    export (bounds carried from tableformat stats) the keep-set shrinks
+    and the pruned read stays row-identical to a filtered full read."""
+    path = str(tmp_path / "prune")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(400)], "id bigint, v double"
+    ).repartition(1)
+    write_versioned(df, path, key="id", n_buckets=8, stats_cols=["id", "v"])
+    export_iceberg(path)
+    # range-clustered appended files get tight, disjoint footer bounds
+    more = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000, 2000)], "id bigint, v double"
+    ).repartitionByRange(4, "id")
+    append_iceberg(spark, more, path)
+    keep, total = iceberg_files_where(spark, path, "id", 1000, 1100)
+    assert total >= 12 and 0 < len(keep) < 4
+    got = spark.read.parquet(*keep).filter("id between 1000 and 1100")
+    assert _rows(got) == _rows(more.filter("id between 1000 and 1100"))
+
+
+def test_append_roundtrip_and_race(spark, tmp_path):
+    path = str(tmp_path / "app")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(30)], "id bigint, v double")
+    write_versioned(df, path, key="id", n_buckets=2, stats_cols=["id"])
+    export_iceberg(path)
+
+    more = spark.createDataFrame(
+        [(i, float(i)) for i in range(100, 120)], "id bigint, v double")
+    new_v = append_iceberg(spark, more, path)
+    assert new_v == 2 and 2 in metadata_versions(path)
+    got = read_iceberg_table(spark, path)
+    assert _rows(got) == _rows(df.unionByName(more))
+    # time travel still sees the pre-append snapshot
+    first = iceberg_history(path)[0]["snapshot_id"]
+    old = read_iceberg_table(spark, path, snapshot_id=first)
+    assert _rows(old) == _rows(df)
+    # appended files prune through their footer-derived bounds
+    keep, total = iceberg_files_where(spark, path, "id", 100, 119)
+    assert len(keep) < total
+    # the name mapping covers the appended (id-less) files' columns
+    meta = read_metadata(path)
+    mapping = json.loads(
+        meta["properties"]["schema.name-mapping.default"])
+    assert {m["field-id"]: m["names"] for m in mapping}
+
+    class _Loser(LogStore):
+        def put_if_absent(self, final_path, payload):
+            raise FileExistsError(final_path)
+
+    prev = set_log_store(_Loser())
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            append_iceberg(spark, more, path)
+    finally:
+        set_log_store(prev)
