@@ -598,8 +598,26 @@ def iceberg_files_where(spark: SparkSession, path: str, column: str,
 # ------------------------------------------------------------------ append
 
 
+_TXN_APP = "monday-etl-txn-app"
+_TXN_VER = "monday-etl-txn-version"
+
+
+def last_iceberg_txn(path: str, app_id: str) -> int | None:
+    """The highest txn version this ``app_id`` ever committed, from
+    snapshot summaries (the public pattern Flink's Iceberg sink uses for
+    its ``flink.max-committed-checkpoint-id``)."""
+    best = None
+    for s in read_metadata(path).get("snapshots", []):
+        summ = s.get("summary") or {}
+        if summ.get(_TXN_APP) == app_id:
+            v = int(summ[_TXN_VER])
+            best = v if best is None else max(best, v)
+    return best
+
+
 def append_iceberg(spark: SparkSession, df: DataFrame, path: str,
-                   target_file_rows: int | None = None) -> int:
+                   app_id: str | None = None,
+                   txn_version: int | None = None) -> int:
     """Append ``df`` as a new snapshot under the HadoopCatalog commit
     protocol; returns the new metadata version. The new
     ``v(N+1).metadata.json`` publishes through the LogStore conditional
@@ -607,12 +625,24 @@ def append_iceberg(spark: SparkSession, df: DataFrame, path: str,
     ``ConcurrentCommitError`` — never a clobbered commit. Spark writes the
     data files (no footer field ids), so the commit also ensures
     ``schema.name-mapping.default`` covers every current column name —
-    any compliant reader resolves our files through the mapping."""
+    any compliant reader resolves our files through the mapping.
+
+    ``app_id``/``txn_version`` make the append idempotent (exactly-once
+    streaming sinks): the pair is stamped into the snapshot summary, and
+    a replayed batch whose version the table already absorbed is SKIPPED
+    — decided from the table's own metadata, so it survives anything that
+    loses the producer's memory."""
     import pyarrow.parquet as pq
 
+    if (app_id is None) != (txn_version is None):
+        raise ValueError("app_id and txn_version must be given together")
     versions = metadata_versions(path)
     cur_v = max(versions)
     meta = read_metadata(path, cur_v)
+    if app_id is not None:
+        prev = last_iceberg_txn(path, app_id)
+        if prev is not None and prev >= txn_version:
+            return cur_v  # replayed batch: already committed
     if meta.get("format-version", 1) != 2:
         raise IcebergProtocolError(
             "append requires a format-version 2 table (v1 manifests use "
@@ -759,7 +789,9 @@ def append_iceberg(spark: SparkSession, df: DataFrame, path: str,
         "manifest-list": "file://" + list_path.replace(os.sep, "/"),
         "summary": {"operation": "append",
                     "added-data-files": str(len(entries)),
-                    "added-records": str(total_rows)},
+                    "added-records": str(total_rows),
+                    **({_TXN_APP: app_id, _TXN_VER: str(txn_version)}
+                       if app_id is not None else {})},
         "schema-id": schema.get("schema-id", 0),
     }
     if snap_prev:

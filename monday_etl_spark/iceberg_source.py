@@ -1,0 +1,413 @@
+"""Stream FROM an Iceberg table: snapshot-tailing micro-batch source.
+
+The consumer half of the Iceberg streaming interop (mirroring
+``delta_source`` for Delta): each micro-batch is the set of data files a
+snapshot ADDED, offsets address a file position *within* a snapshot, and
+a snapshot that deletes or rewrites files refuses loudly (an append
+stream cannot replay a delete — the same contract as delta-spark's
+``ignoreDeletes``-off and Iceberg-Spark's own streaming read, which
+errors on non-append snapshots unless ``streaming-skip-delete-snapshots``
+/ ``streaming-skip-overwrite-snapshots`` is set; the ``skip_rewrites``
+option is that switch).
+
+Offsets: ``{"seq": s, "index": i}`` — the first ``i`` added files of the
+snapshot with SEQUENCE NUMBER ``s`` are processed and every snapshot with
+a lower sequence number is complete. Sequence numbers are the spec's
+monotone commit counter (v2), so they order snapshots without trusting
+wall clocks; the walk follows the actual snapshot list, so gaps (branch
+commits, metadata-only updates) are fine, but an EXPIRED snapshot inside
+the tailed range refuses loudly — the log no longer names what the
+stream would have to replay. An index-free ``{"seq": s}`` means "s fully
+processed" and normalizes to ``(s+1, 0)``.
+
+Spark-shaped despite the Python DataSource API: planning is driver-side
+metadata reading (Avro manifests, KBs per commit); data moves through
+``read(partition)`` as pyarrow RecordBatches — one InputPartition per
+data file, so a batch scans its files in parallel and rows cross the
+Python boundary Arrow-columnar. Column resolution matches the batch
+importer: footer FIELD IDS when stamped (map footer id -> requested
+field), name-mapping candidates otherwise, identity-partition constants
+injected for migrated files that omit the column.
+
+Rate limiting: ``max_files_per_batch`` caps one micro-batch's file count.
+The Python stream API calls ``latestOffset()`` before revealing ANY
+position (even before ``initialOffset`` on a fresh stream), so the
+capped walk runs from self-tracked state with a delivered-high-water
+clamp in ``partitions()`` — a post-restart lagging walk plans an empty
+batch and folds the true position in, so nothing is ever re-delivered
+(the exact discipline ``delta_source`` established; see its module doc).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructField, StructType
+
+from .avro_ocf import read_ocf
+from .iceberg_import import (
+    IcebergProtocolError,
+    _from_uri,
+    _identity_sources,
+    _name_mapping,
+    _spark_type,
+    read_metadata,
+)
+
+_ARROW_OF = {
+    "long": pa.int64(), "int": pa.int32(), "double": pa.float64(),
+    "float": pa.float32(), "string": pa.string(), "boolean": pa.bool_(),
+    "date": pa.date32(), "binary": pa.binary(),
+    "timestamptz": pa.timestamp("us", tz="UTC"),
+    "timestamp": pa.timestamp("us"),
+}
+
+
+def _seq_snapshots(meta: dict) -> list[dict]:
+    """Main-branch snapshots ordered by sequence number (v2's monotone
+    commit counter)."""
+    snaps = sorted(
+        meta.get("snapshots", []),
+        key=lambda s: (s.get("sequence-number", 0), s.get("timestamp-ms", 0)),
+    )
+    for s in snaps:
+        if "sequence-number" not in s:
+            raise IcebergProtocolError(
+                "snapshot without a sequence number (format-version 1?): "
+                "the stream orders commits by sequence number and "
+                "requires v2 metadata"
+            )
+    return snaps
+
+
+def _added_files(path: str, snap: dict) -> tuple[list[tuple], bool]:
+    """(files the snapshot ADDED in manifest order, snapshot-rewrites) —
+    each file as (abs_path, partition_json); ``snapshot-rewrites`` is True
+    when the snapshot also deleted/replaced files (not replayable as an
+    append)."""
+    sid = snap["snapshot-id"]
+    _, _, manifests = read_ocf(_from_uri(snap["manifest-list"]))
+    rewrites = (snap.get("summary") or {}).get("operation") not in (
+        "append", None,
+    )
+    out: list[tuple] = []
+    for m in manifests:
+        if m.get("content", 0) == 1:
+            if m.get("added_snapshot_id") == sid:
+                rewrites = True
+            continue
+        if m.get("added_snapshot_id") != sid:
+            continue
+        if (m.get("deleted_files_count") or 0) > 0:
+            rewrites = True
+        _, _, entries = read_ocf(_from_uri(m["manifest_path"]))
+        for e in entries:
+            st = e.get("status", 1)
+            if st == 2:
+                rewrites = True
+                continue
+            if st != 1:
+                continue
+            d = e["data_file"]
+            if d.get("content", 0) != 0:
+                raise IcebergProtocolError(
+                    f"{d.get('file_path')}: delete file in an added "
+                    "manifest — delete application is not implemented"
+                )
+            if (d.get("file_format") or "PARQUET").upper() != "PARQUET":
+                raise IcebergProtocolError(
+                    f"{d.get('file_path')}: only PARQUET streams"
+                )
+            out.append((
+                _from_uri(d["file_path"]),
+                json.dumps(d.get("partition") or {}, default=str),
+            ))
+    return out, rewrites
+
+
+class IcebergFilePartition(InputPartition):
+    def __init__(self, abs_path: str, part_json: str = "{}"):
+        self.abs_path = abs_path
+        self.part_json = part_json
+
+
+class IcebergStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError(
+                "iceberg_stream source requires the 'path' option"
+            )
+        self.skip_rewrites = (
+            str(options.get("skip_rewrites", "false")).lower() == "true"
+        )
+        mf = options.get("max_files_per_batch")
+        self.max_files = int(mf) if mf is not None else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError("max_files_per_batch must be >= 1")
+
+        meta = read_metadata(self.path)
+        snaps = _seq_snapshots(meta)
+        if not snaps:
+            raise ValueError(f"{self.path}: table has no snapshots")
+        cur = meta.get("current-schema-id", 0)
+        schema = next(
+            s for s in meta["schemas"] if s.get("schema-id", 0) == cur
+        )
+        self.fields = schema["fields"]  # [{id, name, type}]
+        for f in self.fields:
+            if not isinstance(f["type"], str) or f["type"] not in _ARROW_OF:
+                raise IcebergProtocolError(
+                    f"column {f['name']}: type {f['type']!r} not supported "
+                    "by the arrow stream reader"
+                )
+        self.mapping = _name_mapping(meta)  # {id: [footer names]}
+        self.id_part = _identity_sources(meta)  # {id: partition name}
+
+        start_sid = options.get("starting_snapshot_id")
+        if start_sid is not None:
+            match = [s for s in snaps
+                     if s["snapshot-id"] == int(start_sid)]
+            if not match:
+                raise ValueError(
+                    f"starting_snapshot_id {start_sid} not in metadata"
+                )
+            self._initial = {"seq": match[0]["sequence-number"], "index": 0}
+        else:
+            # only NEW commits stream: the head, fully consumed
+            self._initial = {"seq": snaps[-1]["sequence-number"]}
+        self._pos: tuple[int, int] | None = None
+        self._hw: tuple[int, int] | None = None
+
+    # -------------------------------------------------------- offsets
+
+    @staticmethod
+    def _norm(off: dict) -> tuple[int, int]:
+        if "index" in off:
+            return (off["seq"], off["index"])
+        return (off["seq"] + 1, 0)  # index-free: seq fully processed
+
+    def _snaps(self) -> list[dict]:
+        return _seq_snapshots(read_metadata(self.path))
+
+    def _head_offset(self) -> dict:
+        return {"seq": self._snaps()[-1]["sequence-number"]}
+
+    def _advance(self, pos: tuple[int, int], snaps: list[dict],
+                 budget: int) -> tuple[int, int]:
+        """Walk at most ``budget`` added files forward from ``pos`` along
+        the snapshot list."""
+        s, i = pos
+        for snap in snaps:
+            if budget <= 0:
+                break
+            seq = snap["sequence-number"]
+            if seq < s:
+                continue
+            files, _ = _added_files(self.path, snap)
+            j = i if seq == s else 0
+            if j >= len(files):
+                if seq == s:
+                    continue
+                s, i = seq, len(files)
+                continue
+            take = min(len(files) - j, budget)
+            s, i = seq, j + take
+            budget -= take
+        return (s, i)
+
+    def initialOffset(self) -> dict:
+        i = self._norm(self._initial)
+        self._pos = max(self._pos or i, i)
+        return self._initial
+
+    def latestOffset(self) -> dict:
+        head = self._head_offset()
+        if self.max_files is None:
+            end = self._norm(head)
+            self._pos = max(self._pos or end, end)
+            return head
+        base = (self._pos if self._pos is not None
+                else self._norm(self._initial))
+        end = self._advance(base, self._snaps(), self.max_files)
+        self._pos = max(base, end)
+        if end >= self._norm(head):
+            return head
+        return {"seq": end[0], "index": end[1]}
+
+    # ------------------------------------------------------- planning
+
+    def partitions(self, start: dict, end: dict):
+        s, e = self._norm(start), self._norm(end)
+        lo = max(s, self._hw) if self._hw is not None else s
+        self._hw = max(self._hw or e, s, e)
+        self._pos = max(self._pos or e, s, e)
+        parts: list[IcebergFilePartition] = []
+        if e > lo:
+            snaps = self._snaps()
+            oldest = snaps[0]["sequence-number"]
+            # a position below the oldest retained snapshot names history
+            # the log has expired — refuse rather than silently skip it
+            if lo < (oldest, 0):
+                raise IcebergProtocolError(
+                    f"{self.path}: stream position seq={lo[0]} predates "
+                    f"the oldest retained snapshot (seq={oldest}) — "
+                    "history was expired; restart the stream from a "
+                    "retained snapshot"
+                )
+            for snap in snaps:
+                seq = snap["sequence-number"]
+                if seq < lo[0] or seq > e[0]:
+                    continue
+                if seq == e[0] and e[1] == 0:
+                    break
+                files, rewrites = _added_files(self.path, snap)
+                if rewrites:
+                    if not self.skip_rewrites:
+                        raise IcebergProtocolError(
+                            f"{self.path}: snapshot {snap['snapshot-id']} "
+                            f"({(snap.get('summary') or {}).get('operation')}) "
+                            "deletes or rewrites files: not replayable as "
+                            "an append stream (set skip_rewrites to pass "
+                            "over compactions)"
+                        )
+                    # skip the WHOLE snapshot: a compaction's added files
+                    # re-contain rows already streamed — emitting them
+                    # would double-deliver. Offsets still advance past
+                    # them (the walk and the plan agree on the file list).
+                    continue
+                plo = lo[1] if seq == lo[0] else 0
+                phi = e[1] if seq == e[0] else len(files)
+                for absf, pj in files[plo:phi]:
+                    parts.append(IcebergFilePartition(absf, pj))
+        return parts or [IcebergFilePartition("")]
+
+    # -------------------------------------------------------- reading
+
+    def read(self, partition: IcebergFilePartition):
+        if not partition.abs_path:
+            return iter([])
+        fields = self.fields
+        mapping = self.mapping
+        id_part = self.id_part
+        pvals = json.loads(partition.part_json)
+
+        def batches():
+            pf = pq.ParquetFile(partition.abs_path)
+            arrow_schema = pf.schema_arrow
+            by_id: dict[int, str] = {}
+            for fld in arrow_schema:
+                fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+                if fid is not None:
+                    by_id[int(fid)] = fld.name
+            present = set(arrow_schema.names)
+
+            def footer_name(f) -> str | None:
+                if f["id"] in by_id:
+                    return by_id[f["id"]]
+                for cand in mapping.get(f["id"], [f["name"]]):
+                    if cand in present:
+                        return cand
+                return None
+
+            plan = [(f, footer_name(f), _ARROW_OF[f["type"]])
+                    for f in fields]
+            for rb in pf.iter_batches():
+                n = rb.num_rows
+                cols = []
+                for f, src, at in plan:
+                    if src is not None:
+                        cols.append(
+                            rb.column(rb.schema.get_field_index(src))
+                            .cast(at))
+                        continue
+                    pname = id_part.get(f["id"])
+                    if pname is not None and pname in pvals \
+                            and pvals[pname] is not None:
+                        cols.append(pa.array([pvals[pname]] * n).cast(at))
+                    else:
+                        # pre-evolution file: NULLs, same as the batch read
+                        cols.append(pa.nulls(n, type=at))
+                yield pa.RecordBatch.from_arrays(
+                    cols, names=[f["name"] for f in fields]
+                )
+
+        return batches()
+
+    def commit(self, end: dict) -> None:
+        e = self._norm(end)
+        self._pos = max(self._pos or e, e)
+
+
+class IcebergStreamDataSource(DataSource):
+    """Usage:
+        spark.dataSource.register(IcebergStreamDataSource)
+        spark.readStream.format("iceberg_stream")
+             .option("path", table).load()
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_stream"
+
+    def schema(self):
+        meta = read_metadata(self.options["path"])
+        cur = meta.get("current-schema-id", 0)
+        schema = next(
+            s for s in meta["schemas"] if s.get("schema-id", 0) == cur
+        )
+        return StructType([
+            StructField(f["name"], _spark_type(f["type"]), True)
+            for f in schema["fields"]
+        ])
+
+    def streamReader(self, schema) -> IcebergStreamReader:
+        return IcebergStreamReader(self.options)
+
+
+def stream_iceberg(spark: SparkSession, path: str,
+                   starting_snapshot_id: int | None = None,
+                   skip_rewrites: bool = False,
+                   max_files_per_batch: int | None = None) -> DataFrame:
+    """readStream over an Iceberg table's snapshot history: one micro-batch
+    per range of newly added files, file-parallel Arrow reads. Errors a
+    Python DataSource reader raises in ``__init__`` surface only at stream
+    START, so the wrapper validates eagerly at declaration time."""
+    from .session import ensure_session_confs
+
+    meta = read_metadata(path)
+    if meta.get("format-version", 1) != 2:
+        raise IcebergProtocolError(
+            "streaming requires a format-version 2 table (sequence "
+            "numbers order the commits)"
+        )
+    snaps = _seq_snapshots(meta)
+    if not snaps:
+        raise ValueError(f"{path}: table has no snapshots")
+    if starting_snapshot_id is not None and not any(
+        s["snapshot-id"] == starting_snapshot_id for s in snaps
+    ):
+        raise ValueError(
+            f"starting_snapshot_id {starting_snapshot_id} not in metadata"
+        )
+    ensure_session_confs(spark)
+    spark.dataSource.register(IcebergStreamDataSource)
+    reader = spark.readStream.format("iceberg_stream").option("path", path)
+    if starting_snapshot_id is not None:
+        reader = reader.option(
+            "starting_snapshot_id", str(starting_snapshot_id))
+    if skip_rewrites:
+        reader = reader.option("skip_rewrites", "true")
+    if max_files_per_batch is not None:
+        reader = reader.option(
+            "max_files_per_batch", str(max_files_per_batch))
+    return reader.load()

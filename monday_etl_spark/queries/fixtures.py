@@ -451,6 +451,28 @@ def _iceberg_appended_table(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+@_fixture("iceberg_pipe_base", {"iceberg_stream_pipe"})
+def _iceberg_pipe_base(spark: SparkSession, sf_dir: str) -> str:
+    """A small exported Iceberg table (orders % 32 == 30 — disjoint from
+    the appended fixture's % 16 in (6,7) subsets) that the streaming-pipe
+    query appends into. The pipe MUTATES its sink, so consumers take
+    fresh_copy."""
+    from ..iceberg_export import export_iceberg
+    from ..tableformat import write_versioned
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_pipe_fx_")
+    path = os.path.join(root, "orders_pipe_base")
+    write_versioned(
+        orders.filter(F.col("o_orderkey") % 32 == 30), path,
+        key="o_orderkey", n_buckets=2, stats_cols=["o_totalprice"],
+    )
+    export_iceberg(path)
+    return path
+
+
 @_fixture("minhash_pairs", {"dedup_cluster_resolution"})
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> str:
     """The banded-MinHash candidate pairs (doc_a, doc_b), materialized

@@ -1089,3 +1089,78 @@ def iceberg_append_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderstatus", "n_rows", "total_price")
     )
+
+
+@register(
+    "iceberg_stream_pipe",
+    oracle=f"""
+    SELECT CAST(2 AS INTEGER) AS n_snapshots, CAST(0 AS INTEGER) AS last_txn,
+           o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM orders WHERE o_orderkey % 32 = 30 OR o_orderkey % 16 IN (6, 7)
+    GROUP BY o_orderstatus
+    """,
+    doc="Iceberg table-to-table streaming pipe (r08): the snapshot-tailing "
+        "source (iceberg_source.stream_iceberg — offsets are spec "
+        "sequence numbers + in-snapshot file index, per-file-parallel "
+        "Arrow reads, field-id/name-mapping resolution) drains the "
+        "appended fixture from its first snapshot, and every micro-batch "
+        "appends into a second Iceberg table with (app_id, batch_id) "
+        "stamped into the snapshot summary — the public Flink-sink "
+        "exactly-once pattern. A batch is then RE-DELIVERED with fresh "
+        "producer memory and the summary check skips it: the oracle pins "
+        "n_snapshots=2 (base export + ONE drain commit, none for the "
+        "replay), last_txn=0, and per-status aggregates equal to the "
+        "plain union restatement (a duplicate would double counts AND "
+        "bump n_snapshots). Stream state lives entirely in the two "
+        "tables' metadata. Reference scope: streamed rows readable by "
+        "any client, monday_etl_automated.py:571-590.",
+)
+def iceberg_stream_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import money_sum
+    from ..iceberg_import import (
+        append_iceberg,
+        iceberg_history,
+        last_iceberg_txn,
+        read_iceberg_table,
+    )
+    from ..iceberg_source import stream_iceberg
+    from .fixtures import fresh_copy, shared
+
+    source = shared(spark, sf_dir, "iceberg_appended_table")
+    sink = fresh_copy(shared(spark, sf_dir, "iceberg_pipe_base"))
+    first = iceberg_history(source)[0]["snapshot_id"]
+    stream = stream_iceberg(spark, source, starting_snapshot_id=first)
+
+    def handle(batch: DataFrame, bid: int) -> None:
+        append_iceberg(spark, batch, sink,
+                       app_id="orders-pipe", txn_version=bid)
+
+    root = tempfile.mkdtemp(prefix="iceberg_pipe_q_")
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # re-deliver batch 0 with fresh producer memory (the at-least-once
+    # hazard): the snapshot-summary txn check must skip it
+    replay = read_iceberg_table(spark, source)
+    append_iceberg(spark, replay, sink,
+                   app_id="orders-pipe", txn_version=0)
+    n_snapshots = len(iceberg_history(sink))
+    last = last_iceberg_txn(sink, "orders-pipe")
+    return (
+        read_iceberg_table(spark, sink)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            F.lit(n_snapshots).cast("int").alias("n_snapshots"),
+            F.lit(last).cast("int").alias("last_txn"),
+            "o_orderstatus", "n_orders", "total_price",
+        )
+    )

@@ -59,6 +59,7 @@ _EVIDENCE_PRIORITY = [
     "iceberg_export_roundtrip",        # NEW query (Iceberg v2 bridge)
     "iceberg_import_external",         # NEW query (import half, field ids)
     "iceberg_append_pipeline",         # NEW query (append + pruning)
+    "iceberg_stream_pipe",             # NEW query (streaming source+sink)
     # r03-latest evidence (11 rows; newest official driver confirmation is
     # CORRECTNESS_r03.json) — the r07 verdict queued these for refresh.
     "range_join_bucketed", "grouped_zscore_pandas", "approx_distinct_users",
