@@ -203,6 +203,10 @@ _DATA_FILE = {
         {"name": "upper_bounds",
          "type": ["null", _kv_map("k129_v130", 129, 130)],
          "default": None, "field-id": 128},
+        {"name": "equality_ids",
+         "type": ["null", {"type": "array", "items": "int",
+                           "element-id": 136}],
+         "default": None, "field-id": 135},
     ],
 }
 

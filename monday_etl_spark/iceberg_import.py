@@ -39,11 +39,19 @@ Iceberg library required:
   ``v(N+1).metadata.json`` published through the ``tableformat.LogStore``
   conditional-put seam — a lost race raises instead of clobbering.
 
-Loud refusals (``IcebergProtocolError``) for everything the spec says a
-non-implementing reader must not silently ignore: format-version 3, live
-DELETE manifests / delete data files (applying them is not implemented,
-and ignoring them resurrects deleted rows), nested struct/map columns,
-and unsupported Avro codecs.
+**Merge-on-read**: v2 position and equality DELETE files are APPLIED by
+``read_iceberg_table`` (the shape Flink CDC writes constantly) — per-row
+provenance comes from the parquet scan's ``_metadata`` struct (file path
++ row index, JVM-side) and application is broadcast anti-joins under the
+spec's sequence rules (position: ``data_seq <= delete_seq``; equality:
+strict ``<``, NULLs match, partition-scoped unless the delete's tuple is
+empty). Path-level surfaces that cannot carry deletes
+(``iceberg_files_where``, the streaming source) refuse them loudly
+instead.
+
+Loud refusals (``IcebergProtocolError``) for everything else the spec
+says a non-implementing reader must not silently ignore: format-version
+3, nested struct/map columns, and unsupported Avro codecs.
 
 Reference scope: the reference emits open-ecosystem BigQuery tables
 (monday_etl_automated.py:571-590); the two bridge halves give this engine
@@ -236,14 +244,20 @@ def _manifest_paths(meta: dict, snap: dict) -> list[dict]:
     raise IcebergProtocolError("snapshot names no manifests")
 
 
-def _decode_manifest(mpath: str) -> list[tuple]:
+def _decode_manifest(arg, want_bounds: bool = True) -> list[tuple]:
     """One manifest's entries, projected to the tuple shape pruning and
-    scanning need. Runs on executors for large tables — keep it
-    self-contained (only stdlib + avro_ocf)."""
+    scanning need: ``arg`` is a path or ``(path, manifest_sequence)`` —
+    entries with a null sequence number inherit the manifest's (the
+    spec's inheritance rule). Runs on executors for large tables — keep
+    it self-contained (only stdlib + avro_ocf). Scan planning passes
+    ``want_bounds=False``: the bounds blobs dominate entry size and a
+    million-file table's driver should not hold them when only paths,
+    partitions, and sequence numbers are needed."""
     import base64
 
     from .avro_ocf import read_ocf as _read
 
+    mpath, mseq = arg if isinstance(arg, tuple) else (arg, 0)
     _, _, entries = _read(_from_uri(mpath))
     out = []
     for e in entries:
@@ -253,9 +267,10 @@ def _decode_manifest(mpath: str) -> list[tuple]:
                 str(kv["key"]): base64.b64encode(kv["value"]).decode()
                 for kv in (d.get(f"{side}_bounds") or [])
                 if kv.get("value") is not None
-            })
+            }) if want_bounds else "{}"
             for side in ("lower", "upper")
         }
+        seq = e.get("sequence_number")
         out.append((
             int(e.get("status", 1)),
             d.get("file_path"),
@@ -265,11 +280,14 @@ def _decode_manifest(mpath: str) -> list[tuple]:
             json.dumps(d.get("partition") or {}, default=str),
             b64["lower"],
             b64["upper"],
+            int(seq if seq is not None else mseq),
+            json.dumps(sorted(d.get("equality_ids") or [])),
         ))
     return out
 
 
-def _live_entries_df(spark: SparkSession, data_manifests: list[str]) -> DataFrame:
+def _live_entries_df(spark: SparkSession,
+                     data_manifests: list[tuple]) -> DataFrame:
     """Live (ADDED/EXISTING) data-file entries as a DataFrame. Small
     manifest sets decode driver-side (no job); larger sets decode on
     EXECUTORS — one task per manifest, exactly how Iceberg's own planning
@@ -277,7 +295,8 @@ def _live_entries_df(spark: SparkSession, data_manifests: list[str]) -> DataFram
     schema = (
         "status int, file_path string, file_format string, "
         "record_count bigint, content int, partition_json string, "
-        "lower_json string, upper_json string"
+        "lower_json string, upper_json string, seq bigint, "
+        "equality_json string"
     )
     if len(data_manifests) <= _DRIVER_DECODE_MAX_MANIFESTS:
         rows = [t for m in data_manifests for t in _decode_manifest(m)]
@@ -292,31 +311,44 @@ def _live_entries_df(spark: SparkSession, data_manifests: list[str]) -> DataFram
     return df.filter(F.col("status").isin(0, 1))
 
 
-def _live_manifest_paths(meta: dict, snap: dict) -> list[str]:
-    """Data-manifest paths for the snapshot, refusing live deletes."""
-    manifests = _manifest_paths(meta, snap)
-    deletes = [m for m in manifests if m.get("content", 0) == 1]
-    for m in deletes:
-        if (m.get("added_files_count", 1) or 0) + (
-            m.get("existing_files_count", 0) or 0
-        ) > 0:
-            raise IcebergProtocolError(
-                f"snapshot carries a live DELETE manifest "
-                f"({os.path.basename(m['manifest_path'])}): this bridge "
-                "does not apply position/equality deletes, and ignoring "
-                "them would resurrect deleted rows. Compact the table "
-                "with its native engine first (rewrite_data_files)."
-            )
-    return [m["manifest_path"] for m in manifests
-            if m.get("content", 0) == 0]
+def _split_manifests(meta: dict, snap: dict) -> tuple[list[tuple], list[tuple]]:
+    """``(data manifests, delete manifests)`` for the snapshot, each as
+    ``(path, manifest_sequence)`` pairs."""
+    data, dele = [], []
+    for m in _manifest_paths(meta, snap):
+        pair = (m["manifest_path"], int(m.get("sequence_number", 0) or 0))
+        if m.get("content", 0) == 1:
+            if (m.get("added_files_count", 1) or 0) + (
+                m.get("existing_files_count", 0) or 0
+            ) > 0:
+                dele.append(pair)
+        else:
+            data.append(pair)
+    return data, dele
+
+
+def _live_manifest_paths(meta: dict, snap: dict) -> list[tuple]:
+    """Data-manifest (path, seq) pairs, refusing live deletes — for
+    callers whose output contract cannot apply them (path-level pruning,
+    the streaming source)."""
+    data, dele = _split_manifests(meta, snap)
+    if dele:
+        raise IcebergProtocolError(
+            f"snapshot carries {len(dele)} live DELETE manifest(s): this "
+            "surface returns file paths, which cannot carry the "
+            "position/equality deletes a correct read must apply — use "
+            "read_iceberg_table (it applies them) or compact with the "
+            "table's native engine (rewrite_data_files)."
+        )
+    return data
 
 
 def _guard_entries(entries: list[tuple]) -> None:
     for t in entries:
-        if t[4] != 0:  # data_file.content: 1/2 are delete files
+        if t[4] != 0:  # data_file.content in a DATA manifest
             raise IcebergProtocolError(
-                f"{t[1]}: data_file content={t[4]} (delete file) — "
-                "delete application is not implemented"
+                f"{t[1]}: delete file (content={t[4]}) inside a data "
+                "manifest — corrupt metadata"
             )
         if t[2] != "PARQUET":
             raise IcebergProtocolError(
@@ -413,8 +445,31 @@ def _footer_has_ids(files: list[str], spark: SparkSession) -> dict[str, bool]:
     return dict(rdd.mapPartitions(lambda it: probe(list(it))).collect())
 
 
+_URI_RE = re.compile(r"^[A-Za-z0-9+.-]+:/+")
+
+
+def _norm_path(p: str) -> str:
+    """Canonical filesystem path for a manifest/delete-file URI so that
+    ``file:/a``, ``file:///a``, and percent-quoted variants all compare
+    equal to Spark's raw ``_metadata.file_path``."""
+    p = urllib.parse.unquote(p)
+    return _URI_RE.sub("/", p)
+
+
+def _meta_cols() -> list:
+    """Per-row provenance for delete application: the scan's normalized
+    file path and parquet row index (Spark's _metadata struct — JVM-side,
+    no Python in the row path)."""
+    return [
+        F.regexp_replace(
+            F.col("_metadata.file_path"), r"^[A-Za-z0-9+.-]+:/+", "/"
+        ).alias("__ice_src"),
+        F.col("_metadata.row_index").alias("__ice_pos"),
+    ]
+
+
 def _read_id_files(spark: SparkSession, files: list[str],
-                   fields: list[dict]) -> DataFrame:
+                   fields: list[dict], with_meta: bool = False) -> DataFrame:
     """ONE scan of every id-stamped file: the requested schema carries
     ``parquet.field.id`` per field and Spark's vectorized reader resolves
     columns by id — renames across the file set cost nothing. The enabling
@@ -428,7 +483,12 @@ def _read_id_files(spark: SparkSession, files: list[str],
         for f in fields
     ])
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    return spark.read.schema(req).parquet(*files)
+    raw = spark.read.schema(req).parquet(*files)
+    if with_meta:
+        return raw.select(
+            *[F.col(f"`{f['name']}`") for f in fields], *_meta_cols()
+        )
+    return raw
 
 
 def _part_lit(value, dt: DataType):
@@ -448,7 +508,8 @@ def _part_lit(value, dt: DataType):
 
 def _read_mapped_files(spark: SparkSession, files_parts: list[tuple],
                        fields: list[dict], mapping: dict[int, list[str]],
-                       id_part: dict[int, str]) -> DataFrame:
+                       id_part: dict[int, str],
+                       with_meta: bool = False) -> DataFrame:
     """Scan of footer-id-less files through the name mapping: each field
     reads as a coalesce over its candidate footer names (a conforming
     table carries each id under at most one name per file). A field with
@@ -473,6 +534,8 @@ def _read_mapped_files(spark: SparkSession, files_parts: list[tuple],
             if pname is not None and pname in pvals:
                 base = F.coalesce(base, _part_lit(pvals[pname], dt))
             exprs.append(base.alias(f["name"]))
+        if with_meta:
+            exprs = exprs + _meta_cols()
         raw = spark.read.schema(StructType(read_fields)).parquet(*files)
         parts.append(raw.select(*exprs))
     out = parts[0]
@@ -492,12 +555,19 @@ def read_iceberg_table(spark: SparkSession, path: str,
     meta = read_metadata(path, metadata_version)
     snap = _select_snapshot(meta, snapshot_id, as_of_ms, ref)
     fields = _schema_for(meta, snap)["fields"]
+    data_mans, del_mans = _split_manifests(meta, snap)
     entries = [
-        t for m in _live_manifest_paths(meta, snap)
-        for t in _decode_manifest(m)
+        t for m in data_mans
+        for t in _decode_manifest(m, want_bounds=False)
         if t[0] in (0, 1)
     ]
     _guard_entries(entries)
+    del_entries = [
+        t for m in del_mans
+        for t in _decode_manifest(m, want_bounds=False)
+        if t[0] in (0, 1)
+    ]
+    with_meta = bool(del_entries)
     if not entries:
         return spark.createDataFrame(
             [], StructType([
@@ -515,16 +585,126 @@ def read_iceberg_table(spark: SparkSession, path: str,
 
     parts = []
     if id_files:
-        parts.append(_read_id_files(spark, id_files, fields))
+        parts.append(_read_id_files(spark, id_files, fields, with_meta))
     if plain:
         parts.append(_read_mapped_files(
             spark, sorted((pj, sorted(fs)) for pj, fs in plain.items()),
             fields, _name_mapping(meta), _identity_sources(meta),
+            with_meta,
         ))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if with_meta:
+        out = _apply_deletes(spark, out, entries, del_entries, fields, meta)
+        out = out.select(*[F.col(f"`{f['name']}`") for f in fields])
     return out
+
+
+def _apply_deletes(spark: SparkSession, df: DataFrame,
+                   entries: list[tuple], del_entries: list[tuple],
+                   fields: list[dict], meta: dict) -> DataFrame:
+    """Merge-on-read: apply the snapshot's position and equality delete
+    files to the scanned rows, per the v2 spec's sequence rules —
+    position deletes hit data files with ``data_seq <= delete_seq``,
+    equality deletes hit ``data_seq < delete_seq`` strictly; equality
+    deletes match NULLs as equal and apply globally when their partition
+    tuple is empty, else within their partition. Everything is JVM-side:
+    per-row provenance comes from the parquet scan's ``_metadata`` struct
+    and application is two broadcast-able anti-joins — the shape that
+    scales to a 100 TB merge-on-read table (the delete side is small by
+    construction; a table whose deletes rival its data needs compaction,
+    which we say loudly is the native engine's job)."""
+    # per-file (normalized path, partition tuple, data sequence number)
+    seq_rows = [(_norm_path(t[1]), t[5], t[8]) for t in entries]
+    seq_df = spark.createDataFrame(
+        seq_rows, "__ice_src string, __ice_part string, __ice_seq bigint"
+    )
+    df = df.join(F.broadcast(seq_df), "__ice_src", "left")
+
+    pos = [t for t in del_entries if t[4] == 1]
+    eqs = [t for t in del_entries if t[4] == 2]
+    other = [t for t in del_entries if t[4] not in (1, 2)]
+    if other:
+        raise IcebergProtocolError(
+            f"delete manifest entry with content={other[0][4]}: unknown "
+            "delete kind"
+        )
+
+    if pos:
+        by_seq: dict[int, list[str]] = {}
+        for t in pos:
+            by_seq.setdefault(t[8], []).append(_from_uri(t[1]))
+        pieces = []
+        for seq in sorted(by_seq):
+            pieces.append(
+                spark.read.schema("file_path string, pos bigint")
+                .parquet(*sorted(by_seq[seq]))
+                .withColumn("__del_seq", F.lit(seq))
+            )
+        pdel = pieces[0]
+        for p in pieces[1:]:
+            pdel = pdel.unionByName(p)
+        pdel = pdel.select(
+            F.regexp_replace(
+                F.col("file_path"), r"^[A-Za-z0-9+.-]+:/+", "/"
+            ).alias("__del_src"),
+            F.col("pos").alias("__del_pos"),
+            "__del_seq",
+        )
+        df = df.join(
+            F.broadcast(pdel),
+            (F.col("__ice_src") == F.col("__del_src"))
+            & (F.col("__ice_pos") == F.col("__del_pos"))
+            & (F.col("__del_seq") >= F.col("__ice_seq")),
+            "left_anti",
+        )
+
+    if eqs:
+        id_of = {f["id"]: f for f in fields}
+        # group delete files sharing (equality ids, partition, sequence):
+        # each group is one read + one null-safe anti-join
+        groups: dict[tuple, list[str]] = {}
+        for t in eqs:
+            groups.setdefault((t[9], t[5], t[8]), []).append(
+                _from_uri(t[1]))
+        for (eq_json, part_json, seq), dfiles in sorted(groups.items()):
+            eq_ids = json.loads(eq_json)
+            missing = [i for i in eq_ids if i not in id_of]
+            if missing:
+                raise IcebergProtocolError(
+                    f"equality delete references field ids {missing} not "
+                    "in the snapshot schema"
+                )
+            sub_fields = [id_of[i] for i in eq_ids]
+            has_ids = _footer_has_ids(sorted(dfiles), spark)
+            dparts = []
+            idf = sorted(f for f, h in has_ids.items() if h)
+            plainf = sorted(f for f, h in has_ids.items() if not h)
+            if idf:
+                dparts.append(_read_id_files(spark, idf, sub_fields))
+            if plainf:
+                dparts.append(_read_mapped_files(
+                    spark, [("{}", plainf)], sub_fields,
+                    _name_mapping(meta), {},
+                ))
+            ddf = dparts[0]
+            for p in dparts[1:]:
+                ddf = ddf.unionByName(p)
+            ddf = ddf.select(*[
+                F.col(f"`{f['name']}`").alias(f"__del_{f['id']}")
+                for f in sub_fields
+            ]).distinct()
+            cond = F.lit(True)
+            for f in sub_fields:
+                cond = cond & F.col(f"`{f['name']}`").eqNullSafe(
+                    F.col(f"__del_{f['id']}"))
+            cond = cond & (F.lit(seq) > F.col("__ice_seq"))
+            if part_json != "{}":
+                cond = cond & (F.col("__ice_part") == F.lit(part_json))
+            df = df.join(F.broadcast(ddf), cond, "left_anti")
+
+    return df
 
 
 # --------------------------------------------------------- stats pruning

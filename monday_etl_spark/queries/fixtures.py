@@ -451,6 +451,139 @@ def _iceberg_appended_table(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+@_fixture("iceberg_mor_table", {"iceberg_merge_on_read"})
+def _iceberg_mor_table(spark: SparkSession, sf_dir: str) -> str:
+    """A v2 merge-on-read table the way Flink CDC writes one: a sorted
+    orders subset at sequence 1, a POSITION delete (the file's first 7
+    rows) and an EQUALITY delete (keys % 64 == 26, on field id 1) at
+    sequence 2, and a re-insert of the equality-deleted keys at sequence
+    3 (strictly-less sequencing must let them survive). Deterministic
+    function of sf_dir."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..avro_ocf import write_ocf
+    from ..iceberg_export import _MANIFEST_ENTRY, _MANIFEST_FILE
+
+    orders = (
+        _load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(F.col("o_orderkey") % 16 == 10)
+        .orderBy("o_orderkey")
+        .toPandas()
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_mor_fx_")
+    path = os.path.join(root, "orders_mor")
+    data_dir = os.path.join(path, "data")
+    meta_dir = os.path.join(path, "metadata")
+    os.makedirs(data_dir)
+    os.makedirs(meta_dir)
+
+    fields = [
+        pa.field("o_orderkey", pa.int64(),
+                 metadata={b"PARQUET:field_id": b"1"}),
+        pa.field("o_orderstatus", pa.string(),
+                 metadata={b"PARQUET:field_id": b"2"}),
+        pa.field("o_totalprice", pa.float64(),
+                 metadata={b"PARQUET:field_id": b"3"}),
+    ]
+
+    def pa_table(pdf):
+        return pa.Table.from_arrays(
+            [pa.array(pdf["o_orderkey"], pa.int64()),
+             pa.array(pdf["o_orderstatus"], pa.string()),
+             pa.array(pdf["o_totalprice"], pa.float64())],
+            schema=pa.schema(fields),
+        )
+
+    f1 = os.path.join(data_dir, "f1.parquet")
+    pq.write_table(pa_table(orders), f1)
+    reins = orders[orders["o_orderkey"] % 64 == 26]
+    f2 = os.path.join(data_dir, "f2.parquet")
+    pq.write_table(pa_table(reins), f2)
+    pd1 = os.path.join(data_dir, "pd1.parquet")
+    pq.write_table(pa.table({
+        "file_path": pa.array(["file://" + f1] * 7, pa.string()),
+        "pos": pa.array(list(range(7)), pa.int64()),
+    }), pd1)
+    ed1 = os.path.join(data_dir, "ed1.parquet")
+    pq.write_table(pa.Table.from_arrays(
+        [pa.array(reins["o_orderkey"], pa.int64())],
+        schema=pa.schema([fields[0]]),
+    ), ed1)
+
+    schema = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "o_orderkey", "required": False, "type": "long"},
+        {"id": 2, "name": "o_orderstatus", "required": False,
+         "type": "string"},
+        {"id": 3, "name": "o_totalprice", "required": False,
+         "type": "double"},
+    ]}
+
+    def man(name, absf, nrec, seq, content=0, eq=None):
+        p = os.path.join(meta_dir, name)
+        write_ocf(p, _MANIFEST_ENTRY, [{
+            "status": 1, "snapshot_id": 300, "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": content, "file_path": "file://" + absf,
+                "file_format": "PARQUET", "partition": {},
+                "record_count": nrec,
+                "file_size_in_bytes": os.path.getsize(absf),
+                "lower_bounds": None, "upper_bounds": None,
+                "equality_ids": eq,
+            },
+        }], metadata={"schema": json.dumps(schema), "schema-id": "0",
+                      "partition-spec": "[]", "partition-spec-id": "0",
+                      "format-version": "2",
+                      "content": "data" if content == 0 else "deletes"})
+        return p
+
+    m1 = man("d1-m0.avro", f1, len(orders), 1)
+    m2 = man("d2-m0.avro", f2, len(reins), 3)
+    m3 = man("pd-m0.avro", pd1, 7, 2, content=1)
+    m4 = man("ed-m0.avro", ed1, len(reins), 2, content=2, eq=[1])
+    lst = os.path.join(meta_dir, "snap-300-1-mor.avro")
+    write_ocf(lst, _MANIFEST_FILE, [
+        {"manifest_path": "file://" + m, "manifest_length":
+            os.path.getsize(m), "partition_spec_id": 0, "content": c,
+         "sequence_number": s, "min_sequence_number": s,
+         "added_snapshot_id": 300, "added_files_count": 1,
+         "existing_files_count": 0, "deleted_files_count": 0,
+         "added_rows_count": 1, "existing_rows_count": 0,
+         "deleted_rows_count": 0, "partitions": None}
+        for m, c, s in [(m1, 0, 1), (m2, 0, 3), (m3, 1, 2), (m4, 1, 2)]
+    ], metadata={"format-version": "2", "snapshot-id": "300",
+                 "sequence-number": "3", "parent-snapshot-id": "null"})
+    meta = {
+        "format-version": 2, "table-uuid": "1" * 32,
+        "location": "file://" + path, "last-sequence-number": 3,
+        "last-updated-ms": 3000, "last-column-id": 3,
+        "current-schema-id": 0, "schemas": [schema],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999, "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": 300,
+        "refs": {"main": {"snapshot-id": 300, "type": "branch"}},
+        "snapshots": [{"snapshot-id": 300, "sequence-number": 3,
+                       "timestamp-ms": 3000,
+                       "manifest-list": "file://" + lst,
+                       "schema-id": 0,
+                       "summary": {"operation": "overwrite"}}],
+        "snapshot-log": [{"snapshot-id": 300, "timestamp-ms": 3000}],
+        "metadata-log": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return path
+
+
 @_fixture("iceberg_pipe_base", {"iceberg_stream_pipe"})
 def _iceberg_pipe_base(spark: SparkSession, sf_dir: str) -> str:
     """A small exported Iceberg table (orders % 32 == 30 — disjoint from

@@ -1164,3 +1164,53 @@ def iceberg_stream_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus", "n_orders", "total_price",
         )
     )
+
+
+@register(
+    "iceberg_merge_on_read",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 16 = 10
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM base
+    ), live AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM ranked WHERE rn > 7 AND o_orderkey % 64 <> 26
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM base WHERE o_orderkey % 64 = 26
+    )
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM live GROUP BY o_orderstatus
+    """,
+    doc="Iceberg v2 MERGE-ON-READ (r08): a table shaped the way Flink CDC "
+        "writes one — a sorted orders subset at sequence 1, a POSITION "
+        "delete file (the data file's first 7 row positions) and an "
+        "EQUALITY delete file (keys % 64 == 26, equality field id 1) at "
+        "sequence 2, and a re-insert of those keys at sequence 3. "
+        "read_iceberg_table applies both delete kinds per the spec's "
+        "sequence rules: per-row provenance from the parquet scan's "
+        "_metadata struct (file path + row index, JVM-side), position "
+        "deletes as an anti-join at data_seq <= delete_seq, equality "
+        "deletes as a null-safe anti-join at strictly data_seq < "
+        "delete_seq — so the re-inserted keys SURVIVE. Oracle: the "
+        "rank-window + key-mod relational restatement. Reference scope: "
+        "open-ecosystem tables as in monday_etl_automated.py:571-590.",
+)
+def iceberg_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import money_sum
+    from ..iceberg_import import read_iceberg_table
+    from .fixtures import shared
+
+    path = shared(spark, sf_dir, "iceberg_mor_table")
+    df = read_iceberg_table(spark, path)
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select("o_orderstatus", "n_orders", "total_price")
+    )

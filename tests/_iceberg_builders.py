@@ -30,7 +30,7 @@ def write_data_file(path, names, ids, cols, types=None):
 
 
 def entry(abs_path, nrec, snapshot_id, partition=None, bounds=None,
-          content=0, status=1):
+          content=0, status=1, seq=1, equality_ids=None):
     lower = upper = None
     if bounds:
         lower = [{"key": k, "value": struct.pack("<q", lo)}
@@ -39,7 +39,7 @@ def entry(abs_path, nrec, snapshot_id, partition=None, bounds=None,
                  for k, (_lo, hi) in bounds.items()]
     return {
         "status": status, "snapshot_id": snapshot_id,
-        "sequence_number": 1, "file_sequence_number": 1,
+        "sequence_number": seq, "file_sequence_number": seq,
         "data_file": {
             "content": content,
             "file_path": "file://" + abs_path,
@@ -48,6 +48,7 @@ def entry(abs_path, nrec, snapshot_id, partition=None, bounds=None,
             "record_count": nrec,
             "file_size_in_bytes": os.path.getsize(abs_path),
             "lower_bounds": lower, "upper_bounds": upper,
+            "equality_ids": equality_ids,
         },
     }
 
@@ -92,6 +93,30 @@ def manifest_list(meta_dir, snapshot_id, manifest_paths, nrows,
         for m in manifest_paths
     ], metadata={"format-version": "2", "snapshot-id": str(snapshot_id),
                  "sequence-number": str(sequence_number),
+                 "parent-snapshot-id": "null"})
+    return p
+
+
+def manifest_list_mixed(meta_dir, snapshot_id, items):
+    """A manifest list with per-manifest content/sequence:
+    ``items = [(manifest_path, content, sequence_number)]`` — the shape a
+    merge-on-read writer produces (data manifests + delete manifests in
+    one snapshot)."""
+    p = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro")
+    write_ocf(p, _MANIFEST_FILE, [
+        {"manifest_path": "file://" + m,
+         "manifest_length": os.path.getsize(m),
+         "partition_spec_id": 0, "content": content,
+         "sequence_number": seq, "min_sequence_number": seq,
+         "added_snapshot_id": snapshot_id,
+         "added_files_count": 1, "existing_files_count": 0,
+         "deleted_files_count": 0, "added_rows_count": 1,
+         "existing_rows_count": 0, "deleted_rows_count": 0,
+         "partitions": None}
+        for m, content, seq in items
+    ], metadata={"format-version": "2", "snapshot-id": str(snapshot_id),
+                 "sequence-number": str(max(s for _m, _c, s in items)),
                  "parent-snapshot-id": "null"})
     return p
 

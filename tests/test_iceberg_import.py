@@ -182,37 +182,87 @@ def test_migrated_hive_partition_injection(spark, tmp_path):
     assert _rows(got) == [("EU", 7), ("EU", 8), ("US", 9)]
 
 
-def test_delete_manifest_and_v3_refusals(spark, tmp_path):
-    path = str(tmp_path / "del")
+def _merge_on_read_table(spark, tmp_path):
+    """A v2 merge-on-read table the way Flink CDC writes one: a data file
+    at seq 1 (one NULL id row included), a position-delete + an
+    equality-delete file at seq 2, and a re-insert data file at seq 3
+    whose key the equality delete must NOT touch (strict data_seq <
+    delete_seq)."""
+    import pyarrow as pa
+
+    path = str(tmp_path / "mor")
     meta_dir = os.path.join(path, "metadata")
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir)
     os.makedirs(meta_dir)
-    f1 = _write_data_file(os.path.join(data_dir, "f1.parquet"),
-                          ["id"], [1], [[1]])
+    schema = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "v", "required": False, "type": "long"},
+    ]}
+    f1 = _write_data_file(
+        os.path.join(data_dir, "f1.parquet"), ["id", "v"], [1, 2],
+        [[1, 2, 3, 4, None], [10, 20, 30, 40, 50]],
+    )
+    f2 = _write_data_file(
+        os.path.join(data_dir, "f2.parquet"), ["id", "v"], [1, 2],
+        [[3], [333]],
+    )
+    # position delete: row 0 of f1 (id=1); file_path as manifests spell it
+    pd1 = os.path.join(data_dir, "pd1.parquet")
+    import pyarrow.parquet as _pq
+
+    _pq.write_table(pa.table({
+        "file_path": pa.array(["file://" + f1], pa.string()),
+        "pos": pa.array([0], pa.int64()),
+    }), pd1)
+    # equality delete on field id 1: id=3 and id IS NULL
+    ed1 = _write_data_file(
+        os.path.join(data_dir, "ed1.parquet"), ["id"], [1], [[3, None]],
+    )
+    m_d1 = _manifest(meta_dir, [_entry(f1, 5, 100, seq=1)], schema)
+    m_d2 = _manifest(meta_dir, [_entry(f2, 1, 300, seq=3)], schema)
+    m_pd = _manifest(
+        meta_dir, [_entry(pd1, 1, 200, seq=2, content=1)], schema)
+    m_ed = _manifest(
+        meta_dir,
+        [_entry(ed1, 2, 200, seq=2, content=2, equality_ids=[1])],
+        schema)
+    from tests._iceberg_builders import manifest_list_mixed
+
+    lst = manifest_list_mixed(
+        meta_dir, 300,
+        [(m_d1, 0, 1), (m_d2, 0, 3), (m_pd, 1, 2), (m_ed, 1, 2)],
+    )
+    snaps = [{"snapshot-id": 300, "sequence-number": 3,
+              "timestamp-ms": 3000, "manifest-list": "file://" + lst,
+              "schema-id": 0, "summary": {"operation": "overwrite"}}]
+    _metadata(path, [schema], snaps,
+              [{"snapshot-id": 300, "timestamp-ms": 3000}], current=300)
+    return path
+
+
+def test_merge_on_read_deletes_applied(spark, tmp_path):
+    path = _merge_on_read_table(spark, tmp_path)
+    got = read_iceberg_table(spark, path)
+    assert got.columns == ["id", "v"]
+    # f1: pos-delete kills (1,10); eq-delete kills id=3 and the NULL row
+    # (NULLs match, data_seq 1 < delete_seq 2); f2's re-inserted id=3 at
+    # data_seq 3 survives the seq-2 equality delete (strictly-less rule)
+    assert _rows(got) == [(2, 20), (3, 333), (4, 40)]
+
+
+def test_path_level_surfaces_refuse_live_deletes(spark, tmp_path):
+    path = _merge_on_read_table(spark, tmp_path)
+    with pytest.raises(IcebergProtocolError, match="DELETE manifest"):
+        iceberg_files_where(spark, path, "id", 0, 100)
+
+
+def test_v3_refused(spark, tmp_path):
     schema = {"type": "struct", "schema-id": 0, "fields": [
         {"id": 1, "name": "id", "required": False, "type": "long"}]}
-    m = _manifest(meta_dir, [_entry(f1, 1, 400)], schema)
-    # manifest list marks a second, DELETE-content manifest as live
-    lst = _manifest_list(meta_dir, 400, [m], 1)
-    dl = _manifest_list(meta_dir, 400, [m], 1, content=1)
-    # merge both entries into one list file
-    from monday_etl_spark.avro_ocf import read_ocf
-    _, _, rows1 = read_ocf(lst)
-    _, _, rows2 = read_ocf(dl)
-    both = os.path.join(meta_dir, f"snap-400-1-{uuid.uuid4().hex}.avro")
-    write_ocf(both, _MANIFEST_FILE, rows1 + rows2,
-              metadata={"format-version": "2", "snapshot-id": "400",
-                        "sequence-number": "1",
-                        "parent-snapshot-id": "null"})
     snaps = [{"snapshot-id": 400, "sequence-number": 1,
-              "timestamp-ms": 1000, "manifest-list": "file://" + both,
-              "schema-id": 0, "summary": {"operation": "delete"}}]
-    _metadata(path, [schema], snaps,
-              [{"snapshot-id": 400, "timestamp-ms": 1000}], current=400)
-    with pytest.raises(IcebergProtocolError, match="DELETE manifest"):
-        read_iceberg_table(spark, path)
-
+              "timestamp-ms": 1000, "manifest-list": "file:///nope",
+              "schema-id": 0, "summary": {"operation": "append"}}]
     path3 = str(tmp_path / "v3")
     os.makedirs(os.path.join(path3, "metadata"))
     _metadata(path3, [schema], snaps,
