@@ -782,6 +782,20 @@ _TXN_APP = "monday-etl-txn-app"
 _TXN_VER = "monday-etl-txn-version"
 
 
+def _typed_partition_value(raw: str | None, ice_type: str):
+    """A Hive directory value re-typed for the manifest's partition tuple
+    (dates carry as epoch days, the Avro physical form)."""
+    import datetime
+
+    if raw is None:
+        return None
+    if ice_type in ("int", "long"):
+        return int(raw)
+    if ice_type == "date":
+        return datetime.date.fromisoformat(raw).toordinal() - 719163
+    return raw
+
+
 def last_iceberg_txn(path: str, app_id: str) -> int | None:
     """The highest txn version this ``app_id`` ever committed, from
     snapshot summaries (the public pattern Flink's Iceberg sink uses for
@@ -828,13 +842,19 @@ def append_iceberg(spark: SparkSession, df: DataFrame, path: str,
             "append requires a format-version 2 table (v1 manifests use "
             "the legacy schema this writer does not emit)"
         )
-    if _identity_sources(meta) or any(
-        s.get("fields") for s in meta.get("partition-specs", [])
-        if s.get("spec-id", 0) == meta.get("default-spec-id", 0)
-    ):
+    spec_id = meta.get("default-spec-id", 0)
+    spec_fields = next(
+        (s.get("fields", []) for s in meta.get("partition-specs", [])
+         if s.get("spec-id", 0) == spec_id),
+        [],
+    )
+    non_identity = [f for f in spec_fields
+                    if f.get("transform") != "identity"]
+    if non_identity:
         raise IcebergProtocolError(
-            "append to a partitioned table is not implemented (data files "
-            "must be split per partition tuple)"
+            f"append to a spec with transforms "
+            f"{[f['transform'] for f in non_identity]} is not implemented "
+            "(identity partitioning only)"
         )
     snap_prev = None
     if meta.get("current-snapshot-id") not in (None, -1):
@@ -850,25 +870,69 @@ def append_iceberg(spark: SparkSession, df: DataFrame, path: str,
     typed = df.select(*[
         F.col(f["name"]).cast(_spark_type(f["type"])) for f in fields
     ])
+    by_id = {f["id"]: f for f in fields}
+    part_fields = []  # [(partition field name, schema field, ice type)]
+    for pf_spec in spec_fields:
+        src = by_id.get(pf_spec["source-id"])
+        if src is None:
+            raise IcebergProtocolError(
+                f"partition source id {pf_spec['source-id']} not in schema"
+            )
+        if src["type"] not in ("int", "long", "string", "date"):
+            raise IcebergProtocolError(
+                f"identity partition on type {src['type']!r}: append "
+                "supports int/long/string/date partition columns"
+            )
+        part_fields.append((pf_spec["name"], src, src["type"]))
 
-    # ---- data files (plain Spark parquet write, new unique dir)
+    # ---- data files (Spark parquet write, new unique dir). Identity
+    # partitions route Hive-style: the values live in each manifest
+    # entry's typed partition tuple, and readers re-derive the columns
+    # as identity constants (ours does; iceberg-java's PartitionUtil
+    # constantsMap does the same), which is also the spec's rule for
+    # migrated files.
     token = uuid.uuid4().hex
     data_dir = os.path.join(path, "data", f"append-{token}")
-    typed.write.parquet(data_dir)
-    rel_files = sorted(
-        os.path.join(data_dir, n) for n in os.listdir(data_dir)
-        if n.endswith(".parquet")
-    )
+    writer = typed.write
+    if part_fields:
+        writer = writer.partitionBy(*[src["name"] for _n, src, _t
+                                      in part_fields])
+    writer.parquet(data_dir)
+    rel_files = []  # [(abs path, {partition field name: typed value})]
+    for root_dir, _dirs, names in sorted(os.walk(data_dir)):
+        rel_sub = os.path.relpath(root_dir, data_dir)
+        pv_raw: dict[str, str | None] = {}
+        if rel_sub != ".":
+            for comp in rel_sub.split(os.sep):
+                k, _, v = comp.partition("=")
+                v = urllib.parse.unquote(v)
+                pv_raw[k] = (None if v == "__HIVE_DEFAULT_PARTITION__"
+                             else v)
+        if part_fields and set(pv_raw) != {
+            src["name"] for _n, src, _t in part_fields
+        }:
+            continue  # not a leaf partition directory
+        tuple_vals = {}
+        for pname, src, t in part_fields:
+            raw = pv_raw.get(src["name"])
+            tuple_vals[pname] = _typed_partition_value(raw, t)
+        for name in sorted(names):
+            if name.endswith(".parquet"):
+                rel_files.append(
+                    (os.path.join(root_dir, name), tuple_vals))
 
     seq = int(meta.get("last-sequence-number", 0)) + 1
     snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
-    now_ms = int(os.stat(rel_files[0]).st_mtime * 1000) if rel_files else 0
+    now_ms = (int(os.stat(rel_files[0][0]).st_mtime * 1000)
+              if rel_files else 0)
 
-    # ---- manifest with per-file footer bounds (pruning parity)
+    # ---- manifest with per-file footer bounds (pruning parity); identity
+    # partition values also publish as point bounds so readers data-skip
+    # on the partition column without opening the (column-less) files
     type_of = {f["name"]: f["type"] for f in fields}
     fid = {f["name"]: f["id"] for f in fields}
     entries, total_rows = [], 0
-    for absf in rel_files:
+    for absf, tuple_vals in rel_files:
         pf = pq.ParquetFile(absf)
         nrec = pf.metadata.num_rows
         total_rows += nrec
@@ -887,6 +951,10 @@ def append_iceberg(spark: SparkSession, df: DataFrame, path: str,
                     omn, omx = stats[name]
                     mn, mx = min(omn, mn), max(omx, mx)
                 stats[name] = (mn, mx)
+        for pname, src, t in part_fields:
+            v = tuple_vals.get(pname)
+            if v is not None:
+                stats[src["name"]] = (v, v)
         for name, (mn, mx) in sorted(stats.items()):
             t = type_of.get(name)
             if not isinstance(t, str):
@@ -903,7 +971,7 @@ def append_iceberg(spark: SparkSession, df: DataFrame, path: str,
                 "file_path": "file://" + urllib.parse.quote(
                     absf.replace(os.sep, "/"), safe="/=%-._~"),
                 "file_format": "PARQUET",
-                "partition": {},
+                "partition": dict(tuple_vals),
                 "record_count": nrec,
                 "file_size_in_bytes": os.path.getsize(absf),
                 "lower_bounds": lower or None,
@@ -913,13 +981,29 @@ def append_iceberg(spark: SparkSession, df: DataFrame, path: str,
 
     from .avro_ocf import write_ocf
 
+    man_schema = json.loads(json.dumps(_MANIFEST_ENTRY))
+    if part_fields:
+        avro_of = {"int": "int", "long": "long", "string": "string",
+                   "date": "int"}
+        dfile = next(f for f in man_schema["fields"]
+                     if f["name"] == "data_file")
+        prec = next(f for f in dfile["type"]["fields"]
+                    if f["name"] == "partition")
+        prec["type"]["fields"] = [
+            {"name": pname, "type": ["null", avro_of[t]],
+             "default": None, "field-id": pf_spec["field-id"]}
+            for (pname, _src, t), pf_spec in zip(part_fields, spec_fields)
+        ]
+
     meta_dir = _meta_dir(path)
     manifest_path = os.path.join(meta_dir, f"{token}-m0.avro")
     write_ocf(
-        manifest_path, _MANIFEST_ENTRY, entries,
+        manifest_path, man_schema, entries,
         metadata={
-            "schema": json.dumps(schema), "schema-id": "0",
-            "partition-spec": "[]", "partition-spec-id": "0",
+            "schema": json.dumps(schema),
+            "schema-id": str(schema.get("schema-id", 0)),
+            "partition-spec": json.dumps(spec_fields),
+            "partition-spec-id": str(spec_id),
             "format-version": "2", "content": "data",
         },
     )
@@ -929,7 +1013,7 @@ def append_iceberg(spark: SparkSession, df: DataFrame, path: str,
     new_entry = {
         "manifest_path": "file://" + manifest_path.replace(os.sep, "/"),
         "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": 0, "content": 0,
+        "partition_spec_id": spec_id, "content": 0,
         "sequence_number": seq, "min_sequence_number": seq,
         "added_snapshot_id": snapshot_id,
         "added_files_count": len(entries), "existing_files_count": 0,

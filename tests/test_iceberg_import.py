@@ -329,3 +329,60 @@ def test_append_roundtrip_and_race(spark, tmp_path):
             append_iceberg(spark, more, path)
     finally:
         set_log_store(prev)
+
+
+def test_partitioned_append_identity(spark, tmp_path):
+    """Appending to an identity-partitioned external table routes files
+    per partition tuple: values live in the manifest's typed partition
+    record (not the data files — the constants rule readers re-derive
+    by), and publish as point bounds so partition-column pruning works
+    without opening the files."""
+    path = str(tmp_path / "part")
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir)
+    os.makedirs(meta_dir)
+    schema = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "region", "required": False, "type": "string"},
+        {"id": 2, "name": "v", "required": False, "type": "long"},
+    ]}
+    spec = [{"spec-id": 0, "fields": [
+        {"name": "region", "transform": "identity",
+         "source-id": 1, "field-id": 1000},
+    ]}]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fa = os.path.join(data_dir, "a.parquet")
+    pq.write_table(pa.table({"v": pa.array([1], pa.int64())}), fa)
+    m = _manifest(meta_dir, [_entry(fa, 1, 100,
+                                    partition={"region": "EU"})],
+                  schema, partition={"region": "string"})
+    lst = _manifest_list(meta_dir, 100, [m], 1)
+    snaps = [{"snapshot-id": 100, "sequence-number": 1,
+              "timestamp-ms": 1000, "manifest-list": "file://" + lst,
+              "schema-id": 0, "summary": {"operation": "append"}}]
+    _metadata(path, [schema], snaps,
+              [{"snapshot-id": 100, "timestamp-ms": 1000}],
+              current=100, specs=spec,
+              props={"schema.name-mapping.default": json.dumps([
+                  {"field-id": 1, "names": ["region"]},
+                  {"field-id": 2, "names": ["v"]},
+              ])})
+
+    more = spark.createDataFrame(
+        [("EU", 2), ("US", 3), ("AP", 4)], "region string, v long")
+    append_iceberg(spark, more, path)
+    got = read_iceberg_table(spark, path)
+    assert _rows(got) == [("AP", 4), ("EU", 1), ("EU", 2), ("US", 3)]
+    # pruning on the partition column via its point bounds: only the
+    # appended US file survives (the pre-existing file has no bounds and
+    # is conservatively kept)
+    keep, total = iceberg_files_where(spark, path, "region", "US", "US")
+    assert total == 4 and len(keep) == 2
+    # data files must NOT physically contain the partition column
+    appended = [k for k in keep if "append-" in k]
+    assert appended and all(
+        "region" not in pq.ParquetFile(k).schema_arrow.names
+        for k in appended
+    )
