@@ -544,29 +544,13 @@ def _read_mapped_files(spark: SparkSession, files_parts: list[tuple],
     return out
 
 
-def read_iceberg_table(spark: SparkSession, path: str,
-                       snapshot_id: int | None = None,
-                       as_of_ms: int | None = None,
-                       metadata_version: int | None = None,
-                       ref: str | None = None) -> DataFrame:
-    """Materialize an Iceberg table another engine wrote (current
-    snapshot, or time travel by ``snapshot_id`` / ``as_of_ms`` / a named
-    branch or tag ``ref``)."""
-    meta = read_metadata(path, metadata_version)
-    snap = _select_snapshot(meta, snapshot_id, as_of_ms, ref)
-    fields = _schema_for(meta, snap)["fields"]
-    data_mans, del_mans = _split_manifests(meta, snap)
-    entries = [
-        t for m in data_mans
-        for t in _decode_manifest(m, want_bounds=False)
-        if t[0] in (0, 1)
-    ]
+def _assemble_read(spark: SparkSession, meta: dict, fields: list[dict],
+                   entries: list[tuple],
+                   del_entries: list[tuple]) -> DataFrame:
+    """The common scan assembly: group live entries by footer-id presence
+    (one native-fieldId scan + one name-mapped scan at most), apply any
+    delete files, and surface the logical schema."""
     _guard_entries(entries)
-    del_entries = [
-        t for m in del_mans
-        for t in _decode_manifest(m, want_bounds=False)
-        if t[0] in (0, 1)
-    ]
     with_meta = bool(del_entries)
     if not entries:
         return spark.createDataFrame(
@@ -599,6 +583,31 @@ def read_iceberg_table(spark: SparkSession, path: str,
         out = _apply_deletes(spark, out, entries, del_entries, fields, meta)
         out = out.select(*[F.col(f"`{f['name']}`") for f in fields])
     return out
+
+
+def read_iceberg_table(spark: SparkSession, path: str,
+                       snapshot_id: int | None = None,
+                       as_of_ms: int | None = None,
+                       metadata_version: int | None = None,
+                       ref: str | None = None) -> DataFrame:
+    """Materialize an Iceberg table another engine wrote (current
+    snapshot, or time travel by ``snapshot_id`` / ``as_of_ms`` / a named
+    branch or tag ``ref``)."""
+    meta = read_metadata(path, metadata_version)
+    snap = _select_snapshot(meta, snapshot_id, as_of_ms, ref)
+    fields = _schema_for(meta, snap)["fields"]
+    data_mans, del_mans = _split_manifests(meta, snap)
+    entries = [
+        t for m in data_mans
+        for t in _decode_manifest(m, want_bounds=False)
+        if t[0] in (0, 1)
+    ]
+    del_entries = [
+        t for m in del_mans
+        for t in _decode_manifest(m, want_bounds=False)
+        if t[0] in (0, 1)
+    ]
+    return _assemble_read(spark, meta, fields, entries, del_entries)
 
 
 def _apply_deletes(spark: SparkSession, df: DataFrame,
@@ -726,53 +735,97 @@ def _decode_bound(raw: bytes, ice_type: str):
     return None
 
 
-def iceberg_files_where(spark: SparkSession, path: str, column: str,
-                        lo, hi, snapshot_id: int | None = None
-                        ) -> tuple[list[str], int]:
-    """``(surviving file paths, total live files)`` for ``lo <= column <=
-    hi``, decided from manifest bounds BEFORE any data scan. Entries decode
-    distributed for large manifest sets; only paths return to the driver.
-    Files without bounds for the column are conservatively kept."""
+def _entry_survives(t: tuple, key: str, ice_type: str | None,
+                    lo, hi) -> bool:
+    """Bounds check for one decoded entry tuple (conservative keep when
+    bounds are absent or the type does not participate)."""
     import base64
 
-    meta = read_metadata(path)
-    snap = _select_snapshot(meta, snapshot_id, None)
-    fields = _schema_for(meta, snap)["fields"]
+    if ice_type is None:
+        return True
+    lows, ups = json.loads(t[6] or "{}"), json.loads(t[7] or "{}")
+    if key not in lows or key not in ups:
+        return True
+    mn = _decode_bound(base64.b64decode(lows[key]), ice_type)
+    mx = _decode_bound(base64.b64decode(ups[key]), ice_type)
+    if mn is None or mx is None:
+        return True
+    return not (mx < lo or mn > hi)
+
+
+def _pruned_entries(spark: SparkSession, meta: dict, snap: dict,
+                    fields: list[dict], column: str, lo, hi,
+                    data_mans: list[tuple]) -> tuple[list[tuple], int]:
+    """``(surviving live entry tuples, total live files)`` for
+    ``lo <= column <= hi`` from manifest bounds. Small manifest sets
+    decide driver-side (no Spark job); larger sets decode and decide on
+    EXECUTORS, returning only survivors to the driver."""
     fld = next((f for f in fields if f["name"] == column), None)
     if fld is None:
         raise ValueError(f"column {column!r} not in table schema")
     ice_type = fld["type"] if isinstance(fld["type"], str) else None
-    entries = _live_entries_df(
-        spark, _live_manifest_paths(meta, snap)
-    ).select("file_path", "lower_json", "upper_json")
-
     key = str(fld["id"])
 
-    @F.pandas_udf("boolean")
-    def survives(lower_json, upper_json):
-        import pandas as pd
+    if len(data_mans) <= _DRIVER_DECODE_MAX_MANIFESTS:
+        live = [t for m in data_mans for t in _decode_manifest(m)
+                if t[0] in (0, 1)]
+        keep = [t for t in live
+                if _entry_survives(t, key, ice_type, lo, hi)]
+        return keep, len(live)
 
-        def one(lj, uj):
-            if ice_type is None:
-                return True
-            lows = json.loads(lj or "{}")
-            ups = json.loads(uj or "{}")
-            if key not in lows or key not in ups:
-                return True  # no bounds recorded: cannot prune
-            mn = _decode_bound(base64.b64decode(lows[key]), ice_type)
-            mx = _decode_bound(base64.b64decode(ups[key]), ice_type)
-            if mn is None or mx is None:
-                return True
-            return not (mx < lo or mn > hi)
+    surv = _entry_survives  # bind for the closure
 
-        return pd.Series([one(lj, uj)
-                          for lj, uj in zip(lower_json, upper_json)])
+    def decide(arg):
+        return [t for t in _decode_manifest(arg)
+                if t[0] in (0, 1) and surv(t, key, ice_type, lo, hi)]
 
-    flagged = entries.withColumn(
-        "keep", survives("lower_json", "upper_json")
-    ).select("file_path", "keep").collect()
-    keep = sorted(_from_uri(r["file_path"]) for r in flagged if r["keep"])
-    return keep, len(flagged)
+    rdd = (spark.sparkContext
+           .parallelize(data_mans, len(data_mans))
+           .flatMap(decide))
+    kept = rdd.collect()
+    total = int(
+        _live_entries_df(spark, data_mans).count()
+    )
+    return [tuple(t) for t in kept], total
+
+
+def iceberg_files_where(spark: SparkSession, path: str, column: str,
+                        lo, hi, snapshot_id: int | None = None
+                        ) -> tuple[list[str], int]:
+    """``(surviving file paths, total live files)`` for ``lo <= column <=
+    hi``, decided from manifest bounds BEFORE any data scan. Refuses
+    tables with live delete files — paths alone cannot carry them; use
+    :func:`read_iceberg_where`, which applies them."""
+    meta = read_metadata(path)
+    snap = _select_snapshot(meta, snapshot_id, None)
+    fields = _schema_for(meta, snap)["fields"]
+    data_mans = _live_manifest_paths(meta, snap)
+    keep, total = _pruned_entries(
+        spark, meta, snap, fields, column, lo, hi, data_mans)
+    return sorted(_from_uri(t[1]) for t in keep), total
+
+
+def read_iceberg_where(spark: SparkSession, path: str, column: str,
+                       lo, hi,
+                       snapshot_id: int | None = None) -> DataFrame:
+    """Range read with manifest-side data skipping: only bounds-matching
+    files reach the scan (through the same field-id / name-mapping
+    resolution and delete application as the full read — a pruned-away
+    data file's deletes no-op by construction), and the exact predicate
+    still applies on top."""
+    meta = read_metadata(path)
+    snap = _select_snapshot(meta, snapshot_id, None)
+    fields = _schema_for(meta, snap)["fields"]
+    data_mans, del_mans = _split_manifests(meta, snap)
+    keep, _total = _pruned_entries(
+        spark, meta, snap, fields, column, lo, hi, data_mans)
+    del_entries = [
+        t for m in del_mans
+        for t in _decode_manifest(m, want_bounds=False)
+        if t[0] in (0, 1)
+    ]
+    df = _assemble_read(spark, meta, fields, keep, del_entries)
+    return df.filter(F.col(f"`{column}`").between(lo, hi))
 
 
 # ------------------------------------------------------------------ append
@@ -807,6 +860,87 @@ def last_iceberg_txn(path: str, app_id: str) -> int | None:
             v = int(summ[_TXN_VER])
             best = v if best is None else max(best, v)
     return best
+
+
+def expire_iceberg_snapshots(path: str, keep_last: int = 1,
+                             older_than_ms: int | None = None) -> int:
+    """Expire old snapshots (Iceberg's ``expireSnapshots`` maintenance):
+    keep the newest ``keep_last`` (and, when ``older_than_ms`` is given,
+    everything at or after it), plus every snapshot a branch/tag ref
+    pins. Commits the trimmed metadata as ``v(N+1)`` through the
+    conditional-put seam and deletes the storage only an expired snapshot
+    can reach: its manifest LIST always (unique per snapshot), and any
+    manifest file no retained snapshot references. Data files are never
+    deleted here — retained manifests may share them; full data-file GC
+    needs the reachability sweep a native engine's remove-orphan-files
+    runs. Returns the new metadata version (or the current one when
+    nothing expires)."""
+    versions = metadata_versions(path)
+    cur_v = max(versions)
+    meta = read_metadata(path, cur_v)
+    snaps = sorted(
+        meta.get("snapshots", []),
+        key=lambda s: (s.get("sequence-number", 0),
+                       s.get("timestamp-ms", 0)),
+    )
+    if not snaps:
+        return cur_v
+    pinned = {r["snapshot-id"] for r in (meta.get("refs") or {}).values()}
+    pinned.add(meta.get("current-snapshot-id"))
+    retain = set(s["snapshot-id"] for s in snaps[-max(1, keep_last):])
+    if older_than_ms is not None:
+        retain |= {s["snapshot-id"] for s in snaps
+                   if s.get("timestamp-ms", 0) >= older_than_ms}
+    retain |= pinned
+    expired = [s for s in snaps if s["snapshot-id"] not in retain]
+    if not expired:
+        return cur_v
+
+    newmeta = json.loads(json.dumps(meta))
+    newmeta["snapshots"] = [s for s in snaps
+                            if s["snapshot-id"] in retain]
+    newmeta["snapshot-log"] = [
+        e for e in meta.get("snapshot-log", [])
+        if e["snapshot-id"] in retain
+    ]
+    newmeta.setdefault("metadata-log", []).append({
+        "timestamp-ms": int(meta.get("last-updated-ms", 0)),
+        "metadata-file": "file://" + versions[cur_v].replace(os.sep, "/"),
+    })
+    new_v = cur_v + 1
+    final = os.path.join(_meta_dir(path), f"v{new_v}.metadata.json")
+    try:
+        _tf._LOG_STORE.put_if_absent(final, json.dumps(newmeta, indent=2))
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"{final}: another writer committed metadata version {new_v} "
+            "first; re-read the table and retry the expiry"
+        ) from None
+    hint = os.path.join(_meta_dir(path), "version-hint.text")
+    tmp = f"{hint}.{os.getpid()}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(new_v))
+    os.replace(tmp, hint)
+
+    # storage only the expired snapshots reach: their manifest lists, and
+    # manifests no retained snapshot references
+    kept_manifests = {
+        m["manifest_path"]
+        for s in newmeta["snapshots"]
+        for m in _manifest_paths(meta, s)
+    }
+    for s in expired:
+        dead = []
+        if s.get("manifest-list"):
+            dead.append(s["manifest-list"])
+        for m in _manifest_paths(meta, s):
+            if m["manifest_path"] not in kept_manifests:
+                dead.append(m["manifest_path"])
+        for uri in dead:
+            p = _from_uri(uri)
+            if os.path.exists(p):
+                os.unlink(p)
+    return new_v
 
 
 def append_iceberg(spark: SparkSession, df: DataFrame, path: str,

@@ -386,3 +386,41 @@ def test_partitioned_append_identity(spark, tmp_path):
         "region" not in pq.ParquetFile(k).schema_arrow.names
         for k in appended
     )
+
+
+def test_read_where_prunes_and_applies_deletes(spark, tmp_path):
+    """read_iceberg_where routes pruned entries through the same
+    resolution + delete application as the full read: bounds skip files,
+    the surviving rows still lose their deleted positions/keys, and the
+    residual predicate applies."""
+    from monday_etl_spark.iceberg_import import read_iceberg_where
+
+    path = _merge_on_read_table(spark, tmp_path)
+    # full-range where == full read (deletes applied in both)
+    got = read_iceberg_where(spark, path, "id", 0, 100)
+    assert _rows(got) == [(2, 20), (3, 333), (4, 40)]
+    # narrow range: residual filter on top of the delete-applied rows
+    got2 = read_iceberg_where(spark, path, "id", 3, 3)
+    assert _rows(got2) == [(3, 333)]
+
+
+def test_read_where_skips_files_by_bounds(spark, tmp_path):
+    from monday_etl_spark.iceberg_import import read_iceberg_where
+
+    path = str(tmp_path / "app2")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id bigint, v double")
+    write_versioned(df, path, key="id", n_buckets=2, stats_cols=["id"])
+    export_iceberg(path)
+    more = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000, 1400)], "id bigint, v double"
+    ).repartitionByRange(4, "id")
+    append_iceberg(spark, more, path)
+    got = read_iceberg_where(spark, path, "id", 1000, 1050)
+    assert _rows(got) == _rows(more.filter("id between 1000 and 1050"))
+    # the plan's input files must exclude the bounds-pruned appended files
+    keep, total = iceberg_files_where(spark, path, "id", 1000, 1050)
+    assert len(keep) < total
+    from monday_etl_spark.iceberg_import import _norm_path
+
+    assert sorted(_norm_path(f) for f in got.inputFiles()) == keep

@@ -225,3 +225,76 @@ def test_sink_exactly_once_under_checkpoint_reset(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "c3"),
     )
     assert out3.count() == 26
+
+
+def test_expire_snapshots_and_stream_refusal(spark, tmp_path):
+    from monday_etl_spark.iceberg_import import expire_iceberg_snapshots
+
+    path = _mk_table(spark, tmp_path)
+    for i in range(3):
+        append_iceberg(
+            spark, spark.createDataFrame([(900 + i, float(i))], _SCHEMA),
+            path)
+    assert len(read_metadata(path)["snapshots"]) == 4
+    # pin the second snapshot with a tag: expiry must keep it
+    meta_dir = os.path.join(path, "metadata")
+    import glob as _glob
+
+    vfile = sorted(_glob.glob(os.path.join(meta_dir, "v*.metadata.json")))[-1]
+    meta = json.load(open(vfile))
+    snaps = sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
+    pinned = snaps[1]["snapshot-id"]
+    first = snaps[0]["snapshot-id"]
+    meta["refs"]["keepme"] = {"snapshot-id": pinned, "type": "tag"}
+    json.dump(meta, open(vfile, "w"))
+
+    new_v = expire_iceberg_snapshots(path, keep_last=2)
+    meta2 = read_metadata(path)
+    ids = {s["snapshot-id"] for s in meta2["snapshots"]}
+    assert pinned in ids and first not in ids and len(ids) == 3
+    # current reads unaffected; expired snapshot unreachable
+    assert read_iceberg_table(spark, path).count() == 13
+    assert read_iceberg_table(spark, path, ref="keepme").count() == 11
+    with pytest.raises(ValueError, match="not in table metadata"):
+        read_iceberg_table(spark, path, snapshot_id=first)
+    # the expired snapshot's manifest list is gone from storage
+    old_snap = next(s for s in snaps if s["snapshot-id"] == first)
+    from monday_etl_spark.iceberg_import import _from_uri
+
+    assert not os.path.exists(_from_uri(old_snap["manifest-list"]))
+    # a retained starting point still streams fine after expiry (the
+    # pinned snapshot's own adds included)
+    got: list = []
+    _drain(spark, path, str(tmp_path / "ck"), got,
+           starting_snapshot_id=pinned)
+    assert sorted(got) == [(900, 0.0), (901, 1.0), (902, 2.0)]
+    assert new_v == max(
+        int(os.path.basename(f)[1:].split(".")[0])
+        for f in _glob.glob(os.path.join(meta_dir, "v*.metadata.json")))
+
+
+def test_stream_checkpoint_below_retained_history_refuses(spark, tmp_path):
+    """A checkpoint stranded below the oldest retained snapshot (capped
+    drain, then aggressive expiry) refuses loudly instead of silently
+    skipping the expired commits' rows."""
+    from monday_etl_spark.iceberg_import import expire_iceberg_snapshots
+
+    path = _mk_table(spark, tmp_path)
+    for i in range(3):
+        append_iceberg(
+            spark, spark.createDataFrame([(700 + i, float(i))], _SCHEMA),
+            path)
+    meta = read_metadata(path)
+    first = min(meta["snapshots"], key=lambda s: s["sequence-number"])
+    got: list = []
+    ckpt = str(tmp_path / "ck")
+    # bounded drain: the checkpoint lands mid-history
+    _drain(spark, path, ckpt, got,
+           starting_snapshot_id=first["snapshot-id"],
+           max_files_per_batch=1)
+    assert 0 < len(got) < 13
+    expire_iceberg_snapshots(path, keep_last=1)
+    # restart WITHOUT the starting option: the checkpoint's committed
+    # offset drives the resume and lands below the retained history
+    with pytest.raises(Exception, match="expired"):
+        _drain(spark, path, ckpt, got, max_files_per_batch=1)
