@@ -60,6 +60,8 @@ SHOWCASE = {
     "distinct_count_sketch": "mergeable HLL: partial+final sketch agg per group; global = hll_union_agg over 3 sketch rows, no second fact scan",
     "leakage_safe_split": "near-dup CC clusters -> one md5 band per cluster: split decided without materializing pairwise edges twice",
     "sql_correlated_subquery": "correlated scalar subquery DECORRELATED: one per-part aggregate + one join, no per-row re-execution",
+    "iceberg_import_external": "foreign id-stamped files in ONE native-fieldId scan — renames cost nothing, no Python in the row path",
+    "iceberg_merge_on_read": "merge-on-read: _metadata row provenance + two broadcast anti-joins (pos/eq deletes), data side never shuffles",
 }
 
 
