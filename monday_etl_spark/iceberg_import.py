@@ -546,18 +546,24 @@ def _read_mapped_files(spark: SparkSession, files_parts: list[tuple],
 
 def _assemble_read(spark: SparkSession, meta: dict, fields: list[dict],
                    entries: list[tuple],
-                   del_entries: list[tuple]) -> DataFrame:
+                   del_entries: list[tuple],
+                   keep_meta: bool = False) -> DataFrame:
     """The common scan assembly: group live entries by footer-id presence
     (one native-fieldId scan + one name-mapped scan at most), apply any
-    delete files, and surface the logical schema."""
+    delete files, and surface the logical schema. ``keep_meta`` keeps the
+    per-row provenance columns (``__ice_src``, ``__ice_pos``) — the
+    delete writer needs them."""
     _guard_entries(entries)
-    with_meta = bool(del_entries)
+    with_meta = bool(del_entries) or keep_meta
     if not entries:
+        extra = ([StructField("__ice_src", StringType(), True),
+                  StructField("__ice_pos", LongType(), True)]
+                 if keep_meta else [])
         return spark.createDataFrame(
             [], StructType([
                 StructField(f["name"], _spark_type(f["type"]), True)
                 for f in fields
-            ])
+            ] + extra)
         )
     files = {_from_uri(t[1]): t for t in entries}
     has_ids = _footer_has_ids(sorted(files), spark)
@@ -580,8 +586,13 @@ def _assemble_read(spark: SparkSession, meta: dict, fields: list[dict],
     for p in parts[1:]:
         out = out.unionByName(p)
     if with_meta:
-        out = _apply_deletes(spark, out, entries, del_entries, fields, meta)
-        out = out.select(*[F.col(f"`{f['name']}`") for f in fields])
+        if del_entries:
+            out = _apply_deletes(spark, out, entries, del_entries,
+                                 fields, meta)
+        keep = [F.col(f"`{f['name']}`") for f in fields]
+        if keep_meta:
+            keep += [F.col("__ice_src"), F.col("__ice_pos")]
+        out = out.select(*keep)
     return out
 
 
@@ -849,6 +860,193 @@ def _typed_partition_value(raw: str | None, ice_type: str):
     return raw
 
 
+def _resolve_part_fields(spec_fields: list[dict],
+                         fields: list[dict]) -> list[tuple]:
+    """[(partition field name, source schema field, ice type)] for the
+    identity spec fields this writer supports."""
+    by_id = {f["id"]: f for f in fields}
+    out = []
+    for pf_spec in spec_fields:
+        src = by_id.get(pf_spec["source-id"])
+        if src is None:
+            raise IcebergProtocolError(
+                f"partition source id {pf_spec['source-id']} not in schema"
+            )
+        if src["type"] not in ("int", "long", "string", "date"):
+            raise IcebergProtocolError(
+                f"identity partition on type {src['type']!r}: this writer "
+                "supports int/long/string/date partition columns"
+            )
+        out.append((pf_spec["name"], src, src["type"]))
+    return out
+
+
+def _write_data_files(typed: DataFrame, path: str, part_fields: list,
+                      prefix: str) -> list[tuple]:
+    """Write the rows as parquet under a fresh unique directory (identity
+    partitions route Hive-style — the values live in each manifest
+    entry's typed partition tuple, and readers re-derive the columns as
+    identity constants: ours does; iceberg-java's PartitionUtil
+    constantsMap does the same, which is also the spec's rule for
+    migrated files). Returns [(abs path, {partition field: typed value})]."""
+    data_dir = os.path.join(path, "data", prefix)
+    writer = typed.write
+    if part_fields:
+        writer = writer.partitionBy(*[src["name"] for _n, src, _t
+                                      in part_fields])
+    writer.parquet(data_dir)
+    rel_files = []
+    for root_dir, _dirs, names in sorted(os.walk(data_dir)):
+        rel_sub = os.path.relpath(root_dir, data_dir)
+        pv_raw: dict[str, str | None] = {}
+        if rel_sub != ".":
+            for comp in rel_sub.split(os.sep):
+                k, _, v = comp.partition("=")
+                v = urllib.parse.unquote(v)
+                pv_raw[k] = (None if v == "__HIVE_DEFAULT_PARTITION__"
+                             else v)
+        if part_fields and set(pv_raw) != {
+            src["name"] for _n, src, _t in part_fields
+        }:
+            continue  # not a leaf partition directory
+        tuple_vals = {}
+        for pname, src, t in part_fields:
+            raw = pv_raw.get(src["name"])
+            tuple_vals[pname] = _typed_partition_value(raw, t)
+        for name in sorted(names):
+            if name.endswith(".parquet"):
+                rel_files.append(
+                    (os.path.join(root_dir, name), tuple_vals))
+    return rel_files
+
+
+def _data_manifest(path: str, rel_files: list[tuple], fields: list[dict],
+                   part_fields: list, spec_fields: list[dict],
+                   spec_id: int, schema: dict, seq: int,
+                   snapshot_id: int, token: str,
+                   content: int = 0) -> tuple[str, int, int]:
+    """Write one Avro manifest for freshly written files, with per-file
+    footer bounds (pruning parity); identity partition values also
+    publish as point bounds so readers data-skip on the partition column
+    without opening the (column-less) files. Returns
+    ``(manifest path, n entries, total rows)``."""
+    import pyarrow.parquet as pq
+
+    from .avro_ocf import write_ocf
+
+    type_of = {f["name"]: f["type"] for f in fields}
+    fid = {f["name"]: f["id"] for f in fields}
+    entries, total_rows = [], 0
+    for absf, tuple_vals in rel_files:
+        pf = pq.ParquetFile(absf)
+        nrec = pf.metadata.num_rows
+        total_rows += nrec
+        lower, upper = [], []
+        stats: dict[str, tuple] = {}
+        for rg in range(pf.metadata.num_row_groups):
+            grp = pf.metadata.row_group(rg)
+            for ci in range(grp.num_columns):
+                col = grp.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                name = col.path_in_schema
+                mn, mx = st.min, st.max
+                if name in stats:
+                    omn, omx = stats[name]
+                    mn, mx = min(omn, mn), max(omx, mx)
+                stats[name] = (mn, mx)
+        for pname, src, t in part_fields:
+            v = tuple_vals.get(pname)
+            if v is not None:
+                stats[src["name"]] = (v, v)
+        for name, (mn, mx) in sorted(stats.items()):
+            t = type_of.get(name)
+            if not isinstance(t, str):
+                continue
+            lo_b, hi_b = _bound_bytes(mn, t), _bound_bytes(mx, t)
+            if lo_b is not None and hi_b is not None:
+                lower.append({"key": fid[name], "value": lo_b})
+                upper.append({"key": fid[name], "value": hi_b})
+        entries.append({
+            "status": 1, "snapshot_id": snapshot_id,
+            "sequence_number": seq, "file_sequence_number": seq,
+            "data_file": {
+                "content": content,
+                "file_path": "file://" + urllib.parse.quote(
+                    absf.replace(os.sep, "/"), safe="/=%-._~"),
+                "file_format": "PARQUET",
+                "partition": dict(tuple_vals),
+                "record_count": nrec,
+                "file_size_in_bytes": os.path.getsize(absf),
+                "lower_bounds": lower or None,
+                "upper_bounds": upper or None,
+            },
+        })
+
+    man_schema = json.loads(json.dumps(_MANIFEST_ENTRY))
+    if part_fields:
+        avro_of = {"int": "int", "long": "long", "string": "string",
+                   "date": "int"}
+        dfile = next(f for f in man_schema["fields"]
+                     if f["name"] == "data_file")
+        prec = next(f for f in dfile["type"]["fields"]
+                    if f["name"] == "partition")
+        prec["type"]["fields"] = [
+            {"name": pname, "type": ["null", avro_of[t]],
+             "default": None, "field-id": pf_spec["field-id"]}
+            for (pname, _src, t), pf_spec in zip(part_fields, spec_fields)
+        ]
+
+    manifest_path = os.path.join(_meta_dir(path), f"{token}-m0.avro")
+    write_ocf(
+        manifest_path, man_schema, entries,
+        metadata={
+            "schema": json.dumps(schema),
+            "schema-id": str(schema.get("schema-id", 0)),
+            "partition-spec": json.dumps(spec_fields),
+            "partition-spec-id": str(spec_id),
+            "format-version": "2",
+            "content": "data" if content == 0 else "deletes",
+        },
+    )
+    return manifest_path, len(entries), total_rows
+
+
+def _manifest_list_record(manifest_path: str, spec_id: int, content: int,
+                          seq: int, snapshot_id: int, n_added: int,
+                          n_rows: int, n_deleted_rows: int = 0) -> dict:
+    return {
+        "manifest_path": "file://" + manifest_path.replace(os.sep, "/"),
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": spec_id, "content": content,
+        "sequence_number": seq, "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": n_added, "existing_files_count": 0,
+        "deleted_files_count": 0, "added_rows_count": n_rows,
+        "existing_rows_count": 0, "deleted_rows_count": n_deleted_rows,
+        "partitions": None,
+    }
+
+
+def _write_manifest_list(path: str, snapshot_id: int, seq: int,
+                         token: str, records: list[dict],
+                         parent_id: int | None) -> str:
+    from .avro_ocf import write_ocf
+    from .iceberg_export import _MANIFEST_FILE
+
+    list_path = os.path.join(
+        _meta_dir(path), f"snap-{snapshot_id}-1-{token}.avro")
+    write_ocf(
+        list_path, _MANIFEST_FILE, records,
+        metadata={"format-version": "2", "snapshot-id": str(snapshot_id),
+                  "sequence-number": str(seq),
+                  "parent-snapshot-id": str(parent_id)
+                  if parent_id is not None else "null"},
+    )
+    return list_path
+
+
 def last_iceberg_txn(path: str, app_id: str) -> int | None:
     """The highest txn version this ``app_id`` ever committed, from
     snapshot summaries (the public pattern Flink's Iceberg sink uses for
@@ -1004,170 +1202,130 @@ def append_iceberg(spark: SparkSession, df: DataFrame, path: str,
     typed = df.select(*[
         F.col(f["name"]).cast(_spark_type(f["type"])) for f in fields
     ])
-    by_id = {f["id"]: f for f in fields}
-    part_fields = []  # [(partition field name, schema field, ice type)]
-    for pf_spec in spec_fields:
-        src = by_id.get(pf_spec["source-id"])
-        if src is None:
-            raise IcebergProtocolError(
-                f"partition source id {pf_spec['source-id']} not in schema"
-            )
-        if src["type"] not in ("int", "long", "string", "date"):
-            raise IcebergProtocolError(
-                f"identity partition on type {src['type']!r}: append "
-                "supports int/long/string/date partition columns"
-            )
-        part_fields.append((pf_spec["name"], src, src["type"]))
+    part_fields = _resolve_part_fields(spec_fields, fields)
 
-    # ---- data files (Spark parquet write, new unique dir). Identity
-    # partitions route Hive-style: the values live in each manifest
-    # entry's typed partition tuple, and readers re-derive the columns
-    # as identity constants (ours does; iceberg-java's PartitionUtil
-    # constantsMap does the same), which is also the spec's rule for
-    # migrated files.
     token = uuid.uuid4().hex
-    data_dir = os.path.join(path, "data", f"append-{token}")
-    writer = typed.write
-    if part_fields:
-        writer = writer.partitionBy(*[src["name"] for _n, src, _t
-                                      in part_fields])
-    writer.parquet(data_dir)
-    rel_files = []  # [(abs path, {partition field name: typed value})]
-    for root_dir, _dirs, names in sorted(os.walk(data_dir)):
-        rel_sub = os.path.relpath(root_dir, data_dir)
-        pv_raw: dict[str, str | None] = {}
-        if rel_sub != ".":
-            for comp in rel_sub.split(os.sep):
-                k, _, v = comp.partition("=")
-                v = urllib.parse.unquote(v)
-                pv_raw[k] = (None if v == "__HIVE_DEFAULT_PARTITION__"
-                             else v)
-        if part_fields and set(pv_raw) != {
-            src["name"] for _n, src, _t in part_fields
-        }:
-            continue  # not a leaf partition directory
-        tuple_vals = {}
-        for pname, src, t in part_fields:
-            raw = pv_raw.get(src["name"])
-            tuple_vals[pname] = _typed_partition_value(raw, t)
-        for name in sorted(names):
-            if name.endswith(".parquet"):
-                rel_files.append(
-                    (os.path.join(root_dir, name), tuple_vals))
+    rel_files = _write_data_files(typed, path, part_fields,
+                                  f"append-{token}")
 
     seq = int(meta.get("last-sequence-number", 0)) + 1
     snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
     now_ms = (int(os.stat(rel_files[0][0]).st_mtime * 1000)
               if rel_files else 0)
 
-    # ---- manifest with per-file footer bounds (pruning parity); identity
-    # partition values also publish as point bounds so readers data-skip
-    # on the partition column without opening the (column-less) files
-    type_of = {f["name"]: f["type"] for f in fields}
-    fid = {f["name"]: f["id"] for f in fields}
-    entries, total_rows = [], 0
-    for absf, tuple_vals in rel_files:
-        pf = pq.ParquetFile(absf)
-        nrec = pf.metadata.num_rows
-        total_rows += nrec
-        lower, upper = [], []
-        stats: dict[str, tuple] = {}
-        for rg in range(pf.metadata.num_row_groups):
-            grp = pf.metadata.row_group(rg)
-            for ci in range(grp.num_columns):
-                col = grp.column(ci)
-                st = col.statistics
-                if st is None or not st.has_min_max:
-                    continue
-                name = col.path_in_schema
-                mn, mx = st.min, st.max
-                if name in stats:
-                    omn, omx = stats[name]
-                    mn, mx = min(omn, mn), max(omx, mx)
-                stats[name] = (mn, mx)
-        for pname, src, t in part_fields:
-            v = tuple_vals.get(pname)
-            if v is not None:
-                stats[src["name"]] = (v, v)
-        for name, (mn, mx) in sorted(stats.items()):
-            t = type_of.get(name)
-            if not isinstance(t, str):
-                continue
-            lo_b, hi_b = _bound_bytes(mn, t), _bound_bytes(mx, t)
-            if lo_b is not None and hi_b is not None:
-                lower.append({"key": fid[name], "value": lo_b})
-                upper.append({"key": fid[name], "value": hi_b})
-        entries.append({
-            "status": 1, "snapshot_id": snapshot_id,
-            "sequence_number": seq, "file_sequence_number": seq,
-            "data_file": {
-                "content": 0,
-                "file_path": "file://" + urllib.parse.quote(
-                    absf.replace(os.sep, "/"), safe="/=%-._~"),
-                "file_format": "PARQUET",
-                "partition": dict(tuple_vals),
-                "record_count": nrec,
-                "file_size_in_bytes": os.path.getsize(absf),
-                "lower_bounds": lower or None,
-                "upper_bounds": upper or None,
-            },
-        })
-
-    from .avro_ocf import write_ocf
-
-    man_schema = json.loads(json.dumps(_MANIFEST_ENTRY))
-    if part_fields:
-        avro_of = {"int": "int", "long": "long", "string": "string",
-                   "date": "int"}
-        dfile = next(f for f in man_schema["fields"]
-                     if f["name"] == "data_file")
-        prec = next(f for f in dfile["type"]["fields"]
-                    if f["name"] == "partition")
-        prec["type"]["fields"] = [
-            {"name": pname, "type": ["null", avro_of[t]],
-             "default": None, "field-id": pf_spec["field-id"]}
-            for (pname, _src, t), pf_spec in zip(part_fields, spec_fields)
-        ]
-
-    meta_dir = _meta_dir(path)
-    manifest_path = os.path.join(meta_dir, f"{token}-m0.avro")
-    write_ocf(
-        manifest_path, man_schema, entries,
-        metadata={
-            "schema": json.dumps(schema),
-            "schema-id": str(schema.get("schema-id", 0)),
-            "partition-spec": json.dumps(spec_fields),
-            "partition-spec-id": str(spec_id),
-            "format-version": "2", "content": "data",
-        },
-    )
+    manifest_path, n_entries, total_rows = _data_manifest(
+        path, rel_files, fields, part_fields, spec_fields, spec_id,
+        schema, seq, snapshot_id, token)
 
     # ---- manifest list: prior snapshot's manifests carried + the new one
     carried = _manifest_paths(meta, snap_prev) if snap_prev else []
-    new_entry = {
-        "manifest_path": "file://" + manifest_path.replace(os.sep, "/"),
-        "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": spec_id, "content": 0,
-        "sequence_number": seq, "min_sequence_number": seq,
-        "added_snapshot_id": snapshot_id,
-        "added_files_count": len(entries), "existing_files_count": 0,
-        "deleted_files_count": 0, "added_rows_count": total_rows,
-        "existing_rows_count": 0, "deleted_rows_count": 0,
-        "partitions": None,
-    }
-    list_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{token}.avro")
-    from .iceberg_export import _MANIFEST_FILE
-
-    write_ocf(
-        list_path, _MANIFEST_FILE, carried + [new_entry],
-        metadata={"format-version": "2", "snapshot-id": str(snapshot_id),
-                  "sequence-number": str(seq),
-                  "parent-snapshot-id": str(
-                      snap_prev["snapshot-id"]) if snap_prev else "null"},
-    )
+    new_entry = _manifest_list_record(
+        manifest_path, spec_id, 0, seq, snapshot_id, n_entries, total_rows)
+    list_path = _write_manifest_list(
+        path, snapshot_id, seq, token, carried + [new_entry],
+        snap_prev["snapshot-id"] if snap_prev else None)
 
     # ---- new metadata, committed via the conditional-put seam
     newmeta = json.loads(json.dumps(meta))  # deep copy
+    _ensure_name_mapping(newmeta, fields)
+    return _commit_snapshot(
+        path, newmeta, versions[cur_v], snapshot_id, seq, now_ms,
+        list_path,
+        {"operation": "append",
+         "added-data-files": str(n_entries),
+         "added-records": str(total_rows),
+         **({_TXN_APP: app_id, _TXN_VER: str(txn_version)}
+            if app_id is not None else {})},
+        schema.get("schema-id", 0),
+        snap_prev["snapshot-id"] if snap_prev else None,
+    )
+
+
+def delete_iceberg_where(spark: SparkSession, path: str, column: str,
+                         lo, hi) -> int:
+    """DELETE WHERE ``lo <= column <= hi`` without rewriting any data: a
+    merge-on-read commit that writes POSITION delete files (the spec's
+    content=1 shape, sorted by file path then position) naming exactly
+    the matching rows — provenance comes from the scan's ``_metadata``
+    struct, deletes already in force are respected (a row deleted twice
+    is named once), and the new snapshot carries every prior manifest
+    plus the delete manifest. Returns the new metadata version (current
+    one when nothing matches). A table that accumulates many delete
+    files wants :func:`compact_iceberg` afterwards."""
+    versions = metadata_versions(path)
+    cur_v = max(versions)
+    meta = read_metadata(path, cur_v)
+    if meta.get("format-version", 1) != 2:
+        raise IcebergProtocolError(
+            "delete requires a format-version 2 table (v1 has no "
+            "delete files)"
+        )
+    snap = _select_snapshot(meta, None, None)
+    fields = _schema_for(meta, snap)["fields"]
+    if column not in {f["name"] for f in fields}:
+        raise ValueError(f"column {column!r} not in table schema")
+    data_mans, del_mans = _split_manifests(meta, snap)
+    entries = [t for m in data_mans
+               for t in _decode_manifest(m, want_bounds=False)
+               if t[0] in (0, 1)]
+    del_entries = [t for m in del_mans
+                   for t in _decode_manifest(m, want_bounds=False)
+                   if t[0] in (0, 1)]
+    df = _assemble_read(spark, meta, fields, entries, del_entries,
+                        keep_meta=True)
+    hits = (df.filter(F.col(f"`{column}`").between(lo, hi))
+            .select("__ice_src", "__ice_pos"))
+    # map the normalized provenance path back to the manifest's URI
+    # spelling (delete files must name data files as the manifests do)
+    uri_df = spark.createDataFrame(
+        [(_norm_path(t[1]), t[1]) for t in entries],
+        "__ice_src string, file_path string",
+    )
+    pos = (hits.join(F.broadcast(uri_df), "__ice_src")
+           .select("file_path", F.col("__ice_pos").alias("pos"))
+           .repartition(1)
+           .sortWithinPartitions("file_path", "pos"))
+    token = uuid.uuid4().hex
+    out_dir = os.path.join(path, "data", f"delete-{token}")
+    pos.write.parquet(out_dir)
+    del_files = [(os.path.join(out_dir, n), {})
+                 for n in sorted(os.listdir(out_dir))
+                 if n.endswith(".parquet")]
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
+    man_path, n_files, n_positions = _data_manifest(
+        path, del_files, fields, [], [], 0, _schema_for(meta, snap),
+        seq, snapshot_id, token, content=1)
+    if n_positions == 0:
+        import shutil
+
+        os.unlink(man_path)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return cur_v  # nothing matched: no commit
+    carried = _manifest_paths(meta, snap)
+    del_rec = _manifest_list_record(
+        man_path, 0, 1, seq, snapshot_id, n_files, 0,
+        n_deleted_rows=n_positions)
+    list_path = _write_manifest_list(
+        path, snapshot_id, seq, token, carried + [del_rec],
+        snap["snapshot-id"])
+    now_ms = int(os.stat(del_files[0][0]).st_mtime * 1000)
+    newmeta = json.loads(json.dumps(meta))
+    return _commit_snapshot(
+        path, newmeta, versions[cur_v], snapshot_id, seq, now_ms,
+        list_path,
+        {"operation": "delete",
+         "added-delete-files": str(n_files),
+         "added-position-deletes": str(n_positions)},
+        _schema_for(meta, snap).get("schema-id", 0),
+        snap["snapshot-id"],
+    )
+
+
+def _ensure_name_mapping(newmeta: dict, fields: list[dict]) -> None:
+    """Extend ``schema.name-mapping.default`` to cover every current
+    column name — Spark-written files carry no footer ids, so compliant
+    readers resolve them through the mapping."""
     props = newmeta.setdefault("properties", {})
     mapping = json.loads(props.get("schema.name-mapping.default", "[]"))
     by_id = {m.get("field-id"): m for m in mapping}
@@ -1178,6 +1336,198 @@ def append_iceberg(spark: SparkSession, df: DataFrame, path: str,
         elif f["name"] not in m.get("names", []):
             m.setdefault("names", []).append(f["name"])
     props["schema.name-mapping.default"] = json.dumps(mapping)
+
+
+def upsert_iceberg(spark: SparkSession, df: DataFrame, path: str,
+                   key, app_id: str | None = None,
+                   txn_version: int | None = None) -> int:
+    """MERGE by key, merge-on-read style: ONE snapshot that equality-
+    deletes the incoming keys from every prior file AND appends the
+    incoming rows — the shape Flink's CDC sink commits per checkpoint.
+    The spec's sequencing makes the single snapshot sound: the equality
+    delete and the new data files share a sequence number, and equality
+    deletes apply only to STRICTLY older data, so prior versions of a
+    key vanish while the incoming row survives. Incoming duplicates are
+    kept as-is (dedup within the batch is the producer's contract, as in
+    Flink's upsert mode). Unpartitioned and identity-partitioned tables
+    (the delete is a global equality delete, which our reader and the
+    spec scope to the whole table). Supports the same ``app_id`` /
+    ``txn_version`` exactly-once stamps as append."""
+    keys = [key] if isinstance(key, str) else list(key)
+    if (app_id is None) != (txn_version is None):
+        raise ValueError("app_id and txn_version must be given together")
+    versions = metadata_versions(path)
+    cur_v = max(versions)
+    meta = read_metadata(path, cur_v)
+    if app_id is not None:
+        prev = last_iceberg_txn(path, app_id)
+        if prev is not None and prev >= txn_version:
+            return cur_v  # replayed batch
+    if meta.get("format-version", 1) != 2:
+        raise IcebergProtocolError("upsert requires a v2 table")
+    snap = _select_snapshot(meta, None, None)
+    schema = _schema_for(meta, snap)
+    fields = schema["fields"]
+    by_name = {f["name"]: f for f in fields}
+    for k in keys:
+        if k not in by_name:
+            raise ValueError(f"key column {k!r} not in table schema")
+        if not isinstance(by_name[k]["type"], str):
+            raise IcebergProtocolError(
+                f"key column {k!r}: nested types cannot carry an "
+                "equality delete"
+            )
+    want = [f["name"] for f in fields]
+    if sorted(df.columns) != sorted(want):
+        raise ValueError(
+            f"upsert columns {sorted(df.columns)} != table schema "
+            f"{sorted(want)}"
+        )
+    spec_id = meta.get("default-spec-id", 0)
+    spec_fields = next(
+        (s.get("fields", []) for s in meta.get("partition-specs", [])
+         if s.get("spec-id", 0) == spec_id),
+        [],
+    )
+    part_fields = _resolve_part_fields(spec_fields, fields)
+    typed = df.select(*[
+        F.col(f["name"]).cast(_spark_type(f["type"])) for f in fields
+    ])
+
+    token = uuid.uuid4().hex
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
+
+    # equality-delete file: the incoming keys, one consolidated file
+    key_fields = [by_name[k] for k in keys]
+    del_dir = os.path.join(path, "data", f"upsert-del-{token}")
+    (typed.select(*[F.col(f"`{k}`") for k in keys]).distinct()
+     .repartition(1).write.parquet(del_dir))
+    del_files = [(os.path.join(del_dir, n), {})
+                 for n in sorted(os.listdir(del_dir))
+                 if n.endswith(".parquet")]
+    del_man, n_del_files, n_del_keys = _data_manifest(
+        path, del_files, key_fields, [], [], 0, schema,
+        seq, snapshot_id, f"{token}-del", content=2)
+    # stamp the equality ids into the manifest entries (the writer above
+    # emits data_file records; patch content=2 entries with equality_ids)
+    _patch_equality_ids(del_man, [f["id"] for f in key_fields], schema)
+
+    rel_files = _write_data_files(typed, path, part_fields,
+                                  f"upsert-{token}")
+    data_man, n_files, total_rows = _data_manifest(
+        path, rel_files, fields, part_fields, spec_fields, spec_id,
+        schema, seq, snapshot_id, token)
+
+    carried = _manifest_paths(meta, snap)
+    records = carried + [
+        _manifest_list_record(del_man, 0, 1, seq, snapshot_id,
+                              n_del_files, 0, n_deleted_rows=n_del_keys),
+        _manifest_list_record(data_man, spec_id, 0, seq, snapshot_id,
+                              n_files, total_rows),
+    ]
+    list_path = _write_manifest_list(
+        path, snapshot_id, seq, token, records, snap["snapshot-id"])
+    now_ms = (int(os.stat(rel_files[0][0]).st_mtime * 1000)
+              if rel_files else 0)
+    newmeta = json.loads(json.dumps(meta))
+    _ensure_name_mapping(newmeta, fields)
+    return _commit_snapshot(
+        path, newmeta, versions[cur_v], snapshot_id, seq, now_ms,
+        list_path,
+        {"operation": "overwrite",
+         "added-data-files": str(n_files),
+         "added-records": str(total_rows),
+         "added-equality-deletes": str(n_del_keys),
+         **({_TXN_APP: app_id, _TXN_VER: str(txn_version)}
+            if app_id is not None else {})},
+        schema.get("schema-id", 0),
+        snap["snapshot-id"],
+    )
+
+
+def _patch_equality_ids(man_path: str, eq_ids: list[int],
+                        schema: dict) -> None:
+    """Rewrite a freshly written delete manifest with ``equality_ids``
+    stamped on every entry (the writer's shared entry builder emits the
+    data-file shape)."""
+    from .avro_ocf import read_ocf, write_ocf
+
+    sch, meta_kv, entries = read_ocf(man_path)
+    for e in entries:
+        e["data_file"]["equality_ids"] = list(eq_ids)
+    write_ocf(man_path, sch,
+              entries, metadata={
+                  k: v for k, v in meta_kv.items()
+                  if not k.startswith("avro.")
+              })
+
+
+def compact_iceberg(spark: SparkSession, path: str) -> int:
+    """Rewrite the table's live rows (deletes applied) into fresh data
+    files and commit a REPLACE snapshot referencing only them — the
+    merge-on-read lifecycle's compaction step (Iceberg's
+    rewrite_data_files). Old files stay on disk for time travel until
+    :func:`expire_iceberg_snapshots` drops the snapshots naming them.
+    Readers before/after see identical rows; the streaming source skips
+    the replace snapshot under ``skip_rewrites`` (its files carry no new
+    rows)."""
+    versions = metadata_versions(path)
+    cur_v = max(versions)
+    meta = read_metadata(path, cur_v)
+    if meta.get("format-version", 1) != 2:
+        raise IcebergProtocolError("compact requires a v2 table")
+    snap = _select_snapshot(meta, None, None)
+    schema = _schema_for(meta, snap)
+    fields = schema["fields"]
+    spec_id = meta.get("default-spec-id", 0)
+    spec_fields = next(
+        (s.get("fields", []) for s in meta.get("partition-specs", [])
+         if s.get("spec-id", 0) == spec_id),
+        [],
+    )
+    part_fields = _resolve_part_fields(spec_fields, fields)
+
+    live = read_iceberg_table(spark, path)
+    typed = live.select(*[
+        F.col(f"`{f['name']}`").cast(_spark_type(f["type"]))
+        for f in fields
+    ])
+    token = uuid.uuid4().hex
+    rel_files = _write_data_files(typed, path, part_fields,
+                                  f"compact-{token}")
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
+    man_path, n_files, total_rows = _data_manifest(
+        path, rel_files, fields, part_fields, spec_fields, spec_id,
+        schema, seq, snapshot_id, token)
+    rec = _manifest_list_record(
+        man_path, spec_id, 0, seq, snapshot_id, n_files, total_rows)
+    list_path = _write_manifest_list(
+        path, snapshot_id, seq, token, [rec], snap["snapshot-id"])
+    now_ms = (int(os.stat(rel_files[0][0]).st_mtime * 1000)
+              if rel_files else 0)
+    newmeta = json.loads(json.dumps(meta))
+    return _commit_snapshot(
+        path, newmeta, versions[cur_v], snapshot_id, seq, now_ms,
+        list_path,
+        {"operation": "replace",
+         "added-data-files": str(n_files),
+         "added-records": str(total_rows)},
+        schema.get("schema-id", 0),
+        snap["snapshot-id"],
+    )
+
+
+def _commit_snapshot(path: str, newmeta: dict, cur_meta_file: str,
+                     snapshot_id: int, seq: int, now_ms: int,
+                     list_path: str, summary: dict, schema_id: int,
+                     parent_id: int | None) -> int:
+    """Install a new snapshot into ``newmeta`` and publish it as the next
+    metadata version through the LogStore conditional put (one winner per
+    version; losers raise). The shared tail of every write operation —
+    append, delete, compact."""
+    prev_ms = int(newmeta.get("last-updated-ms", 0))
     newmeta["last-sequence-number"] = seq
     newmeta["last-updated-ms"] = now_ms
     newmeta["current-snapshot-id"] = snapshot_id
@@ -1185,35 +1535,32 @@ def append_iceberg(spark: SparkSession, df: DataFrame, path: str,
         "snapshot-id": snapshot_id, "sequence-number": seq,
         "timestamp-ms": now_ms,
         "manifest-list": "file://" + list_path.replace(os.sep, "/"),
-        "summary": {"operation": "append",
-                    "added-data-files": str(len(entries)),
-                    "added-records": str(total_rows),
-                    **({_TXN_APP: app_id, _TXN_VER: str(txn_version)}
-                       if app_id is not None else {})},
-        "schema-id": schema.get("schema-id", 0),
+        "summary": summary,
+        "schema-id": schema_id,
     }
-    if snap_prev:
-        newsnap["parent-snapshot-id"] = snap_prev["snapshot-id"]
+    if parent_id is not None:
+        newsnap["parent-snapshot-id"] = parent_id
     newmeta.setdefault("snapshots", []).append(newsnap)
     newmeta.setdefault("snapshot-log", []).append(
         {"snapshot-id": snapshot_id, "timestamp-ms": now_ms})
     newmeta.setdefault("metadata-log", []).append({
-        "timestamp-ms": int(meta.get("last-updated-ms", 0)),
-        "metadata-file": "file://" + versions[cur_v].replace(os.sep, "/"),
+        "timestamp-ms": prev_ms,
+        "metadata-file": "file://" + cur_meta_file.replace(os.sep, "/"),
     })
     newmeta.setdefault("refs", {})["main"] = {
         "snapshot-id": snapshot_id, "type": "branch"}
 
-    new_v = cur_v + 1
-    final = os.path.join(meta_dir, f"v{new_v}.metadata.json")
+    versions = metadata_versions(path)
+    new_v = max(versions) + 1
+    final = os.path.join(_meta_dir(path), f"v{new_v}.metadata.json")
     try:
         _tf._LOG_STORE.put_if_absent(final, json.dumps(newmeta, indent=2))
     except FileExistsError:
         raise ConcurrentCommitError(
             f"{final}: another writer committed metadata version {new_v} "
-            "first; re-read the table and retry the append"
+            "first; re-read the table and retry the operation"
         ) from None
-    hint = os.path.join(meta_dir, "version-hint.text")
+    hint = os.path.join(_meta_dir(path), "version-hint.text")
     tmp = f"{hint}.{os.getpid()}.tmp"
     with open(tmp, "w") as fh:
         fh.write(str(new_v))

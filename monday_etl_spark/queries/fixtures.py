@@ -584,6 +584,32 @@ def _iceberg_mor_table(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+@_fixture("iceberg_dml_table", {"iceberg_delete_compact"})
+def _iceberg_dml_table(spark: SparkSession, sf_dir: str) -> str:
+    """The merge-on-read WRITE lifecycle, run once per process: an
+    exported orders subset takes a DELETE WHERE (position-delete files —
+    no data rewrite) and then a COMPACT (replace snapshot rewriting the
+    live rows). Deterministic function of sf_dir: the delete predicate is
+    a fixed value range. Consumers only read."""
+    from ..iceberg_export import export_iceberg
+    from ..iceberg_import import compact_iceberg, delete_iceberg_where
+    from ..tableformat import write_versioned
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_dml_fx_")
+    path = os.path.join(root, "orders_dml")
+    write_versioned(
+        orders.filter(F.col("o_orderkey") % 16 == 12), path,
+        key="o_orderkey", n_buckets=4, stats_cols=["o_totalprice"],
+    )
+    export_iceberg(path)
+    delete_iceberg_where(spark, path, "o_totalprice", 0.0, 50000.0)
+    compact_iceberg(spark, path)
+    return path
+
+
 @_fixture("iceberg_pipe_base", {"iceberg_stream_pipe"})
 def _iceberg_pipe_base(spark: SparkSession, sf_dir: str) -> str:
     """A small exported Iceberg table (orders % 32 == 30 — disjoint from

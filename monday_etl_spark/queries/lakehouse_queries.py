@@ -1214,3 +1214,55 @@ def iceberg_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderstatus", "n_orders", "total_price")
     )
+
+
+@register(
+    "iceberg_delete_compact",
+    oracle=f"""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_orderkey % 16 = 12
+      AND NOT (o_totalprice BETWEEN 0 AND 50000)
+    GROUP BY o_orderstatus
+    """,
+    doc="Iceberg merge-on-read WRITE lifecycle (r08): DELETE WHERE on an "
+        "exported orders subset writes POSITION-delete files naming "
+        "exactly the matching rows (provenance from the scan's _metadata "
+        "struct; zero data rewritten), then COMPACT rewrites the live "
+        "rows into fresh files as a replace snapshot. In-query "
+        "assertions pin the snapshot history (append -> delete -> "
+        "replace), that the pre-delete snapshot still time-travels to "
+        "the full subset, and that the delete+compact read equals the "
+        "pre-compact merge-on-read read. Oracle: the subset minus the "
+        "deleted value range. Reference scope: open-ecosystem tables as "
+        "in monday_etl_automated.py:571-590.",
+)
+def iceberg_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import money_sum
+    from ..iceberg_import import iceberg_history, read_iceberg_table
+    from .fixtures import shared
+
+    path = shared(spark, sf_dir, "iceberg_dml_table")
+    hist = iceberg_history(path)
+    ops = [h["operation"] for h in hist]
+    if ops != ["append", "delete", "replace"]:
+        raise AssertionError(f"history wrong: {ops}")
+    df = read_iceberg_table(spark, path)
+    pre_delete = read_iceberg_table(
+        spark, path, snapshot_id=hist[0]["snapshot_id"])
+    mor = read_iceberg_table(
+        spark, path, snapshot_id=hist[1]["snapshot_id"])
+    n_now, n_pre, n_mor = df.count(), pre_delete.count(), mor.count()
+    if not (n_now == n_mor < n_pre):
+        raise AssertionError(
+            f"lifecycle counts wrong: now={n_now} mor={n_mor} pre={n_pre}"
+        )
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select("o_orderstatus", "n_orders", "total_price")
+    )

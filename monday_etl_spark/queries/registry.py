@@ -61,6 +61,7 @@ _EVIDENCE_PRIORITY = [
     "iceberg_append_pipeline",         # NEW query (append + pruning)
     "iceberg_stream_pipe",             # NEW query (streaming source+sink)
     "iceberg_merge_on_read",           # NEW query (v2 delete application)
+    "iceberg_delete_compact",          # NEW query (DML write lifecycle)
     # r03-latest evidence (11 rows; newest official driver confirmation is
     # CORRECTNESS_r03.json) — the r07 verdict queued these for refresh.
     "range_join_bucketed", "grouped_zscore_pandas", "approx_distinct_users",

@@ -424,3 +424,139 @@ def test_read_where_skips_files_by_bounds(spark, tmp_path):
     from monday_etl_spark.iceberg_import import _norm_path
 
     assert sorted(_norm_path(f) for f in got.inputFiles()) == keep
+
+
+def test_delete_where_and_compact_lifecycle(spark, tmp_path):
+    """The full merge-on-read write lifecycle on our own commits:
+    DELETE WHERE writes position-delete files (no data rewrite), reads
+    apply them, time travel still sees the pre-delete rows, COMPACT
+    rewrites the live rows into fresh files (row-identical), and the
+    delete-file overhead disappears from the compacted snapshot."""
+    from monday_etl_spark.iceberg_import import (
+        compact_iceberg,
+        delete_iceberg_where,
+        expire_iceberg_snapshots,
+        iceberg_history,
+    )
+
+    path = str(tmp_path / "dml")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id bigint, v double")
+    write_versioned(df, path, key="id", n_buckets=4, stats_cols=["id"])
+    export_iceberg(path)
+    append_iceberg(spark, spark.createDataFrame(
+        [(i, float(i)) for i in range(100, 120)], "id bigint, v double"),
+        path)
+
+    pre = iceberg_history(path)[-1]["snapshot_id"]
+    v = delete_iceberg_where(spark, path, "id", 10, 29)
+    assert v == 3
+    got = read_iceberg_table(spark, path)
+    want = df.filter("id < 10 or id >= 30").unionByName(
+        spark.createDataFrame([(i, float(i)) for i in range(100, 120)],
+                              "id bigint, v double"))
+    assert _rows(got) == _rows(want)
+    # time travel: the pre-delete snapshot still sees all 120 rows
+    assert read_iceberg_table(spark, path, snapshot_id=pre).count() == 120
+    # delete nothing: no commit
+    assert delete_iceberg_where(spark, path, "id", 5000, 6000) == 3
+    # second delete stacks on the first
+    delete_iceberg_where(spark, path, "id", 100, 104)
+    assert read_iceberg_table(spark, path).count() == 95
+
+    v2 = compact_iceberg(spark, path)
+    after = read_iceberg_table(spark, path)
+    assert _rows(after) == _rows(read_iceberg_table(
+        spark, path, snapshot_id=iceberg_history(path)[-2]["snapshot_id"]))
+    assert after.count() == 95
+    # the compacted snapshot carries no delete manifests: pruning works
+    keep, total = iceberg_files_where(spark, path, "id", 0, 9)
+    assert 0 < len(keep) <= total
+    # expire everything but the compacted head; reads stay identical
+    expire_iceberg_snapshots(path, keep_last=1)
+    assert read_iceberg_table(spark, path).count() == 95
+    assert len(iceberg_history(path)) == 1
+
+
+def test_v1_table_reads(spark, tmp_path):
+    """A format-version 1 table (single 'schema' key, snapshot with an
+    inline 'manifests' list instead of a manifest list file, no sequence
+    numbers) reads through the v1 fallbacks."""
+    path = str(tmp_path / "v1tbl")
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir)
+    os.makedirs(meta_dir)
+    f1 = _write_data_file(os.path.join(data_dir, "f1.parquet"),
+                          ["id", "v"], [1, 2], [[1, 2], [10, 20]])
+    schema = {"type": "struct", "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "v", "required": False, "type": "long"},
+    ]}
+    m1 = _manifest(meta_dir, [_entry(f1, 2, 500)], schema)
+    meta = {
+        "format-version": 1, "table-uuid": "v1" * 16,
+        "location": "file://" + path,
+        "last-updated-ms": 1000, "last-column-id": 2,
+        "schema": schema,
+        "partition-spec": [],
+        "properties": {},
+        "current-snapshot-id": 500,
+        "snapshots": [{"snapshot-id": 500, "timestamp-ms": 1000,
+                       "manifests": ["file://" + m1],
+                       "summary": {"operation": "append"}}],
+        "snapshot-log": [{"snapshot-id": 500, "timestamp-ms": 1000}],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    got = read_iceberg_table(spark, path)
+    assert _rows(got) == [(1, 10), (2, 20)]
+    # v1 appends refuse (legacy manifest schema not emitted)
+    with pytest.raises(IcebergProtocolError, match="format-version 2"):
+        append_iceberg(spark, spark.createDataFrame(
+            [(9, 9)], "id bigint, v bigint"), path)
+
+
+def test_upsert_merges_by_key(spark, tmp_path):
+    """upsert_iceberg commits ONE snapshot with an equality delete on the
+    incoming keys + the incoming rows: prior versions of a key vanish,
+    the incoming row survives (shared sequence number + the strict-less
+    equality rule), inserts just append, and a replayed batch with txn
+    stamps is skipped. Compaction afterwards preserves the rows."""
+    from monday_etl_spark.iceberg_import import (
+        compact_iceberg,
+        iceberg_history,
+        upsert_iceberg,
+    )
+
+    path = str(tmp_path / "ups")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "id bigint, v double")
+    write_versioned(df, path, key="id", n_buckets=4, stats_cols=["id"])
+    export_iceberg(path)
+
+    incoming = spark.createDataFrame(
+        [(i, 1000.0 + i) for i in range(40, 60)], "id bigint, v double")
+    v = upsert_iceberg(spark, incoming, path, key="id",
+                       app_id="cdc", txn_version=0)
+    assert v == 2
+    got = read_iceberg_table(spark, path)
+    want = df.filter("id < 40").unionByName(incoming)
+    assert _rows(got) == _rows(want) and got.count() == 60
+    # pre-upsert time travel intact
+    first = iceberg_history(path)[0]["snapshot_id"]
+    assert read_iceberg_table(spark, path, snapshot_id=first).count() == 50
+    # replayed batch: skipped from the table's own metadata
+    assert upsert_iceberg(spark, incoming, path, key="id",
+                          app_id="cdc", txn_version=0) == 2
+    assert read_iceberg_table(spark, path).count() == 60
+    # a second upsert stacks; compaction then folds everything
+    more = spark.createDataFrame([(0, -1.0)], "id bigint, v double")
+    upsert_iceberg(spark, more, path, key="id",
+                   app_id="cdc", txn_version=1)
+    before = _rows(read_iceberg_table(spark, path))
+    compact_iceberg(spark, path)
+    assert _rows(read_iceberg_table(spark, path)) == before
+    assert before[0] == (0, -1.0)
