@@ -51,11 +51,15 @@ an appId with a reset/unrelated batch numbering and the skip logic will
 treat lower-numbered batches as replays (the same rule delta-spark's
 ``txnAppId``/``txnVersion`` writer options document).
 
-Honest refusals (loud, never silent data corruption): reader version > 1
-(column mapping / deletion vectors need reader features this baseline
-bridge does not implement), ``delta.columnMapping.mode`` set, any
-surviving file carrying a ``deletionVector``, and appends whose schema
-does not match the table's by name+type.
+Column mapping (modes ``name`` and ``id``) and DELETION VECTORS are
+implemented: ``read_delta`` applies a file's DV as an anti-join on the
+scan's ``_metadata`` row provenance, decoding the spec's Z85 / roaring
+bitmap formats (``roaring.py``) on executors. Honest refusals remain
+where a surface cannot carry the semantics: path-level pruning
+(``files_for_range``) and the streaming source refuse DV files loudly,
+``write_checkpoint`` refuses rather than silently dropping a DV from the
+checkpointed add (the add-struct DDL has no DV field), and appends whose
+schema does not match the table's by name+type refuse as before.
 
 Reference scope: the reference loads BigQuery tables any client can read
 (monday_etl_automated.py:571-590); this gives our engine the equivalent
@@ -216,11 +220,11 @@ def _check_protocol(protocol: dict | None) -> None:
         # table-features protocol: readable iff every listed reader
         # feature is one we implement
         feats = set(protocol.get("readerFeatures") or [])
-        unknown = feats - {"columnMapping"}
+        unknown = feats - {"columnMapping", "deletionVectors"}
         if unknown:
             raise DeltaProtocolError(
                 f"readerFeatures {sorted(unknown)}: not implemented by "
-                "this bridge (supported: columnMapping)"
+                "this bridge (supported: columnMapping, deletionVectors)"
             )
         return
     if v > 3:
@@ -345,8 +349,10 @@ def _id_requested_schema(spark, meta: dict, fields) -> "StructType":
 
 
 _DV_ERR = (
-    "{path}: carries a deletion vector; reading the file whole would "
-    "resurrect deleted rows"
+    "{path}: carries a deletion vector this surface cannot apply "
+    "(path-level pruning, streaming, checkpoint rewrite) — reading the "
+    "file whole would resurrect deleted rows; use read_delta, which "
+    "applies deletion vectors"
 )
 
 _ADD_FIELDS = ("path", "partitionValues", "size", "modificationTime",
@@ -389,25 +395,44 @@ class _LiveSet:
             raise DeltaProtocolError(_DV_ERR.format(path=add["path"]))
         return add
 
-    def file_entries(self) -> list[dict]:
-        """[{path, partitionValues}] for a scan — never the stats blobs."""
+    def has_dv(self) -> bool:
+        """Whether any surviving add carries a deletion vector."""
+        if any(a.get("deletionVector") for a in self._tail.values()):
+            return True
+        ck = self._ckpt_surviving()
+        if ck is not None and "deletionVector" in ck.columns:
+            return bool(
+                ck.filter(F.col("deletionVector").isNotNull()).head(1)
+            )
+        return False
+
+    def file_entries(self, allow_dv: bool = False) -> list[dict]:
+        """[{path, partitionValues, deletionVector?}] for a scan — never
+        the stats blobs. Callers that APPLY deletion vectors pass
+        ``allow_dv``; everyone else refuses loudly rather than
+        resurrecting deleted rows."""
+        guard = (lambda a: a) if allow_dv else self._guard_dv
         out = [
             {"path": a["path"],
-             "partitionValues": a.get("partitionValues") or {}}
-            for a in map(self._guard_dv, self._tail.values())
+             "partitionValues": a.get("partitionValues") or {},
+             "deletionVector": a.get("deletionVector")}
+            for a in map(guard, self._tail.values())
         ]
         ck = self._ckpt_surviving()
         if ck is not None:
             cols = [F.col("path"), F.col("partitionValues")]
             have_dv = "deletionVector" in ck.columns
             if have_dv:
-                cols.append(F.col("deletionVector").isNotNull().alias("dv"))
+                cols.append(F.to_json("deletionVector").alias("dvj"))
             for r in ck.select(*cols).collect():
-                if have_dv and r["dv"]:
+                dv = (json.loads(r["dvj"])
+                      if have_dv and r["dvj"] else None)
+                if dv and not allow_dv:
                     raise DeltaProtocolError(_DV_ERR.format(path=r["path"]))
                 out.append({"path": r["path"],
                             "partitionValues":
-                                dict(r["partitionValues"] or {})})
+                                dict(r["partitionValues"] or {}),
+                            "deletionVector": dv})
         return out
 
     def prune_range(self, column: str, lo, hi) -> tuple[list[str], int]:
@@ -600,9 +625,10 @@ def _snapshot_state(
     if meta is None:
         raise DeltaProtocolError(f"{path}: no metaData action in log")
     _check_meta(meta)
+    # no eager DV guard here: read_delta APPLIES deletion vectors; the
+    # surfaces that cannot (pruning, checkpoints) guard in their own
+    # accessors
     live = _LiveSet(spark, ckpt_adds, tail_adds, tail_removes)
-    for add in tail_adds.values():
-        live._guard_dv(add)
     return _Snapshot(
         version, meta, live, txns,
         protocol or {"minReaderVersion": 1, "minWriterVersion": 2},
@@ -682,6 +708,54 @@ def version_at_or_after(path: str, ts_ms: int) -> int:
     return min(ok)
 
 
+def _dv_positions(table_path: str, dv: dict) -> list[int]:
+    """Deleted row indexes for one add action's deletion vector — the
+    descriptor's three storage modes per PROTOCOL.md: ``i`` inline (Z85
+    of the serialized bitmap), ``p`` an explicit path, ``u`` a
+    UUID-derived file name under the table (last 20 chars = Z85 of the
+    16-byte UUID, anything before is a directory prefix)."""
+    from .roaring import decode_rbm_array, read_dv_segment, z85_decode
+
+    st = dv.get("storageType")
+    if st == "i":
+        # the Z85 payload is zero-padded to a 4-byte multiple;
+        # sizeInBytes carries the true bitmap length
+        raw = z85_decode(dv["pathOrInlineDv"])
+        return decode_rbm_array(raw[:int(dv["sizeInBytes"])])
+    if st == "p":
+        fpath = dv["pathOrInlineDv"]
+        if fpath.startswith("file:"):
+            import re as _re
+
+            fpath = _re.sub(r"^[A-Za-z0-9+.-]+:/+", "/",
+                            urllib.parse.unquote(fpath))
+        if not os.path.isabs(fpath):
+            fpath = os.path.join(table_path, fpath)
+    elif st == "u":
+        import uuid as _uuid
+
+        enc = dv["pathOrInlineDv"]
+        prefix, uid85 = enc[:-20], enc[-20:]
+        u = _uuid.UUID(bytes=z85_decode(uid85))
+        parts = [table_path] + ([prefix] if prefix else [])
+        fpath = os.path.join(*parts, f"deletion_vector_{u}.bin")
+    else:
+        raise DeltaProtocolError(
+            f"deletionVector storageType {st!r}: unknown storage mode"
+        )
+    with open(fpath, "rb") as fh:
+        buf = fh.read()
+    data = read_dv_segment(buf, int(dv["offset"]), int(dv["sizeInBytes"]))
+    return decode_rbm_array(data)
+
+
+def _dv_pair_positions(table_path: str, pair: tuple) -> list[tuple]:
+    """flatMap body for executor-side DV decoding."""
+    absf, dvj = pair
+    return [(absf, int(p))
+            for p in _dv_positions(table_path, json.loads(dvj))]
+
+
 def read_delta(
     spark: SparkSession, path: str, version: int | None = None,
     timestamp_ms: int | None = None,
@@ -690,7 +764,11 @@ def read_delta(
     AS OF ``timestamp_ms`` (the latest commit at or before it).
     One scan per distinct partition tuple, schema from the log (NOT from
     footers — old files missing later-added columns surface NULLs), and
-    partition columns injected as typed literals per the spec."""
+    partition columns injected as typed literals per the spec. Files
+    carrying DELETION VECTORS read whole and lose their deleted rows via
+    an anti-join on the scan's ``_metadata`` row provenance — vectors
+    decode on EXECUTORS (one task per DV file), so a table with millions
+    of deleted rows never materializes them on the driver."""
     if timestamp_ms is not None:
         if version is not None:
             raise ValueError("give version OR timestamp_ms, not both")
@@ -711,7 +789,8 @@ def read_delta(
             for f in data_fields
         ])
     by_part: dict[tuple, list[str]] = {}
-    for entry in live.file_entries():
+    dv_by_abs: dict[str, dict] = {}
+    for entry in live.file_entries(allow_dv=True):
         rel = urllib.parse.unquote(entry["path"])
         absf = rel if os.path.isabs(rel) else os.path.join(path, rel)
         pv = entry["partitionValues"]
@@ -721,10 +800,19 @@ def read_delta(
             for c in part_cols
         )
         by_part.setdefault(key, []).append(absf)
+        if entry.get("deletionVector"):
+            dv_by_abs[absf] = entry["deletionVector"]
 
     if not by_part:
         return spark.createDataFrame([], _strip_mapping_meta(schema))
 
+    with_dv = bool(dv_by_abs)
+    meta_cols = [
+        F.regexp_replace(
+            F.col("_metadata.file_path"), r"^[A-Za-z0-9+.-]+:/+", "/"
+        ).alias("__dv_src"),
+        F.col("_metadata.row_index").alias("__dv_idx"),
+    ]
     pieces = []
     # None-safe ordering: a NULL partition value sorts after the strings
     part_order = lambda kv: tuple(  # noqa: E731
@@ -732,21 +820,42 @@ def read_delta(
     )
     for key, files in sorted(by_part.items(), key=part_order):
         df = spark.read.schema(data_schema).parquet(*files)
+        if with_dv:
+            df = df.select("*", *meta_cols)
         for c, v in zip(part_cols, key):
             df = df.withColumn(
                 c if mode_id else (phys[c] if phys else c),
                 _partition_literal(v, schema[c].dataType),
             )
+        extra = ([F.col("__dv_src"), F.col("__dv_idx")]
+                 if with_dv else [])
         if mode_id:
-            pieces.append(df.select(*[F.col(f.name) for f in schema.fields]))
+            pieces.append(df.select(
+                *[F.col(f.name) for f in schema.fields], *extra))
         else:
-            pieces.append(df.select(*[
-                F.col(phys[f.name]).alias(f.name) if phys else F.col(f.name)
-                for f in schema.fields
-            ]))
+            pieces.append(df.select(*(
+                [F.col(phys[f.name]).alias(f.name) if phys
+                 else F.col(f.name) for f in schema.fields] + extra
+            )))
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
+    if with_dv:
+        pairs = sorted(
+            (absf, json.dumps(dv)) for absf, dv in dv_by_abs.items()
+        )
+        table_path = path
+        rdd = (spark.sparkContext
+               .parallelize(pairs, len(pairs))
+               .flatMap(lambda t: _dv_pair_positions(table_path, t)))
+        pos_df = spark.createDataFrame(
+            rdd, "__dvp string, __dvi bigint")
+        out = out.join(
+            pos_df,
+            (F.col("__dv_src") == F.col("__dvp"))
+            & (F.col("__dv_idx") == F.col("__dvi")),
+            "left_anti",
+        ).select(*[F.col(f.name) for f in schema.fields])
     return out
 
 
@@ -791,12 +900,14 @@ def read_delta_where(
 ) -> DataFrame:
     """Range read with manifest-side data skipping: only stats-matching
     files reach the scan; the exact predicate still applies on top."""
-    meta = _snapshot_state(spark, path, version).meta
+    snap_state = _snapshot_state(spark, path, version)
+    meta = snap_state.meta
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     phys = _physical_names(meta)
-    if meta.get("partitionColumns"):
-        # partition columns aren't in footers; fall back to the full read
-        # (partition pruning on them is the engine's job via the literal)
+    if meta.get("partitionColumns") or snap_state.live.has_dv():
+        # partition columns aren't in footers, and deletion vectors need
+        # the applying read; fall back to the full read (file pruning is
+        # lost but correctness isn't — the exact predicate still applies)
         df = read_delta(spark, path, version)
         return df.filter(F.col(column).between(lo, hi))
     files, _total = files_for_range(spark, path, column, lo, hi, version)

@@ -584,6 +584,89 @@ def _iceberg_mor_table(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+@_fixture("delta_dv_table", {"delta_deletion_vectors"})
+def _delta_dv_table(spark: SparkSession, sf_dir: str) -> str:
+    """A Delta table 'another engine wrote' with DELETION VECTORS (reader
+    v3 + deletionVectors feature): one sorted lineitem-subset data file
+    whose vector deletes every 7th row position (file storage, spec
+    framing with CRC), and a second subset file with an INLINE Z85
+    vector deleting its first 5 positions. Deterministic function of
+    sf_dir — positions are ranks in (l_orderkey, l_linenumber) order."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..roaring import encode_rbm_array, write_dv_file, z85_encode
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    root = tempfile.mkdtemp(prefix="delta_dv_fx_")
+    path = os.path.join(root, "lineitem_dv")
+    data_dir = os.path.join(path, "data")
+    log_dir = os.path.join(path, "_delta_log")
+    os.makedirs(data_dir)
+    os.makedirs(log_dir)
+
+    def data_file(name, mod):
+        pdf = (li.filter(F.col("l_orderkey") % 16 == mod)
+               .orderBy("l_orderkey", "l_linenumber").toPandas())
+        tbl = pa.Table.from_arrays(
+            [pa.array(pdf["l_orderkey"], pa.int64()),
+             pa.array(pdf["l_linenumber"], pa.int32()),
+             pa.array(pdf["l_returnflag"], pa.string()),
+             pa.array(pdf["l_quantity"], pa.float64())],
+            names=["l_orderkey", "l_linenumber",
+                   "l_returnflag", "l_quantity"],
+        )
+        pq.write_table(tbl, os.path.join(data_dir, name))
+        return f"data/{name}", len(pdf)
+
+    rel1, n1 = data_file("f1.parquet", 15)
+    rel2, n2 = data_file("f2.parquet", 1)
+    pos1 = list(range(0, n1, 7))
+    dv_path = os.path.join(path, "dv1.bin")
+    (off, size), = write_dv_file(dv_path, [pos1])
+    inline = encode_rbm_array(list(range(5)))
+    padded = inline + b"\x00" * (-len(inline) % 4)
+
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "l_orderkey", "type": "long", "nullable": True,
+         "metadata": {}},
+        {"name": "l_linenumber", "type": "integer", "nullable": True,
+         "metadata": {}},
+        {"name": "l_returnflag", "type": "string", "nullable": True,
+         "metadata": {}},
+        {"name": "l_quantity", "type": "double", "nullable": True,
+         "metadata": {}},
+    ]})
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "dv-fixture", "format": {
+            "provider": "parquet", "options": {}},
+            "schemaString": schema, "partitionColumns": [],
+            "configuration": {}}},
+        {"add": {"path": rel1, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": {
+                     "storageType": "p", "pathOrInlineDv": dv_path,
+                     "offset": off, "sizeInBytes": size,
+                     "cardinality": len(pos1)}}},
+        {"add": {"path": rel2, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": {
+                     "storageType": "i",
+                     "pathOrInlineDv": z85_encode(padded),
+                     "sizeInBytes": len(inline), "cardinality": 5}}},
+    ]
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    return path
+
+
 @_fixture("iceberg_dml_table", {"iceberg_delete_compact"})
 def _iceberg_dml_table(spark: SparkSession, sf_dir: str) -> str:
     """The merge-on-read WRITE lifecycle, run once per process: an

@@ -1266,3 +1266,53 @@ def iceberg_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderstatus", "n_orders", "total_price")
     )
+
+
+@register(
+    "delta_deletion_vectors",
+    oracle=f"""
+    WITH f1 AS (
+        SELECT l_returnflag, l_quantity,
+               ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+        FROM lineitem WHERE l_orderkey % 16 = 15
+    ), f2 AS (
+        SELECT l_returnflag, l_quantity,
+               ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+        FROM lineitem WHERE l_orderkey % 16 = 1
+    ), live AS (
+        SELECT l_returnflag, l_quantity FROM f1 WHERE (rn - 1) % 7 <> 0
+        UNION ALL
+        SELECT l_returnflag, l_quantity FROM f2 WHERE rn > 5
+    )
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_money_sum('l_quantity')} AS sum_qty
+    FROM live GROUP BY l_returnflag
+    """,
+    doc="Delta DELETION VECTORS (r08): a reader-v3 table 'another engine "
+        "wrote' — one data file whose vector (spec file framing: version "
+        "byte, big-endian length, 64-bit RoaringBitmapArray, CRC-32) "
+        "deletes every 7th row position, and a second file with an "
+        "INLINE Z85 vector deleting its first 5 positions. read_delta "
+        "applies both as an anti-join on the scan's _metadata row "
+        "provenance, with vectors decoded on EXECUTORS (roaring.py "
+        "implements the public RoaringFormatSpec + Z85). Oracle: "
+        "rank-window restatement of the deleted positions over the "
+        "sorted subsets. The path-level surfaces refuse DV files loudly "
+        "(tested in test_delta_import). Reference scope: open-ecosystem "
+        "tables as in monday_etl_automated.py:571-590.",
+)
+def delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..delta_import import read_delta
+    from ..functions import money_sum
+    from .fixtures import shared
+
+    path = shared(spark, sf_dir, "delta_dv_table")
+    df = read_delta(spark, path)
+    return (
+        df.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum(F.col("l_quantity")).alias("sum_qty"),
+        )
+        .select("l_returnflag", "n_rows", "sum_qty")
+    )

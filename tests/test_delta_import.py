@@ -297,12 +297,23 @@ def test_refusals(spark, tmp_path):
     table2 = str(tmp_path / "rv3")
     os.makedirs(table2)
     f0, _ = _write_file(spark, table2, "f0", [(1, 1.0)])
+    # deletionVectors is an IMPLEMENTED reader feature now — a v3 table
+    # carrying only it reads fine (no vectors present here)
     _commit(table2, 0, [{"protocol": {"minReaderVersion": 3,
                                       "minWriterVersion": 7,
                                       "readerFeatures": ["deletionVectors"]}},
                         _meta(), _add(f0)])
+    assert read_delta(spark, table2).count() == 1
+    # ... but a genuinely unknown feature still refuses
+    table2a = str(tmp_path / "rv3u")
+    os.makedirs(table2a)
+    f0, _ = _write_file(spark, table2a, "f0", [(1, 1.0)])
+    _commit(table2a, 0, [{"protocol": {"minReaderVersion": 3,
+                                       "minWriterVersion": 7,
+                                       "readerFeatures": ["v2Checkpoint"]}},
+                         _meta(), _add(f0)])
     with pytest.raises(DeltaProtocolError, match="readerFeatures"):
-        read_delta(spark, table2)
+        read_delta(spark, table2a)
 
     table2b = str(tmp_path / "rv7")
     os.makedirs(table2b)
@@ -312,16 +323,6 @@ def test_refusals(spark, tmp_path):
                          _meta(), _add(f0)])
     with pytest.raises(DeltaProtocolError, match="minReaderVersion"):
         read_delta(spark, table2b)
-
-    table3 = str(tmp_path / "dv")
-    os.makedirs(table3)
-    f0, _ = _write_file(spark, table3, "f0", [(1, 1.0)])
-    a = _add(f0)
-    a["add"]["deletionVector"] = {"storageType": "u", "pathOrInlineDv": "x",
-                                  "offset": 1, "sizeInBytes": 1, "cardinality": 1}
-    _commit(table3, 0, [_PROTO, _meta(), a])
-    with pytest.raises(DeltaProtocolError, match="deletion vector"):
-        read_delta(spark, table3)
 
 
 def test_partitioned_append_routes_hive_style(spark, tmp_path):
@@ -713,3 +714,96 @@ def test_external_id_mapped_table_resolves_by_field_id(spark, tmp_path):
 
     with pytest.raises(DeltaProtocolError, match="mode=id"):
         stream_delta(spark, table)
+
+
+def _dv_table(spark, tmp_path, storage="p"):
+    """A hand-built DV-carrying table (reader v3 + deletionVectors
+    feature): f0 holds rows 0..9, its vector deletes positions 1,3,5."""
+    from monday_etl_spark.roaring import (
+        encode_rbm_array,
+        write_dv_file,
+        z85_encode,
+    )
+
+    table = str(tmp_path / f"dv_{storage}")
+    os.makedirs(table)
+    f0, _ = _write_file(spark, table, "f0",
+                        [(i, float(i)) for i in range(10)])
+    positions = [1, 3, 5]
+    if storage == "i":
+        data = encode_rbm_array(positions)
+        padded = data + b"\x00" * (-len(data) % 4)  # delta's Base85 pad
+        dv = {"storageType": "i",
+              "pathOrInlineDv": z85_encode(padded),
+              "sizeInBytes": len(data), "cardinality": 3}
+    elif storage == "u":
+        import uuid as _uuid
+
+        u = _uuid.uuid4()
+        dv_path = os.path.join(table, f"deletion_vector_{u}.bin")
+        (off, size), = write_dv_file(dv_path, [positions])
+        dv = {"storageType": "u",
+              "pathOrInlineDv": z85_encode(u.bytes),
+              "offset": off, "sizeInBytes": size, "cardinality": 3}
+    else:
+        dv_path = os.path.join(table, "dv0.bin")
+        (off, size), = write_dv_file(dv_path, [positions])
+        dv = {"storageType": "p", "pathOrInlineDv": dv_path,
+              "offset": off, "sizeInBytes": size, "cardinality": 3}
+    add = _add(f0, {"numRecords": 10, "minValues": {"id": 0},
+                    "maxValues": {"id": 9}})
+    add["add"]["deletionVector"] = dv
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        _meta(), add,
+    ])
+    return table
+
+
+def test_deletion_vectors_applied_on_read(spark, tmp_path):
+    """All three DV storage modes read per the spec: deleted positions
+    vanish, everything else survives."""
+    for storage in ("p", "u", "i"):
+        table = _dv_table(spark, tmp_path, storage)
+        got = sorted(r.id for r in read_delta(spark, table).collect())
+        assert got == [0, 2, 4, 6, 7, 8, 9], (storage, got)
+
+
+def test_dv_surfaces_that_cannot_apply_refuse(spark, tmp_path):
+    """Path-level pruning and checkpoint rewriting refuse DV files
+    loudly; the pruned read falls back to the applying read and stays
+    correct."""
+    from monday_etl_spark.delta_import import write_checkpoint
+
+    table = _dv_table(spark, tmp_path)
+    with pytest.raises(DeltaProtocolError, match="deletion vector"):
+        files_for_range(spark, table, "id", 0, 5)
+    with pytest.raises(DeltaProtocolError, match="deletion vector"):
+        write_checkpoint(spark, table)
+    got = sorted(r.id for r in
+                 read_delta_where(spark, table, "id", 0, 5).collect())
+    assert got == [0, 2, 4]
+
+
+def test_dv_mixed_with_plain_files_and_time_travel(spark, tmp_path):
+    """A later commit REPLACES the DV'd file with a new DV (delta's
+    copy-on-update of vectors): the newest vector wins; a version read
+    below it sees the old vector's view."""
+    from monday_etl_spark.roaring import write_dv_file
+
+    table = _dv_table(spark, tmp_path)
+    f1, _ = _write_file(spark, table, "f1", [(100, 100.0)])
+    # v1: re-add f0 with a BIGGER vector (positions 0..4) + plain f1
+    dv_path = os.path.join(table, "dv1.bin")
+    (off, size), = write_dv_file(dv_path, [[0, 1, 2, 3, 4]])
+    readd = _add("data/f0.parquet")
+    readd["add"]["deletionVector"] = {
+        "storageType": "p", "pathOrInlineDv": dv_path,
+        "offset": off, "sizeInBytes": size, "cardinality": 5}
+    _commit(table, 1, [readd, _add(f1)])
+    got = sorted(r.id for r in read_delta(spark, table).collect())
+    assert got == [5, 6, 7, 8, 9, 100]
+    old = sorted(r.id for r in read_delta(spark, table, 0).collect())
+    assert old == [0, 2, 4, 6, 7, 8, 9]
