@@ -511,14 +511,15 @@ class _LiveSet:
 
     # -- full materialization: tests and tail-only contexts. Checkpoint-
     # -- backed snapshots pay the driver cost here and ONLY here.
-    def materialize(self) -> dict[str, dict]:
+    def materialize(self, allow_dv: bool = False) -> dict[str, dict]:
+        guard = (lambda a: a) if allow_dv else self._guard_dv
         out = dict(self._tail)
         ck = self._ckpt_surviving()
         if ck is not None:
             for r in ck.collect():
-                out[r["path"]] = self._guard_dv(_row_to_add(r))
+                out[r["path"]] = guard(_row_to_add(r))
         for a in out.values():
-            self._guard_dv(a)
+            guard(a)
         return out
 
     def items(self):
@@ -759,6 +760,7 @@ def _dv_pair_positions(table_path: str, pair: tuple) -> list[tuple]:
 def read_delta(
     spark: SparkSession, path: str, version: int | None = None,
     timestamp_ms: int | None = None,
+    _with_provenance: bool = False,
 ) -> DataFrame:
     """Snapshot read of a Delta table at ``version`` (default latest) or
     AS OF ``timestamp_ms`` (the latest commit at or before it).
@@ -806,7 +808,7 @@ def read_delta(
     if not by_part:
         return spark.createDataFrame([], _strip_mapping_meta(schema))
 
-    with_dv = bool(dv_by_abs)
+    with_dv = bool(dv_by_abs) or _with_provenance
     meta_cols = [
         F.regexp_replace(
             F.col("_metadata.file_path"), r"^[A-Za-z0-9+.-]+:/+", "/"
@@ -840,7 +842,7 @@ def read_delta(
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
-    if with_dv:
+    if dv_by_abs:
         pairs = sorted(
             (absf, json.dumps(dv)) for absf, dv in dv_by_abs.items()
         )
@@ -855,7 +857,12 @@ def read_delta(
             (F.col("__dv_src") == F.col("__dvp"))
             & (F.col("__dv_idx") == F.col("__dvi")),
             "left_anti",
-        ).select(*[F.col(f.name) for f in schema.fields])
+        )
+    if with_dv:
+        keep = [F.col(f.name) for f in schema.fields]
+        if _with_provenance:
+            keep += [F.col("__dv_src"), F.col("__dv_idx")]
+        out = out.select(*keep)
     return out
 
 
@@ -1027,6 +1034,100 @@ def last_txn_version(spark: SparkSession, path: str, app_id: str) -> int | None:
     does before resuming."""
     v = _snapshot_state(spark, path, None).txns.get(app_id)
     return None if v is None or v < 0 else v
+
+
+def delete_delta_where(spark: SparkSession, path: str, column: str,
+                       lo, hi) -> int:
+    """DELETE WHERE ``lo <= column <= hi`` without rewriting any data: a
+    deletion-vector commit (the shape delta-spark writes for DELETE on a
+    DV-enabled table). Matching rows' provenance comes from the scan's
+    ``_metadata`` struct; each affected file is re-added with a vector
+    unioning its existing deleted positions (remove + add of the same
+    path, ``dataChange`` true — the spec's DV-update pattern), published
+    through the LogStore conditional put. Requires the table's protocol
+    to ALREADY declare ``deletionVectors`` on both reader and writer
+    sides — silently upgrading the protocol would strand every other
+    reader, so a plain table refuses loudly (rewrite-based deletes or
+    the protocol upgrade are the native engine's job)."""
+    from . import tableformat as _tf
+    from .roaring import write_dv_file
+
+    snap = _snapshot_state(spark, path, None)
+    latest, meta = snap.version, snap.meta
+    proto = snap.protocol
+    feats_r = set(proto.get("readerFeatures") or [])
+    feats_w = set(proto.get("writerFeatures") or [])
+    if (proto.get("minReaderVersion", 1) < 3
+            or "deletionVectors" not in feats_r
+            or "deletionVectors" not in feats_w):
+        raise DeltaProtocolError(
+            "table protocol does not declare deletionVectors (reader AND "
+            "writer): a DV-writing DELETE would strand existing readers. "
+            "Use the table's native engine to upgrade the protocol or to "
+            "run a rewrite-based delete."
+        )
+    conf = meta.get("configuration") or {}
+    if conf.get("delta.appendOnly") == "true" or "appendOnly" in feats_w:
+        raise DeltaProtocolError("table is append-only: deletes refuse")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if column not in {f.name for f in schema.fields}:
+        raise ValueError(f"column {column!r} not in table schema")
+
+    df = read_delta(spark, path, _with_provenance=True)
+    grouped = (
+        df.filter(F.col(f"`{column}`").between(lo, hi))
+        .groupBy("__dv_src")
+        .agg(F.sort_array(F.collect_list("__dv_idx")).alias("pos"))
+        .collect()
+    )
+    if not grouped:
+        return latest  # nothing matched: no commit
+
+    adds_all = snap.live.materialize(allow_dv=True)
+    by_norm: dict[str, tuple[str, dict]] = {}
+    for rel, a in adds_all.items():
+        dec = urllib.parse.unquote(rel)
+        absf = dec if os.path.isabs(dec) else os.path.join(path, dec)
+        by_norm[absf] = (rel, a)
+
+    affected = []
+    for r in grouped:
+        rel, a = by_norm[r["__dv_src"]]
+        positions = set(int(p) for p in r["pos"])
+        old = a.get("deletionVector")
+        if old:
+            positions |= set(_dv_positions(path, old))
+        affected.append((rel, a, sorted(positions)))
+
+    dv_file = os.path.join(
+        path, f"deletion_vector_{uuid.uuid4().hex}.bin")
+    spans = write_dv_file(dv_file, [pos for _r, _a, pos in affected])
+
+    actions: list[dict] = [{
+        "commitInfo": {
+            "timestamp": int(_time.time() * 1000),
+            "operation": "DELETE",
+            "operationParameters": {
+                "predicate": f"{column} BETWEEN {lo!r} AND {hi!r}"},
+            "engineInfo": "monday-etl-spark delta bridge",
+        }
+    }]
+    for (rel, a, positions), (off, size) in zip(affected, spans):
+        actions.append({"remove": {"path": rel, "dataChange": True}})
+        newadd = {k: v for k, v in a.items()}
+        newadd["dataChange"] = True
+        newadd["deletionVector"] = {
+            "storageType": "p", "pathOrInlineDv": dv_file,
+            "offset": off, "sizeInBytes": size,
+            "cardinality": len(positions),
+        }
+        if isinstance(newadd.get("stats"), dict):
+            newadd["stats"] = json.dumps(newadd["stats"])
+        actions.append({"add": newadd})
+    payload = "\n".join(json.dumps(a) for a in actions) + "\n"
+    target = os.path.join(_log_dir(path), f"{latest + 1:020d}.json")
+    _tf._LOG_STORE.put_if_absent(target, payload)
+    return latest + 1
 
 
 def _collect_written_adds(

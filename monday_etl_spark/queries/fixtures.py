@@ -667,6 +667,65 @@ def _delta_dv_table(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+@_fixture("delta_dml_table", {"delta_delete_where"})
+def _delta_dml_table(spark: SparkSession, sf_dir: str) -> str:
+    """A DV-enabled Delta table (reader v3, deletionVectors on both
+    protocol sides) that then takes TWO delete_delta_where commits — the
+    DV-writing DELETE path, stacking the second vector onto the first.
+    Deterministic function of sf_dir (value-range predicates)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..delta_import import delete_delta_where
+
+    orders = (
+        _load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(F.col("o_orderkey") % 16 == 8)
+        .orderBy("o_orderkey")
+        .toPandas()
+    )
+    root = tempfile.mkdtemp(prefix="delta_dml_fx_")
+    path = os.path.join(root, "orders_dml")
+    data_dir = os.path.join(path, "data")
+    log_dir = os.path.join(path, "_delta_log")
+    os.makedirs(data_dir)
+    os.makedirs(log_dir)
+    tbl = pa.Table.from_arrays(
+        [pa.array(orders["o_orderkey"], pa.int64()),
+         pa.array(orders["o_orderstatus"], pa.string()),
+         pa.array(orders["o_totalprice"], pa.float64())],
+        names=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    pq.write_table(tbl, os.path.join(data_dir, "f1.parquet"))
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "o_orderkey", "type": "long", "nullable": True,
+         "metadata": {}},
+        {"name": "o_orderstatus", "type": "string", "nullable": True,
+         "metadata": {}},
+        {"name": "o_totalprice", "type": "double", "nullable": True,
+         "metadata": {}},
+    ]})
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "dml-fixture", "format": {
+            "provider": "parquet", "options": {}},
+            "schemaString": schema, "partitionColumns": [],
+            "configuration": {}}},
+        {"add": {"path": "data/f1.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    delete_delta_where(spark, path, "o_totalprice", 0.0, 60000.0)
+    delete_delta_where(spark, path, "o_totalprice", 250000.0, 1e9)
+    return path
+
+
 @_fixture("iceberg_dml_table", {"iceberg_delete_compact"})
 def _iceberg_dml_table(spark: SparkSession, sf_dir: str) -> str:
     """The merge-on-read WRITE lifecycle, run once per process: an

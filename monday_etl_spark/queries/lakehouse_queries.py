@@ -1316,3 +1316,50 @@ def delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "n_rows", "sum_qty")
     )
+
+
+@register(
+    "delta_delete_where",
+    oracle=f"""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_orderkey % 16 = 8
+      AND NOT (o_totalprice BETWEEN 0 AND 60000)
+      AND NOT (o_totalprice >= 250000)
+    GROUP BY o_orderstatus
+    """,
+    doc="Delta DV-writing DELETE (r08): two delete_delta_where commits on "
+        "a DV-enabled table (reader v3, deletionVectors on both protocol "
+        "sides) — each writes a deletion-vector file naming the matching "
+        "row positions and re-adds the data file with the UNIONED vector "
+        "(remove+add of the same path, the spec's DV-update pattern); "
+        "zero data rewritten. In-query assertions pin the commit count "
+        "(base + two deletes), that version-0 time travel still sees "
+        "every row, and that the single data file was never replaced. "
+        "Oracle: the subset minus both value ranges. Reference scope: "
+        "open-ecosystem tables as in monday_etl_automated.py:571-590.",
+)
+def delta_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..delta_import import delta_versions, read_delta
+    from ..functions import money_sum
+    from .fixtures import shared
+
+    path = shared(spark, sf_dir, "delta_dml_table")
+    if delta_versions(path) != [0, 1, 2]:
+        raise AssertionError(f"versions wrong: {delta_versions(path)}")
+    df = read_delta(spark, path)
+    n_v0 = read_delta(spark, path, version=0).count()
+    if not df.count() < n_v0:
+        raise AssertionError("delete removed nothing")
+    files = {os.path.basename(f) for f in df.inputFiles()}
+    if files != {"f1.parquet"}:
+        raise AssertionError(f"data files were rewritten: {files}")
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select("o_orderstatus", "n_orders", "total_price")
+    )

@@ -63,6 +63,7 @@ _EVIDENCE_PRIORITY = [
     "iceberg_merge_on_read",           # NEW query (v2 delete application)
     "iceberg_delete_compact",          # NEW query (DML write lifecycle)
     "delta_deletion_vectors",          # NEW query (DV reads, roaring/z85)
+    "delta_delete_where",              # NEW query (DV-writing DELETE)
     # r03-latest evidence (11 rows; newest official driver confirmation is
     # CORRECTNESS_r03.json) — the r07 verdict queued these for refresh.
     "range_join_bucketed", "grouped_zscore_pandas", "approx_distinct_users",

@@ -807,3 +807,46 @@ def test_dv_mixed_with_plain_files_and_time_travel(spark, tmp_path):
     assert got == [5, 6, 7, 8, 9, 100]
     old = sorted(r.id for r in read_delta(spark, table, 0).collect())
     assert old == [0, 2, 4, 6, 7, 8, 9]
+
+
+def test_delete_where_writes_deletion_vectors(spark, tmp_path):
+    """delete_delta_where on a DV-enabled table commits vectors instead
+    of rewriting data: rows vanish, time travel below the delete sees
+    them, a second delete UNIONS into the replaced vector, and a plain
+    (non-DV-protocol) table refuses rather than stranding its readers."""
+    from monday_etl_spark.delta_import import delete_delta_where
+
+    table = str(tmp_path / "dvw")
+    os.makedirs(table)
+    f0, _ = _write_file(spark, table, "f0",
+                        [(i, float(i)) for i in range(10)])
+    f1, _ = _write_file(spark, table, "f1",
+                        [(i, float(i)) for i in range(10, 20)])
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        _meta(), _add(f0), _add(f1),
+    ])
+    v = delete_delta_where(spark, table, "id", 3, 12)
+    assert v == 1
+    got = sorted(r.id for r in read_delta(spark, table).collect())
+    assert got == [0, 1, 2, 13, 14, 15, 16, 17, 18, 19]
+    old = sorted(r.id for r in read_delta(spark, table, 0).collect())
+    assert old == list(range(20))
+    # no data files were rewritten: both original files still referenced
+    live = sorted(r.id for r in read_delta(spark, table).collect())
+    assert delete_delta_where(spark, table, "id", 500, 600) == 1  # no-op
+    # second delete UNIONS with the existing vectors
+    v2 = delete_delta_where(spark, table, "id", 0, 0)
+    assert v2 == 2
+    got2 = sorted(r.id for r in read_delta(spark, table).collect())
+    assert got2 == [1, 2, 13, 14, 15, 16, 17, 18, 19]
+
+    # plain table: protocol refusal
+    plain = str(tmp_path / "plain")
+    os.makedirs(plain)
+    p0, _ = _write_file(spark, plain, "p0", [(1, 1.0)])
+    _commit(plain, 0, [_PROTO, _meta(), _add(p0)])
+    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+        delete_delta_where(spark, plain, "id", 0, 9)
