@@ -560,3 +560,57 @@ def test_upsert_merges_by_key(spark, tmp_path):
     compact_iceberg(spark, path)
     assert _rows(read_iceberg_table(spark, path)) == before
     assert before[0] == (0, -1.0)
+
+
+def test_array_columns_through_both_resolution_paths(spark, tmp_path):
+    """array<primitive> columns read through the id-stamped path (Spark's
+    fieldId reader matches the outer field) AND the name-mapping path."""
+    import pyarrow as pa
+
+    path = str(tmp_path / "arr")
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir)
+    os.makedirs(meta_dir)
+    # id-stamped file under an OLD footer name for the array column
+    fields = [
+        pa.field("id", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+        pa.field("old_emb", pa.list_(pa.float64()),
+                 metadata={b"PARQUET:field_id": b"2"}),
+    ]
+    t = pa.Table.from_arrays(
+        [pa.array([1, 2], pa.int64()),
+         pa.array([[1.0, 2.0], [3.0]], pa.list_(pa.float64()))],
+        schema=pa.schema(fields),
+    )
+    f1 = os.path.join(data_dir, "f1.parquet")
+    pq.write_table(t, f1)
+    # plain file (no ids) under the CURRENT name
+    t2 = pa.table({
+        "id": pa.array([3], pa.int64()),
+        "emb": pa.array([[9.0]], pa.list_(pa.float64())),
+    })
+    f2 = os.path.join(data_dir, "f2.parquet")
+    pq.write_table(t2, f2)
+
+    schema = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "emb", "required": False,
+         "type": {"type": "list", "element-id": 3, "element": "double",
+                  "element-required": False}},
+    ]}
+    m = _manifest(meta_dir, [_entry(f1, 2, 600), _entry(f2, 1, 600)],
+                  schema)
+    lst = _manifest_list(meta_dir, 600, [m], 3)
+    snaps = [{"snapshot-id": 600, "sequence-number": 1,
+              "timestamp-ms": 1000, "manifest-list": "file://" + lst,
+              "schema-id": 0, "summary": {"operation": "append"}}]
+    _metadata(path, [schema], snaps,
+              [{"snapshot-id": 600, "timestamp-ms": 1000}], current=600,
+              props={"schema.name-mapping.default": json.dumps([
+                  {"field-id": 1, "names": ["id"]},
+                  {"field-id": 2, "names": ["emb"]},
+              ])})
+    got = read_iceberg_table(spark, path)
+    rows = sorted((r.id, list(r.emb)) for r in got.collect())
+    assert rows == [(1, [1.0, 2.0]), (2, [3.0]), (3, [9.0])]
