@@ -614,3 +614,34 @@ def test_array_columns_through_both_resolution_paths(spark, tmp_path):
     got = read_iceberg_table(spark, path)
     rows = sorted((r.id, list(r.emb)) for r in got.collect())
     assert rows == [(1, [1.0, 2.0]), (2, [3.0]), (3, [9.0])]
+
+
+def test_many_manifests_use_distributed_decode(spark, tmp_path):
+    """Eleven manifests (base + 10 appends) push pruning and range reads
+    over the driver-decode threshold onto the executor-side branches —
+    results must match the driver-side path's semantics exactly."""
+    from monday_etl_spark.iceberg_import import (
+        _DRIVER_DECODE_MAX_MANIFESTS,
+        read_iceberg_where,
+    )
+
+    path = str(tmp_path / "many")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id bigint, v double")
+    write_versioned(df, path, key="id", n_buckets=1, stats_cols=["id"])
+    export_iceberg(path)
+    for k in range(10):
+        append_iceberg(
+            spark,
+            spark.createDataFrame(
+                [(100 * (k + 1) + j, 0.0) for j in range(3)],
+                "id bigint, v double").coalesce(1),
+            path,
+        )
+    assert 11 > _DRIVER_DECODE_MAX_MANIFESTS
+    got = read_iceberg_table(spark, path)
+    assert got.count() == 40
+    keep, total = iceberg_files_where(spark, path, "id", 500, 520)
+    assert total >= 11 and len(keep) == 1
+    rng = read_iceberg_where(spark, path, "id", 500, 520)
+    assert sorted(r.id for r in rng.collect()) == [500, 501, 502]
