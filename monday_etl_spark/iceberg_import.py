@@ -70,6 +70,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     BooleanType,
     DataType,
@@ -78,6 +79,7 @@ from pyspark.sql.types import (
     FloatType,
     IntegerType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -362,12 +364,21 @@ def _guard_entries(entries: list[tuple]) -> None:
 
 def _spark_type(t) -> DataType:
     if isinstance(t, dict):
-        if t.get("type") == "list":
-            el = _spark_type(t["element"])
-            return _parse_datatype_string(f"array<{el.simpleString()}>")
+        kind = t.get("type")
+        if kind == "list":
+            return ArrayType(_spark_type(t["element"]),
+                             not t.get("element-required", False))
+        if kind == "struct":
+            return StructType([
+                StructField(f["name"], _spark_type(f["type"]),
+                            not f.get("required", False))
+                for f in t["fields"]
+            ])
+        if kind == "map":
+            return MapType(_spark_type(t["key"]), _spark_type(t["value"]),
+                           not t.get("value-required", False))
         raise IcebergProtocolError(
-            f"nested type {t.get('type')!r}: struct/map columns are not "
-            "supported by this bridge"
+            f"nested type {kind!r}: no Spark mapping"
         )
     prim = {
         "boolean": BooleanType(), "int": IntegerType(), "long": LongType(),
@@ -382,6 +393,31 @@ def _spark_type(t) -> DataType:
     if isinstance(t, str) and t.startswith("fixed"):
         return BinaryType()
     raise IcebergProtocolError(f"iceberg type {t!r}: no Spark mapping")
+
+
+def _spark_type_with_ids(t) -> DataType:
+    """``_spark_type``, but nested STRUCT fields carry their Iceberg ids
+    as ``parquet.field.id`` metadata so the native fieldId reader resolves
+    renamed nested fields too. List/map types have no metadata slot in
+    Spark; their children match structurally inside the id-matched
+    parent, which is how Spark's clipping works."""
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "struct":
+            return StructType([
+                StructField(f["name"], _spark_type_with_ids(f["type"]),
+                            not f.get("required", False),
+                            {"parquet.field.id": f["id"]})
+                for f in t["fields"]
+            ])
+        if kind == "list":
+            return ArrayType(_spark_type_with_ids(t["element"]),
+                             not t.get("element-required", False))
+        if kind == "map":
+            return MapType(_spark_type_with_ids(t["key"]),
+                           _spark_type_with_ids(t["value"]),
+                           not t.get("value-required", False))
+    return _spark_type(t)
 
 
 def _name_mapping(meta: dict) -> dict[int, list[str]]:
@@ -478,7 +514,7 @@ def _read_id_files(spark: SparkSession, files: list[str],
     resolution at execution); it only engages for requested schemas that
     carry field-id metadata, i.e. exactly these reads."""
     req = StructType([
-        StructField(f["name"], _spark_type(f["type"]), True,
+        StructField(f["name"], _spark_type_with_ids(f["type"]), True,
                     {"parquet.field.id": f["id"]})
         for f in fields
     ])
@@ -1238,6 +1274,7 @@ def append_iceberg(spark: SparkSession, df: DataFrame, path: str,
             if app_id is not None else {})},
         schema.get("schema-id", 0),
         snap_prev["snapshot-id"] if snap_prev else None,
+        cur_v=cur_v,
     )
 
 
@@ -1293,8 +1330,10 @@ def delete_iceberg_where(spark: SparkSession, path: str, column: str,
                  if n.endswith(".parquet")]
     seq = int(meta.get("last-sequence-number", 0)) + 1
     snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
+    newmeta = json.loads(json.dumps(meta))
+    del_spec = _ensure_unpartitioned_spec(newmeta)
     man_path, n_files, n_positions = _data_manifest(
-        path, del_files, fields, [], [], 0, _schema_for(meta, snap),
+        path, del_files, fields, [], [], del_spec, _schema_for(meta, snap),
         seq, snapshot_id, token, content=1)
     if n_positions == 0:
         import shutil
@@ -1304,13 +1343,12 @@ def delete_iceberg_where(spark: SparkSession, path: str, column: str,
         return cur_v  # nothing matched: no commit
     carried = _manifest_paths(meta, snap)
     del_rec = _manifest_list_record(
-        man_path, 0, 1, seq, snapshot_id, n_files, 0,
+        man_path, del_spec, 1, seq, snapshot_id, n_files, 0,
         n_deleted_rows=n_positions)
     list_path = _write_manifest_list(
         path, snapshot_id, seq, token, carried + [del_rec],
         snap["snapshot-id"])
     now_ms = int(os.stat(del_files[0][0]).st_mtime * 1000)
-    newmeta = json.loads(json.dumps(meta))
     return _commit_snapshot(
         path, newmeta, versions[cur_v], snapshot_id, seq, now_ms,
         list_path,
@@ -1319,7 +1357,30 @@ def delete_iceberg_where(spark: SparkSession, path: str, column: str,
          "added-position-deletes": str(n_positions)},
         _schema_for(meta, snap).get("schema-id", 0),
         snap["snapshot-id"],
+        cur_v=cur_v,
     )
+
+
+def _ensure_unpartitioned_spec(newmeta: dict) -> int:
+    """Spec id of an UNPARTITIONED spec, registering one in
+    ``partition-specs`` when the table lacks it. Global/position delete
+    manifests carry EMPTY partition tuples; the manifest-list record must
+    reference a spec those tuples conform to — external readers bind the
+    tuple via ``specsById[manifest.partitionSpecId()]`` (iceberg-java's
+    DeleteFileIndex), so stamping spec 0 of an identity-partitioned table
+    there mis-scopes or errors their delete application."""
+    specs = newmeta.setdefault("partition-specs", [])
+    if not specs:
+        specs.append({
+            "spec-id": newmeta.get("default-spec-id", 0),
+            "fields": newmeta.get("partition-spec") or [],
+        })
+    for s in specs:
+        if not s.get("fields"):
+            return s.get("spec-id", 0)
+    new_id = max(s.get("spec-id", 0) for s in specs) + 1
+    specs.append({"spec-id": new_id, "fields": []})
+    return new_id
 
 
 def _ensure_name_mapping(newmeta: dict, fields: list[dict]) -> None:
@@ -1398,6 +1459,8 @@ def upsert_iceberg(spark: SparkSession, df: DataFrame, path: str,
     seq = int(meta.get("last-sequence-number", 0)) + 1
     snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
 
+    newmeta = json.loads(json.dumps(meta))
+    del_spec = _ensure_unpartitioned_spec(newmeta)
     # equality-delete file: the incoming keys, one consolidated file
     key_fields = [by_name[k] for k in keys]
     del_dir = os.path.join(path, "data", f"upsert-del-{token}")
@@ -1407,7 +1470,7 @@ def upsert_iceberg(spark: SparkSession, df: DataFrame, path: str,
                  for n in sorted(os.listdir(del_dir))
                  if n.endswith(".parquet")]
     del_man, n_del_files, n_del_keys = _data_manifest(
-        path, del_files, key_fields, [], [], 0, schema,
+        path, del_files, key_fields, [], [], del_spec, schema,
         seq, snapshot_id, f"{token}-del", content=2)
     # stamp the equality ids into the manifest entries (the writer above
     # emits data_file records; patch content=2 entries with equality_ids)
@@ -1421,7 +1484,7 @@ def upsert_iceberg(spark: SparkSession, df: DataFrame, path: str,
 
     carried = _manifest_paths(meta, snap)
     records = carried + [
-        _manifest_list_record(del_man, 0, 1, seq, snapshot_id,
+        _manifest_list_record(del_man, del_spec, 1, seq, snapshot_id,
                               n_del_files, 0, n_deleted_rows=n_del_keys),
         _manifest_list_record(data_man, spec_id, 0, seq, snapshot_id,
                               n_files, total_rows),
@@ -1430,7 +1493,6 @@ def upsert_iceberg(spark: SparkSession, df: DataFrame, path: str,
         path, snapshot_id, seq, token, records, snap["snapshot-id"])
     now_ms = (int(os.stat(rel_files[0][0]).st_mtime * 1000)
               if rel_files else 0)
-    newmeta = json.loads(json.dumps(meta))
     _ensure_name_mapping(newmeta, fields)
     return _commit_snapshot(
         path, newmeta, versions[cur_v], snapshot_id, seq, now_ms,
@@ -1443,6 +1505,7 @@ def upsert_iceberg(spark: SparkSession, df: DataFrame, path: str,
             if app_id is not None else {})},
         schema.get("schema-id", 0),
         snap["snapshot-id"],
+        cur_v=cur_v,
     )
 
 
@@ -1516,17 +1579,24 @@ def compact_iceberg(spark: SparkSession, path: str) -> int:
          "added-records": str(total_rows)},
         schema.get("schema-id", 0),
         snap["snapshot-id"],
+        cur_v=cur_v,
     )
 
 
 def _commit_snapshot(path: str, newmeta: dict, cur_meta_file: str,
                      snapshot_id: int, seq: int, now_ms: int,
                      list_path: str, summary: dict, schema_id: int,
-                     parent_id: int | None) -> int:
+                     parent_id: int | None, cur_v: int | None = None) -> int:
     """Install a new snapshot into ``newmeta`` and publish it as the next
     metadata version through the LogStore conditional put (one winner per
     version; losers raise). The shared tail of every write operation —
-    append, delete, compact."""
+    append, delete, compact.
+
+    ``cur_v`` is the metadata version the OPERATION read when it built
+    ``newmeta``; the publish targets exactly ``cur_v + 1`` so a writer that
+    committed in the meantime makes this put fail (ConcurrentCommitError)
+    instead of being silently dropped. Recomputing max(versions)+1 here
+    would publish v(N+2) built from vN — a lost update."""
     prev_ms = int(newmeta.get("last-updated-ms", 0))
     newmeta["last-sequence-number"] = seq
     newmeta["last-updated-ms"] = now_ms
@@ -1550,8 +1620,9 @@ def _commit_snapshot(path: str, newmeta: dict, cur_meta_file: str,
     newmeta.setdefault("refs", {})["main"] = {
         "snapshot-id": snapshot_id, "type": "branch"}
 
-    versions = metadata_versions(path)
-    new_v = max(versions) + 1
+    if cur_v is None:  # legacy callers: best-effort, still conditional
+        cur_v = max(metadata_versions(path))
+    new_v = cur_v + 1
     final = os.path.join(_meta_dir(path), f"v{new_v}.metadata.json")
     try:
         _tf._LOG_STORE.put_if_absent(final, json.dumps(newmeta, indent=2))

@@ -54,41 +54,40 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # already-green entries. Refreshed each round from CORRECTNESS_r{N}.json.
 # Purely an ordering hint; every query is still registered and runnable.
 _EVIDENCE_PRIORITY = [
-    # r08: RESULTS or code paths NEW/CHANGED this round — evidence first.
-    "delta_column_mapping_roundtrip",  # NEW query (mode=name mapping)
-    "iceberg_export_roundtrip",        # NEW query (Iceberg v2 bridge)
-    "iceberg_import_external",         # NEW query (import half, field ids)
-    "iceberg_append_pipeline",         # NEW query (append + pruning)
-    "iceberg_stream_pipe",             # NEW query (streaming source+sink)
-    "iceberg_merge_on_read",           # NEW query (v2 delete application)
-    "iceberg_delete_compact",          # NEW query (DML write lifecycle)
-    "delta_deletion_vectors",          # NEW query (DV reads, roaring/z85)
-    "delta_delete_where",              # NEW query (DV-writing DELETE)
-    # r03-latest evidence (11 rows; newest official driver confirmation is
-    # CORRECTNESS_r03.json) — the r07 verdict queued these for refresh.
-    "range_join_bucketed", "grouped_zscore_pandas", "approx_distinct_users",
-    "grouping_sets_reports", "revenue_by_nation", "ann_brute_force",
-    "pivot_event_values", "tumbling_window_6h", "weighted_median_price",
-    "ann_ivf_store", "ann_recall_at_10",
-    # r05-latest evidence (42 rows; newest official confirmation is
-    # CORRECTNESS_r05.json).
-    "ann_ivf", "ann_ivf_recall_sweep", "ann_lsh_bucketed", "bigram_lm_build",
-    "bm25_topk", "chunk_dedup", "chunk_dedup_rewrite", "cohort_retention",
-    "corpus_source_stats", "cube_flag_status", "data_quality_audit",
-    "dedup_cluster_resolution", "dedup_minhash_quality", "dedup_simhash",
-    "dedup_simhash_near", "doc_chunking", "duplicate_detection",
-    "embedding_near_dup", "embedding_quantize_int8", "freshness",
-    "funnel_analysis", "global_aggs", "hot_key_detection",
-    "mixture_token_allocation", "pagerank_influence", "pricing_summary",
-    "quality_classifier_score", "rollup_priority_status", "salted_join_skew",
-    "scd2_history", "search_index_build", "semantic_dedup",
-    "sequence_packing_sharded", "source_temperature_resample",
-    "streaming_enriched_rollup", "streaming_trending_topk", "substring_dedup",
-    "substring_dedup_rolling", "table_profile", "timeseries_gap_fill",
-    "training_order_shuffle", "zorder_key",
-    # everything below here (unlisted) holds r06-or-newer official
-    # evidence, or was re-verified exact by the r07 judge's full 142-query
-    # driver_sim run (FAILURES none, zero rows-only)
+    # r09: queries whose code paths are NEW or CHANGED this round (nested
+    # bridge types; ADVICE fixes to commit/checkpoint/DV machinery).
+    "nested_bridge_roundtrip",  # NEW query (nested types, both bridges)
+    "delta_delete_where",       # DV anti-join path normalization
+    "delta_deletion_vectors",   # roaring cookie decode
+    "iceberg_delete_compact",   # unpartitioned delete spec + cur_v commit
+    "iceberg_merge_on_read",    # delete application unchanged, re-pin
+    "iceberg_append_pipeline",  # cur_v-pinned commit publish
+    # r05-latest evidence (12 rows; newest official confirmation is
+    # CORRECTNESS_r05.json) — the r08 verdict queued these for refresh.
+    "search_index_build", "semantic_dedup", "sequence_packing_sharded",
+    "source_temperature_resample", "streaming_enriched_rollup",
+    "streaming_trending_topk", "substring_dedup", "substring_dedup_rolling",
+    "table_profile", "timeseries_gap_fill", "training_order_shuffle",
+    "zorder_key",
+    # r06-latest evidence (39 rows; newest official confirmation is
+    # CORRECTNESS_r06.json).
+    "collection_battery", "corpus_curation", "deterministic_sample",
+    "filter_daterange", "filter_high_revenue", "filter_inlist",
+    "hopping_window_6h_2h", "join_anti", "join_full_outer",
+    "join_left_composite", "join_left_single", "join_semi",
+    "latest_snapshot", "normalize_personnel_costs", "normalize_projects",
+    "normalize_subitems", "normalize_supplier_costs",
+    "normalize_travel_costs", "price_quantity_corr", "rank_topn_per_group",
+    "revenue_equidepth_histogram", "revenue_histogram",
+    "revenue_percentiles", "rollup_maintenance_drain", "running_total",
+    "scd2_maintenance_drain", "semantic_dedup_auto", "setop_except",
+    "setop_intersect", "stratified_sample", "streaming_interval_join",
+    "text_scrub", "timeseries_moving_anomaly", "top10_orders",
+    "training_set_selection", "union_counts", "unpivot_measures",
+    "weekly_threshold", "window_function_battery",
+    # everything below here (unlisted) holds r07-or-newer official
+    # evidence, or was re-verified exact by the r08 judge's full 151-query
+    # driver_sim run (FAILURES none)
 ]
 
 

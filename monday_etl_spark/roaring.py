@@ -89,9 +89,12 @@ def z85_encode(data: bytes) -> str:
 def _decode_rb32(buf: bytes, pos: int) -> tuple[list[int], int]:
     """One standard portable 32-bit RoaringBitmap at ``pos``; returns
     (sorted values, next position)."""
-    (cookie,) = struct.unpack_from("<i", buf, pos)
+    # unsigned: with >=32769 containers the size in the upper 16 bits
+    # would make a signed cookie negative and silently decode an EMPTY
+    # bitmap (resurrecting every deleted row) instead of its containers
+    (cookie,) = struct.unpack_from("<I", buf, pos)
     if (cookie & 0xFFFF) == _SERIAL_COOKIE_RUN:
-        size = (cookie >> 16) + 1
+        size = ((cookie >> 16) & 0xFFFF) + 1
         pos += 4
         nbytes = (size + 7) // 8
         run_flags = buf[pos:pos + nbytes]

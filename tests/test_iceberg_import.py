@@ -331,6 +331,45 @@ def test_append_roundtrip_and_race(spark, tmp_path):
         set_log_store(prev)
 
 
+def test_append_interleaved_writer_conflicts_not_clobbers(spark, tmp_path):
+    """Lost-update regression: writer A reads vN, writer B commits v(N+1)
+    while A is still writing parquet; A's publish must target exactly
+    v(N+1) and raise ConcurrentCommitError — NOT recompute max+1 and
+    silently publish v(N+2) built from vN (dropping B's snapshot)."""
+    import shutil
+
+    path = str(tmp_path / "race")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id bigint, v double")
+    write_versioned(df, path, key="id", n_buckets=2, stats_cols=["id"])
+    export_iceberg(path)
+    cur_v = max(metadata_versions(path))
+
+    meta_dir = os.path.join(path, "metadata")
+    interloper = os.path.join(meta_dir, f"v{cur_v + 1}.metadata.json")
+
+    class _Interleave(LogStore):
+        """Plants the concurrent winner's metadata file at the instant the
+        slow writer publishes — after it read cur_v, before its put."""
+
+        def put_if_absent(self, final_path, payload):
+            if not os.path.exists(interloper):
+                shutil.copy(metadata_versions(path)[cur_v], interloper)
+            super().put_if_absent(final_path, payload)
+
+    more = spark.createDataFrame(
+        [(i, float(i)) for i in range(50, 55)], "id bigint, v double")
+    prev = set_log_store(_Interleave())
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            append_iceberg(spark, more, path)
+    finally:
+        set_log_store(prev)
+    # the interloper's commit survives as the newest version — the slow
+    # writer did NOT leapfrog it with a v(N+2) built from stale metadata
+    assert max(metadata_versions(path)) == cur_v + 1
+
+
 def test_partitioned_append_identity(spark, tmp_path):
     """Appending to an identity-partitioned external table routes files
     per partition tuple: values live in the manifest's typed partition
@@ -386,6 +425,70 @@ def test_partitioned_append_identity(spark, tmp_path):
         "region" not in pq.ParquetFile(k).schema_arrow.names
         for k in appended
     )
+
+
+def test_delete_on_partitioned_table_registers_unpartitioned_spec(
+        spark, tmp_path):
+    """A global position-delete manifest carries EMPTY partition tuples;
+    on an identity-partitioned table its manifest-list record must NOT
+    claim spec 0 (whose tuples have fields) — external readers bind the
+    tuple via specsById[partitionSpecId]. The delete commit registers an
+    unpartitioned spec and references it."""
+    from monday_etl_spark.avro_ocf import read_ocf
+    from monday_etl_spark.iceberg_import import delete_iceberg_where
+
+    path = str(tmp_path / "pdel")
+    meta_dir = os.path.join(path, "metadata")
+    os.makedirs(os.path.join(path, "data"))
+    os.makedirs(meta_dir)
+    schema = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "region", "required": False, "type": "string"},
+        {"id": 2, "name": "v", "required": False, "type": "long"},
+    ]}
+    spec = [{"spec-id": 0, "fields": [
+        {"name": "region", "transform": "identity",
+         "source-id": 1, "field-id": 1000},
+    ]}]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fa = os.path.join(path, "data", "a.parquet")
+    pq.write_table(pa.table({"v": pa.array([1, 2, 3], pa.int64())}), fa)
+    m = _manifest(meta_dir, [_entry(fa, 3, 100,
+                                    partition={"region": "EU"})],
+                  schema, partition={"region": "string"})
+    lst = _manifest_list(meta_dir, 100, [m], 3)
+    snaps = [{"snapshot-id": 100, "sequence-number": 1,
+              "timestamp-ms": 1000, "manifest-list": "file://" + lst,
+              "schema-id": 0, "summary": {"operation": "append"}}]
+    _metadata(path, [schema], snaps,
+              [{"snapshot-id": 100, "timestamp-ms": 1000}],
+              current=100, specs=spec,
+              props={"schema.name-mapping.default": json.dumps([
+                  {"field-id": 1, "names": ["region"]},
+                  {"field-id": 2, "names": ["v"]},
+              ])})
+
+    new_v = delete_iceberg_where(spark, path, "v", 2, 2)
+    got = read_iceberg_table(spark, path)
+    assert _rows(got) == [("EU", 1), ("EU", 3)]
+
+    meta = read_metadata(path, new_v)
+    unpart = [s for s in meta["partition-specs"] if not s.get("fields")]
+    assert unpart, "delete commit must register an unpartitioned spec"
+    unpart_id = unpart[0]["spec-id"]
+    assert unpart_id != 0  # spec 0 is the identity spec here
+    # the delete manifest-list record references the unpartitioned spec
+    snap = next(s for s in meta["snapshots"]
+                if s["summary"].get("operation") == "delete")
+    mlist = snap["manifest-list"].replace("file://", "")
+    _, _, recs = read_ocf(mlist)
+    del_recs = [r for r in recs if r.get("content") == 1]
+    assert del_recs and all(
+        r["partition_spec_id"] == unpart_id for r in del_recs)
+    data_recs = [r for r in recs if r.get("content") == 0]
+    assert data_recs and all(
+        r["partition_spec_id"] == 0 for r in data_recs)
 
 
 def test_read_where_prunes_and_applies_deletes(spark, tmp_path):
