@@ -183,16 +183,39 @@ def export_delta_log(path: str, version: int | None = None) -> str:
         protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
         schema = json.loads(man["schema"])
         fid = man["field_ids"]
+        # the spec requires id + physicalName on EVERY field, nested ones
+        # included; tableformat never renames nested fields, so nested
+        # physicalName == name, with fresh ids minted above the top-level
+        # range (deterministic traversal order keeps re-exports idempotent)
+        next_id = max(man.get("next_field_id", 1) - 1,
+                      max(fid.values(), default=0)) + 1
+
+        def _stamp_nested(t):
+            nonlocal next_id
+            if not isinstance(t, dict):
+                return
+            if t.get("type") == "struct":
+                for nf in t["fields"]:
+                    nf.setdefault("metadata", {})
+                    nf["metadata"][_MAP_ID] = next_id
+                    nf["metadata"][_MAP_PHYS] = nf["name"]
+                    next_id += 1
+                    _stamp_nested(nf["type"])
+            elif t.get("type") == "array":
+                _stamp_nested(t["elementType"])
+            elif t.get("type") == "map":
+                _stamp_nested(t["keyType"])
+                _stamp_nested(t["valueType"])
+
         for f in schema["fields"]:
             f.setdefault("metadata", {})
             f["metadata"][_MAP_ID] = fid[f["name"]]
             f["metadata"][_MAP_PHYS] = phys_of[f["name"]]
+            _stamp_nested(f["type"])
         schema_string = json.dumps(schema)
         configuration = {
             "delta.columnMapping.mode": "name",
-            "delta.columnMapping.maxColumnId":
-                str(max(man.get("next_field_id", 1) - 1,
-                        max(fid.values(), default=0))),
+            "delta.columnMapping.maxColumnId": str(next_id - 1),
         }
         stat_name = phys_of
 

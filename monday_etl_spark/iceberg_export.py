@@ -66,31 +66,85 @@ class IcebergExportError(RuntimeError):
     pass
 
 
-def _iceberg_type(spark_field: dict, mint) -> object:
-    """Map one Spark schema field's type to an Iceberg schema type.
-    ``mint()`` allocates fresh field ids for nested element fields (the
-    Iceberg schema requires ids on EVERY nested field)."""
-    t = spark_field["type"]
+def _iceberg_type(t, mint) -> object:
+    """Map a Spark schema-JSON type to an Iceberg schema type, recursing
+    into struct / list / map. ``mint()`` allocates the fresh field ids the
+    Iceberg schema requires on EVERY nested field (struct fields, list
+    elements, map keys/values); allocation follows traversal order, so
+    re-exports of the same snapshot mint identical ids (idempotency)."""
     if isinstance(t, str):
         if t in _TYPES:
             return _TYPES[t]
         if t.startswith("decimal("):
             return "decimal" + t[len("decimal"):].replace(",", ", ")
         raise IcebergExportError(f"type {t!r}: no Iceberg mapping")
-    if isinstance(t, dict) and t.get("type") == "array":
-        el = t["elementType"]
-        if not isinstance(el, str) or el not in _TYPES:
-            raise IcebergExportError(
-                f"array element type {el!r}: only primitive elements are "
-                "exportable"
-            )
-        return {
-            "type": "list",
-            "element-id": mint(),
-            "element": _TYPES[el],
-            "element-required": not t.get("containsNull", True),
-        }
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "array":
+            eid = mint()
+            return {
+                "type": "list",
+                "element-id": eid,
+                "element": _iceberg_type(t["elementType"], mint),
+                "element-required": not t.get("containsNull", True),
+            }
+        if kind == "struct":
+            fields = []
+            for f in t["fields"]:
+                nid = mint()
+                fields.append({
+                    "id": nid, "name": f["name"],
+                    "required": not f.get("nullable", True),
+                    "type": _iceberg_type(f["type"], mint),
+                })
+            return {"type": "struct", "fields": fields}
+        if kind == "map":
+            kid, vid = mint(), mint()
+            return {
+                "type": "map",
+                "key-id": kid, "key": _iceberg_type(t["keyType"], mint),
+                "value-id": vid,
+                "value": _iceberg_type(t["valueType"], mint),
+                "value-required": not t.get("valueContainsNull", True),
+            }
     raise IcebergExportError(f"type {t!r}: no Iceberg mapping")
+
+
+def _nested_mapping(ice_type) -> list | None:
+    """name-mapping ``fields`` entries for a nested type, so id-less
+    footers resolve NESTED fields too (spec: the list element maps under
+    the name ``element``, map entries under ``key``/``value``). Nested
+    renames don't exist in tableformat, so each nested field maps its
+    single current name."""
+    if not isinstance(ice_type, dict):
+        return None
+    kind = ice_type["type"]
+    if kind == "struct":
+        out = []
+        for f in ice_type["fields"]:
+            m = {"field-id": f["id"], "names": [f["name"]]}
+            sub = _nested_mapping(f["type"])
+            if sub:
+                m["fields"] = sub
+            out.append(m)
+        return out
+    if kind == "list":
+        m = {"field-id": ice_type["element-id"], "names": ["element"]}
+        sub = _nested_mapping(ice_type["element"])
+        if sub:
+            m["fields"] = sub
+        return [m]
+    if kind == "map":
+        k = {"field-id": ice_type["key-id"], "names": ["key"]}
+        ksub = _nested_mapping(ice_type["key"])
+        if ksub:
+            k["fields"] = ksub
+        v = {"field-id": ice_type["value-id"], "names": ["value"]}
+        vsub = _nested_mapping(ice_type["value"])
+        if vsub:
+            v["fields"] = vsub
+        return [k, v]
+    return None
 
 
 def _name_sets(man: dict, rel_files: list[str]) -> dict[str, set]:
@@ -291,16 +345,19 @@ def export_iceberg(path: str, version: int | None = None) -> str:
 
     ice_fields, type_of = [], {}
     for f in spark_fields:
-        t = _iceberg_type(f, mint)
+        t = _iceberg_type(f["type"], mint)
         type_of[f["name"]] = t
         ice_fields.append({
             "id": fid[f["name"]], "name": f["name"],
             "required": False, "type": t,
         })
-    name_mapping = [
-        {"field-id": fid[name], "names": sorted(names)}
-        for name, names in name_sets.items()
-    ]
+    name_mapping = []
+    for name, names in name_sets.items():
+        m = {"field-id": fid[name], "names": sorted(names)}
+        sub = _nested_mapping(type_of[name])
+        if sub:
+            m["fields"] = sub
+        name_mapping.append(m)
 
     committed_ms = int(float(man.get("committed_at", 0)) * 1000)
     table_loc = os.path.abspath(path)
@@ -487,7 +544,7 @@ def read_iceberg(spark, path: str):
     contains (at most one, by the export-time guard). Verification twin
     for environments without an Iceberg runtime."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+    from pyspark.sql.types import StructField, StructType
 
     meta = read_iceberg_meta(path)
     schema = next(s for s in meta["schemas"]
@@ -497,13 +554,9 @@ def read_iceberg(spark, path: str):
         for m in json.loads(
             meta["properties"]["schema.name-mapping.default"])
     }
-    back = {"long": "bigint", "timestamptz": "timestamp"}
-
-    def spark_type(t):
-        if isinstance(t, dict) and t.get("type") == "list":
-            return _parse_datatype_string(
-                f"array<{back.get(t['element'], t['element'])}>")
-        return _parse_datatype_string(back.get(t, t))
+    # the import bridge owns the full (nested-capable) type mapping;
+    # lazy import avoids the module cycle (iceberg_import imports us)
+    from .iceberg_import import _spark_type as spark_type
 
     files = [_from_uri(d["file_path"]) for d in iceberg_files(path)]
     read_fields, exprs = [], []

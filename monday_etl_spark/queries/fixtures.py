@@ -284,6 +284,40 @@ def _iceberg_mapped_table(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+@_fixture("nested_bridge_table", {"nested_bridge_roundtrip"})
+def _nested_bridge_table(spark: SparkSession, sf_dir: str) -> str:
+    """A NESTED-schema snapshot (array<struct>, struct) handed off through
+    BOTH bridges from the same directory: orders rolled up per customer
+    into a sorted array of (okey, price) structs plus a summary struct,
+    committed as a versioned table, then exported as a plain Delta log
+    (schemaString carries the nesting verbatim) AND as Iceberg v2
+    metadata (nested field ids minted, nested name-mapping entries).
+    Consumers only read; shared without copies."""
+    from ..delta_export import export_delta_log
+    from ..iceberg_export import export_iceberg
+    from ..tableformat import write_versioned
+
+    src = _load(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 10 == 3)
+    nested = src.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_totalprice").alias("price"),
+        ))).alias("orders"),
+        F.struct(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("o_orderdate").alias("last_date"),
+        ).alias("summary"),
+    )
+    root = tempfile.mkdtemp(prefix="nested_bridge_fx_")
+    path = os.path.join(root, "orders_nested")
+    write_versioned(nested, path, key="o_custkey", n_buckets=4,
+                    stats_cols=["o_custkey"])
+    export_delta_log(path)
+    export_iceberg(path)
+    return path
+
+
 @_fixture("iceberg_external_table", {"iceberg_import_external"})
 def _iceberg_external_table(spark: SparkSession, sf_dir: str) -> str:
     """A table 'another engine wrote': parquet data files with footer

@@ -1363,3 +1363,77 @@ def delta_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderstatus", "n_orders", "total_price")
     )
+
+
+@register(
+    "nested_bridge_roundtrip",
+    oracle=f"""
+    SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_orderkey) AS BIGINT) AS first_okey,
+           {sql_money_sum('o_totalprice')} AS sum_price,
+           MAX(o_orderdate) AS last_date
+    FROM orders WHERE o_custkey % 10 = 3
+    GROUP BY o_custkey
+    """,
+    doc="Nested types through BOTH lakehouse bridges (r09): orders rolled "
+        "up per customer into array<struct<okey,price>> plus a summary "
+        "struct, committed versioned, exported from the SAME directory as "
+        "a plain Delta log (schemaString carries Spark's nesting verbatim) "
+        "and as Iceberg v2 metadata (nested field ids minted in traversal "
+        "order, nested name-mapping entries per the spec's element/key/"
+        "value names — iceberg_export._iceberg_type/_nested_mapping). The "
+        "query re-reads through BOTH import bridges, pins them row-"
+        "identical via a one-job fingerprint per side, then flattens the "
+        "Iceberg read (array element access, struct field access, explode) "
+        "for the value-hash compare. Oracle: the per-customer rollup "
+        "restated over the raw orders table. Reference scope: "
+        "open-ecosystem outputs as in monday_etl_automated.py:571-590.",
+)
+def nested_bridge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..delta_import import read_delta
+    from ..functions import money_sum
+    from ..iceberg_import import read_iceberg_table
+    from .fixtures import shared
+
+    path = shared(spark, sf_dir, "nested_bridge_table")
+    dd = read_delta(spark, path)
+    ii = read_iceberg_table(spark, path)
+
+    def _fingerprint(df: DataFrame) -> tuple:
+        ex = df.select(
+            "o_custkey",
+            F.col("summary.n").alias("n"),
+            F.explode("orders").alias("o"),
+        )
+        row = ex.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.crc32(F.concat_ws(
+                "|", F.col("o_custkey"), F.col("n"),
+                F.col("o.okey"),
+                F.format_number(F.col("o.price"), 2),
+            ))).alias("crc"),
+        ).first()
+        return (row["rows"], row["crc"])
+
+    if _fingerprint(dd) != _fingerprint(ii):
+        raise AssertionError("Delta and Iceberg reads disagree")
+
+    ex = ii.select(
+        "o_custkey",
+        F.col("summary.n").alias("n_orders"),
+        F.col("summary.last_date").alias("last_date"),
+        F.element_at("orders", 1).getField("okey").alias("first_okey"),
+        F.explode("orders").alias("o"),
+    )
+    return (
+        ex.groupBy("o_custkey")
+        .agg(
+            F.first("n_orders").alias("n_orders"),
+            F.first("first_okey").alias("first_okey"),
+            money_sum(F.col("o.price")).alias("sum_price"),
+            F.first("last_date").alias("last_date"),
+        )
+        .select("o_custkey", "n_orders", "first_okey",
+                "sum_price", "last_date")
+    )

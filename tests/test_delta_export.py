@@ -259,3 +259,115 @@ def test_exported_commit_time_is_the_original_manifest_time(spark, tmp_path):
     # tableformat versions are 1-based; the exported Delta log is v0
     want_ms = int(float(_read_manifest(path, 1)["committed_at"]) * 1000)
     assert commit_timestamps(path)[0] == want_ms
+
+
+def _nested_df(spark):
+    return spark.createDataFrame(
+        [(1, [("a", 1.0), ("b", 2.0)], ("x", 10)),
+         (2, [("c", 3.0)], ("y", 20))],
+        "id bigint, items array<struct<k:string, v:double>>, "
+        "meta struct<tag:string, n:long>",
+    )
+
+
+def _nested_rows(df):
+    return sorted(
+        (r.id, tuple(tuple(i) for i in r.items), tuple(r.meta))
+        for r in df.collect())
+
+
+def test_nested_columns_plain_export_roundtrip(spark, tmp_path):
+    """Nested columns need nothing special on the plain (reader v1) path:
+    schemaString is Spark schema JSON, which is exactly Delta's nesting."""
+    from monday_etl_spark.delta_import import read_delta
+
+    path = str(tmp_path / "nested_plain")
+    df = _nested_df(spark)
+    write_versioned(df, path, key="id", n_buckets=2, stats_cols=["id"])
+    log_file = export_delta_log(path)
+    with open(log_file) as fh:
+        actions = [json.loads(ln) for ln in fh if ln.strip()]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    assert _nested_rows(read_delta(spark, path)) == _nested_rows(df)
+
+
+def test_nested_columns_mapping_export_stamps_every_field(spark, tmp_path):
+    """Under column mapping the spec requires id + physicalName on EVERY
+    field, nested ones included; nested physical names equal their names
+    (tableformat never renames nested) and ids mint above the top-level
+    range."""
+    from monday_etl_spark.delta_import import read_delta
+
+    path = str(tmp_path / "nested_map")
+    df = _nested_df(spark)
+    write_versioned(df, path, key="id", n_buckets=2, stats_cols=["id"])
+    rename_column(path, "meta", "info")
+
+    log_file = export_delta_log(path)
+    with open(log_file) as fh:
+        actions = [json.loads(ln) for ln in fh if ln.strip()]
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    conf = meta["configuration"]
+    assert conf["delta.columnMapping.mode"] == "name"
+    fields = {f["name"]: f for f in
+              json.loads(meta["schemaString"])["fields"]}
+    el = fields["items"]["type"]["elementType"]
+    ids = []
+    for nf in el["fields"] + fields["info"]["type"]["fields"]:
+        md = nf["metadata"]
+        assert md["delta.columnMapping.physicalName"] == nf["name"]
+        ids.append(md["delta.columnMapping.id"])
+    top_ids = [f["metadata"]["delta.columnMapping.id"]
+               for f in fields.values()]
+    assert len(set(ids + top_ids)) == len(ids) + len(top_ids)
+    assert int(conf["delta.columnMapping.maxColumnId"]) >= max(ids)
+
+    got = read_delta(spark, path)
+    assert got.columns == ["id", "items", "info"]
+    assert sorted((r.id, tuple(tuple(i) for i in r.items), tuple(r.info))
+                  for r in got.collect()) == _nested_rows(df)
+
+
+def test_reader_refuses_external_nested_physical_rename(spark, tmp_path):
+    """mode=name resolves nested fields by PHYSICAL name; an external
+    table whose nested field carries a different physicalName would read
+    as nulls — refuse loudly instead."""
+    import pytest
+
+    from monday_etl_spark.delta_import import DeltaProtocolError, read_delta
+
+    path = str(tmp_path / "ext_nested")
+    os.makedirs(os.path.join(path, "_delta_log"))
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "id"}},
+            {"name": "meta", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "meta"},
+             "type": {"type": "struct", "fields": [
+                 {"name": "tag", "type": "string", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 3,
+                               "delta.columnMapping.physicalName":
+                                   "col-renamed"}},
+             ]}},
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "22222222-2222-2222-2222-222222222222",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"},
+        }},
+    ]
+    with open(os.path.join(path, "_delta_log",
+                           f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    with pytest.raises(DeltaProtocolError, match="col-renamed"):
+        read_delta(spark, path)

@@ -152,3 +152,60 @@ def test_array_columns_export_with_minted_element_ids(spark, tmp_path):
     got = read_iceberg(spark, path)
     assert sorted((r.id, tuple(r.emb)) for r in got.collect()) \
         == [(1, (1.0, 2.0)), (2, (3.0, 4.0))]
+
+
+def test_nested_struct_map_roundtrip(spark, tmp_path):
+    """array<struct>, bare struct, and map columns export with minted
+    nested field ids, nested name-mapping entries, and re-read
+    row-identical through the import bridge."""
+    path = str(tmp_path / "nested")
+    df = spark.createDataFrame(
+        [(1, [("a", 1.0), ("b", 2.0)], ("x", 10), {"k1": 5}),
+         (2, [("c", 3.0)], ("y", 20), {"k2": 7})],
+        "id bigint, items array<struct<k:string, v:double>>, "
+        "meta struct<tag:string, n:long>, counts map<string, long>",
+    )
+    write_versioned(df, path, key="id", n_buckets=2, stats_cols=["id"])
+    export_iceberg(path)
+
+    meta = read_iceberg_meta(path)
+    fields = {f["name"]: f for f in meta["schemas"][0]["fields"]}
+    items_t = fields["items"]["type"]
+    assert items_t["type"] == "list" and items_t["element"]["type"] == "struct"
+    el_fields = items_t["element"]["fields"]
+    assert [f["name"] for f in el_fields] == ["k", "v"]
+    meta_t = fields["meta"]["type"]
+    assert meta_t["type"] == "struct"
+    counts_t = fields["counts"]["type"]
+    assert counts_t["type"] == "map" and counts_t["key"] == "string"
+    # every nested id is unique and above the top-level range
+    def _ids(t):
+        if not isinstance(t, dict):
+            return []
+        if t["type"] == "struct":
+            return [i for f in t["fields"]
+                    for i in [f["id"], *_ids(f["type"])]]
+        if t["type"] == "list":
+            return [t["element-id"], *_ids(t["element"])]
+        return [t["key-id"], t["value-id"], *_ids(t["key"]), *_ids(t["value"])]
+    nested = [i for f in fields.values() for i in _ids(f["type"])]
+    top = [f["id"] for f in fields.values()]
+    assert len(set(nested + top)) == len(nested) + len(top)
+    # the name mapping covers nested fields (spec: element/key/value names)
+    mapping = json.loads(
+        meta["properties"]["schema.name-mapping.default"])
+    items_m = next(m for m in mapping if "items" in m["names"])
+    assert items_m["fields"][0]["names"] == ["element"]
+    assert {f["names"][0] for f in items_m["fields"][0]["fields"]} \
+        == {"k", "v"}
+
+    got = read_iceberg(spark, path)
+    want = sorted(
+        (r.id, tuple(tuple(i) for i in r.items), tuple(r.meta),
+         tuple(sorted(r.counts.items())))
+        for r in df.collect())
+    have = sorted(
+        (r.id, tuple(tuple(i) for i in r.items), tuple(r.meta),
+         tuple(sorted(r.counts.items())))
+        for r in got.collect())
+    assert have == want
