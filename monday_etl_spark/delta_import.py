@@ -57,9 +57,10 @@ scan's ``_metadata`` row provenance, decoding the spec's Z85 / roaring
 bitmap formats (``roaring.py``) on executors. Honest refusals remain
 where a surface cannot carry the semantics: path-level pruning
 (``files_for_range``) and the streaming source refuse DV files loudly,
-``write_checkpoint`` refuses rather than silently dropping a DV from the
-checkpointed add (the add-struct DDL has no DV field), and appends whose
-schema does not match the table's by name+type refuse as before.
+``write_checkpoint`` carries deletion vectors AND table-features protocol
+lists through verbatim (a checkpoint that dropped either would resurrect
+deleted rows / write a spec-invalid v3+ protocol action), and appends
+whose schema does not match the table's by name+type refuse as before.
 
 Reference scope: the reference loads BigQuery tables any client can read
 (monday_etl_automated.py:571-590); this gives our engine the equivalent
@@ -87,10 +88,14 @@ _CKPT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 _CKPT_MULTI_RE = re.compile(
     r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
 )
-# v2 (uuid-named) checkpoints need sidecar support this bridge lacks
+# v2 (uuid-named) checkpoints: PROTOCOL.md §V2 Checkpoints — the top-level
+# file carries checkpointMetadata/protocol/metaData/txn plus either inline
+# file actions or `sidecar` actions naming parquet files under
+# _delta_log/_sidecars/ that hold the add/remove actions
 _CKPT_V2_RE = re.compile(
     r"^(\d{20})\.checkpoint\.[0-9a-fA-F-]{36}\.(json|parquet)$"
 )
+_SIDECAR_DIR = "_sidecars"
 
 
 class DeltaProtocolError(RuntimeError):
@@ -144,6 +149,20 @@ def _list_checkpoints(path: str) -> dict[int, list[str]]:
     return out
 
 
+def _list_v2_checkpoints(path: str) -> dict[int, str]:
+    """version -> one v2 (uuid-named) checkpoint file per version. The
+    spec allows several writers to race v2 checkpoints for the same
+    version — any is complete and equivalent; the lexicographically first
+    is chosen for determinism."""
+    d = _log_dir(path)
+    out: dict[int, str] = {}
+    for name in sorted(os.listdir(d)):
+        m = _CKPT_V2_RE.match(name)
+        if m:
+            out.setdefault(int(m.group(1)), os.path.join(d, name))
+    return out
+
+
 def _read_last_checkpoint(path: str) -> dict | None:
     f = os.path.join(_log_dir(path), "_last_checkpoint")
     if not os.path.exists(f):
@@ -153,27 +172,17 @@ def _read_last_checkpoint(path: str) -> dict | None:
 
 
 def _checkpoint_at_or_below(path: str, version: int) -> int | None:
-    """Newest readable checkpoint version <= ``version``. Consults
+    """Newest readable checkpoint version <= ``version`` — classic
+    (single or multi-part) and v2/sidecar forms both count. Consults
     ``_last_checkpoint`` first (the discovery contract external writers
     rely on after log cleanup) and refuses loudly when the advertised
-    checkpoint exists only in a form this bridge cannot read (v2 /
-    sidecar), instead of failing later with a confusing missing-commit
-    error."""
-    ckpts = _list_checkpoints(path)
+    checkpoint's files are missing or incomplete, instead of failing
+    later with a confusing missing-commit error."""
+    ckpts = set(_list_checkpoints(path)) | set(_list_v2_checkpoints(path))
     last = _read_last_checkpoint(path)
     if last is not None:
         lv = int(last.get("version", -1))
         if lv >= 0 and lv <= version and lv not in ckpts:
-            d = _log_dir(path)
-            v2 = [n for n in os.listdir(d)
-                  if _CKPT_V2_RE.match(n)
-                  and int(n.split(".", 1)[0]) == lv]
-            if v2:
-                raise DeltaProtocolError(
-                    f"{path}: _last_checkpoint advertises version {lv} "
-                    "but only a v2/sidecar checkpoint exists there — "
-                    "not readable by this bridge"
-                )
             parts = last.get("parts")
             raise DeltaProtocolError(
                 f"{path}: _last_checkpoint advertises version {lv} "
@@ -186,7 +195,8 @@ def _checkpoint_at_or_below(path: str, version: int) -> int | None:
 def delta_versions(path: str) -> list[int]:
     """Committed versions visible in the log (checkpoint versions count:
     a checkpointed writer may have cleaned the JSON commits it covers)."""
-    vs = set(_list_commits(path)) | set(_list_checkpoints(path))
+    vs = (set(_list_commits(path)) | set(_list_checkpoints(path))
+          | set(_list_v2_checkpoints(path)))
     return sorted(vs)
 
 
@@ -220,18 +230,20 @@ def _check_protocol(protocol: dict | None) -> None:
         # table-features protocol: readable iff every listed reader
         # feature is one we implement
         feats = set(protocol.get("readerFeatures") or [])
-        unknown = feats - {"columnMapping", "deletionVectors"}
+        unknown = feats - {"columnMapping", "deletionVectors",
+                           "v2Checkpoint"}
         if unknown:
             raise DeltaProtocolError(
                 f"readerFeatures {sorted(unknown)}: not implemented by "
-                "this bridge (supported: columnMapping, deletionVectors)"
+                "this bridge (supported: columnMapping, deletionVectors, "
+                "v2Checkpoint)"
             )
         return
     if v > 3:
         raise DeltaProtocolError(
             f"minReaderVersion={v}: this bridge implements reader "
-            "versions 1-3 (column mapping; no deletion vectors / "
-            "v2 checkpoints)"
+            "versions 1-3 (column mapping, deletion vectors, v2 "
+            "checkpoints)"
         )
 
 
@@ -306,13 +318,45 @@ def _physical_names(meta: dict) -> dict[str, str] | None:
     per-file stats / partitionValues are keyed by the physical names (in
     BOTH modes — id mode only changes which piece is authoritative for
     data-column resolution). ``None`` for unmapped tables."""
-    if _mapping_mode(meta) not in ("name", "id"):
+    mode = _mapping_mode(meta)
+    if mode not in ("name", "id"):
         return None
     out: dict[str, str] = {}
     for f in json.loads(meta["schemaString"])["fields"]:
         md = f.get("metadata") or {}
         out[f["name"]] = md.get("delta.columnMapping.physicalName", f["name"])
+        if mode == "name":
+            _guard_nested_physical(f["type"], f["name"])
     return out
+
+
+def _guard_nested_physical(t, top: str) -> None:
+    """mode=name resolves by PHYSICAL name at every nesting level, but the
+    requested scan schema carries the LOGICAL nested names — a nested
+    field whose physicalName differs would silently read as null. Our own
+    exports stamp nested physicalName == name, so this only fires on
+    external tables with renamed nested fields; refuse loudly (mode=id
+    tables resolve nested fields by id and are unaffected)."""
+    if not isinstance(t, dict):
+        return
+    if t.get("type") == "struct":
+        for nf in t["fields"]:
+            md = nf.get("metadata") or {}
+            pn = md.get("delta.columnMapping.physicalName", nf["name"])
+            if pn != nf["name"]:
+                raise DeltaProtocolError(
+                    f"column {top!r}: nested field {nf['name']!r} carries "
+                    f"physicalName {pn!r} — nested physical renames are "
+                    "not resolvable by this reader's name-mapped scan "
+                    "(null columns would result). Read the table with its "
+                    "native engine, or rewrite it with mode=id."
+                )
+            _guard_nested_physical(nf["type"], top)
+    elif t.get("type") == "array":
+        _guard_nested_physical(t["elementType"], top)
+    elif t.get("type") == "map":
+        _guard_nested_physical(t["keyType"], top)
+        _guard_nested_physical(t["valueType"], top)
 
 
 def _field_ids(meta: dict) -> dict[str, int]:
@@ -343,9 +387,34 @@ def _id_requested_schema(spark, meta: dict, fields) -> "StructType":
         )
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     return StructType([
-        StructField(f.name, f.dataType, True, {"parquet.field.id": fid[f.name]})
+        StructField(f.name, _nested_id_type(f.dataType), True,
+                    {"parquet.field.id": fid[f.name]})
         for f in fields
     ])
+
+
+def _nested_id_type(dt):
+    """Translate nested ``delta.columnMapping.id`` metadata (preserved by
+    StructType.fromJson) into the ``parquet.field.id`` keys Spark's
+    fieldId reader matches on, recursively — so mode=id tables with
+    renamed NESTED fields resolve by id at every level."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, StructType):
+        out = []
+        for f in dt.fields:
+            md = dict(f.metadata or {})
+            nid = md.get("delta.columnMapping.id")
+            meta = {"parquet.field.id": int(nid)} if nid is not None else None
+            out.append(StructField(
+                f.name, _nested_id_type(f.dataType), True, meta))
+        return StructType(out)
+    if isinstance(dt, ArrayType):
+        return ArrayType(_nested_id_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, MapType):
+        return MapType(_nested_id_type(dt.keyType),
+                       _nested_id_type(dt.valueType), dt.valueContainsNull)
+    return dt
 
 
 _DV_ERR = (
@@ -357,6 +426,13 @@ _DV_ERR = (
 
 _ADD_FIELDS = ("path", "partitionValues", "size", "modificationTime",
                "dataChange", "stats")
+
+# the spec's deletionVector struct (PROTOCOL.md §Deletion Vectors) — the
+# shape checkpoints carry it in; maxRowIndex is writer-scratch and dropped
+_DV_FIELD_DDL = ("storageType string, pathOrInlineDv string, offset int, "
+                 "sizeInBytes int, cardinality bigint")
+_DV_KEYS = ("storageType", "pathOrInlineDv", "offset", "sizeInBytes",
+            "cardinality")
 
 
 class _LiveSet:
@@ -477,13 +553,17 @@ class _LiveSet:
     def add_actions_df(self) -> DataFrame:
         """Every surviving add as a DataFrame in the checkpoint's add-struct
         shape — checkpoint rows pass through WITHOUT driver
-        materialization; only the tail is built driver-side."""
+        materialization; only the tail is built driver-side. Deletion
+        vectors CARRY THROUGH (both tail- and checkpoint-sourced):
+        re-checkpointing a DV table must not resurrect its deleted rows."""
         add_ddl = (
             "path string, partitionValues map<string,string>, size bigint, "
-            "modificationTime bigint, dataChange boolean, stats string"
+            "modificationTime bigint, dataChange boolean, stats string, "
+            f"deletionVector struct<{_DV_FIELD_DDL}>"
         )
-        tail_rows = [
-            tuple(
+        tail_rows = []
+        for a in self._tail.values():
+            row = tuple(
                 (json.dumps(a["stats"])
                  if f == "stats" and isinstance(a.get("stats"), dict)
                  else bool(a.get(f, True)) if f == "dataChange"
@@ -491,8 +571,10 @@ class _LiveSet:
                  else a.get(f))
                 for f in _ADD_FIELDS
             )
-            for a in map(self._guard_dv, self._tail.values())
-        ]
+            dv = a.get("deletionVector")
+            tail_rows.append(row + (
+                tuple(dv.get(k) for k in _DV_KEYS) if dv else None,
+            ))
         df = self._spark.createDataFrame(tail_rows, add_ddl)
         ck = self._ckpt_surviving()
         if ck is not None:
@@ -500,12 +582,20 @@ class _LiveSet:
             norm = ck.select(*[
                 (F.col(f) if f in have else F.lit(None)).alias(f)
                 for f in _ADD_FIELDS
+            ] + [
+                # normalize whatever struct shape the source engine wrote
+                # into the spec's field set (drops writer-scratch fields)
+                (F.from_json(F.to_json("deletionVector"), _DV_FIELD_DDL)
+                 if "deletionVector" in have
+                 else F.lit(None).cast(f"struct<{_DV_FIELD_DDL}>"))
+                .alias("deletionVector")
             ])
             df = df.unionByName(norm.selectExpr(
                 "path", "partitionValues", "CAST(size AS bigint) AS size",
                 "CAST(modificationTime AS bigint) AS modificationTime",
                 "CAST(dataChange AS boolean) AS dataChange",
                 "CAST(stats AS string) AS stats",
+                "deletionVector",
             ))
         return df
 
@@ -534,6 +624,109 @@ class _LiveSet:
         return n + len(self._tail)
 
 
+def _sidecar_paths(path: str, names: list[str]) -> list[str]:
+    """Resolve sidecar action paths (relative to _delta_log/_sidecars/
+    per the spec; absolute URIs pass through) and refuse a checkpoint
+    whose sidecars are missing — reading a partial state would silently
+    drop files."""
+    side_dir = os.path.join(_log_dir(path), _SIDECAR_DIR)
+    out = []
+    for n in names:
+        n = urllib.parse.unquote(n)
+        n = re.sub(r"^[A-Za-z0-9+.-]+:/+", "/", n)  # file: URI -> path
+        out.append(n if os.path.isabs(n) else os.path.join(side_dir, n))
+    missing = [p for p in out if not os.path.exists(p)]
+    if missing:
+        raise DeltaProtocolError(
+            f"{path}: v2 checkpoint references missing sidecar files "
+            f"{[os.path.basename(m) for m in missing]} — incomplete "
+            "checkpoint; replay cannot proceed soundly"
+        )
+    return out
+
+
+def _v2_checkpoint_state(
+    spark: SparkSession, path: str, v: int
+) -> tuple[DataFrame | None, dict | None, dict | None,
+           dict[str, int], dict[str, dict], set[str]]:
+    """Read a v2 (uuid-named) checkpoint per PROTOCOL.md §V2 Checkpoints.
+    Returns ``(action_df, meta, protocol, txns, inline_adds,
+    inline_removes)``: for the parquet form the singles ride in
+    ``action_df`` (top-level unioned with its sidecars — all file actions
+    stay distributed); for the json form the singles are parsed
+    driver-side and file actions come from the sidecar parquets
+    (``action_df``) or, when written inline, as driver dicts that seed
+    the replay tail."""
+    f = _list_v2_checkpoints(path)[v]
+    meta: dict | None = None
+    protocol: dict | None = None
+    txns: dict[str, int] = {}
+    inline_adds: dict[str, dict] = {}
+    inline_removes: set[str] = set()
+    sidecars: list[str] = []
+    ckpt_meta_v: int | None = None
+
+    if f.endswith(".json"):
+        with open(f) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "checkpointMetadata" in a:
+                    ckpt_meta_v = int(
+                        a["checkpointMetadata"].get("version", -1))
+                elif "metaData" in a:
+                    meta = a["metaData"]
+                elif "protocol" in a:
+                    protocol = a["protocol"]
+                elif "txn" in a:
+                    app = a["txn"]["appId"]
+                    txns[app] = max(txns.get(app, -1), a["txn"]["version"])
+                elif "sidecar" in a:
+                    sidecars.append(a["sidecar"]["path"])
+                elif "add" in a:
+                    inline_adds[a["add"]["path"]] = a["add"]
+                elif "remove" in a:
+                    p = a["remove"]["path"]
+                    inline_adds.pop(p, None)
+                    inline_removes.add(p)
+        if sidecars and (inline_adds or inline_removes):
+            raise DeltaProtocolError(
+                f"{path}: v2 checkpoint mixes sidecar references with "
+                "inline file actions — the spec requires one or the other"
+            )
+        cdf = (spark.read.parquet(*_sidecar_paths(path, sidecars))
+               if sidecars else None)
+    else:
+        top = spark.read.parquet(f)
+        cols = set(top.columns)
+        if "checkpointMetadata" in cols:
+            row = top.filter(F.col("checkpointMetadata").isNotNull()) \
+                     .select("checkpointMetadata.version").first()
+            if row:
+                ckpt_meta_v = int(row[0])
+        if "sidecar" in cols:
+            sidecars = [r["path"] for r in
+                        top.filter(F.col("sidecar").isNotNull())
+                           .select("sidecar.path").collect()]
+        if sidecars:
+            # spec: with sidecars present the top-level file carries NO
+            # file actions; union keeps singles + file actions one frame
+            sides = spark.read.parquet(*_sidecar_paths(path, sidecars))
+            cdf = top.drop("checkpointMetadata", "sidecar") \
+                     .unionByName(sides, allowMissingColumns=True)
+        else:
+            cdf = top
+
+    if ckpt_meta_v != v:
+        raise DeltaProtocolError(
+            f"{path}: v2 checkpoint file for version {v} carries "
+            f"checkpointMetadata.version={ckpt_meta_v} — corrupt or "
+            "misnamed checkpoint"
+        )
+    return cdf, meta, protocol, txns, inline_adds, inline_removes
+
+
 class _Snapshot(NamedTuple):
     version: int
     meta: dict
@@ -549,7 +742,8 @@ def _snapshot_state(
     commits = _list_commits(path)
     ckpts = _list_checkpoints(path)
     if version is None:
-        all_vs = set(commits) | set(ckpts)
+        all_vs = (set(commits) | set(ckpts)
+                  | set(_list_v2_checkpoints(path)))
         if not all_vs:
             raise FileNotFoundError(f"{path}: empty {_LOG_DIR}/")
         version = max(all_vs)
@@ -569,8 +763,17 @@ def _snapshot_state(
         # singleton metaData/protocol rows and the (small) txn set come
         # back to the driver here; file lists are collected per-read by
         # _LiveSet, never as full add actions.
-        cdf = spark.read.parquet(*ckpts[ckpt_v])
-        cols = set(cdf.columns)
+        if ckpt_v in ckpts:
+            cdf = spark.read.parquet(*ckpts[ckpt_v])
+        else:
+            # v2/sidecar form: singles may come back driver-parsed (json
+            # top-level); file actions stay a DataFrame (sidecar parquet)
+            cdf, meta, protocol, v2_txns, v2_adds, v2_removes = \
+                _v2_checkpoint_state(spark, path, ckpt_v)
+            txns.update(v2_txns)
+            tail_adds.update(v2_adds)   # inline json file actions (rare):
+            tail_removes |= v2_removes  # seed the tail, later commits win
+        cols = set(cdf.columns) if cdf is not None else set()
         if "metaData" in cols:
             row = cdf.filter(F.col("metaData").isNotNull()) \
                      .select("metaData").first()
@@ -775,6 +978,11 @@ def read_delta(
         if version is not None:
             raise ValueError("give version OR timestamp_ms, not both")
         version = version_at_or_before(path, timestamp_ms)
+    # canonicalize ONCE: the DV anti-join matches file paths against the
+    # scan's _metadata.file_path, which Hadoop qualifies to an absolute
+    # path — a relative/`..`-laden table path would silently match
+    # nothing and resurrect every deleted row
+    path = os.path.abspath(path)
     snap = _snapshot_state(spark, path, version)
     meta, live = snap.meta, snap.live
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
@@ -943,13 +1151,16 @@ _CKPT_DDL = (
     "txn struct<appId:string, version:bigint>, "
     "add struct<path:string, partitionValues:map<string,string>, "
     "size:bigint, modificationTime:bigint, dataChange:boolean, "
-    "stats:string>, "
+    "stats:string, deletionVector:struct<storageType:string, "
+    "pathOrInlineDv:string, offset:int, sizeInBytes:int, "
+    "cardinality:bigint>>, "
     "remove struct<path:string, dataChange:boolean>, "
     "metaData struct<id:string, name:string, description:string, "
     "format:struct<provider:string, options:map<string,string>>, "
     "schemaString:string, partitionColumns:array<string>, "
     "configuration:map<string,string>, createdTime:bigint>, "
-    "protocol struct<minReaderVersion:int, minWriterVersion:int>"
+    "protocol struct<minReaderVersion:int, minWriterVersion:int, "
+    "readerFeatures:array<string>, writerFeatures:array<string>>"
 )
 
 
@@ -973,6 +1184,12 @@ def write_checkpoint(
     import tempfile
 
     snap = _snapshot_state(spark, path, None)
+    if "v2Checkpoint" in set(snap.protocol.get("writerFeatures") or []):
+        raise DeltaProtocolError(
+            "table declares the v2Checkpoint writer feature: checkpoints "
+            "must be written in the v2 format, which this bridge reads "
+            "but does not write — use the table's native engine"
+        )
     txn_rows = [
         ({"appId": a, "version": v}, None, None, None, None)
         for a, v in sorted(snap.txns.items()) if v >= 0
@@ -984,7 +1201,11 @@ def write_checkpoint(
                 None)
     proto_row = (None, None, None, None,
                  {"minReaderVersion": snap.protocol.get("minReaderVersion", 1),
-                  "minWriterVersion": snap.protocol.get("minWriterVersion", 2)})
+                  "minWriterVersion": snap.protocol.get("minWriterVersion", 2),
+                  # a table-features protocol (v3/v7) is spec-INVALID
+                  # without its feature lists — carry them verbatim
+                  "readerFeatures": snap.protocol.get("readerFeatures"),
+                  "writerFeatures": snap.protocol.get("writerFeatures")})
     singles = spark.createDataFrame(
         txn_rows + [meta_row, proto_row], _CKPT_DDL
     )
@@ -995,7 +1216,8 @@ def write_checkpoint(
     ckpt_df = singles.unionByName(
         adds.select(
             F.lit(None).cast(singles.schema["txn"].dataType).alias("txn"),
-            F.struct(*[F.col(f) for f in _ADD_FIELDS]).alias("add"),
+            F.struct(*[F.col(f) for f in _ADD_FIELDS],
+                     F.col("deletionVector")).alias("add"),
             F.lit(None).cast(singles.schema["remove"].dataType)
             .alias("remove"),
             F.lit(None).cast(singles.schema["metaData"].dataType)
@@ -1052,6 +1274,7 @@ def delete_delta_where(spark: SparkSession, path: str, column: str,
     from . import tableformat as _tf
     from .roaring import write_dv_file
 
+    path = os.path.abspath(path)  # match read_delta's provenance form
     snap = _snapshot_state(spark, path, None)
     latest, meta = snap.version, snap.meta
     proto = snap.protocol
@@ -1087,7 +1310,10 @@ def delete_delta_where(spark: SparkSession, path: str, column: str,
     by_norm: dict[str, tuple[str, dict]] = {}
     for rel, a in adds_all.items():
         dec = urllib.parse.unquote(rel)
-        absf = dec if os.path.isabs(dec) else os.path.join(path, dec)
+        # abspath matches _metadata.file_path's qualified-absolute form
+        # even when the caller passed a relative table path
+        absf = os.path.abspath(
+            dec if os.path.isabs(dec) else os.path.join(path, dec))
         by_norm[absf] = (rel, a)
 
     affected = []

@@ -11,6 +11,7 @@ from __future__ import annotations
 import json
 import os
 import urllib.parse
+import uuid
 
 import pytest
 from pyspark.sql import functions as F
@@ -310,7 +311,7 @@ def test_refusals(spark, tmp_path):
     f0, _ = _write_file(spark, table2a, "f0", [(1, 1.0)])
     _commit(table2a, 0, [{"protocol": {"minReaderVersion": 3,
                                        "minWriterVersion": 7,
-                                       "readerFeatures": ["v2Checkpoint"]}},
+                                       "readerFeatures": ["timestampNtz"]}},
                          _meta(), _add(f0)])
     with pytest.raises(DeltaProtocolError, match="readerFeatures"):
         read_delta(spark, table2a)
@@ -599,22 +600,177 @@ def test_multipart_checkpoint_discovery_and_replay(spark, tmp_path):
         read_delta(spark, table)
 
 
-def test_v2_checkpoint_refused_loudly(spark, tmp_path):
-    """A log-cleaned table whose only checkpoint is v2/uuid-named must
-    refuse with a protocol error naming the cause, not a confusing
-    missing-commit error."""
-    table = _external_table(spark, tmp_path)
-    v2name = f"{1:020d}.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.parquet"
-    # content irrelevant: discovery must refuse before reading it
-    with open(os.path.join(table, "_delta_log", v2name), "wb") as fh:
-        fh.write(b"PAR1")
-    with open(os.path.join(table, "_delta_log", "_last_checkpoint"),
-              "w") as fh:
+_V2_UUID = "80a083e8-7026-4e79-81be-64bd76c43a11"
+_V2_PROTO = {"minReaderVersion": 3, "minWriterVersion": 7,
+             "readerFeatures": ["v2Checkpoint"],
+             "writerFeatures": ["v2Checkpoint"]}
+
+
+def _one_parquet(spark, out_path, rows, ddl):
+    """Write rows as exactly one parquet file at out_path."""
+    import shutil
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="v2ckpt_")
+    try:
+        spark.createDataFrame(rows, ddl).coalesce(1) \
+            .write.mode("overwrite").parquet(stage)
+        part = next(f for f in sorted(os.listdir(stage))
+                    if f.endswith(".parquet"))
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        os.replace(os.path.join(stage, part), out_path)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+_SIDE_DDL = (
+    "add struct<path:string, partitionValues:map<string,string>, "
+    "size:bigint, modificationTime:bigint, dataChange:boolean, "
+    "stats:string>, "
+    "remove struct<path:string, dataChange:boolean>"
+)
+_TOP_DDL = (
+    "checkpointMetadata struct<version:bigint>, "
+    "sidecar struct<path:string, sizeInBytes:bigint>, "
+    "protocol struct<minReaderVersion:int, minWriterVersion:int, "
+    "readerFeatures:array<string>, writerFeatures:array<string>>, "
+    "metaData struct<id:string, "
+    "format:struct<provider:string, options:map<string,string>>, "
+    "schemaString:string, partitionColumns:array<string>, "
+    "configuration:map<string,string>>, "
+    "txn struct<appId:string, version:bigint>"
+)
+
+
+def _v2_table_parquet_sidecar(spark, tmp_path):
+    """_external_table compacted at v1 into a v2 parquet checkpoint with
+    one sidecar holding the file actions; commits 0-1 log-cleaned, commit
+    2 remains as the replay tail. Live at v1: f0, f2."""
+    table = _external_table(spark, tmp_path, name="v2ps")
+    log = os.path.join(table, "_delta_log")
+    side_name = f"{uuid.uuid4()}.parquet"
+    side_path = os.path.join(log, "_sidecars", side_name)
+    _one_parquet(spark, side_path, [
+        (("data/f0.parquet", {}, 1, 0, True,
+          json.dumps({"numRecords": 5, "minValues": {"id": 0},
+                      "maxValues": {"id": 4}})), None),
+        (("data/f2.parquet", {}, 1, 0, True,
+          json.dumps({"numRecords": 3, "minValues": {"id": 10},
+                      "maxValues": {"id": 12}})), None),
+        (None, ("data/f1.parquet", True)),  # tombstone: must stay dead
+    ], _SIDE_DDL)
+    meta_struct = {
+        "id": "11111111-1111-1111-1111-111111111111",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": _SCHEMA_JSON,
+        "partitionColumns": [],
+        "configuration": {},
+    }
+    top_path = os.path.join(
+        log, f"{1:020d}.checkpoint.{_V2_UUID}.parquet")
+    _one_parquet(spark, top_path, [
+        ({"version": 1}, None, None, None, None),
+        (None, {"path": side_name,
+                "sizeInBytes": os.path.getsize(side_path)},
+         None, None, None),
+        (None, None, _V2_PROTO, None, None),
+        (None, None, None, meta_struct, None),
+        (None, None, None, None, {"appId": "pipe", "version": 7}),
+    ], _TOP_DDL)
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
         fh.write(json.dumps({"version": 1}))
-    os.unlink(os.path.join(table, "_delta_log", f"{0:020d}.json"))
-    os.unlink(os.path.join(table, "_delta_log", f"{1:020d}.json"))
-    with pytest.raises(DeltaProtocolError, match="v2/sidecar"):
+    os.unlink(os.path.join(log, f"{0:020d}.json"))
+    os.unlink(os.path.join(log, f"{1:020d}.json"))
+    return table
+
+
+def test_v2_parquet_sidecar_checkpoint_reads(spark, tmp_path):
+    """A log-cleaned table whose only checkpoint is v2 + sidecar replays
+    through it: sidecar file actions reconcile distributed, the JSON tail
+    overlays, time travel at the checkpoint version works, txns carry."""
+    from monday_etl_spark.delta_import import (
+        delta_versions,
+        last_txn_version,
+        write_checkpoint,
+    )
+
+    table = _v2_table_parquet_sidecar(spark, tmp_path)
+    ids = sorted(r.id for r in read_delta(spark, table).collect())
+    assert ids == [0, 1, 2, 3, 4, 10, 11, 12, 20]  # f1's 9 stays dead
+    ids_v1 = sorted(r.id for r in
+                    read_delta(spark, table, version=1).collect())
+    assert ids_v1 == [0, 1, 2, 3, 4, 10, 11, 12]
+    assert delta_versions(table) == [1, 2]
+    assert last_txn_version(spark, table, "pipe") == 7
+    # stats pruning works from checkpoint-sourced adds
+    keep, total = files_for_range(spark, table, "id", 10, 12)
+    assert total == 3 and len(keep) < total
+    # a classic checkpoint write against the v2Checkpoint feature refuses
+    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
+        write_checkpoint(spark, table)
+
+
+def test_v2_json_inline_checkpoint_reads(spark, tmp_path):
+    """The json top-level form with INLINE file actions (no sidecars):
+    singles parse driver-side, inline adds seed the replay tail."""
+    table = _external_table(spark, tmp_path, name="v2js")
+    log = os.path.join(table, "_delta_log")
+    actions = [
+        {"checkpointMetadata": {"version": 1}},
+        {"protocol": _V2_PROTO},
+        _meta(),
+        _add("data/f0.parquet", {"numRecords": 5, "minValues": {"id": 0},
+                                 "maxValues": {"id": 4}}),
+        _add("data/f2.parquet"),
+        {"remove": {"path": "data/f1.parquet", "dataChange": True}},
+    ]
+    with open(os.path.join(
+            log, f"{1:020d}.checkpoint.{_V2_UUID}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    os.unlink(os.path.join(log, f"{0:020d}.json"))
+    os.unlink(os.path.join(log, f"{1:020d}.json"))
+    ids = sorted(r.id for r in read_delta(spark, table).collect())
+    assert ids == [0, 1, 2, 3, 4, 10, 11, 12, 20]
+    ids_v1 = sorted(r.id for r in
+                    read_delta(spark, table, version=1).collect())
+    assert ids_v1 == [0, 1, 2, 3, 4, 10, 11, 12]
+
+
+def test_v2_checkpoint_missing_sidecar_refuses(spark, tmp_path):
+    """A v2 checkpoint whose sidecar file is gone must refuse loudly —
+    replaying a partial state would silently drop live files."""
+    table = _external_table(spark, tmp_path, name="v2miss")
+    log = os.path.join(table, "_delta_log")
+    actions = [
+        {"checkpointMetadata": {"version": 1}},
+        {"protocol": _V2_PROTO},
+        _meta(),
+        {"sidecar": {"path": "gone.parquet", "sizeInBytes": 1}},
+    ]
+    with open(os.path.join(
+            log, f"{1:020d}.checkpoint.{_V2_UUID}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    os.unlink(os.path.join(log, f"{0:020d}.json"))
+    os.unlink(os.path.join(log, f"{1:020d}.json"))
+    with pytest.raises(DeltaProtocolError, match="sidecar"):
         read_delta(spark, table)
+
+
+def test_v2_checkpoint_version_mismatch_refuses(spark, tmp_path):
+    """checkpointMetadata.version must equal the filename version."""
+    table = _external_table(spark, tmp_path, name="v2bad")
+    log = os.path.join(table, "_delta_log")
+    actions = [
+        {"checkpointMetadata": {"version": 0}},
+        {"protocol": _V2_PROTO},
+        _meta(),
+        _add("data/f0.parquet"),
+    ]
+    with open(os.path.join(
+            log, f"{1:020d}.checkpoint.{_V2_UUID}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    with pytest.raises(DeltaProtocolError, match="checkpointMetadata"):
+        read_delta(spark, table, version=1)
 
 
 def test_checkpoint_reads_never_materialize_full_adds(spark, tmp_path):
@@ -772,19 +928,43 @@ def test_deletion_vectors_applied_on_read(spark, tmp_path):
 
 
 def test_dv_surfaces_that_cannot_apply_refuse(spark, tmp_path):
-    """Path-level pruning and checkpoint rewriting refuse DV files
-    loudly; the pruned read falls back to the applying read and stays
-    correct."""
-    from monday_etl_spark.delta_import import write_checkpoint
-
+    """Path-level pruning refuses DV files loudly (its callers read the
+    listed files whole, which would resurrect the deleted rows); the
+    pruned read falls back to the applying read and stays correct."""
     table = _dv_table(spark, tmp_path)
     with pytest.raises(DeltaProtocolError, match="deletion vector"):
         files_for_range(spark, table, "id", 0, 5)
-    with pytest.raises(DeltaProtocolError, match="deletion vector"):
-        write_checkpoint(spark, table)
     got = sorted(r.id for r in
                  read_delta_where(spark, table, "id", 0, 5).collect())
     assert got == [0, 2, 4]
+
+
+def test_checkpoint_carries_dvs_and_protocol_features(spark, tmp_path):
+    """write_checkpoint preserves deletion vectors and the table-features
+    protocol lists. The second checkpoint exercises the checkpoint-SOURCED
+    add branch — the one that used to project adds onto a DV-less struct
+    and silently resurrect every deleted row (with clean_commits=True
+    making it permanent)."""
+    from monday_etl_spark.delta_import import (
+        _snapshot_state,
+        write_checkpoint,
+    )
+
+    table = _dv_table(spark, tmp_path)
+    write_checkpoint(spark, table, clean_commits=True)
+    got = sorted(r.id for r in read_delta(spark, table).collect())
+    assert got == [0, 2, 4, 6, 7, 8, 9]
+    proto = _snapshot_state(spark, table, None).protocol
+    assert proto["minReaderVersion"] == 3
+    assert set(proto.get("readerFeatures") or []) == {"deletionVectors"}
+    assert set(proto.get("writerFeatures") or []) == {"deletionVectors"}
+
+    # DV add now lives ONLY in the checkpoint: re-checkpoint from it
+    f1, _ = _write_file(spark, table, "f1", [(100, 100.0)])
+    _commit(table, 1, [_add(f1)])
+    write_checkpoint(spark, table, clean_commits=True)
+    got = sorted(r.id for r in read_delta(spark, table).collect())
+    assert got == [0, 2, 4, 6, 7, 8, 9, 100]
 
 
 def test_dv_mixed_with_plain_files_and_time_travel(spark, tmp_path):
