@@ -66,6 +66,7 @@ import re
 import struct
 import urllib.parse
 import uuid
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -99,6 +100,14 @@ _META_DIR = "metadata"
 # per-query cost of a Spark job outweighs decoding a few KB of Avro); above
 # it, entries decode on executors and only surviving paths return.
 _DRIVER_DECODE_MAX_MANIFESTS = 8
+
+# delete-side row count (straight from manifest record_count — no job)
+# up to which merge-on-read anti-joins BROADCAST the delete set; beyond
+# it they degrade to a shuffle-hash join instead of shipping a multi-GB
+# bitmap of (path, pos) rows to every executor. ~2M rows of
+# (path string, pos long) is low hundreds of MB — inside a healthy
+# executor, far under driver collect limits.
+_DELETE_BROADCAST_MAX_ROWS = 2_000_000
 
 
 class IcebergProtocolError(RuntimeError):
@@ -311,6 +320,30 @@ def _live_entries_df(spark: SparkSession,
         )
         df = spark.createDataFrame(rdd, schema)
     return df.filter(F.col("status").isin(0, 1))
+
+
+def _live_entry_tuples(spark: SparkSession, mans: list[tuple],
+                       want_bounds: bool = False) -> list[tuple]:
+    """Live (ADDED/EXISTING) entry tuples for scan planning. Small
+    manifest sets decode driver-side (no job); larger sets decode on
+    EXECUTORS — one task per manifest — and only the projected, dead-
+    entry-filtered tuples return (the driver must still hold the
+    surviving paths to build the scan, but never pays the Avro decode or
+    the deleted-entry churn of a million-file table's manifests)."""
+    if len(mans) <= _DRIVER_DECODE_MAX_MANIFESTS:
+        return [t for m in mans
+                for t in _decode_manifest(m, want_bounds=want_bounds)
+                if t[0] in (0, 1)]
+    dec = _decode_manifest  # bind for the closure
+
+    def live(arg):
+        return [t for t in dec(arg, want_bounds=want_bounds)
+                if t[0] in (0, 1)]
+
+    rdd = (spark.sparkContext
+           .parallelize(mans, len(mans))
+           .flatMap(live))
+    return [tuple(t) for t in rdd.collect()]
 
 
 def _split_manifests(meta: dict, snap: dict) -> tuple[list[tuple], list[tuple]]:
@@ -604,10 +637,21 @@ def _assemble_read(spark: SparkSession, meta: dict, fields: list[dict],
     files = {_from_uri(t[1]): t for t in entries}
     has_ids = _footer_has_ids(sorted(files), spark)
     id_files = sorted(f for f, h in has_ids.items() if h)
+    # group footer-id-less files by the partition values that actually
+    # INJECT as constants — the identity-transform fields. Non-identity
+    # tuple values (bucket/truncate/day...) never materialize as columns,
+    # so projecting them away collapses a transform-partitioned table's
+    # hundreds of tuples into ONE scan instead of a union of hundreds
+    # (plan size stays flat as partition counts grow)
+    inject_names = set(_identity_sources(meta).values())
     plain: dict[str, list[str]] = {}
     for f, h in has_ids.items():
         if not h:
-            plain.setdefault(files[f][5], []).append(f)
+            pvals = json.loads(files[f][5])
+            key = json.dumps(
+                {k: v for k, v in pvals.items() if k in inject_names},
+                sort_keys=True)
+            plain.setdefault(key, []).append(f)
 
     parts = []
     if id_files:
@@ -639,21 +683,18 @@ def read_iceberg_table(spark: SparkSession, path: str,
                        ref: str | None = None) -> DataFrame:
     """Materialize an Iceberg table another engine wrote (current
     snapshot, or time travel by ``snapshot_id`` / ``as_of_ms`` / a named
-    branch or tag ``ref``)."""
+    branch or tag ``ref``). A freshly created table with no snapshot yet
+    reads as its (empty) declared schema."""
     meta = read_metadata(path, metadata_version)
+    if (snapshot_id is None and as_of_ms is None and ref is None
+            and meta.get("current-snapshot-id") in (None, -1)):
+        fields = _schema_for(meta, {})["fields"]
+        return _assemble_read(spark, meta, fields, [], [])
     snap = _select_snapshot(meta, snapshot_id, as_of_ms, ref)
     fields = _schema_for(meta, snap)["fields"]
     data_mans, del_mans = _split_manifests(meta, snap)
-    entries = [
-        t for m in data_mans
-        for t in _decode_manifest(m, want_bounds=False)
-        if t[0] in (0, 1)
-    ]
-    del_entries = [
-        t for m in del_mans
-        for t in _decode_manifest(m, want_bounds=False)
-        if t[0] in (0, 1)
-    ]
+    entries = _live_entry_tuples(spark, data_mans)
+    del_entries = _live_entry_tuples(spark, del_mans)
     return _assemble_read(spark, meta, fields, entries, del_entries)
 
 
@@ -667,16 +708,28 @@ def _apply_deletes(spark: SparkSession, df: DataFrame,
     deletes match NULLs as equal and apply globally when their partition
     tuple is empty, else within their partition. Everything is JVM-side:
     per-row provenance comes from the parquet scan's ``_metadata`` struct
-    and application is two broadcast-able anti-joins — the shape that
-    scales to a 100 TB merge-on-read table (the delete side is small by
-    construction; a table whose deletes rival its data needs compaction,
-    which we say loudly is the native engine's job)."""
+    and application is anti-joins whose strategy is GATED on the delete
+    set's size: the manifests already carry each delete file's
+    ``record_count``, so choosing broadcast (small side, no shuffle of
+    the 100 TB scan) vs shuffle-hash (a delete set too big to ship to
+    every executor) costs zero extra jobs. A table whose deletes rival
+    its data still wants compaction first — but an over-cap delete set
+    now degrades to a shuffle instead of OOMing the broadcast."""
     # per-file (normalized path, partition tuple, data sequence number)
     seq_rows = [(_norm_path(t[1]), t[5], t[8]) for t in entries]
     seq_df = spark.createDataFrame(
         seq_rows, "__ice_src string, __ice_part string, __ice_seq bigint"
     )
     df = df.join(F.broadcast(seq_df), "__ice_src", "left")
+
+    def gated(ddf: DataFrame, n_rows: int) -> DataFrame:
+        """Manifest record counts are the (free) size estimate: under the
+        cap the delete side broadcasts (no shuffle of the scan side);
+        over it, a shuffle-hash anti-join — slower, but it cannot OOM
+        every executor the way a multi-GB broadcast would."""
+        if n_rows <= _DELETE_BROADCAST_MAX_ROWS:
+            return F.broadcast(ddf)
+        return ddf.hint("shuffle_hash")
 
     pos = [t for t in del_entries if t[4] == 1]
     eqs = [t for t in del_entries if t[4] == 2]
@@ -709,7 +762,7 @@ def _apply_deletes(spark: SparkSession, df: DataFrame,
             "__del_seq",
         )
         df = df.join(
-            F.broadcast(pdel),
+            gated(pdel, sum(t[3] for t in pos)),
             (F.col("__ice_src") == F.col("__del_src"))
             & (F.col("__ice_pos") == F.col("__del_pos"))
             & (F.col("__del_seq") >= F.col("__ice_seq")),
@@ -721,9 +774,11 @@ def _apply_deletes(spark: SparkSession, df: DataFrame,
         # group delete files sharing (equality ids, partition, sequence):
         # each group is one read + one null-safe anti-join
         groups: dict[tuple, list[str]] = {}
+        group_rows: dict[tuple, int] = {}
         for t in eqs:
-            groups.setdefault((t[9], t[5], t[8]), []).append(
-                _from_uri(t[1]))
+            key = (t[9], t[5], t[8])
+            groups.setdefault(key, []).append(_from_uri(t[1]))
+            group_rows[key] = group_rows.get(key, 0) + t[3]
         for (eq_json, part_json, seq), dfiles in sorted(groups.items()):
             eq_ids = json.loads(eq_json)
             missing = [i for i in eq_ids if i not in id_of]
@@ -758,7 +813,9 @@ def _apply_deletes(spark: SparkSession, df: DataFrame,
             cond = cond & (F.lit(seq) > F.col("__ice_seq"))
             if part_json != "{}":
                 cond = cond & (F.col("__ice_part") == F.lit(part_json))
-            df = df.join(F.broadcast(ddf), cond, "left_anti")
+            df = df.join(
+                gated(ddf, group_rows[(eq_json, part_json, seq)]),
+                cond, "left_anti")
 
     return df
 
@@ -866,11 +923,7 @@ def read_iceberg_where(spark: SparkSession, path: str, column: str,
     data_mans, del_mans = _split_manifests(meta, snap)
     keep, _total = _pruned_entries(
         spark, meta, snap, fields, column, lo, hi, data_mans)
-    del_entries = [
-        t for m in del_mans
-        for t in _decode_manifest(m, want_bounds=False)
-        if t[0] in (0, 1)
-    ]
+    del_entries = _live_entry_tuples(spark, del_mans)
     df = _assemble_read(spark, meta, fields, keep, del_entries)
     return df.filter(F.col(f"`{column}`").between(lo, hi))
 
@@ -896,10 +949,26 @@ def _typed_partition_value(raw: str | None, ice_type: str):
     return raw
 
 
+class _PartField(NamedTuple):
+    name: str           # partition field name (the tuple's key)
+    src: dict           # source schema field
+    ttype: str          # iceberg type of the TUPLE value the transform emits
+    kind: str           # parsed transform kind (identity/bucket/...)
+    param: int | None   # bucket N / truncate W
+
+
 def _resolve_part_fields(spec_fields: list[dict],
-                         fields: list[dict]) -> list[tuple]:
-    """[(partition field name, source schema field, ice type)] for the
-    identity spec fields this writer supports."""
+                         fields: list[dict]) -> list[_PartField]:
+    """The spec's partition fields resolved against the schema, transform
+    parsed (identity, bucket[N], truncate[W], year/month/day/hour — the
+    full spec §Partition Transforms set). Identity values route
+    Hive-style and inject on read; non-identity values are COMPUTED
+    per-row (iceberg_transforms.py) and live only in the manifest tuple —
+    the source column stays in the data files, since a transform is not
+    invertible."""
+    from .iceberg_transforms import TransformError, parse_transform, \
+        tuple_ice_type
+
     by_id = {f["id"]: f for f in fields}
     out = []
     for pf_spec in spec_fields:
@@ -908,28 +977,59 @@ def _resolve_part_fields(spec_fields: list[dict],
             raise IcebergProtocolError(
                 f"partition source id {pf_spec['source-id']} not in schema"
             )
-        if src["type"] not in ("int", "long", "string", "date"):
+        try:
+            kind, param = parse_transform(pf_spec["transform"])
+        except TransformError as e:
+            raise IcebergProtocolError(str(e)) from e
+        if not isinstance(src["type"], str):
+            raise IcebergProtocolError(
+                f"partition source {src['name']!r}: nested types cannot "
+                "be partition sources"
+            )
+        if kind == "identity" and src["type"] not in (
+            "int", "long", "string", "date"
+        ):
             raise IcebergProtocolError(
                 f"identity partition on type {src['type']!r}: this writer "
                 "supports int/long/string/date partition columns"
             )
-        out.append((pf_spec["name"], src, src["type"]))
+        out.append(_PartField(pf_spec["name"], src,
+                              tuple_ice_type(kind, src["type"]),
+                              kind, param))
     return out
 
 
 def _write_data_files(typed: DataFrame, path: str, part_fields: list,
                       prefix: str) -> list[tuple]:
-    """Write the rows as parquet under a fresh unique directory (identity
+    """Write the rows as parquet under a fresh unique directory. Identity
     partitions route Hive-style — the values live in each manifest
     entry's typed partition tuple, and readers re-derive the columns as
     identity constants: ours does; iceberg-java's PartitionUtil
     constantsMap does the same, which is also the spec's rule for
-    migrated files). Returns [(abs path, {partition field: typed value})]."""
+    migrated files. Non-identity transforms (bucket/truncate/time) route
+    by a COMPUTED column (iceberg_transforms.py) that ``partitionBy``
+    strips from the files — the SOURCE column stays in the data, since a
+    transform is not invertible; only the tuple carries the transform
+    value. Returns [(abs path, {partition field: typed value})]."""
+    from .iceberg_transforms import TransformError, transform_column
+
     data_dir = os.path.join(path, "data", prefix)
+    part_cols: list[str] = []
+    for pf in part_fields:
+        if pf.kind == "identity":
+            part_cols.append(pf.src["name"])
+            continue
+        cname = f"__ice_pt_{pf.name}"
+        try:
+            typed = typed.withColumn(cname, transform_column(
+                pf.kind, pf.param, F.col(f"`{pf.src['name']}`"),
+                typed.schema[pf.src["name"]].dataType))
+        except TransformError as e:
+            raise IcebergProtocolError(str(e)) from e
+        part_cols.append(cname)
     writer = typed.write
-    if part_fields:
-        writer = writer.partitionBy(*[src["name"] for _n, src, _t
-                                      in part_fields])
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
     writer.parquet(data_dir)
     rel_files = []
     for root_dir, _dirs, names in sorted(os.walk(data_dir)):
@@ -941,14 +1041,12 @@ def _write_data_files(typed: DataFrame, path: str, part_fields: list,
                 v = urllib.parse.unquote(v)
                 pv_raw[k] = (None if v == "__HIVE_DEFAULT_PARTITION__"
                              else v)
-        if part_fields and set(pv_raw) != {
-            src["name"] for _n, src, _t in part_fields
-        }:
+        if part_fields and set(pv_raw) != set(part_cols):
             continue  # not a leaf partition directory
         tuple_vals = {}
-        for pname, src, t in part_fields:
-            raw = pv_raw.get(src["name"])
-            tuple_vals[pname] = _typed_partition_value(raw, t)
+        for pf, cname in zip(part_fields, part_cols):
+            raw = pv_raw.get(cname)
+            tuple_vals[pf.name] = _typed_partition_value(raw, pf.ttype)
         for name in sorted(names):
             if name.endswith(".parquet"):
                 rel_files.append(
@@ -992,10 +1090,16 @@ def _data_manifest(path: str, rel_files: list[tuple], fields: list[dict],
                     omn, omx = stats[name]
                     mn, mx = min(omn, mn), max(omx, mx)
                 stats[name] = (mn, mx)
-        for pname, src, t in part_fields:
-            v = tuple_vals.get(pname)
+        for pf in part_fields:
+            # identity values publish as point bounds: the column is not
+            # in the (Hive-routed) file, so footer stats can't carry it.
+            # Non-identity sources stay IN the files — their bounds come
+            # from the footers above.
+            if pf.kind != "identity":
+                continue
+            v = tuple_vals.get(pf.name)
             if v is not None:
-                stats[src["name"]] = (v, v)
+                stats[pf.src["name"]] = (v, v)
         for name, (mn, mx) in sorted(stats.items()):
             t = type_of.get(name)
             if not isinstance(t, str):
@@ -1029,9 +1133,9 @@ def _data_manifest(path: str, rel_files: list[tuple], fields: list[dict],
         prec = next(f for f in dfile["type"]["fields"]
                     if f["name"] == "partition")
         prec["type"]["fields"] = [
-            {"name": pname, "type": ["null", avro_of[t]],
+            {"name": pf.name, "type": ["null", avro_of[pf.ttype]],
              "default": None, "field-id": pf_spec["field-id"]}
-            for (pname, _src, t), pf_spec in zip(part_fields, spec_fields)
+            for pf, pf_spec in zip(part_fields, spec_fields)
         ]
 
     manifest_path = os.path.join(_meta_dir(path), f"{token}-m0.avro")
@@ -1216,14 +1320,6 @@ def append_iceberg(spark: SparkSession, df: DataFrame, path: str,
          if s.get("spec-id", 0) == spec_id),
         [],
     )
-    non_identity = [f for f in spec_fields
-                    if f.get("transform") != "identity"]
-    if non_identity:
-        raise IcebergProtocolError(
-            f"append to a spec with transforms "
-            f"{[f['transform'] for f in non_identity]} is not implemented "
-            "(identity partitioning only)"
-        )
     snap_prev = None
     if meta.get("current-snapshot-id") not in (None, -1):
         snap_prev = _select_snapshot(meta, None, None)
@@ -1302,12 +1398,8 @@ def delete_iceberg_where(spark: SparkSession, path: str, column: str,
     if column not in {f["name"] for f in fields}:
         raise ValueError(f"column {column!r} not in table schema")
     data_mans, del_mans = _split_manifests(meta, snap)
-    entries = [t for m in data_mans
-               for t in _decode_manifest(m, want_bounds=False)
-               if t[0] in (0, 1)]
-    del_entries = [t for m in del_mans
-                   for t in _decode_manifest(m, want_bounds=False)
-                   if t[0] in (0, 1)]
+    entries = _live_entry_tuples(spark, data_mans)
+    del_entries = _live_entry_tuples(spark, del_mans)
     df = _assemble_read(spark, meta, fields, entries, del_entries,
                         keep_meta=True)
     hits = (df.filter(F.col(f"`{column}`").between(lo, hi))
@@ -1637,3 +1729,73 @@ def _commit_snapshot(path: str, newmeta: dict, cur_meta_file: str,
         fh.write(str(new_v))
     os.replace(tmp, hint)  # advisory: readers fall back to listing
     return new_v
+
+
+def create_iceberg_table(path: str, columns: list[tuple],
+                         partition_by: list[tuple] | None = None) -> int:
+    """Create an EMPTY v2 Iceberg table: ``columns`` is
+    ``[(name, iceberg_type)]``; ``partition_by`` is
+    ``[(source column, transform)]`` with any spec transform ("identity",
+    "bucket[N]", "truncate[W]", "year"/"month"/"day"/"hour"). Partition
+    field names follow iceberg-java's convention (``col_day``,
+    ``col_bucket`` ...). Publishes ``v1.metadata.json`` through the
+    LogStore conditional put (two racing creators get one winner) and
+    returns the metadata version. Appends, DML, and reads then work like
+    on any external table — this is how a pipeline lays down a
+    transform-partitioned table (``day(ts) + bucket(N, id)``) before its
+    first :func:`append_iceberg`."""
+    from .iceberg_transforms import TransformError, parse_transform
+
+    fields = [
+        {"id": i + 1, "name": n, "required": False, "type": t}
+        for i, (n, t) in enumerate(columns)
+    ]
+    by_name = {f["name"]: f for f in fields}
+    spec_fields = []
+    for i, (src_name, transform) in enumerate(partition_by or []):
+        src = by_name.get(src_name)
+        if src is None:
+            raise ValueError(f"partition source {src_name!r} not a column")
+        try:
+            kind, param = parse_transform(transform)
+        except TransformError as e:
+            raise IcebergProtocolError(str(e)) from e
+        suffix = {"identity": "", "bucket": "_bucket",
+                  "truncate": "_trunc"}.get(kind, f"_{kind}")
+        spec_fields.append({
+            "name": f"{src_name}{suffix}" if suffix else src_name,
+            "transform": transform, "source-id": src["id"],
+            "field-id": 1000 + i,
+        })
+    # validate transform/type pairings eagerly (same refusal appends give)
+    _resolve_part_fields(spec_fields, fields)
+    schema = {"type": "struct", "schema-id": 0, "fields": fields}
+    meta = {
+        "format-version": 2, "table-uuid": str(uuid.uuid4()),
+        "location": "file://" + os.path.abspath(path),
+        "last-sequence-number": 0, "last-updated-ms": 0,
+        "last-column-id": len(fields),
+        "current-schema-id": 0, "schemas": [schema],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": 999 + len(spec_fields),
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {}, "current-snapshot-id": -1,
+        "refs": {}, "snapshots": [], "snapshot-log": [],
+        "metadata-log": [],
+    }
+    os.makedirs(_meta_dir(path), exist_ok=True)
+    final = os.path.join(_meta_dir(path), "v1.metadata.json")
+    try:
+        _tf._LOG_STORE.put_if_absent(final, json.dumps(meta, indent=2))
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"{final}: table already created by another writer"
+        ) from None
+    hint = os.path.join(_meta_dir(path), "version-hint.text")
+    tmp = f"{hint}.{os.getpid()}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write("1")
+    os.replace(tmp, hint)
+    return 1

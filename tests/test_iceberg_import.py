@@ -748,3 +748,38 @@ def test_many_manifests_use_distributed_decode(spark, tmp_path):
     assert total >= 11 and len(keep) == 1
     rng = read_iceberg_where(spark, path, "id", 500, 520)
     assert sorted(r.id for r in rng.collect()) == [500, 501, 502]
+
+
+def _plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def test_delete_join_strategy_gated_on_manifest_counts(
+    spark, tmp_path, monkeypatch
+):
+    """The merge-on-read anti-joins choose broadcast vs shuffle-hash from
+    the manifests' record counts (no counting job): a small delete set
+    broadcasts; over the cap the SAME table reads row-identically through
+    shuffle-hash joins instead of OOMing the broadcast."""
+    from monday_etl_spark import iceberg_import as ii
+
+    path = _merge_on_read_table(spark, tmp_path)
+    small = read_iceberg_table(spark, path)
+    plan = _plan_of(small)
+    assert "BroadcastHashJoin" in plan
+    assert _rows(small) == [(2, 20), (3, 333), (4, 40)]
+
+    monkeypatch.setattr(ii, "_DELETE_BROADCAST_MAX_ROWS", 0)
+    big = read_iceberg_table(spark, path)
+    plan = _plan_of(big)
+    assert "ShuffledHashJoin" in plan
+    # the delete-application joins must not broadcast under the cap;
+    # the (3-row) file->sequence attach legitimately still does
+    assert plan.count("BroadcastHashJoin") <= 1
+    assert _rows(big) == [(2, 20), (3, 333), (4, 40)]
