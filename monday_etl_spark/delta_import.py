@@ -427,6 +427,10 @@ _DV_ERR = (
 _ADD_FIELDS = ("path", "partitionValues", "size", "modificationTime",
                "dataChange", "stats")
 
+# deleted-row total up to which the DV positions set broadcasts for the
+# anti-join; beyond it the join degrades to shuffle-hash (see read_delta)
+_DV_BROADCAST_MAX_ROWS = 2_000_000
+
 # the spec's deletionVector struct (PROTOCOL.md §Deletion Vectors) — the
 # shape checkpoints carry it in; maxRowIndex is writer-scratch and dropped
 _DV_FIELD_DDL = ("storageType string, pathOrInlineDv string, offset int, "
@@ -1060,6 +1064,16 @@ def read_delta(
                .flatMap(lambda t: _dv_pair_positions(table_path, t)))
         pos_df = spark.createDataFrame(
             rdd, "__dvp string, __dvi bigint")
+        # strategy gate at zero cost: every DV descriptor declares its
+        # cardinality, so the deleted-row total is known before any job.
+        # Small sets broadcast (no shuffle of the scan side); a delete-
+        # heavy table degrades to a shuffle-hash anti-join instead of
+        # OOMing every executor with a multi-GB broadcast.
+        n_del = sum(int(dv.get("cardinality") or 0)
+                    for dv in dv_by_abs.values())
+        pos_df = (F.broadcast(pos_df)
+                  if n_del <= _DV_BROADCAST_MAX_ROWS
+                  else pos_df.hint("shuffle_hash"))
         out = out.join(
             pos_df,
             (F.col("__dv_src") == F.col("__dvp"))

@@ -199,21 +199,17 @@ class DeltaStreamReader(DataSourceStreamReader):
         # surface as silent NULL columns
         _check_protocol(_local_action(self.path, "protocol"))
         _check_meta(meta)
-        from .delta_import import DeltaProtocolError, _mapping_mode
+        from .delta_import import _field_ids, _mapping_mode
 
-        if _mapping_mode(meta) == "id":
-            # the batch reader resolves mode=id through Spark's parquet
-            # fieldId reader; this Arrow-based stream reader resolves
-            # footers by NAME only — refuse rather than trust that the
-            # physical names match what the authoritative ids say
-            raise DeltaProtocolError(
-                "delta.columnMapping.mode=id: the streaming source "
-                "resolves footers by physical name; use the batch "
-                "read_delta for id-mapped tables"
-            )
-        # mode=name column mapping: data files and partitionValues are
-        # keyed by each field's physicalName; the arrow reader resolves
-        # footers through this map and surfaces logical names
+        # column mapping: partitionValues are keyed by physicalName in
+        # BOTH modes; data-column footer resolution is by physicalName
+        # under mode=name and by the authoritative field ID under mode=id
+        # (pyarrow surfaces PARQUET:field_id straight from each footer —
+        # the same ids Spark's native fieldId reader matches in the batch
+        # path; files written without ids fall back to physical name,
+        # delta-spark's own rule)
+        self.mode_id = _mapping_mode(meta) == "id"
+        self.field_ids = _field_ids(meta) if self.mode_id else {}
         self.phys = _physical_names(meta) or {}
         self.part_cols = meta.get("partitionColumns") or []
         self.schema = StructType.fromJson(json.loads(meta["schemaString"]))
@@ -380,11 +376,19 @@ class DeltaStreamReader(DataSourceStreamReader):
         def batches():
             pf = pq.ParquetFile(partition.abs_path)
             present = set(pf.schema_arrow.names)
+            by_id = {}
+            if self.mode_id:
+                for fld in pf.schema_arrow:
+                    fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+                    if fid is not None:
+                        by_id[int(fid)] = fld.name
             for rb in pf.iter_batches():
                 n = rb.num_rows
                 cols = []
                 for name, at in want:
                     footer = self.phys.get(name, name)
+                    if self.mode_id:
+                        footer = by_id.get(self.field_ids[name], footer)
                     if name in self.part_cols:
                         # Hive layout: the value lives in partitionValues,
                         # not the file — surface it as a typed constant
@@ -451,16 +455,7 @@ def stream_delta(spark: SparkSession, path: str,
     # Python DataSource reader's __init__ only surface at stream START —
     # validate here so an unreadable table fails at declaration time
     _check_protocol(_local_action(path, "protocol"))
-    _meta_eager = _local_meta(path)
-    _check_meta(_meta_eager)
-    from .delta_import import DeltaProtocolError, _mapping_mode
-
-    if _mapping_mode(_meta_eager) == "id":
-        raise DeltaProtocolError(
-            "delta.columnMapping.mode=id: the streaming source resolves "
-            "footers by physical name; use the batch read_delta for "
-            "id-mapped tables"
-        )
+    _check_meta(_local_meta(path))
     ensure_session_confs(spark)
     spark.dataSource.register(DeltaStreamDataSource)
     reader = spark.readStream.format("delta_stream").option("path", path)

@@ -865,11 +865,21 @@ def test_external_id_mapped_table_resolves_by_field_id(spark, tmp_path):
     got = read_delta_where(spark, table, "amount", 5.0, 6.0)
     assert sorted((r.user_id, r.amount) for r in got.collect()) \
         == [(5, 5.0), (6, 6.0)]
-    # the streaming source refuses id-mapped tables loudly
+    # the streaming source resolves the same table by footer field id
     from monday_etl_spark.delta_source import stream_delta
 
-    with pytest.raises(DeltaProtocolError, match="mode=id"):
-        stream_delta(spark, table)
+    stream = stream_delta(spark, table, starting_version=0)
+    assert stream.columns == ["user_id", "amount"]
+    streamed: list = []
+
+    def handle(batch, _bid):
+        streamed.extend((r.user_id, r.amount) for r in batch.collect())
+
+    q = (stream.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert sorted(streamed) == [(i, float(i)) for i in range(10)]
 
 
 def _dv_table(spark, tmp_path, storage="p"):
@@ -1030,3 +1040,30 @@ def test_delete_where_writes_deletion_vectors(spark, tmp_path):
     _commit(plain, 0, [_PROTO, _meta(), _add(p0)])
     with pytest.raises(DeltaProtocolError, match="deletionVectors"):
         delete_delta_where(spark, plain, "id", 0, 9)
+
+
+def test_dv_join_strategy_gated_on_cardinality(spark, tmp_path, monkeypatch):
+    """The DV anti-join broadcasts when the descriptors' summed
+    cardinality is small and degrades to shuffle-hash beyond the cap —
+    decided from the log alone, no counting job; rows identical."""
+    import contextlib
+    import io
+
+    from monday_etl_spark import delta_import as di
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        return buf.getvalue()
+
+    table = _dv_table(spark, tmp_path)
+    small = read_delta(spark, table)
+    assert "BroadcastHashJoin" in plan_of(small)
+    assert sorted(r.id for r in small.collect()) == [0, 2, 4, 6, 7, 8, 9]
+
+    monkeypatch.setattr(di, "_DV_BROADCAST_MAX_ROWS", 0)
+    big = read_delta(spark, table)
+    plan = plan_of(big)
+    assert "ShuffledHashJoin" in plan and "BroadcastHashJoin" not in plan
+    assert sorted(r.id for r in big.collect()) == [0, 2, 4, 6, 7, 8, 9]

@@ -402,3 +402,68 @@ def test_stream_refuses_deletion_vectors(spark, tmp_path):
         _drain(spark, path, str(tmp_path / "ckpt"), got,
                starting_version=0, ignore_deletes=True)
     assert got == []
+
+
+def test_stream_resolves_id_mapped_footers(spark, tmp_path):
+    """mode=id streaming: a footer stamping field ids under unrelated
+    physical names resolves by ID; a file written WITHOUT footer ids
+    falls back to physicalName (delta-spark's own rule). Both surface
+    logical names, never silent NULLs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    mapped_schema = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "user_id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+            {"name": "amount", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bbb"}},
+        ],
+    })
+    table = str(tmp_path / "idmapped")
+    os.makedirs(os.path.join(table, "data"))
+    # f0: ids authoritative — footer names chosen to match NOTHING
+    ids = pa.schema([
+        pa.field("zz-1", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+        pa.field("zz-2", pa.float64(), metadata={b"PARQUET:field_id": b"2"}),
+    ])
+    pq.write_table(pa.Table.from_arrays(
+        [pa.array([1, 2], pa.int64()), pa.array([1.0, 2.0], pa.float64())],
+        schema=ids), os.path.join(table, "data", "f0.parquet"))
+    # f1: NO footer ids -> physicalName fallback
+    pq.write_table(pa.table({"col-aaa": pa.array([3], pa.int64()),
+                             "col-bbb": pa.array([3.0], pa.float64())}),
+                   os.path.join(table, "data", "f1.parquet"))
+    log = os.path.join(table, "_delta_log")
+    os.makedirs(log)
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "x", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": mapped_schema, "partitionColumns": [],
+                      "configuration": {
+                          "delta.columnMapping.mode": "id",
+                          "delta.columnMapping.maxColumnId": "2"}}},
+        {"add": {"path": "data/f0.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "data/f1.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+    stream = stream_delta(spark, table, starting_version=0)
+    assert stream.columns == ["user_id", "amount"]
+    got: list = []
+
+    def handle(batch, _bid):
+        got.extend((r.user_id, r.amount) for r in batch.collect())
+
+    q = (stream.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert sorted(got) == [(1, 1.0), (2, 2.0), (3, 3.0)]
