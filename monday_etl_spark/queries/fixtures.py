@@ -838,3 +838,111 @@ def _minhash_components(spark: SparkSession, sf_dir: str) -> str:
     out = os.path.join(root, "components")
     dedup_clusters(pairs).select("doc_id", "component").write.parquet(out)
     return out
+
+
+@_fixture("iceberg_transform_table", {"iceberg_partition_transforms"})
+def _iceberg_transform_table(spark: SparkSession, sf_dir: str) -> str:
+    """A ``day(o_orderdate) + bucket[4](o_orderkey)`` Iceberg table — the
+    layout external Flink/Spark tables commonly use — created empty by
+    ``create_iceberg_table`` and filled by one ``append_iceberg`` of a
+    two-month orders subset. Every row routes through the spec's
+    partition transforms (murmur3 bucket as a pure JVM expression, day as
+    a datediff). Consumers only read; shared without copies."""
+    from ..iceberg_import import append_iceberg, create_iceberg_table
+
+    root = tempfile.mkdtemp(prefix="iceberg_transform_fx_")
+    path = os.path.join(root, "orders_daybucket")
+    create_iceberg_table(
+        path,
+        [("o_orderkey", "long"), ("o_orderstatus", "string"),
+         ("o_totalprice", "double"), ("o_orderdate", "date")],
+        partition_by=[("o_orderdate", "day"), ("o_orderkey", "bucket[4]")],
+    )
+    df = (
+        _load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate")
+        .filter(
+            F.col("o_orderdate").between("1995-03-01", "1995-04-30")
+            & (F.col("o_orderkey") % 8 == 5)
+        )
+    )
+    append_iceberg(spark, df, path)
+    return path
+
+
+@_fixture("delta_idmap_table", {"delta_stream_id_mapped"})
+def _delta_idmap_table(spark: SparkSession, sf_dir: str) -> str:
+    """A mode=id column-mapped Delta table 'another engine wrote': two
+    data files holding disjoint lineitem subsets — one stamps footer
+    FIELD IDS under physical names matching nothing logical (id
+    resolution is authoritative), the other carries the physicalNames
+    with NO footer ids (the fallback rule). Deterministic function of
+    sf_dir (sorted subsets, fixed log)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    root = tempfile.mkdtemp(prefix="delta_idmap_fx_")
+    table = os.path.join(root, "lineitem_idmapped")
+    os.makedirs(os.path.join(table, "data"))
+
+    def data_file(name, mod64, footer_names, with_ids):
+        pdf = (li.filter(F.col("l_orderkey") % 64 == mod64)
+               .orderBy("l_orderkey", "l_returnflag", "l_quantity")
+               .toPandas())
+        types = [pa.int64(), pa.string(), pa.float64()]
+        fields = [
+            pa.field(n, t, metadata=(
+                {b"PARQUET:field_id": str(i + 1).encode()}
+                if with_ids else None))
+            for i, (n, t) in enumerate(zip(footer_names, types))
+        ]
+        tbl = pa.Table.from_arrays(
+            [pa.array(pdf["l_orderkey"], pa.int64()),
+             pa.array(pdf["l_returnflag"], pa.string()),
+             pa.array(pdf["l_quantity"], pa.float64())],
+            schema=pa.schema(fields))
+        pq.write_table(tbl, os.path.join(table, "data", name))
+        return f"data/{name}"
+
+    # file A: ids authoritative, physical names unrelated
+    fa = data_file("fa.parquet", 9, ["zz-1", "zz-2", "zz-3"], True)
+    # file B: no footer ids -> physicalName fallback
+    fb = data_file("fb.parquet", 41, ["col-k", "col-f", "col-q"], False)
+    mapped_schema = json.dumps({"type": "struct", "fields": [
+        {"name": "l_orderkey", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-k"}},
+        {"name": "l_returnflag", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-f"}},
+        {"name": "l_quantity", "type": "double", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "col-q"}},
+    ]})
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "f" * 32,
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": mapped_schema,
+                      "partitionColumns": [],
+                      "configuration": {
+                          "delta.columnMapping.mode": "id",
+                          "delta.columnMapping.maxColumnId": "3"}}},
+        {"add": {"path": fa, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    log = os.path.join(table, "_delta_log")
+    os.makedirs(log)
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps(
+            {"add": {"path": fb, "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}}) + "\n")
+    return table

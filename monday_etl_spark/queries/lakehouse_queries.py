@@ -11,6 +11,7 @@ code paths the pytest suite previously held alone.
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 
@@ -1436,4 +1437,143 @@ def nested_bridge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_custkey", "n_orders", "first_okey",
                 "sum_price", "last_date")
+    )
+
+
+@register(
+    "iceberg_partition_transforms",
+    oracle=f"""
+    SELECT CAST(TRUE AS BOOLEAN) AS routing_ok, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_orderkey % 8 = 5
+      AND o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-04-30'
+    GROUP BY o_orderstatus
+    """,
+    doc="Iceberg partition TRANSFORMS (r09): a day(o_orderdate) + "
+        "bucket[4](o_orderkey) table — the layout external Flink/Spark "
+        "tables actually use — created by create_iceberg_table and filled "
+        "by append_iceberg. Rows route through the spec's transforms "
+        "(iceberg_transforms.py: murmur3-seed-0 hashLong as a pure JVM "
+        "expression per Appendix B, day as a datediff); non-identity "
+        "tuple values live only in the manifests (the source columns "
+        "stay in the files), and the read collapses every partition "
+        "tuple into ONE scan (no identity constants to inject). The "
+        "in-query invariant re-derives each row's (day, bucket) with the "
+        "same transform expressions on the READ-BACK rows and matches "
+        "the per-tuple counts against the manifests' record_count sums — "
+        "writer routing and spec math pinned against each other; "
+        "murmur3 itself is pinned to the spec's public Appendix-B "
+        "vectors in tests. Oracle: the plain relational restatement "
+        "(routing_ok surfaces as the hashed CHECK). Reference scope: "
+        "partitioned warehouse tables as in "
+        "monday_etl_automated.py:560-590.",
+)
+def iceberg_partition_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import DateType, LongType
+
+    from ..functions import money_sum
+    from ..iceberg_import import (
+        _decode_manifest,
+        _select_snapshot,
+        _split_manifests,
+        read_iceberg_table,
+        read_metadata,
+    )
+    from ..iceberg_transforms import transform_column
+    from .fixtures import shared
+
+    path = shared(spark, sf_dir, "iceberg_transform_table")
+    df = read_iceberg_table(spark, path)
+
+    meta = read_metadata(path)
+    snap = _select_snapshot(meta, None, None)
+    data_mans, _ = _split_manifests(meta, snap)
+    man_counts: dict[tuple, int] = {}
+    for m in data_mans:
+        for t in _decode_manifest(m, want_bounds=False):
+            if t[0] in (0, 1):
+                p = json.loads(t[5])
+                key = (p["o_orderdate_day"], p["o_orderkey_bucket"])
+                man_counts[key] = man_counts.get(key, 0) + t[3]
+    got = {
+        (r["d"], r["b"]): r["n"]
+        for r in df.groupBy(
+            transform_column("day", None, F.col("o_orderdate"),
+                             DateType()).alias("d"),
+            transform_column("bucket", 4, F.col("o_orderkey"),
+                             LongType()).alias("b"),
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if got != man_counts:
+        only_g = {k: v for k, v in got.items() if man_counts.get(k) != v}
+        raise AssertionError(
+            f"transform routing mismatch: recomputed {len(got)} tuples vs "
+            f"{len(man_counts)} in manifests; first diffs {list(only_g)[:3]}"
+        )
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            F.lit(True).alias("routing_ok"),
+            "o_orderstatus", "n_rows", "total_price",
+        )
+    )
+
+
+@register(
+    "delta_stream_id_mapped",
+    oracle=f"""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_money_sum('l_quantity')} AS sum_qty
+    FROM lineitem WHERE l_orderkey % 64 IN (9, 41)
+    GROUP BY l_returnflag
+    """,
+    doc="Streaming an id-mapped Delta table (r09): a mode=id column-"
+        "mapped table 'another engine wrote' — one data file stamps "
+        "footer field ids under physical names matching nothing logical "
+        "(ids are authoritative in this mode), the other carries the "
+        "physicalNames with NO footer ids (delta-spark's fallback rule) "
+        "— drains through the version-tailing Arrow stream source, which "
+        "resolves each footer per file (delta_source: PARQUET:field_id "
+        "map, physicalName fallback) and surfaces logical names, never "
+        "silent NULL columns. Oracle: the relational restatement of both "
+        "subsets over the original lineitem names. Reference scope: "
+        "open-ecosystem tables as in monday_etl_automated.py:571-590.",
+)
+def delta_stream_id_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..delta_source import stream_delta
+    from ..functions import money_sum
+    from .fixtures import shared
+
+    path = shared(spark, sf_dir, "delta_idmap_table")
+    root = tempfile.mkdtemp(prefix="delta_idmap_q_")
+    out = os.path.join(root, "rows")
+    stream = stream_delta(spark, path, starting_version=0)
+    if stream.columns != ["l_orderkey", "l_returnflag", "l_quantity"]:
+        raise AssertionError(f"logical names not surfaced: {stream.columns}")
+
+    def handle(batch: DataFrame, bid: int) -> None:
+        batch.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch={bid}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum(F.col("l_quantity")).alias("sum_qty"),
+        )
     )

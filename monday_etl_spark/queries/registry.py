@@ -55,7 +55,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # Purely an ordering hint; every query is still registered and runnable.
 _EVIDENCE_PRIORITY = [
     # r09: queries whose code paths are NEW or CHANGED this round (nested
-    # bridge types; ADVICE fixes to commit/checkpoint/DV machinery).
+    # bridge types; partition transforms; id-mapped streaming; ADVICE
+    # fixes to commit/checkpoint/DV machinery).
+    "iceberg_partition_transforms",  # NEW query (day+bucket transforms)
+    "delta_stream_id_mapped",        # NEW query (mode=id stream source)
     "nested_bridge_roundtrip",  # NEW query (nested types, both bridges)
     "delta_delete_where",       # DV anti-join path normalization
     "delta_deletion_vectors",   # roaring cookie decode
