@@ -308,8 +308,16 @@ def main() -> None:
     first_run: dict[str, float] = {}
     errors: dict[str, str] = {}
     reused: list[str] = []
-    for i in range(0, len(names), SEGMENT_SIZE):
-        seg = names[i:i + SEGMENT_SIZE]
+    # deterministic ROUND-ROBIN segment assignment (r09): consecutive
+    # alphabetical slices co-tenanted the heavy semantic_*/set_*/
+    # streaming_* cluster in one JVM (r08 judged artifact: that segment's
+    # heap/GC debris read semantic_dedup_auto at 8.8s vs 2.96s isolated;
+    # measured here at 20.0s for the slice vs a 10.4s segment average).
+    # Interleaving spreads the heavy tail across fresh sessions while
+    # staying order-stable run to run.
+    n_seg = max(1, -(-len(names) // SEGMENT_SIZE))
+    for j in range(n_seg):
+        seg = names[j::n_seg]
         res = _child("segment", {"names": seg})
         timings.update(res.get("timings", {}))
         first_run.update(res.get("first_run", {}))

@@ -208,15 +208,46 @@ def main() -> None:
         _, t_mor1 = timed(mor_read)
         mor_rows, t_mor = timed(mor_read)
 
+        # DML at scale (r09): position-delete write over a key range,
+        # CDC-shaped upsert (one global-eq-delete + append snapshot),
+        # then compaction of the accumulated delete files
+        from monday_etl_spark.iceberg_import import (
+            compact_iceberg,
+            delete_iceberg_where,
+            upsert_iceberg,
+        )
+
+        _, t_delete = timed(lambda: delete_iceberg_where(
+            spark, path, "l_orderkey", int(lo), int(lo) + 5000))
+        up = (li.filter(F.col("l_orderkey") % 64 == 3)
+              .select("l_orderkey", "l_linenumber", "l_quantity",
+                      "l_extendedprice")
+              .withColumn("l_quantity", F.col("l_quantity") + F.lit(1.0)))
+        _, t_upsert = timed(lambda: upsert_iceberg(
+            spark, up, path, key=["l_orderkey", "l_linenumber"]))
+        _, t_compact = timed(lambda: compact_iceberg(spark, path))
+
+        def post_read():
+            return (read_iceberg_table(spark, path)
+                    .agg(F.count(F.lit(1))).collect())
+
+        _, t_post1 = timed(post_read)
+        post_rows, t_post = timed(post_read)
+
         print(json.dumps({
             "scale": label,
             "base_rows": rows[0][0], "mor_rows": mor_rows[0][0],
+            "post_dml_rows": post_rows[0][0],
             "export_s": t_export,
             "read_s": min(t_read1, t_read),
             "append_s": t_append,
             "pruned_read_s": min(t_where1, t_where),
             "pruned_files": f"{len(keep)}/{total}",
             "mor_read_s": min(t_mor1, t_mor),
+            "delete_where_s": t_delete,
+            "upsert_s": t_upsert,
+            "compact_s": t_compact,
+            "post_dml_read_s": min(t_post1, t_post),
         }), flush=True)
         spark.stop()
 
