@@ -508,7 +508,9 @@ def _footer_has_ids(files: list[str], spark: SparkSession) -> dict[str, bool]:
             out.append((f, has))
         return out
 
-    if len(files) <= 64:
+    # a footer open is ~2-3 ms driver-side; the flat cost of one Python
+    # RDD job (~1 s) only amortizes past a few hundred files
+    if len(files) <= 256:
         return dict(probe(files))
     rdd = spark.sparkContext.parallelize(files, max(1, len(files) // 64))
     return dict(rdd.mapPartitions(lambda it: probe(list(it))).collect())
@@ -1283,7 +1285,8 @@ def expire_iceberg_snapshots(path: str, keep_last: int = 1,
 
 def append_iceberg(spark: SparkSession, df: DataFrame, path: str,
                    app_id: str | None = None,
-                   txn_version: int | None = None) -> int:
+                   txn_version: int | None = None,
+                   branch: str | None = None) -> int:
     """Append ``df`` as a new snapshot under the HadoopCatalog commit
     protocol; returns the new metadata version. The new
     ``v(N+1).metadata.json`` publishes through the LogStore conditional
@@ -1321,7 +1324,18 @@ def append_iceberg(spark: SparkSession, df: DataFrame, path: str,
         [],
     )
     snap_prev = None
-    if meta.get("current-snapshot-id") not in (None, -1):
+    if branch is not None and branch != "main":
+        refs = meta.get("refs") or {}
+        if branch not in refs:
+            raise ValueError(
+                f"branch {branch!r} not in table refs (create it with "
+                f"create_iceberg_branch); known: {sorted(refs)}"
+            )
+        if refs[branch].get("type") == "tag":
+            raise ValueError(f"ref {branch!r} is a tag — tags are "
+                             "immutable, append to a branch")
+        snap_prev = _select_snapshot(meta, None, None, ref=branch)
+    elif meta.get("current-snapshot-id") not in (None, -1):
         snap_prev = _select_snapshot(meta, None, None)
     schema = _schema_for(meta, snap_prev or {})
     fields = schema["fields"]
@@ -1371,7 +1385,104 @@ def append_iceberg(spark: SparkSession, df: DataFrame, path: str,
         schema.get("schema-id", 0),
         snap_prev["snapshot-id"] if snap_prev else None,
         cur_v=cur_v,
+        ref_name=branch or "main",
     )
+
+
+def create_iceberg_branch(path: str, name: str,
+                          snapshot_id: int | None = None,
+                          tag: bool = False) -> int:
+    """Create a branch (or immutable tag) ref at ``snapshot_id`` (default:
+    the current main head) — metadata-only, published through the
+    conditional put. The first half of the write-audit-publish workflow:
+    stage appends on a branch, audit them, then
+    :func:`fast_forward_iceberg` main."""
+    versions = metadata_versions(path)
+    cur_v = max(versions)
+    meta = read_metadata(path, cur_v)
+    refs = meta.get("refs") or {}
+    if name in refs:
+        raise ValueError(f"ref {name!r} already exists")
+    sid = snapshot_id
+    if sid is None:
+        sid = meta.get("current-snapshot-id")
+        if sid in (None, -1):
+            raise ValueError("table has no current snapshot to branch from")
+    if sid not in {s["snapshot-id"] for s in meta.get("snapshots", [])}:
+        raise ValueError(f"snapshot {sid} not in table metadata")
+    newmeta = json.loads(json.dumps(meta))
+    newmeta.setdefault("refs", {})[name] = {
+        "snapshot-id": sid, "type": "tag" if tag else "branch"}
+    return _publish_metadata(path, newmeta, versions, cur_v)
+
+
+def fast_forward_iceberg(path: str, branch: str,
+                         to: str = "main") -> int:
+    """Fast-forward ref ``to`` (default main) to ``branch``'s head — the
+    publish step of write-audit-publish. Refuses unless ``to``'s current
+    head is an ancestor of the branch head (otherwise the move would drop
+    commits — that needs a merge, which Iceberg does not define). Moving
+    main also updates ``current-snapshot-id`` and appends the
+    snapshot-log entry, so time travel sees the publish instant."""
+    versions = metadata_versions(path)
+    cur_v = max(versions)
+    meta = read_metadata(path, cur_v)
+    refs = meta.get("refs") or {}
+    if branch not in refs:
+        raise ValueError(f"branch {branch!r} not in table refs")
+    head = refs[branch]["snapshot-id"]
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    target = refs.get(to, {}).get("snapshot-id",
+                                  meta.get("current-snapshot-id"))
+    # ancestry walk: head -> parents must reach the target's head
+    cur: int | None = head
+    ancestors = set()
+    while cur is not None and cur in snaps:
+        ancestors.add(cur)
+        cur = snaps[cur].get("parent-snapshot-id")
+    if target not in (None, -1) and target not in ancestors:
+        raise ValueError(
+            f"{to!r} head {target} is not an ancestor of {branch!r} head "
+            f"{head}: fast-forward would drop commits"
+        )
+    if target == head:
+        return cur_v  # already published
+    newmeta = json.loads(json.dumps(meta))
+    newmeta.setdefault("refs", {})[to] = {
+        "snapshot-id": head, "type": "branch"}
+    if to == "main":
+        newmeta["current-snapshot-id"] = head
+        newmeta.setdefault("snapshot-log", []).append({
+            "snapshot-id": head,
+            "timestamp-ms": int(snaps[head].get("timestamp-ms", 0)),
+        })
+    return _publish_metadata(path, newmeta, versions, cur_v)
+
+
+def _publish_metadata(path: str, newmeta: dict, versions: dict,
+                      cur_v: int) -> int:
+    """Publish ``newmeta`` as v(cur_v+1) through the conditional put,
+    recording the metadata-log entry — the shared tail of the
+    metadata-only operations (branch/tag creation, fast-forward)."""
+    newmeta.setdefault("metadata-log", []).append({
+        "timestamp-ms": int(newmeta.get("last-updated-ms", 0)),
+        "metadata-file": "file://" + versions[cur_v].replace(os.sep, "/"),
+    })
+    new_v = cur_v + 1
+    final = os.path.join(_meta_dir(path), f"v{new_v}.metadata.json")
+    try:
+        _tf._LOG_STORE.put_if_absent(final, json.dumps(newmeta, indent=2))
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"{final}: another writer committed metadata version {new_v} "
+            "first; re-read the table and retry"
+        ) from None
+    hint = os.path.join(_meta_dir(path), "version-hint.text")
+    tmp = f"{hint}.{os.getpid()}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(new_v))
+    os.replace(tmp, hint)
+    return new_v
 
 
 def delete_iceberg_where(spark: SparkSession, path: str, column: str,
@@ -1678,7 +1789,8 @@ def compact_iceberg(spark: SparkSession, path: str) -> int:
 def _commit_snapshot(path: str, newmeta: dict, cur_meta_file: str,
                      snapshot_id: int, seq: int, now_ms: int,
                      list_path: str, summary: dict, schema_id: int,
-                     parent_id: int | None, cur_v: int | None = None) -> int:
+                     parent_id: int | None, cur_v: int | None = None,
+                     ref_name: str = "main") -> int:
     """Install a new snapshot into ``newmeta`` and publish it as the next
     metadata version through the LogStore conditional put (one winner per
     version; losers raise). The shared tail of every write operation —
@@ -1688,11 +1800,15 @@ def _commit_snapshot(path: str, newmeta: dict, cur_meta_file: str,
     ``newmeta``; the publish targets exactly ``cur_v + 1`` so a writer that
     committed in the meantime makes this put fail (ConcurrentCommitError)
     instead of being silently dropped. Recomputing max(versions)+1 here
-    would publish v(N+2) built from vN — a lost update."""
+    would publish v(N+2) built from vN — a lost update.
+
+    ``ref_name`` is the branch the snapshot lands on. Per the spec only
+    MAIN moves ``current-snapshot-id`` and appends to ``snapshot-log``;
+    a staging-branch commit (write-audit-publish) leaves both untouched
+    and only advances its own ref."""
     prev_ms = int(newmeta.get("last-updated-ms", 0))
     newmeta["last-sequence-number"] = seq
     newmeta["last-updated-ms"] = now_ms
-    newmeta["current-snapshot-id"] = snapshot_id
     newsnap = {
         "snapshot-id": snapshot_id, "sequence-number": seq,
         "timestamp-ms": now_ms,
@@ -1703,13 +1819,15 @@ def _commit_snapshot(path: str, newmeta: dict, cur_meta_file: str,
     if parent_id is not None:
         newsnap["parent-snapshot-id"] = parent_id
     newmeta.setdefault("snapshots", []).append(newsnap)
-    newmeta.setdefault("snapshot-log", []).append(
-        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms})
+    if ref_name == "main":
+        newmeta["current-snapshot-id"] = snapshot_id
+        newmeta.setdefault("snapshot-log", []).append(
+            {"snapshot-id": snapshot_id, "timestamp-ms": now_ms})
     newmeta.setdefault("metadata-log", []).append({
         "timestamp-ms": prev_ms,
         "metadata-file": "file://" + cur_meta_file.replace(os.sep, "/"),
     })
-    newmeta.setdefault("refs", {})["main"] = {
+    newmeta.setdefault("refs", {})[ref_name] = {
         "snapshot-id": snapshot_id, "type": "branch"}
 
     if cur_v is None:  # legacy callers: best-effort, still conditional
@@ -1799,3 +1917,96 @@ def create_iceberg_table(path: str, columns: list[tuple],
         fh.write("1")
     os.replace(tmp, hint)
     return 1
+
+
+def iceberg_metadata_table(spark: SparkSession, path: str,
+                           kind: str,
+                           snapshot_id: int | None = None) -> DataFrame:
+    """Iceberg's inspection ("metadata") tables over a bridge-readable
+    table — the surfaces ``SELECT * FROM tbl.files`` etc. expose in
+    iceberg-spark, rebuilt from the same structures:
+
+    - ``snapshots``: committed_at_ms, snapshot_id, parent_id, operation,
+      manifest_list, summary (map)
+    - ``history``: made_current_at_ms, snapshot_id, parent_id,
+      is_current_ancestor (main-branch lineage walk, like the spec's)
+    - ``refs``: name, type, snapshot_id
+    - ``manifests``: path, length, partition_spec_id, content,
+      added_snapshot_id, added/existing/deleted file counts
+    - ``files``: content, file_path, file_format, record_count,
+      file_size_in_bytes (0 when unrecorded), partition (map) — live
+      entries of the selected snapshot, decoded DISTRIBUTED above the
+      driver threshold (``_live_entries_df``), so a million-file table's
+      files listing is a DataFrame job, not a driver loop
+    - ``partitions``: partition (map), file_count, record_count — a
+      groupBy over the files frame, fully distributed
+
+    Driver-side kinds (snapshots/history/refs/manifests) are metadata-
+    sized by construction."""
+    meta = read_metadata(path)
+    if kind == "snapshots":
+        rows = [(int(s.get("timestamp-ms", 0)), int(s["snapshot-id"]),
+                 s.get("parent-snapshot-id"),
+                 (s.get("summary") or {}).get("operation"),
+                 s.get("manifest-list"),
+                 {k: str(v) for k, v in (s.get("summary") or {}).items()})
+                for s in meta.get("snapshots", [])]
+        return spark.createDataFrame(
+            rows, "committed_at_ms bigint, snapshot_id bigint, "
+                  "parent_id bigint, operation string, "
+                  "manifest_list string, summary map<string,string>")
+    if kind == "history":
+        snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+        cur = meta.get("current-snapshot-id")
+        ancestors = set()
+        while cur is not None and cur in snaps:
+            ancestors.add(cur)
+            cur = snaps[cur].get("parent-snapshot-id")
+        rows = [(int(e.get("timestamp-ms", 0)), int(e["snapshot-id"]),
+                 snaps.get(e["snapshot-id"], {}).get("parent-snapshot-id"),
+                 e["snapshot-id"] in ancestors)
+                for e in meta.get("snapshot-log", [])]
+        return spark.createDataFrame(
+            rows, "made_current_at_ms bigint, snapshot_id bigint, "
+                  "parent_id bigint, is_current_ancestor boolean")
+    if kind == "refs":
+        rows = [(n, r.get("type", "branch"), int(r["snapshot-id"]))
+                for n, r in sorted((meta.get("refs") or {}).items())]
+        return spark.createDataFrame(
+            rows, "name string, type string, snapshot_id bigint")
+
+    snap = _select_snapshot(meta, snapshot_id, None)
+    if kind == "manifests":
+        rows = [(m["manifest_path"], int(m.get("manifest_length", 0)),
+                 int(m.get("partition_spec_id", 0)),
+                 int(m.get("content", 0)),
+                 int(m.get("added_snapshot_id", 0)),
+                 int(m.get("added_files_count", 0) or 0),
+                 int(m.get("existing_files_count", 0) or 0),
+                 int(m.get("deleted_files_count", 0) or 0))
+                for m in _manifest_paths(meta, snap)]
+        return spark.createDataFrame(
+            rows, "path string, length bigint, partition_spec_id int, "
+                  "content int, added_snapshot_id bigint, "
+                  "added_files_count int, existing_files_count int, "
+                  "deleted_files_count int")
+    if kind in ("files", "partitions"):
+        data_mans, del_mans = _split_manifests(meta, snap)
+        df = _live_entries_df(spark, data_mans + del_mans).select(
+            F.col("content"),
+            F.col("file_path"),
+            F.col("file_format"),
+            F.col("record_count"),
+            F.from_json(
+                "partition_json", "map<string,string>"
+            ).alias("partition"),
+        )
+        if kind == "files":
+            return df
+        return (df.filter(F.col("content") == 0)
+                .groupBy("partition")
+                .agg(F.count(F.lit(1)).alias("file_count"),
+                     F.sum("record_count").alias("record_count")))
+    raise ValueError(
+        f"unknown metadata table {kind!r} (snapshots, history, refs, "
+        "manifests, files, partitions)")

@@ -98,14 +98,15 @@ _C2 = 0x1B873593
 _M32 = 0xFFFFFFFF
 
 
-def _mul32(x: Column, c: int) -> Column:
+def _mul32(x: Column, c: Column) -> Column:
     """``(x * c) mod 2**32`` without any intermediate above 2^49: the
     constant splits into 16-bit halves, so the result is exact whether or
     not the engine wraps 64-bit overflow."""
-    lo, hi = c & 0xFFFF, c >> 16
+    lo = c.bitwiseAND(F.lit(0xFFFF))
+    hi = F.shiftright(c, 16)
     return (
-        (x * F.lit(lo))
-        + F.shiftleft((x * F.lit(hi)).bitwiseAND(F.lit(0xFFFF)), 16)
+        (x * lo)
+        + F.shiftleft((x * hi).bitwiseAND(F.lit(0xFFFF)), 16)
     ).bitwiseAND(F.lit(_M32))
 
 
@@ -116,34 +117,51 @@ def _rotl32(x: Column, r: int) -> Column:
 
 
 def _mix_k(h: Column, k: Column) -> Column:
-    k = _mul32(k, _C1)
+    """One murmur3 block round. ``h``/``k`` arrive as FOLD VARIABLES
+    (leaves), so the self-referencing chain inside stays bounded — see
+    :func:`murmur3_long_col` on why that matters."""
+    k = _mul32(k, F.lit(_C1))
     k = _rotl32(k, 15)
-    k = _mul32(k, _C2)
+    k = _mul32(k, F.lit(_C2))
     h = h.bitwiseXOR(k)
     h = _rotl32(h, 13)
     return (h * F.lit(5) + F.lit(0xE6546B64)).bitwiseAND(F.lit(_M32))
 
 
-def _fmix(h: Column, n_bytes: int) -> Column:
-    h = h.bitwiseXOR(F.lit(n_bytes))
-    h = h.bitwiseXOR(F.shiftright(h, 16))
-    h = _mul32(h, 0x85EBCA6B)
-    h = h.bitwiseXOR(F.shiftright(h, 13))
-    h = _mul32(h, 0xC2B2AE35)
-    h = h.bitwiseXOR(F.shiftright(h, 16))
-    return h
-
-
 def murmur3_long_col(v: Column) -> Column:
     """murmur3_x86_32(little-endian 8 bytes of ``v``), seed 0, as a SIGNED
     32-bit value in a bigint column — the spec's ``hashLong``. Pure
-    expression: stays inside whole-stage codegen, no Python in the path."""
+    expression: stays inside whole-stage codegen, no Python in the path.
+
+    Built as nested ``F.aggregate`` folds rather than a flat chain of
+    ``h = f(h)`` Column rebindings: every self-reference in a Column
+    chain DUPLICATES the operand subtree (Column trees share nothing), so
+    the flat form grows exponentially with the number of steps — ~10 s of
+    analysis/codegen per job at this algorithm's depth (measured). A fold
+    gives each step a lambda VARIABLE accumulator — a leaf — so the tree
+    stays linear in the step count and planning is milliseconds."""
     v = v.cast("bigint")
-    k1 = v.bitwiseAND(F.lit(_M32))
-    k2 = F.shiftright(v, 32).bitwiseAND(F.lit(_M32))
-    h = _mix_k(F.lit(0).cast("bigint"), k1)
-    h = _mix_k(h, k2)
-    h = _fmix(h, 8)
+    ks = F.array(
+        v.bitwiseAND(F.lit(_M32)),
+        F.shiftright(v, 32).bitwiseAND(F.lit(_M32)),
+    )
+    h = F.aggregate(ks, F.lit(0).cast("bigint"), _mix_k)
+    # finalization: h ^= len; then (xor-shift, multiply) steps — the last
+    # multiplier 1 makes the trailing xor-shift a plain fold step too
+    fin = F.array(*[
+        F.struct(F.lit(s).alias("s"), F.lit(c).cast("bigint").alias("c"))
+        for s, c in ((16, 0x85EBCA6B), (13, 0xC2B2AE35), (16, 1))
+    ])
+    h = F.aggregate(
+        fin, h.bitwiseXOR(F.lit(8)),
+        # call_function: the SQL shiftright accepts a column bit count;
+        # the python wrapper F.shiftright insists on an int literal
+        lambda acc, st: _mul32(
+            acc.bitwiseXOR(
+                F.call_function("shiftright", acc, st.getField("s"))),
+            st.getField("c"),
+        ),
+    )
     # reinterpret the unsigned 32-bit result as signed (Java int)
     return F.when(h >= F.lit(1 << 31), h - F.lit(1 << 32)).otherwise(h)
 

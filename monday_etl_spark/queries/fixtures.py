@@ -862,12 +862,15 @@ def _iceberg_transform_table(spark: SparkSession, sf_dir: str) -> str:
         _load(spark, sf_dir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice",
                 "o_orderdate")
+        # one month: ~124 partition tuples max (31 days x 4 buckets) —
+        # enough to exercise routing while the demo read's footer probe
+        # and manifest decode stay driver-side
         .filter(
-            F.col("o_orderdate").between("1995-03-01", "1995-04-30")
+            F.col("o_orderdate").between("1995-03-01", "1995-03-31")
             & (F.col("o_orderkey") % 8 == 5)
         )
     )
-    append_iceberg(spark, df, path)
+    append_iceberg(spark, df.coalesce(4), path)
     return path
 
 
@@ -946,3 +949,24 @@ def _delta_idmap_table(spark: SparkSession, sf_dir: str) -> str:
             {"add": {"path": fb, "partitionValues": {}, "size": 1,
                      "modificationTime": 0, "dataChange": True}}) + "\n")
     return table
+
+
+@_fixture("iceberg_wap_base", {"iceberg_wap_publish"})
+def _iceberg_wap_base(spark: SparkSession, sf_dir: str) -> str:
+    """A small committed Iceberg table (customer subset) the WAP demo
+    stages onto. Consumers MUTATE it (branch + fast-forward), so they
+    take a fresh_copy."""
+    from ..iceberg_import import append_iceberg, create_iceberg_table
+
+    root = tempfile.mkdtemp(prefix="iceberg_wap_fx_")
+    path = os.path.join(root, "customer_wap")
+    create_iceberg_table(
+        path,
+        [("c_custkey", "long"), ("c_mktsegment", "string"),
+         ("c_acctbal", "double")],
+    )
+    base = (_load(spark, sf_dir, "customer")
+            .select("c_custkey", "c_mktsegment", "c_acctbal")
+            .filter(F.col("c_custkey") % 16 == 1))
+    append_iceberg(spark, base.coalesce(2), path)
+    return path

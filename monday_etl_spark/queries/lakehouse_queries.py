@@ -1448,7 +1448,7 @@ def nested_bridge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_money_sum('o_totalprice')} AS total_price
     FROM orders
     WHERE o_orderkey % 8 = 5
-      AND o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-04-30'
+      AND o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'
     GROUP BY o_orderstatus
     """,
     doc="Iceberg partition TRANSFORMS (r09): a day(o_orderdate) + "
@@ -1575,5 +1575,75 @@ def delta_stream_id_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             money_sum(F.col("l_quantity")).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "iceberg_wap_publish",
+    oracle=f"""
+    SELECT CAST(TRUE AS BOOLEAN) AS staged_invisible,
+           c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_money_sum('c_acctbal')} AS sum_bal
+    FROM customer WHERE c_custkey % 16 IN (1, 2)
+    GROUP BY c_mktsegment
+    """,
+    doc="Write-audit-publish on the Iceberg bridge (r09): staged rows "
+        "land on a BRANCH (create_iceberg_branch + append_iceberg("
+        "branch=...) — per the spec only main moves current-snapshot-id "
+        "and the snapshot-log, so readers and time travel see nothing), "
+        "the audit step reads the branch ref and the snapshots/refs "
+        "inspection tables (iceberg_metadata_table), and "
+        "fast_forward_iceberg publishes atomically after verifying main "
+        "is an ancestor (a diverged main refuses rather than dropping "
+        "commits). The in-query assertion pins that main was UNCHANGED "
+        "between stage and publish. Oracle: the relational union of base "
+        "+ staged subsets; staged_invisible is the hashed CHECK. "
+        "Reference scope: audited publishes of warehouse tables as in "
+        "monday_etl_automated.py:560-590.",
+)
+def iceberg_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import money_sum
+    from ..iceberg_import import (
+        append_iceberg,
+        create_iceberg_branch,
+        fast_forward_iceberg,
+        iceberg_metadata_table,
+        read_iceberg_table,
+    )
+    from .fixtures import fresh_copy, shared
+
+    path = fresh_copy(shared(spark, sf_dir, "iceberg_wap_base"))
+    base_count = read_iceberg_table(spark, path).count()
+    create_iceberg_branch(path, "audit")
+    staged = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .filter(F.col("c_custkey") % 16 == 2)
+    )
+    append_iceberg(spark, staged.coalesce(2), path, branch="audit")
+
+    # audit: main must be untouched; the branch must hold base + staged
+    if read_iceberg_table(spark, path).count() != base_count:
+        raise AssertionError("staged rows leaked into main before publish")
+    refs = {r["name"]: r["snapshot_id"] for r in
+            iceberg_metadata_table(spark, path, "refs").collect()}
+    snaps = iceberg_metadata_table(spark, path, "snapshots").count()
+    if refs["audit"] == refs["main"] or snaps != 2:
+        raise AssertionError(
+            f"branch not staged apart from main: {refs}, {snaps} snapshots"
+        )
+
+    fast_forward_iceberg(path, "audit")
+    return (
+        read_iceberg_table(spark, path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum(F.col("c_acctbal")).alias("sum_bal"),
+        )
+        .select(
+            F.lit(True).alias("staged_invisible"),
+            "c_mktsegment", "n_rows", "sum_bal",
         )
     )

@@ -59,6 +59,7 @@ _EVIDENCE_PRIORITY = [
     # fixes to commit/checkpoint/DV machinery).
     "iceberg_partition_transforms",  # NEW query (day+bucket transforms)
     "delta_stream_id_mapped",        # NEW query (mode=id stream source)
+    "iceberg_wap_publish",           # NEW query (branch WAP publish)
     "nested_bridge_roundtrip",  # NEW query (nested types, both bridges)
     "delta_delete_where",       # DV anti-join path normalization
     "delta_deletion_vectors",   # roaring cookie decode

@@ -1,0 +1,148 @@
+"""Branch writes / write-audit-publish and the inspection (metadata)
+tables over the Iceberg bridge."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from monday_etl_spark.iceberg_import import (
+    ConcurrentCommitError,  # noqa: F401  (imported for API surface)
+    append_iceberg,
+    create_iceberg_branch,
+    create_iceberg_table,
+    fast_forward_iceberg,
+    iceberg_metadata_table,
+    read_iceberg_table,
+    read_metadata,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _mk(spark, tmp_path, n=4):
+    path = str(tmp_path / "tbl")
+    create_iceberg_table(path, [("id", "long"), ("v", "double")])
+    append_iceberg(spark, spark.createDataFrame(
+        [(i, float(i)) for i in range(n)], "id bigint, v double"), path)
+    return path
+
+
+def test_wap_branch_append_then_fast_forward(spark, tmp_path):
+    """The write-audit-publish workflow: staged rows land on a branch
+    (main unchanged, time travel unchanged), the audit reads the branch,
+    and fast-forward publishes atomically."""
+    path = _mk(spark, tmp_path)
+    create_iceberg_branch(path, "audit")
+    append_iceberg(spark, spark.createDataFrame(
+        [(100, 1.5)], "id bigint, v double"), path, branch="audit")
+
+    # main untouched: current read and current-snapshot-id see 4 rows
+    assert read_iceberg_table(spark, path).count() == 4
+    # the staged state is readable via the ref
+    staged = read_iceberg_table(spark, path, ref="audit")
+    assert sorted(r.id for r in staged.collect()) == [0, 1, 2, 3, 100]
+
+    fast_forward_iceberg(path, "audit")
+    assert sorted(r.id for r in
+                  read_iceberg_table(spark, path).collect()) \
+        == [0, 1, 2, 3, 100]
+    # publish wrote a snapshot-log entry (time travel sees the instant)
+    meta = read_metadata(path)
+    assert meta["snapshot-log"][-1]["snapshot-id"] == \
+        meta["refs"]["audit"]["snapshot-id"]
+
+
+def test_fast_forward_refuses_non_ancestor(spark, tmp_path):
+    """main moved past the branch point -> fast-forward would drop the
+    main-side commit; it must refuse (that needs a merge)."""
+    path = _mk(spark, tmp_path)
+    create_iceberg_branch(path, "stale")
+    append_iceberg(spark, spark.createDataFrame(
+        [(7, 7.0)], "id bigint, v double"), path)  # main advances
+    append_iceberg(spark, spark.createDataFrame(
+        [(8, 8.0)], "id bigint, v double"), path, branch="stale")
+    with pytest.raises(ValueError, match="not an ancestor"):
+        fast_forward_iceberg(path, "stale")
+    # main kept its own history
+    assert sorted(r.id for r in
+                  read_iceberg_table(spark, path).collect()) \
+        == [0, 1, 2, 3, 7]
+
+
+def test_branch_guards(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="not in table refs"):
+        append_iceberg(spark, spark.createDataFrame(
+            [(1, 1.0)], "id bigint, v double"), path, branch="nope")
+    create_iceberg_branch(path, "pin", tag=True)
+    with pytest.raises(ValueError, match="tag"):
+        append_iceberg(spark, spark.createDataFrame(
+            [(1, 1.0)], "id bigint, v double"), path, branch="pin")
+    with pytest.raises(ValueError, match="already exists"):
+        create_iceberg_branch(path, "pin")
+    # a tag keeps resolving to the pinned snapshot as main moves on
+    append_iceberg(spark, spark.createDataFrame(
+        [(9, 9.0)], "id bigint, v double"), path)
+    assert read_iceberg_table(spark, path, ref="pin").count() == 4
+    assert read_iceberg_table(spark, path).count() == 5
+
+
+def test_metadata_tables(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    append_iceberg(spark, spark.createDataFrame(
+        [(10, 1.0), (11, 2.0)], "id bigint, v double"), path)
+
+    snaps = iceberg_metadata_table(spark, path, "snapshots")
+    assert snaps.count() == 2
+    ops = [r.operation for r in snaps.orderBy("committed_at_ms").collect()]
+    assert ops == ["append", "append"]
+
+    hist = iceberg_metadata_table(spark, path, "history").collect()
+    assert len(hist) == 2 and all(r.is_current_ancestor for r in hist)
+
+    refs = {r.name: r for r in
+            iceberg_metadata_table(spark, path, "refs").collect()}
+    assert refs["main"].type == "branch"
+
+    mans = iceberg_metadata_table(spark, path, "manifests")
+    assert mans.count() == 2  # carried + new
+    assert all(r.content == 0 for r in mans.collect())
+
+    files = iceberg_metadata_table(spark, path, "files")
+    assert files.agg(F.sum("record_count")).first()[0] == 6
+    for r in files.collect():
+        assert r.file_format == "PARQUET" and os.path.exists(
+            r.file_path.replace("file://", ""))
+
+    parts = iceberg_metadata_table(spark, path, "partitions").collect()
+    assert len(parts) == 1  # unpartitioned: one empty tuple
+    assert parts[0].record_count == 6
+
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        iceberg_metadata_table(spark, path, "nope")
+
+
+def test_partitions_metadata_over_transforms(spark, tmp_path):
+    """partitions over a day+bucket table: record counts per tuple sum to
+    the data, and the map surfaces the transform values as strings."""
+    import datetime
+
+    path = str(tmp_path / "pt")
+    create_iceberg_table(
+        path, [("id", "long"), ("ts", "timestamp")],
+        partition_by=[("ts", "day"), ("id", "bucket[2]")])
+    rows = [(i, datetime.datetime(2024, 5, 1 + (i % 2), 8))
+            for i in range(6)]
+    append_iceberg(spark, spark.createDataFrame(
+        rows, "id bigint, ts timestamp_ntz"), path)
+    parts = iceberg_metadata_table(spark, path, "partitions")
+    got = {(r.partition["ts_day"], r.partition["id_bucket"]):
+           r.record_count for r in parts.collect()}
+    assert sum(got.values()) == 6
+    epoch = datetime.date(1970, 1, 1).toordinal()
+    want_days = {str(datetime.date(2024, 5, d).toordinal() - epoch)
+                 for d in (1, 2)}
+    assert {k[0] for k in got} == want_days
