@@ -916,6 +916,35 @@ def version_at_or_after(path: str, ts_ms: int) -> int:
     return min(ok)
 
 
+def _dv_file_path(table_path: str, dv: dict) -> str:
+    """Absolute path of an on-disk deletion-vector file (storage modes
+    ``p`` and ``u``); inline (``i``) vectors have no file."""
+    st = dv.get("storageType")
+    if st == "p":
+        fpath = dv["pathOrInlineDv"]
+        if fpath.startswith("file:"):
+            import re as _re
+
+            fpath = _re.sub(r"^[A-Za-z0-9+.-]+:/+", "/",
+                            urllib.parse.unquote(fpath))
+        if not os.path.isabs(fpath):
+            fpath = os.path.join(table_path, fpath)
+        return fpath
+    if st == "u":
+        import uuid as _uuid
+
+        from .roaring import z85_decode
+
+        enc = dv["pathOrInlineDv"]
+        prefix, uid85 = enc[:-20], enc[-20:]
+        u = _uuid.UUID(bytes=z85_decode(uid85))
+        parts = [table_path] + ([prefix] if prefix else [])
+        return os.path.join(*parts, f"deletion_vector_{u}.bin")
+    raise DeltaProtocolError(
+        f"deletionVector storageType {st!r}: unknown storage mode"
+    )
+
+
 def _dv_positions(table_path: str, dv: dict) -> list[int]:
     """Deleted row indexes for one add action's deletion vector — the
     descriptor's three storage modes per PROTOCOL.md: ``i`` inline (Z85
@@ -930,27 +959,7 @@ def _dv_positions(table_path: str, dv: dict) -> list[int]:
         # sizeInBytes carries the true bitmap length
         raw = z85_decode(dv["pathOrInlineDv"])
         return decode_rbm_array(raw[:int(dv["sizeInBytes"])])
-    if st == "p":
-        fpath = dv["pathOrInlineDv"]
-        if fpath.startswith("file:"):
-            import re as _re
-
-            fpath = _re.sub(r"^[A-Za-z0-9+.-]+:/+", "/",
-                            urllib.parse.unquote(fpath))
-        if not os.path.isabs(fpath):
-            fpath = os.path.join(table_path, fpath)
-    elif st == "u":
-        import uuid as _uuid
-
-        enc = dv["pathOrInlineDv"]
-        prefix, uid85 = enc[:-20], enc[-20:]
-        u = _uuid.UUID(bytes=z85_decode(uid85))
-        parts = [table_path] + ([prefix] if prefix else [])
-        fpath = os.path.join(*parts, f"deletion_vector_{u}.bin")
-    else:
-        raise DeltaProtocolError(
-            f"deletionVector storageType {st!r}: unknown storage mode"
-        )
+    fpath = _dv_file_path(table_path, dv)
     with open(fpath, "rb") as fh:
         buf = fh.read()
     data = read_dv_segment(buf, int(dv["offset"]), int(dv["sizeInBytes"]))
@@ -1491,3 +1500,136 @@ def append_delta(
             if app_id is not None and snap.txns.get(app_id, -1) >= txn_version:
                 return latest
     raise AssertionError("unreachable")
+
+
+def compact_delta(spark: SparkSession, path: str) -> int:
+    """Rewrite the table's LIVE rows — deletion vectors applied — into
+    fresh data files and commit ``remove(old) + add(new)`` with
+    ``dataChange=false`` on both sides: Delta's OPTIMIZE lifecycle step,
+    and the maintenance this module's own DV docstrings point DV-heavy
+    tables at. Readers before/after see identical rows; old files stay
+    on disk for time travel; the streaming source skips the commit
+    entirely (no new rows — delta-spark's own dataChange=false rule).
+    Published through the LogStore conditional put, so a racing writer
+    loses cleanly. Column-mapped tables refuse (rewriting them requires
+    writing physical names + field ids into footers, which this writer
+    does not do); append-only tables are fine — the spec's appendOnly
+    forbids DATA-changing removes, and a compaction changes none."""
+    from . import tableformat as _tf
+    from .tableformat import ConcurrentCommitError
+
+    path = os.path.abspath(path)
+    snap = _snapshot_state(spark, path, None)
+    latest, meta = snap.version, snap.meta
+    proto = snap.protocol
+    feats_w = set(proto.get("writerFeatures") or [])
+    if proto.get("minWriterVersion", 2) > 2 and not feats_w <= {
+        "appendOnly", "deletionVectors", "v2Checkpoint", "columnMapping",
+    }:
+        raise DeltaProtocolError(
+            f"writerFeatures {sorted(feats_w)}: compaction under writer "
+            "features this bridge does not implement could drop their "
+            "guarantees — use the table's native engine"
+        )
+    if _mapping_mode(meta) in ("name", "id"):
+        raise DeltaProtocolError(
+            "column-mapped table: compaction rewrites data files, which "
+            "must carry the mapping's physical names / field ids — not "
+            "implemented; use the table's native engine (OPTIMIZE)"
+        )
+    adds_all = snap.live.materialize(allow_dv=True)
+    if not adds_all:
+        return latest  # empty table: nothing to compact
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = meta.get("partitionColumns") or []
+
+    live = read_delta(spark, path)
+    rel_dir = f"_data_c{latest + 1}-{uuid.uuid4().hex[:8]}"
+    out_dir = os.path.join(path, rel_dir)
+    writer = live.select(*[f.name for f in schema.fields]).write
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(out_dir)
+
+    now_ms = int(_time.time() * 1000)
+    removes = [{"remove": {"path": rel, "dataChange": False,
+                           "deletionTimestamp": now_ms}}
+               for rel in sorted(adds_all)]
+    adds = []
+    for a in _collect_written_adds(out_dir, rel_dir, part_cols):
+        a["dataChange"] = False
+        adds.append({"add": a})
+    commit = [{
+        "commitInfo": {
+            "timestamp": now_ms,
+            "operation": "OPTIMIZE",
+            "operationParameters": {"predicate": "[]"},
+            "engineInfo": "monday-etl-spark delta bridge",
+        }
+    }] + removes + adds
+    target = os.path.join(_log_dir(path), f"{latest + 1:020d}.json")
+    try:
+        _tf._LOG_STORE.put_if_absent(
+            target, "\n".join(json.dumps(x) for x in commit) + "\n")
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"{path}: version {latest + 1} was committed by another "
+            "writer during the compaction rewrite; re-run to retry"
+        ) from None
+    return latest + 1
+
+
+def vacuum_delta(spark: SparkSession, path: str, retain_last: int = 2,
+                 grace_s: float = 3600.0) -> list[str]:
+    """Delete data files no RETAINED version references — the GC step
+    after :func:`compact_delta` / :func:`delete_delta_where` accumulate
+    dead files. ``retain_last`` versions stay fully time-travelable
+    (their data files AND on-disk deletion-vector files are kept); like
+    Delta's own VACUUM, earlier versions' reads break once their files
+    are gone — the log itself is never touched, so history/audit replay
+    stays intact. ``grace_s`` skips files modified recently: an in-flight
+    writer's staged-but-uncommitted files are unreferenced by
+    construction, and the modification-time window is exactly how
+    delta-spark's VACUUM avoids deleting them. Returns the deleted
+    absolute paths."""
+    path = os.path.abspath(path)
+    versions = delta_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"{path}: empty {_LOG_DIR}/")
+    retained = versions[-max(1, retain_last):]
+    keep: set[str] = set()
+    for v in retained:
+        snap = _snapshot_state(spark, path, v)
+        for rel, a in snap.live.materialize(allow_dv=True).items():
+            dec = urllib.parse.unquote(rel)
+            keep.add(os.path.abspath(
+                dec if os.path.isabs(dec) else os.path.join(path, dec)))
+            dv = a.get("deletionVector")
+            if dv and dv.get("storageType") in ("p", "u"):
+                keep.add(os.path.abspath(_dv_file_path(path, dv)))
+    now = _time.time()
+    deleted: list[str] = []
+    for root, dirs, names in os.walk(path):
+        if _LOG_DIR in dirs:
+            dirs.remove(_LOG_DIR)  # never under the transaction log
+        for name in names:
+            if not (name.endswith(".parquet") or name.endswith(".bin")):
+                continue
+            absf = os.path.abspath(os.path.join(root, name))
+            if absf in keep:
+                continue
+            if now - os.path.getmtime(absf) < grace_s:
+                continue  # possibly an in-flight writer's staged file
+            os.unlink(absf)
+            deleted.append(absf)
+    # drop now-empty data directories (never the table root or the log)
+    for root, dirs, names in sorted(
+        os.walk(path), key=lambda t: -len(t[0])
+    ):
+        if root != path and not dirs and not names \
+                and _LOG_DIR not in root.split(os.sep):
+            try:
+                os.rmdir(root)
+            except OSError:
+                pass
+    return sorted(deleted)

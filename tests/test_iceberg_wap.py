@@ -146,3 +146,31 @@ def test_partitions_metadata_over_transforms(spark, tmp_path):
     want_days = {str(datetime.date(2024, 5, d).toordinal() - epoch)
                  for d in (1, 2)}
     assert {k[0] for k in got} == want_days
+
+
+def test_remove_orphan_iceberg_files(spark, tmp_path):
+    """Unreferenced data files (a lost commit's debris) are swept; every
+    file any snapshot references — including older snapshots' — stays,
+    so time travel is unaffected."""
+    from monday_etl_spark.iceberg_import import remove_orphan_iceberg_files
+
+    path = _mk(spark, tmp_path)
+    append_iceberg(spark, spark.createDataFrame(
+        [(50, 5.0)], "id bigint, v double"), path)
+
+    # fake a lost commit: a fully-written file nothing references
+    orphan_dir = os.path.join(path, "data", "append-lostwriter")
+    os.makedirs(orphan_dir)
+    spark.createDataFrame([(999, 9.9)], "id bigint, v double") \
+        .coalesce(1).write.mode("overwrite").parquet(orphan_dir)
+
+    assert remove_orphan_iceberg_files(path, grace_s=3600) == []  # grace
+    deleted = remove_orphan_iceberg_files(path, grace_s=0.0)
+    assert deleted and all("append-lostwriter" in d for d in deleted)
+
+    # both snapshots still read whole
+    meta = read_metadata(path)
+    first = meta["snapshots"][0]["snapshot-id"]
+    assert read_iceberg_table(spark, path, snapshot_id=first).count() == 4
+    assert read_iceberg_table(spark, path).count() == 5
+    assert remove_orphan_iceberg_files(path, grace_s=0.0) == []
