@@ -577,6 +577,13 @@ def _part_lit(value, dt: DataType):
     return F.lit(value).cast(dt)
 
 
+# identity-injected partition-tuple groups above which the read switches
+# from one-scan-per-tuple (constant injection; zero joins, best for a
+# handful of partitions) to ONE scan + a broadcast path-join injecting
+# the values (plan size flat no matter how many thousand tuples)
+_INJECT_JOIN_MIN_GROUPS = 33
+
+
 def _read_mapped_files(spark: SparkSession, files_parts: list[tuple],
                        fields: list[dict], mapping: dict[int, list[str]],
                        id_part: dict[int, str],
@@ -587,7 +594,14 @@ def _read_mapped_files(spark: SparkSession, files_parts: list[tuple],
     NO footer candidate in a file group and an identity-partition source
     injects the manifest partition value as a typed constant (the spec's
     migrated-Hive rule); groups are keyed by partition tuple so the
-    constant is per-group."""
+    constant is per-group. Past ``_INJECT_JOIN_MIN_GROUPS`` tuples the
+    per-group unioning would make the LOGICAL PLAN the bottleneck
+    (hundreds of scan branches), so the read flips to one scan plus a
+    broadcast join on ``_metadata`` file path that carries each file's
+    partition values — same rows, flat plan."""
+    if len(files_parts) >= _INJECT_JOIN_MIN_GROUPS and id_part:
+        return _read_mapped_files_joined(
+            spark, files_parts, fields, mapping, id_part, with_meta)
     parts = []
     for part_json, files in files_parts:
         pvals = json.loads(part_json)
@@ -613,6 +627,85 @@ def _read_mapped_files(spark: SparkSession, files_parts: list[tuple],
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _read_mapped_files_joined(
+    spark: SparkSession, files_parts: list[tuple], fields: list[dict],
+    mapping: dict[int, list[str]], id_part: dict[int, str],
+    with_meta: bool,
+) -> DataFrame:
+    """The many-tuples form of :func:`_read_mapped_files`: ONE scan of
+    every file, identity partition values injected through a broadcast
+    join on the scan's ``_metadata`` file path against a (file ->
+    partition values) frame built from the manifests. The frame is one
+    row per FILE — metadata-sized — and the logical plan has a single
+    scan branch regardless of how many thousand partition tuples the
+    table holds."""
+    read_fields, exprs = [], []
+    inject = [f for f in fields if id_part.get(f["id"]) is not None]
+    for f in fields:
+        dt = _spark_type(f["type"])
+        names = mapping.get(f["id"]) or [f["name"]]
+        for n in names:
+            read_fields.append(StructField(n, dt, True))
+        base = (
+            F.coalesce(*[F.col(f"`{n}`") for n in names])
+            if len(names) > 1 else F.col(f"`{names[0]}`")
+        )
+        exprs.append(base.alias(f["name"]))
+    all_files = sorted(f for _pj, fs in files_parts for f in fs)
+    raw = spark.read.schema(StructType(read_fields)).parquet(*all_files)
+    raw = raw.select(*exprs, *_meta_cols())
+
+    # (normalized path, value per identity field) — values ride in their
+    # Avro-physical carriers (date -> int days, timestamp -> micros) and
+    # convert to the logical type after the join, exactly like _part_lit
+    phys_ddl = {"int": "int", "long": "bigint", "string": "string",
+                "date": "int", "timestamp": "bigint",
+                "timestamptz": "bigint"}
+    def phys_val(v, t: str):
+        # manifests carry ints already; tolerate an exotic writer's
+        # stringly values the same way _part_lit's cast does
+        if v is None or not isinstance(v, str) or t == "string":
+            return v
+        if t == "date":
+            import datetime
+
+            return datetime.date.fromisoformat(v).toordinal() - 719163
+        return int(v)
+
+    rows = []
+    for pj, fs in files_parts:
+        pv = json.loads(pj)
+        vals = tuple(phys_val(pv.get(id_part[f["id"]]), f["type"])
+                     for f in inject)
+        for fpath in fs:
+            rows.append((os.path.abspath(fpath),) + vals)
+    inj_schema = ", ".join(
+        ["__inj_src string"]
+        + [f"`__inj_{f['id']}` {phys_ddl[f['type']]}" for f in inject]
+    )
+    inj = spark.createDataFrame(rows, inj_schema)
+    out = raw.join(F.broadcast(inj),
+                   F.col("__ice_src") == F.col("__inj_src"), "left")
+
+    final = []
+    for f in fields:
+        col = F.col(f"`{f['name']}`")
+        if id_part.get(f["id"]) is not None:
+            dt = _spark_type(f["type"])
+            injc = F.col(f"`__inj_{f['id']}`")
+            if isinstance(dt, DateType):
+                injc = F.date_from_unix_date(injc)
+            elif isinstance(dt, (TimestampType, TimestampNTZType)):
+                injc = F.timestamp_micros(injc).cast(dt)
+            else:
+                injc = injc.cast(dt)
+            col = F.coalesce(col, injc)
+        final.append(col.alias(f["name"]))
+    if with_meta:
+        final += [F.col("__ice_src"), F.col("__ice_pos")]
+    return out.select(*final)
 
 
 def _assemble_read(spark: SparkSession, meta: dict, fields: list[dict],
@@ -1300,7 +1393,13 @@ def append_iceberg(spark: SparkSession, df: DataFrame, path: str,
     streaming sinks): the pair is stamped into the snapshot summary, and
     a replayed batch whose version the table already absorbed is SKIPPED
     — decided from the table's own metadata, so it survives anything that
-    loses the producer's memory."""
+    loses the producer's memory.
+
+    ``branch`` commits onto a named branch ref instead of main (create it
+    first with :func:`create_iceberg_branch`): per the spec only main
+    moves ``current-snapshot-id`` and the snapshot-log, so branch commits
+    are invisible to readers until :func:`fast_forward_iceberg` publishes
+    them — the write-audit-publish staging pattern."""
     import pyarrow.parquet as pq
 
     if (app_id is None) != (txn_version is None):

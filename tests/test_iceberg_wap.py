@@ -174,3 +174,42 @@ def test_remove_orphan_iceberg_files(spark, tmp_path):
     assert read_iceberg_table(spark, path, snapshot_id=first).count() == 4
     assert read_iceberg_table(spark, path).count() == 5
     assert remove_orphan_iceberg_files(path, grace_s=0.0) == []
+
+
+def test_many_partition_tuples_use_join_injection(spark, tmp_path,
+                                                  monkeypatch):
+    """Past the group threshold an identity-partitioned read keeps ONE
+    scan branch and injects partition values via a broadcast path-join;
+    rows identical to the per-group constant form."""
+    import datetime
+
+    from monday_etl_spark import iceberg_import as ii
+
+    path = str(tmp_path / "many")
+    create_iceberg_table(
+        path, [("id", "long"), ("d", "date"), ("v", "string")],
+        partition_by=[("d", "identity")])
+    rows = [(i, datetime.date(2024, 1, 1)
+             + datetime.timedelta(days=i % 40), f"v{i}")
+            for i in range(200)]
+    append_iceberg(spark, spark.createDataFrame(
+        rows, "id bigint, d date, v string").coalesce(1), path)
+
+    got = read_iceberg_table(spark, path)  # 40 groups >= threshold 33
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain()
+    plan = buf.getvalue()
+    assert plan.count("Scan parquet") == 1  # inj frame is a LocalRelation
+    assert "BroadcastHashJoin" in plan
+    collected = sorted((r.id, r.d, r.v) for r in got.collect())
+    assert collected == sorted(rows)
+
+    # parity with the constant-injection form on the SAME table
+    monkeypatch.setattr(ii, "_INJECT_JOIN_MIN_GROUPS", 10**9)
+    const_rows = sorted((r.id, r.d, r.v) for r in
+                        read_iceberg_table(spark, path).collect())
+    assert const_rows == collected
