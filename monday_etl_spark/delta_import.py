@@ -264,46 +264,59 @@ def _check_writer_protocol(protocol: dict, meta: dict) -> None:
     """Writers must refuse tables whose writer requirements they do not
     implement (PROTOCOL.md §Writer Version Requirements) — appending
     without enforcing them silently corrupts the table's guarantees for
-    every other engine. This bridge implements writer version 2's append
-    path: appendOnly is trivially honored, and invariants are accepted
-    only when the table declares none."""
+    every other engine. This bridge's append path implements writer
+    version 3: appendOnly is trivially honored, and CHECK constraints and
+    column invariants are ENFORCED on every appended batch
+    (:func:`_constraint_exprs` + the validation pass in ``append_delta``)
+    — versions 4+ (generated columns, column mapping writes, ...) refuse
+    unless the v7 feature list names only implemented features."""
     v = protocol.get("minWriterVersion", 2)
-    if v > 2:
+    if v > 3 and v != 7:
         raise DeltaProtocolError(
-            f"minWriterVersion={v}: this bridge writes at version 2 — "
-            "CHECK constraints / generated columns / column mapping "
-            "writes are not implemented, so appending would not enforce "
-            "the table's guarantees"
+            f"minWriterVersion={v}: this bridge writes at version 3 — "
+            "generated columns / column mapping writes / identity "
+            "columns are not implemented, so appending would not "
+            "enforce the table's guarantees"
         )
     feats = set(protocol.get("writerFeatures") or [])
-    unknown = feats - {"appendOnly"}
+    unknown = feats - {"appendOnly", "checkConstraints", "invariants"}
     if unknown:
         raise DeltaProtocolError(
             f"writerFeatures {sorted(unknown)}: not implemented by this "
             "bridge's append path"
         )
     conf = meta.get("configuration") or {}
-    bad_conf = sorted(
-        k for k in conf
-        if k.startswith("delta.constraints.") or k == "delta.invariants"
-    )
-    if bad_conf:
-        raise DeltaProtocolError(
-            f"table declares constraints {bad_conf}: appends here would "
-            "not validate them"
-        )
     if conf.get("delta.columnMapping.mode", "none") not in ("", "none"):
         raise DeltaProtocolError(
             "delta.columnMapping.mode is set: appends here write files "
             "under logical column names, which a mapped table must not "
             "contain"
         )
+
+
+def _constraint_exprs(meta: dict) -> list[tuple[str, str]]:
+    """``(name, SQL expression)`` for every guarantee an append must
+    enforce: table-level CHECK constraints (``delta.constraints.<name>``
+    configuration, writer v3) and per-column invariants (the
+    ``delta.invariants`` field-metadata JSON, writer v2)."""
+    out = []
+    conf = meta.get("configuration") or {}
+    for k in sorted(conf):
+        if k.startswith("delta.constraints."):
+            out.append((k[len("delta.constraints."):], conf[k]))
     for f in json.loads(meta["schemaString"])["fields"]:
-        if "delta.invariants" in (f.get("metadata") or {}):
-            raise DeltaProtocolError(
-                f"column {f['name']!r} carries a delta.invariants "
-                "expression: appends here would not enforce it"
-            )
+        inv = (f.get("metadata") or {}).get("delta.invariants")
+        if inv:
+            spec = json.loads(inv) if isinstance(inv, str) else inv
+            expr = (spec.get("expression") or {}).get("expression") \
+                if isinstance(spec, dict) else None
+            if not expr:
+                raise DeltaProtocolError(
+                    f"column {f['name']!r}: unparseable delta.invariants "
+                    f"payload {inv!r}"
+                )
+            out.append((f"invariant({f['name']})", expr))
+    return out
 
 
 def _mapping_mode(meta: dict) -> str:
@@ -1458,6 +1471,19 @@ def append_delta(
         )
     part_cols = meta.get("partitionColumns") or []
 
+    # writer v2/v3 guarantee enforcement: every CHECK constraint and
+    # column invariant must hold on the appended batch (SQL-standard
+    # semantics: a NULL result satisfies; only FALSE violates). One job
+    # per constrained append — the price of not corrupting the table's
+    # contract for every other engine.
+    for cname, sql in _constraint_exprs(meta):
+        bad = df.filter(F.expr(sql).eqNullSafe(F.lit(False))).limit(1)
+        if bad.count():
+            row = bad.collect()[0].asDict()
+            raise DeltaProtocolError(
+                f"append violates {cname} ({sql}); first bad row: {row}"
+            )
+
     rel_dir = f"_data_a{latest + 1}-{uuid.uuid4().hex[:8]}"
     out_dir = os.path.join(path, rel_dir)
     writer = df.select(*[f.name for f in schema.fields]).write
@@ -1523,8 +1549,9 @@ def compact_delta(spark: SparkSession, path: str) -> int:
     latest, meta = snap.version, snap.meta
     proto = snap.protocol
     feats_w = set(proto.get("writerFeatures") or [])
-    if proto.get("minWriterVersion", 2) > 2 and not feats_w <= {
+    if proto.get("minWriterVersion", 2) > 3 and not feats_w <= {
         "appendOnly", "deletionVectors", "v2Checkpoint", "columnMapping",
+        "checkConstraints", "invariants",
     }:
         raise DeltaProtocolError(
             f"writerFeatures {sorted(feats_w)}: compaction under writer "

@@ -477,22 +477,30 @@ def test_append_refuses_unimplemented_writer_requirements(spark, tmp_path):
         _commit(t, 0, [proto, meta, _add(f0)])
         return t
 
-    t = mk("wv3", {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}},
+    # v4+ (generated columns etc.) still refuses
+    t = mk("wv4", {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
            _meta())
     with pytest.raises(DeltaProtocolError, match="minWriterVersion"):
         append_delta(spark, df(), t)
 
-    t = mk("feat", {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2,
+    t = mk("feat", {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
                                  "writerFeatures": ["generatedColumns"]}},
            _meta())
     with pytest.raises(DeltaProtocolError, match="writerFeatures"):
         append_delta(spark, df(), t)
 
-    t = mk("constraints", _PROTO,
+    # writer v3 CHECK constraints are ENFORCED, not refused: a satisfying
+    # batch commits, a violating batch refuses before any file lands
+    t = mk("constraints",
+           {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}},
            _meta(configuration={"delta.constraints.positive": "v > 0"}))
-    with pytest.raises(DeltaProtocolError, match="constraints"):
-        append_delta(spark, df(), t)
+    assert append_delta(spark, df(), t) == 1
+    with pytest.raises(DeltaProtocolError, match="violates.*positive"):
+        append_delta(spark, spark.createDataFrame(
+            [(8, -1.0)], "id long, v double"), t)
+    assert sorted(r.id for r in read_delta(spark, t).collect()) == [1, 7]
 
+    # ... and column invariants likewise (NULL satisfies, SQL-standard)
     inv_schema = json.dumps({
         "type": "struct",
         "fields": [
@@ -503,8 +511,11 @@ def test_append_refuses_unimplemented_writer_requirements(spark, tmp_path):
         ],
     })
     t = mk("invariants", _PROTO, _meta(schema_json=inv_schema))
-    with pytest.raises(DeltaProtocolError, match="invariants"):
-        append_delta(spark, df(), t)
+    assert append_delta(spark, spark.createDataFrame(
+        [(9, 9.0), (10, None)], "id long, v double"), t) == 1
+    with pytest.raises(DeltaProtocolError, match="violates.*invariant"):
+        append_delta(spark, spark.createDataFrame(
+            [(11, 0.0)], "id long, v double"), t)
 
     # a writer-v2 table with none of those declared still appends fine
     t = mk("plain", _PROTO, _meta())
