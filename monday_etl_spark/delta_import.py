@@ -1660,3 +1660,83 @@ def vacuum_delta(spark: SparkSession, path: str, retain_last: int = 2,
             except OSError:
                 pass
     return sorted(deleted)
+
+
+def restore_delta(spark: SparkSession, path: str, version: int) -> int:
+    """RESTORE the table to an earlier version as a NEW commit (delta's
+    own RESTORE shape): the live set becomes exactly ``version``'s —
+    files it lacks are removed, files it has that the head lost are
+    re-added with their original metadata (stats, partition values,
+    deletion vectors ride along untouched). History is preserved — the
+    restore is itself a commit, so a second RESTORE can undo it. Data
+    files must still exist (a vacuum that swept them makes the target
+    unrestorable; the missing paths are named in the error)."""
+    from . import tableformat as _tf
+    from .tableformat import ConcurrentCommitError
+
+    path = os.path.abspath(path)
+    snap_now = _snapshot_state(spark, path, None)
+    latest = snap_now.version
+    if version == latest:
+        return latest
+    snap_tgt = _snapshot_state(spark, path, version)
+    # restore re-emits the TARGET's add actions verbatim (stats, mapping
+    # physical names, deletion vectors all ride along untouched), so the
+    # gate is the row-preserving one — not the append path's, which
+    # would refuse DV/mapped tables it cannot WRITE new files for
+    proto = snap_now.protocol
+    feats_w = set(proto.get("writerFeatures") or [])
+    if proto.get("minWriterVersion", 2) > 3 and not feats_w <= {
+        "deletionVectors", "v2Checkpoint", "columnMapping",
+        "checkConstraints", "invariants",
+    }:
+        raise DeltaProtocolError(
+            f"writerFeatures {sorted(feats_w)}: restore under writer "
+            "features this bridge does not implement could drop their "
+            "guarantees — use the table's native engine"
+        )
+    conf = snap_now.meta.get("configuration") or {}
+    if conf.get("delta.appendOnly") == "true" or "appendOnly" in feats_w:
+        raise DeltaProtocolError(
+            "table is append-only: restore removes files, which "
+            "appendOnly forbids"
+        )
+    now_adds = snap_now.live.materialize(allow_dv=True)
+    tgt_adds = snap_tgt.live.materialize(allow_dv=True)
+
+    missing = sorted(
+        rel for rel in tgt_adds
+        if not os.path.exists(os.path.join(
+            path, urllib.parse.unquote(rel)))
+    )
+    if missing:
+        raise DeltaProtocolError(
+            f"restore to v{version} needs files a vacuum removed: "
+            f"{missing[:5]}{'...' if len(missing) > 5 else ''}"
+        )
+    now_ms = int(_time.time() * 1000)
+    actions: list[dict] = [{
+        "commitInfo": {
+            "timestamp": now_ms,
+            "operation": "RESTORE",
+            "operationParameters": {"version": str(version)},
+            "engineInfo": "monday-etl-spark delta bridge",
+        }
+    }]
+    for rel in sorted(set(now_adds) - set(tgt_adds)):
+        actions.append({"remove": {"path": rel, "dataChange": True,
+                                   "deletionTimestamp": now_ms}})
+    for rel in sorted(tgt_adds):
+        a = tgt_adds[rel]
+        if now_adds.get(rel) != a:  # absent at head, or DV differs
+            actions.append({"add": {**a, "dataChange": True}})
+    target = os.path.join(_log_dir(path), f"{latest + 1:020d}.json")
+    try:
+        _tf._LOG_STORE.put_if_absent(
+            target, "\n".join(json.dumps(x) for x in actions) + "\n")
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"{path}: version {latest + 1} was committed by another "
+            "writer during the restore; re-read and retry"
+        ) from None
+    return latest + 1

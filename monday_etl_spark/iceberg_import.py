@@ -2154,3 +2154,41 @@ def remove_orphan_iceberg_files(path: str,
             os.unlink(absf)
             deleted.append(absf)
     return sorted(deleted)
+
+
+def rollback_iceberg(path: str, snapshot_id: int) -> int:
+    """Roll main back to an EXISTING ancestor snapshot (Iceberg's
+    rollback_to_snapshot): metadata-only — main's ref,
+    ``current-snapshot-id``, and a fresh snapshot-log entry move to the
+    target; no snapshot is deleted, so the rolled-past commits stay
+    addressable (and expirable) and a second rollback can undo this one.
+    Refuses a target that is not an ancestor of the current head — that
+    is a cherry-pick, which the spec does not define."""
+    versions = metadata_versions(path)
+    cur_v = max(versions)
+    meta = read_metadata(path, cur_v)
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if snapshot_id not in snaps:
+        raise ValueError(f"snapshot {snapshot_id} not in table metadata")
+    cur = meta.get("current-snapshot-id")
+    if cur == snapshot_id:
+        return cur_v
+    walk: int | None = cur
+    ancestors = set()
+    while walk is not None and walk in snaps:
+        ancestors.add(walk)
+        walk = snaps[walk].get("parent-snapshot-id")
+    if snapshot_id not in ancestors:
+        raise ValueError(
+            f"snapshot {snapshot_id} is not an ancestor of the current "
+            f"head {cur}: rollback only rewinds main's own history"
+        )
+    newmeta = json.loads(json.dumps(meta))
+    newmeta["current-snapshot-id"] = snapshot_id
+    newmeta.setdefault("refs", {})["main"] = {
+        "snapshot-id": snapshot_id, "type": "branch"}
+    newmeta.setdefault("snapshot-log", []).append({
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": int(meta.get("last-updated-ms", 0)),
+    })
+    return _publish_metadata(path, newmeta, versions, cur_v)

@@ -1193,3 +1193,40 @@ def test_vacuum_delta_keeps_retained_dv_files(spark, tmp_path):
     assert sorted(r.id for r in
                   read_delta(spark, table, version=0).collect()) == want
     assert sorted(r.id for r in read_delta(spark, table).collect()) == want
+
+
+def test_restore_delta_rewinds_live_set(spark, tmp_path):
+    """RESTORE makes the live set exactly the target version's, as a new
+    commit (history preserved; a second restore undoes it); restoring
+    past vacuumed files refuses naming them."""
+    from monday_etl_spark.delta_import import restore_delta, vacuum_delta
+
+    table = _external_table(spark, tmp_path)  # v0: f0+f1, v1: -f1+f2, v2: +f3
+    v = restore_delta(spark, table, 0)
+    assert v == 3
+    assert sorted(r.id for r in read_delta(spark, table).collect()) \
+        == [0, 1, 2, 3, 4, 9]  # exactly v0's rows, f1's 9 resurrected
+    # time travel still sees the pre-restore head
+    assert sorted(r.id for r in read_delta(spark, table, version=2)
+                  .collect()) == [0, 1, 2, 3, 4, 10, 11, 12, 20]
+    # restore forward again (to the pre-restore head state)
+    restore_delta(spark, table, 2)
+    assert sorted(r.id for r in read_delta(spark, table).collect()) \
+        == [0, 1, 2, 3, 4, 10, 11, 12, 20]
+
+    # vacuum away the old files -> restore refuses loudly
+    vacuum_delta(spark, table, retain_last=1, grace_s=0.0)
+    with pytest.raises(DeltaProtocolError, match="vacuum"):
+        restore_delta(spark, table, 0)
+
+
+def test_restore_delta_preserves_dvs(spark, tmp_path):
+    """Restoring to a DV version carries the vector: deleted rows stay
+    deleted after the round trip."""
+    from monday_etl_spark.delta_import import compact_delta, restore_delta
+
+    table = _dv_table(spark, tmp_path)
+    want = [0, 2, 4, 6, 7, 8, 9]
+    compact_delta(spark, table)  # v1: DV-free rewrite
+    restore_delta(spark, table, 0)  # back to the DV state
+    assert sorted(r.id for r in read_delta(spark, table).collect()) == want

@@ -213,3 +213,22 @@ def test_many_partition_tuples_use_join_injection(spark, tmp_path,
     const_rows = sorted((r.id, r.d, r.v) for r in
                         read_iceberg_table(spark, path).collect())
     assert const_rows == collected
+
+
+def test_rollback_iceberg(spark, tmp_path):
+    from monday_etl_spark.iceberg_import import rollback_iceberg
+
+    path = _mk(spark, tmp_path)
+    append_iceberg(spark, spark.createDataFrame(
+        [(77, 7.7)], "id bigint, v double"), path)
+    meta = read_metadata(path)
+    first = meta["snapshots"][0]["snapshot-id"]
+    head = meta["snapshots"][-1]["snapshot-id"]
+
+    rollback_iceberg(path, first)
+    assert read_iceberg_table(spark, path).count() == 4
+    # rolled-past snapshot still addressable; rollback is undoable...
+    assert read_iceberg_table(spark, path, snapshot_id=head).count() == 5
+    # ...but only to an ANCESTOR: the old head is no longer one
+    with pytest.raises(ValueError, match="not an ancestor"):
+        rollback_iceberg(path, head)
