@@ -232,3 +232,37 @@ def test_rollback_iceberg(spark, tmp_path):
     # ...but only to an ANCESTOR: the old head is no longer one
     with pytest.raises(ValueError, match="not an ancestor"):
         rollback_iceberg(path, head)
+
+
+def test_branch_and_publish_are_conditional_puts(spark, tmp_path):
+    """Metadata-only commits (branch creation, fast-forward) publish
+    through the same conditional put as data commits: a writer whose
+    read is overtaken between read and put loses with
+    ConcurrentCommitError, never a clobber. (A commit landing BEFORE the
+    read is not a race — the next attempt re-derives against it, which
+    the optimistic model wants.)"""
+    import json
+
+    from monday_etl_spark.iceberg_import import (
+        _meta_dir,
+        _publish_metadata,
+        metadata_versions,
+    )
+
+    path = _mk(spark, tmp_path)
+    versions = metadata_versions(path)
+    cur_v = max(versions)
+    stale = json.loads(json.dumps(read_metadata(path)))
+    stale.setdefault("refs", {})["race"] = {
+        "snapshot-id": stale["current-snapshot-id"], "type": "branch"}
+
+    # another writer lands cur_v+1 inside our read->put window
+    meta_dir = _meta_dir(path)
+    with open(os.path.join(meta_dir,
+                           f"v{cur_v + 1}.metadata.json"), "w") as fh:
+        json.dump(read_metadata(path), fh)
+
+    with pytest.raises(ConcurrentCommitError):
+        _publish_metadata(path, stale, versions, cur_v)
+    # the loser left no ref behind
+    assert "race" not in (read_metadata(path).get("refs") or {})
