@@ -779,14 +779,19 @@ def read_iceberg_table(spark: SparkSession, path: str,
     """Materialize an Iceberg table another engine wrote (current
     snapshot, or time travel by ``snapshot_id`` / ``as_of_ms`` / a named
     branch or tag ``ref``). A freshly created table with no snapshot yet
-    reads as its (empty) declared schema."""
+    reads as its (empty) declared schema. A CURRENT read uses the
+    table's CURRENT schema (column resolution is by field id, so a
+    rename committed after the head snapshot is visible immediately);
+    time travel reads each snapshot under the schema it was written
+    with — both per the spec's schema-evolution contract."""
     meta = read_metadata(path, metadata_version)
-    if (snapshot_id is None and as_of_ms is None and ref is None
-            and meta.get("current-snapshot-id") in (None, -1)):
+    current_read = (snapshot_id is None and as_of_ms is None
+                    and ref is None)
+    if current_read and meta.get("current-snapshot-id") in (None, -1):
         fields = _schema_for(meta, {})["fields"]
         return _assemble_read(spark, meta, fields, [], [])
     snap = _select_snapshot(meta, snapshot_id, as_of_ms, ref)
-    fields = _schema_for(meta, snap)["fields"]
+    fields = _schema_for(meta, {} if current_read else snap)["fields"]
     data_mans, del_mans = _split_manifests(meta, snap)
     entries = _live_entry_tuples(spark, data_mans)
     del_entries = _live_entry_tuples(spark, del_mans)
@@ -997,7 +1002,7 @@ def iceberg_files_where(spark: SparkSession, path: str, column: str,
     :func:`read_iceberg_where`, which applies them."""
     meta = read_metadata(path)
     snap = _select_snapshot(meta, snapshot_id, None)
-    fields = _schema_for(meta, snap)["fields"]
+    fields = _schema_for(meta, {} if snapshot_id is None else snap)["fields"]
     data_mans = _live_manifest_paths(meta, snap)
     keep, total = _pruned_entries(
         spark, meta, snap, fields, column, lo, hi, data_mans)
@@ -1014,7 +1019,7 @@ def read_iceberg_where(spark: SparkSession, path: str, column: str,
     still applies on top."""
     meta = read_metadata(path)
     snap = _select_snapshot(meta, snapshot_id, None)
-    fields = _schema_for(meta, snap)["fields"]
+    fields = _schema_for(meta, {} if snapshot_id is None else snap)["fields"]
     data_mans, del_mans = _split_manifests(meta, snap)
     keep, _total = _pruned_entries(
         spark, meta, snap, fields, column, lo, hi, data_mans)
@@ -1436,7 +1441,10 @@ def append_iceberg(spark: SparkSession, df: DataFrame, path: str,
         snap_prev = _select_snapshot(meta, None, None, ref=branch)
     elif meta.get("current-snapshot-id") not in (None, -1):
         snap_prev = _select_snapshot(meta, None, None)
-    schema = _schema_for(meta, snap_prev or {})
+    # writes go under the CURRENT schema: a rename/add committed by
+    # evolve_iceberg_schema applies to the next append, while old
+    # files keep resolving by field id / name mapping
+    schema = _schema_for(meta, {})
     fields = schema["fields"]
     want = [f["name"] for f in fields]
     if sorted(df.columns) != sorted(want):
@@ -1604,7 +1612,7 @@ def delete_iceberg_where(spark: SparkSession, path: str, column: str,
             "delete files)"
         )
     snap = _select_snapshot(meta, None, None)
-    fields = _schema_for(meta, snap)["fields"]
+    fields = _schema_for(meta, {})["fields"]
     if column not in {f["name"] for f in fields}:
         raise ValueError(f"column {column!r} not in table schema")
     data_mans, del_mans = _split_manifests(meta, snap)
@@ -1635,7 +1643,7 @@ def delete_iceberg_where(spark: SparkSession, path: str, column: str,
     newmeta = json.loads(json.dumps(meta))
     del_spec = _ensure_unpartitioned_spec(newmeta)
     man_path, n_files, n_positions = _data_manifest(
-        path, del_files, fields, [], [], del_spec, _schema_for(meta, snap),
+        path, del_files, fields, [], [], del_spec, _schema_for(meta, {}),
         seq, snapshot_id, token, content=1)
     if n_positions == 0:
         import shutil
@@ -1657,7 +1665,7 @@ def delete_iceberg_where(spark: SparkSession, path: str, column: str,
         {"operation": "delete",
          "added-delete-files": str(n_files),
          "added-position-deletes": str(n_positions)},
-        _schema_for(meta, snap).get("schema-id", 0),
+        _schema_for(meta, {}).get("schema-id", 0),
         snap["snapshot-id"],
         cur_v=cur_v,
     )
@@ -1729,7 +1737,7 @@ def upsert_iceberg(spark: SparkSession, df: DataFrame, path: str,
     if meta.get("format-version", 1) != 2:
         raise IcebergProtocolError("upsert requires a v2 table")
     snap = _select_snapshot(meta, None, None)
-    schema = _schema_for(meta, snap)
+    schema = _schema_for(meta, {})
     fields = schema["fields"]
     by_name = {f["name"]: f for f in fields}
     for k in keys:
@@ -1843,7 +1851,7 @@ def compact_iceberg(spark: SparkSession, path: str) -> int:
     if meta.get("format-version", 1) != 2:
         raise IcebergProtocolError("compact requires a v2 table")
     snap = _select_snapshot(meta, None, None)
-    schema = _schema_for(meta, snap)
+    schema = _schema_for(meta, {})
     fields = schema["fields"]
     spec_id = meta.get("default-spec-id", 0)
     spec_fields = next(
@@ -2191,4 +2199,66 @@ def rollback_iceberg(path: str, snapshot_id: int) -> int:
         "snapshot-id": snapshot_id,
         "timestamp-ms": int(meta.get("last-updated-ms", 0)),
     })
+    return _publish_metadata(path, newmeta, versions, cur_v)
+
+
+def evolve_iceberg_schema(path: str,
+                          add_columns: list[tuple] | None = None,
+                          rename_columns: dict[str, str] | None = None
+                          ) -> int:
+    """Schema evolution, the Iceberg way: a METADATA-ONLY commit that
+    installs a new schema-id — adds allocate fresh field ids (old files
+    NULL-fill the new column on read), renames keep the field id (old
+    footers keep resolving through the id / the name mapping, which
+    grows the new name alongside the old). Snapshots keep the schema-id
+    they were written under, so time travel reads each snapshot with its
+    own column names — exactly the spec's contract. Appends after the
+    evolution expect the NEW column set. Published through the
+    conditional put like every other commit."""
+    versions = metadata_versions(path)
+    cur_v = max(versions)
+    meta = read_metadata(path, cur_v)
+    cur_sid = meta.get("current-schema-id", 0)
+    schemas = meta.get("schemas")
+    if schemas is None:
+        raise IcebergProtocolError(
+            "v1 single-schema metadata: evolution requires the v2 "
+            "schemas list"
+        )
+    cur_schema = next(s for s in schemas
+                      if s.get("schema-id", 0) == cur_sid)
+    fields = json.loads(json.dumps(cur_schema["fields"]))
+    by_name = {f["name"]: f for f in fields}
+    last_id = int(meta.get("last-column-id",
+                           max((f["id"] for f in fields), default=0)))
+
+    for old, new in sorted((rename_columns or {}).items()):
+        if old not in by_name:
+            raise ValueError(f"rename source {old!r} not in schema")
+        if new in by_name:
+            raise ValueError(f"rename target {new!r} already a column")
+        by_name[old]["name"] = new
+        by_name[new] = by_name.pop(old)
+    for n, t in add_columns or []:
+        if n in by_name:
+            raise ValueError(f"column {n!r} already exists")
+        if not isinstance(t, str):
+            raise IcebergProtocolError(
+                "added columns must be primitive-typed strings here "
+                "(nested adds need explicit nested field ids)"
+            )
+        _spark_type(t)  # validate the type name eagerly
+        last_id += 1
+        f = {"id": last_id, "name": n, "required": False, "type": t}
+        fields.append(f)
+        by_name[n] = f
+
+    new_sid = max((s.get("schema-id", 0) for s in schemas)) + 1
+    newmeta = json.loads(json.dumps(meta))
+    newmeta["schemas"] = newmeta["schemas"] + [
+        {"type": "struct", "schema-id": new_sid, "fields": fields}
+    ]
+    newmeta["current-schema-id"] = new_sid
+    newmeta["last-column-id"] = last_id
+    _ensure_name_mapping(newmeta, fields)
     return _publish_metadata(path, newmeta, versions, cur_v)

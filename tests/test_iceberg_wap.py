@@ -266,3 +266,46 @@ def test_branch_and_publish_are_conditional_puts(spark, tmp_path):
         _publish_metadata(path, stale, versions, cur_v)
     # the loser left no ref behind
     assert "race" not in (read_metadata(path).get("refs") or {})
+
+
+def test_schema_evolution_add_and_rename(spark, tmp_path):
+    """Metadata-only evolution: a rename is visible to the CURRENT read
+    immediately (field-id resolution, no rewrite), an added column
+    NULL-fills old files, appends take the new column set, and time
+    travel reads each snapshot under its own schema."""
+    from monday_etl_spark.iceberg_import import evolve_iceberg_schema
+
+    path = _mk(spark, tmp_path)  # id, v; 4 rows
+    meta = read_metadata(path)
+    first = meta["snapshots"][0]["snapshot-id"]
+
+    evolve_iceberg_schema(
+        path, add_columns=[("note", "string")],
+        rename_columns={"v": "val"})
+
+    cur = read_iceberg_table(spark, path)
+    assert cur.columns == ["id", "val", "note"]
+    rows = {r.id: r for r in cur.collect()}
+    assert rows[2].val == 2.0 and rows[2].note is None  # old file, new names
+
+    # time travel keeps the snapshot's own schema
+    old = read_iceberg_table(spark, path, snapshot_id=first)
+    assert old.columns == ["id", "v"]
+
+    # appends now expect (and write) the evolved set
+    append_iceberg(spark, spark.createDataFrame(
+        [(100, 1.5, "staged")], "id bigint, val double, note string"), path)
+    got = {r.id: r for r in read_iceberg_table(spark, path).collect()}
+    assert got[100].note == "staged" and got[100].val == 1.5
+    assert len(got) == 5 and got[3].note is None
+
+    # pruned reads resolve the renamed column too
+    from monday_etl_spark.iceberg_import import read_iceberg_where
+
+    hit = read_iceberg_where(spark, path, "val", 1.4, 1.6)
+    assert sorted(r.id for r in hit.collect()) == [100]
+
+    with pytest.raises(ValueError, match="already a column"):
+        evolve_iceberg_schema(path, rename_columns={"id": "val"})
+    with pytest.raises(ValueError, match="already exists"):
+        evolve_iceberg_schema(path, add_columns=[("note", "string")])
