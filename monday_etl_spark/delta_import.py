@@ -294,16 +294,21 @@ def _check_writer_protocol(protocol: dict, meta: dict) -> None:
         )
 
 
-def _constraint_exprs(meta: dict) -> list[tuple[str, str]]:
-    """``(name, SQL expression)`` for every guarantee an append must
-    enforce: table-level CHECK constraints (``delta.constraints.<name>``
-    configuration, writer v3) and per-column invariants (the
-    ``delta.invariants`` field-metadata JSON, writer v2)."""
+def _constraint_exprs(meta: dict) -> list[tuple[str, str, str]]:
+    """``(name, SQL expression, kind)`` for every guarantee an append
+    must enforce: table-level CHECK constraints
+    (``delta.constraints.<name>`` configuration, writer v3; kind
+    ``"check"``) and per-column invariants (the ``delta.invariants``
+    field-metadata JSON, writer v2; kind ``"invariant"``). The kinds
+    differ on NULL: CHECK follows SQL semantics (NULL satisfies), but
+    delta-spark's CheckDeltaInvariant REJECTS a row where a legacy
+    invariant expression evaluates to NULL — so the two need different
+    violation predicates."""
     out = []
     conf = meta.get("configuration") or {}
     for k in sorted(conf):
         if k.startswith("delta.constraints."):
-            out.append((k[len("delta.constraints."):], conf[k]))
+            out.append((k[len("delta.constraints."):], conf[k], "check"))
     for f in json.loads(meta["schemaString"])["fields"]:
         inv = (f.get("metadata") or {}).get("delta.invariants")
         if inv:
@@ -315,7 +320,7 @@ def _constraint_exprs(meta: dict) -> list[tuple[str, str]]:
                     f"column {f['name']!r}: unparseable delta.invariants "
                     f"payload {inv!r}"
                 )
-            out.append((f"invariant({f['name']})", expr))
+            out.append((f"invariant({f['name']})", expr, "invariant"))
     return out
 
 
@@ -1472,12 +1477,17 @@ def append_delta(
     part_cols = meta.get("partitionColumns") or []
 
     # writer v2/v3 guarantee enforcement: every CHECK constraint and
-    # column invariant must hold on the appended batch (SQL-standard
-    # semantics: a NULL result satisfies; only FALSE violates). One job
-    # per constrained append — the price of not corrupting the table's
-    # contract for every other engine.
-    for cname, sql in _constraint_exprs(meta):
-        bad = df.filter(F.expr(sql).eqNullSafe(F.lit(False))).limit(1)
+    # column invariant must hold on the appended batch. CHECK follows
+    # SQL semantics (NULL satisfies, only FALSE violates); a legacy
+    # delta.invariants expression violates on anything that is not TRUE
+    # — delta-spark's CheckDeltaInvariant rejects NULL-evaluating rows.
+    # One job per constrained append — the price of not corrupting the
+    # table's contract for every other engine.
+    for cname, sql, kind in _constraint_exprs(meta):
+        expr = F.expr(sql)
+        violated = (~expr.eqNullSafe(F.lit(True)) if kind == "invariant"
+                    else expr.eqNullSafe(F.lit(False)))
+        bad = df.filter(violated).limit(1)
         if bad.count():
             row = bad.collect()[0].asDict()
             raise DeltaProtocolError(
@@ -1709,6 +1719,16 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
         if not os.path.exists(os.path.join(
             path, urllib.parse.unquote(rel)))
     )
+    # the target's on-disk deletion-vector files must survive too — a
+    # vacuum that swept a DV .bin leaves the data file readable but the
+    # restored snapshot unreadable; refuse HERE with the named paths
+    # rather than letting the next read fail with a missing-file error
+    for rel, a in sorted(tgt_adds.items()):
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType") in ("p", "u"):
+            dvf = _dv_file_path(path, dv)
+            if not os.path.exists(dvf):
+                missing.append(f"{rel} (deletion vector {dvf})")
     if missing:
         raise DeltaProtocolError(
             f"restore to v{version} needs files a vacuum removed: "

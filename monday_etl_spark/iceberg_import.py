@@ -64,6 +64,7 @@ import json
 import os
 import re
 import struct
+import time
 import urllib.parse
 import uuid
 from typing import NamedTuple
@@ -583,6 +584,18 @@ def _part_lit(value, dt: DataType):
 # the values (plan size flat no matter how many thousand tuples)
 _INJECT_JOIN_MIN_GROUPS = 33
 
+# Avro-physical carrier DDL for identity partition values riding through
+# the path-join injection frame (date -> int days, timestamp -> micros).
+# A source type outside this map (decimal, uuid, fixed, binary) keeps the
+# per-group constant-injection scan, whose _part_lit cast handles any
+# primitive — slower plan growth, but never a crash on an exotic
+# external table.
+_INJECT_PHYS_DDL = {
+    "int": "int", "long": "bigint", "string": "string",
+    "date": "int", "timestamp": "bigint", "timestamptz": "bigint",
+    "boolean": "boolean", "float": "float", "double": "double",
+}
+
 
 def _read_mapped_files(spark: SparkSession, files_parts: list[tuple],
                        fields: list[dict], mapping: dict[int, list[str]],
@@ -599,7 +612,12 @@ def _read_mapped_files(spark: SparkSession, files_parts: list[tuple],
     (hundreds of scan branches), so the read flips to one scan plus a
     broadcast join on ``_metadata`` file path that carries each file's
     partition values — same rows, flat plan."""
-    if len(files_parts) >= _INJECT_JOIN_MIN_GROUPS and id_part:
+    inject_types_ok = all(
+        f["type"] in _INJECT_PHYS_DDL
+        for f in fields if id_part.get(f["id"]) is not None
+    )
+    if (len(files_parts) >= _INJECT_JOIN_MIN_GROUPS and id_part
+            and inject_types_ok):
         return _read_mapped_files_joined(
             spark, files_parts, fields, mapping, id_part, with_meta)
     parts = []
@@ -659,10 +677,10 @@ def _read_mapped_files_joined(
 
     # (normalized path, value per identity field) — values ride in their
     # Avro-physical carriers (date -> int days, timestamp -> micros) and
-    # convert to the logical type after the join, exactly like _part_lit
-    phys_ddl = {"int": "int", "long": "bigint", "string": "string",
-                "date": "int", "timestamp": "bigint",
-                "timestamptz": "bigint"}
+    # convert to the logical type after the join, exactly like _part_lit.
+    # The dispatcher only routes here when every inject type is in
+    # _INJECT_PHYS_DDL; anything else stays on the per-group scan.
+    phys_ddl = _INJECT_PHYS_DDL
     def phys_val(v, t: str):
         # manifests carry ints already; tolerate an exotic writer's
         # stringly values the same way _part_lit's cast does
@@ -672,6 +690,10 @@ def _read_mapped_files_joined(
             import datetime
 
             return datetime.date.fromisoformat(v).toordinal() - 719163
+        if t == "boolean":
+            return v.lower() == "true"
+        if t in ("float", "double"):
+            return float(v)
         return int(v)
 
     rows = []
@@ -1529,8 +1551,10 @@ def fast_forward_iceberg(path: str, branch: str,
     publish step of write-audit-publish. Refuses unless ``to``'s current
     head is an ancestor of the branch head (otherwise the move would drop
     commits — that needs a merge, which Iceberg does not define). Moving
-    main also updates ``current-snapshot-id`` and appends the
-    snapshot-log entry, so time travel sees the publish instant."""
+    main also updates ``current-snapshot-id`` and appends a snapshot-log
+    entry stamped with the publish wall-clock (NOT the staged snapshot's
+    original timestamp — the data became visible on main now), so
+    ``as_of_ms`` time travel sees the publish instant."""
     versions = metadata_versions(path)
     cur_v = max(versions)
     meta = read_metadata(path, cur_v)
@@ -1554,6 +1578,7 @@ def fast_forward_iceberg(path: str, branch: str,
         )
     if target == head:
         return cur_v  # already published
+    now_ms = int(time.time() * 1000)
     newmeta = json.loads(json.dumps(meta))
     newmeta.setdefault("refs", {})[to] = {
         "snapshot-id": head, "type": "branch"}
@@ -1561,20 +1586,29 @@ def fast_forward_iceberg(path: str, branch: str,
         newmeta["current-snapshot-id"] = head
         newmeta.setdefault("snapshot-log", []).append({
             "snapshot-id": head,
-            "timestamp-ms": int(snaps[head].get("timestamp-ms", 0)),
+            "timestamp-ms": now_ms,
         })
-    return _publish_metadata(path, newmeta, versions, cur_v)
+    return _publish_metadata(path, newmeta, versions, cur_v, now_ms)
 
 
 def _publish_metadata(path: str, newmeta: dict, versions: dict,
-                      cur_v: int) -> int:
+                      cur_v: int, now_ms: int | None = None) -> int:
     """Publish ``newmeta`` as v(cur_v+1) through the conditional put,
     recording the metadata-log entry — the shared tail of the
-    metadata-only operations (branch/tag creation, fast-forward)."""
+    metadata-only operations (branch/tag creation, fast-forward).
+    The metadata-log entry keeps the PREVIOUS file's last-updated-ms
+    (it records when that file was current); the new metadata's own
+    ``last-updated-ms`` is stamped with the publish wall-clock, the way
+    iceberg-java stamps every TableMetadata update — so ``as_of_ms``
+    time travel over a fast-forward or rollback resolves to what was
+    visible on main at that instant, not to the staged snapshot's
+    original write time."""
     newmeta.setdefault("metadata-log", []).append({
         "timestamp-ms": int(newmeta.get("last-updated-ms", 0)),
         "metadata-file": "file://" + versions[cur_v].replace(os.sep, "/"),
     })
+    newmeta["last-updated-ms"] = int(
+        now_ms if now_ms is not None else time.time() * 1000)
     new_v = cur_v + 1
     final = os.path.join(_meta_dir(path), f"v{new_v}.metadata.json")
     try:
@@ -2125,26 +2159,46 @@ def remove_orphan_iceberg_files(path: str,
     manifests reference — Iceberg's remove_orphan_files maintenance (the
     debris of failed/abandoned commits: a writer that lost its
     conditional put leaves fully-written files nothing points at).
-    Conservative by construction: every file named by any manifest of
-    any snapshot — live, deleted-status, or delete-file — is kept, so
-    time travel over the full retained history is unaffected (trimming
-    history is :func:`expire_iceberg_snapshots`' job, which this
-    composes with). ``grace_s`` skips recently-modified files, the same
-    modification-time window iceberg's own procedure uses so an
-    IN-FLIGHT writer's not-yet-committed files survive. Returns the
-    deleted absolute paths."""
+    Conservative by construction: references are unioned across EVERY
+    retained metadata version, not just the current one — a snapshot
+    already expired from the head metadata but still reachable through
+    an older ``vN.metadata.json`` kept for ``read_metadata(path, old_v)``
+    audit replay keeps its files (the metadata-only-expire shape other
+    engines produce) — and within each, every file named by any manifest
+    of any snapshot (live, deleted-status, or delete-file) is kept, so
+    time travel over the full READABLE history is unaffected. A snapshot
+    whose manifest-list/manifest storage :func:`expire_iceberg_snapshots`
+    already deleted is skipped: its replay is gone either way, so its
+    data files become sweepable here — that composition IS the full
+    data-file GC expire's docstring defers to. ``grace_s`` skips
+    recently-modified files, the same modification-time window iceberg's
+    own procedure uses so an IN-FLIGHT writer's not-yet-committed files
+    survive. Returns the deleted absolute paths."""
     import time as _time
 
     path = os.path.abspath(path)
-    meta = read_metadata(path)
     referenced: set[str] = set()
-    for s in meta.get("snapshots", []):
-        for m in _manifest_paths(meta, s):
-            for t in _decode_manifest((m["manifest_path"], 0),
-                                      want_bounds=False):
-                # ALL statuses: a deleted-status entry's file may still be
-                # read through an older snapshot's manifest list
-                referenced.add(os.path.abspath(_norm_path(t[1])))
+    seen_manifests: set[str] = set()
+    for v in sorted(metadata_versions(path)):
+        meta = read_metadata(path, v)
+        for s in meta.get("snapshots", []):
+            try:
+                mans = _manifest_paths(meta, s)
+            except FileNotFoundError:
+                continue  # manifest list expired: nothing readable here
+            for m in mans:
+                mp = m["manifest_path"]
+                if mp in seen_manifests:
+                    continue  # shared across versions: decode once
+                seen_manifests.add(mp)
+                try:
+                    entries = _decode_manifest((mp, 0), want_bounds=False)
+                except FileNotFoundError:
+                    continue  # manifest expired underneath an old version
+                for t in entries:
+                    # ALL statuses: a deleted-status entry's file may
+                    # still be read through an older snapshot's manifests
+                    referenced.add(os.path.abspath(_norm_path(t[1])))
     now = _time.time()
     deleted: list[str] = []
     meta_dir = _meta_dir(path)
@@ -2191,15 +2245,16 @@ def rollback_iceberg(path: str, snapshot_id: int) -> int:
             f"snapshot {snapshot_id} is not an ancestor of the current "
             f"head {cur}: rollback only rewinds main's own history"
         )
+    now_ms = int(time.time() * 1000)
     newmeta = json.loads(json.dumps(meta))
     newmeta["current-snapshot-id"] = snapshot_id
     newmeta.setdefault("refs", {})["main"] = {
         "snapshot-id": snapshot_id, "type": "branch"}
     newmeta.setdefault("snapshot-log", []).append({
         "snapshot-id": snapshot_id,
-        "timestamp-ms": int(meta.get("last-updated-ms", 0)),
+        "timestamp-ms": now_ms,
     })
-    return _publish_metadata(path, newmeta, versions, cur_v)
+    return _publish_metadata(path, newmeta, versions, cur_v, now_ms)
 
 
 def evolve_iceberg_schema(path: str,

@@ -495,12 +495,17 @@ def test_append_refuses_unimplemented_writer_requirements(spark, tmp_path):
            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}},
            _meta(configuration={"delta.constraints.positive": "v > 0"}))
     assert append_delta(spark, df(), t) == 1
+    # CHECK follows SQL semantics: a NULL-evaluating row SATISFIES
+    assert append_delta(spark, spark.createDataFrame(
+        [(8, None)], "id long, v double"), t) == 2
     with pytest.raises(DeltaProtocolError, match="violates.*positive"):
         append_delta(spark, spark.createDataFrame(
             [(8, -1.0)], "id long, v double"), t)
-    assert sorted(r.id for r in read_delta(spark, t).collect()) == [1, 7]
+    assert sorted(r.id for r in read_delta(spark, t).collect()) == [1, 7, 8]
 
-    # ... and column invariants likewise (NULL satisfies, SQL-standard)
+    # ... while legacy delta.invariants reject anything not TRUE —
+    # delta-spark's CheckDeltaInvariant refuses NULL-evaluating rows
+    # (null-satisfies is CHECK-constraint semantics only)
     inv_schema = json.dumps({
         "type": "struct",
         "fields": [
@@ -512,7 +517,10 @@ def test_append_refuses_unimplemented_writer_requirements(spark, tmp_path):
     })
     t = mk("invariants", _PROTO, _meta(schema_json=inv_schema))
     assert append_delta(spark, spark.createDataFrame(
-        [(9, 9.0), (10, None)], "id long, v double"), t) == 1
+        [(9, 9.0)], "id long, v double"), t) == 1
+    with pytest.raises(DeltaProtocolError, match="violates.*invariant"):
+        append_delta(spark, spark.createDataFrame(
+            [(10, None)], "id long, v double"), t)
     with pytest.raises(DeltaProtocolError, match="violates.*invariant"):
         append_delta(spark, spark.createDataFrame(
             [(11, 0.0)], "id long, v double"), t)
@@ -1230,3 +1238,20 @@ def test_restore_delta_preserves_dvs(spark, tmp_path):
     compact_delta(spark, table)  # v1: DV-free rewrite
     restore_delta(spark, table, 0)  # back to the DV state
     assert sorted(r.id for r in read_delta(spark, table).collect()) == want
+
+
+def test_restore_delta_refuses_missing_dv_file(spark, tmp_path):
+    """A swept on-disk deletion-vector file makes the target version
+    unrestorable: restore must refuse at commit time naming the DV path,
+    not commit a snapshot whose next read dies on a missing file."""
+    from monday_etl_spark.delta_import import compact_delta, restore_delta
+
+    table = _dv_table(spark, tmp_path)  # v0: f0 + on-disk dv0.bin
+    compact_delta(spark, table)  # v1: DV-free rewrite
+    os.unlink(os.path.join(table, "dv0.bin"))  # a vacuum-like sweep
+    with pytest.raises(DeltaProtocolError,
+                       match=r"vacuum.*deletion vector"):
+        restore_delta(spark, table, 0)
+    # the refusal left no commit behind: head still reads clean
+    assert sorted(r.id for r in read_delta(spark, table).collect()) \
+        == [0, 2, 4, 6, 7, 8, 9]

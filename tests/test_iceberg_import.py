@@ -182,6 +182,62 @@ def test_migrated_hive_partition_injection(spark, tmp_path):
     assert _rows(got) == [("EU", 7), ("EU", 8), ("US", 9)]
 
 
+def test_join_injection_exotic_identity_partition_type(spark, tmp_path,
+                                                       monkeypatch):
+    """An external table with a DOUBLE identity partition source and
+    enough tuples to trip the path-join injection: double rides the
+    carrier map (this used to KeyError), and a type outside the map
+    falls back to the per-group scan instead of crashing — a large
+    external table must not fail where a small one reads fine."""
+    from monday_etl_spark import iceberg_import as ii
+
+    path = str(tmp_path / "dblpart")
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir)
+    os.makedirs(meta_dir)
+    schema = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "w", "required": False, "type": "double"},
+        {"id": 2, "name": "v", "required": False, "type": "long"},
+    ]}
+    spec = [{"spec-id": 0, "fields": [
+        {"name": "w", "transform": "identity",
+         "source-id": 1, "field-id": 1000},
+    ]}]
+    n_groups = ii._INJECT_JOIN_MIN_GROUPS + 2
+    entries, want = [], []
+    for g in range(n_groups):
+        f = os.path.join(data_dir, f"g{g}.parquet")
+        # footer-id-less, and the partition column is physically omitted
+        pq.write_table(pa.table({"v": pa.array([g, 1000 + g],
+                                               pa.int64())}), f)
+        w = g / 4.0
+        entries.append(_entry(f, 2, 400, partition={"w": w}))
+        want += [(w, g), (w, 1000 + g)]
+    m = _manifest(meta_dir, entries, schema, partition={"w": "double"})
+    lst = _manifest_list(meta_dir, 400, [m], 2 * n_groups)
+    snaps = [{"snapshot-id": 400, "sequence-number": 1,
+              "timestamp-ms": 1000, "manifest-list": "file://" + lst,
+              "schema-id": 0, "summary": {"operation": "append"}}]
+    _metadata(path, [schema], snaps,
+              [{"snapshot-id": 400, "timestamp-ms": 1000}],
+              current=400, specs=spec,
+              props={"schema.name-mapping.default": json.dumps([
+                  {"field-id": 1, "names": ["w"]},
+                  {"field-id": 2, "names": ["v"]},
+              ])})
+
+    got = read_iceberg_table(spark, path)
+    assert _rows(got) == sorted(want)
+
+    # a carrier type OUTSIDE the map keeps the per-group constant form:
+    # same rows, no KeyError
+    monkeypatch.setattr(
+        ii, "_INJECT_PHYS_DDL",
+        {k: t for k, t in ii._INJECT_PHYS_DDL.items() if k != "double"})
+    assert _rows(read_iceberg_table(spark, path)) == sorted(want)
+
+
 def _merge_on_read_table(spark, tmp_path):
     """A v2 merge-on-read table the way Flink CDC writes one: a data file
     at seq 1 (one NULL id row included), a position-delete + an

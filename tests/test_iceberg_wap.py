@@ -55,6 +55,117 @@ def test_wap_branch_append_then_fast_forward(spark, tmp_path):
         meta["refs"]["audit"]["snapshot-id"]
 
 
+def test_fast_forward_stamps_publish_instant(spark, tmp_path):
+    """The snapshot-log entry a publish appends carries the PUBLISH
+    wall-clock, not the staged snapshot's original write time — so
+    as_of_ms time travel between stage and publish still resolves to
+    what main actually showed then (iceberg-java stamps history entries
+    with the update time)."""
+    import time as _time
+
+    path = _mk(spark, tmp_path)
+    create_iceberg_branch(path, "audit")
+    append_iceberg(spark, spark.createDataFrame(
+        [(100, 1.5)], "id bigint, v double"), path, branch="audit")
+    _time.sleep(0.02)
+    t_between = int(_time.time() * 1000)
+    _time.sleep(0.02)
+    fast_forward_iceberg(path, "audit")
+
+    meta = read_metadata(path)
+    entry = meta["snapshot-log"][-1]
+    staged = next(s for s in meta["snapshots"]
+                  if s["snapshot-id"] == entry["snapshot-id"])
+    assert entry["timestamp-ms"] > t_between > staged["timestamp-ms"]
+    assert meta["last-updated-ms"] >= entry["timestamp-ms"]
+    # the semantic consequence: between stage and publish, main showed 4
+    assert read_iceberg_table(spark, path, as_of_ms=t_between).count() == 4
+    assert read_iceberg_table(
+        spark, path, as_of_ms=int(_time.time() * 1000)).count() == 5
+
+
+def test_rollback_stamps_publish_instant(spark, tmp_path):
+    """rollback's snapshot-log entry likewise records when the rewind
+    became visible, not the pre-rollback last-updated-ms."""
+    import time as _time
+
+    from monday_etl_spark.iceberg_import import rollback_iceberg
+
+    path = _mk(spark, tmp_path)
+    append_iceberg(spark, spark.createDataFrame(
+        [(77, 7.7)], "id bigint, v double"), path)
+    before = read_metadata(path)["last-updated-ms"]
+    first = read_metadata(path)["snapshots"][0]["snapshot-id"]
+    _time.sleep(0.02)
+    t0 = int(_time.time() * 1000)
+    rollback_iceberg(path, first)
+    meta = read_metadata(path)
+    assert meta["snapshot-log"][-1]["timestamp-ms"] >= t0 > before
+    assert meta["last-updated-ms"] >= t0
+    # as_of just before the rollback still sees the 5-row head
+    assert read_iceberg_table(spark, path, as_of_ms=t0 - 1).count() == 5
+
+
+def test_remove_orphans_keeps_old_metadata_references(spark, tmp_path):
+    """Files reachable ONLY through an older retained metadata version
+    survive the sweep: another engine's metadata-only expire (snapshot
+    dropped from the head's list, storage left in place) must not turn
+    read_metadata(path, old_v) audit replay into missing-file errors.
+    Once expire_iceberg_snapshots HAS deleted the snapshot's manifest
+    storage, its replay is gone either way — the sweep then collects the
+    now-unreachable data files instead of crashing."""
+    import json as _json
+
+    from monday_etl_spark.iceberg_import import (
+        _meta_dir,
+        compact_iceberg,
+        metadata_versions,
+        remove_orphan_iceberg_files,
+    )
+
+    path = _mk(spark, tmp_path)  # snapshot A: 4 rows in files F1
+    compact_iceberg(spark, path)  # snapshot R: fresh files F2 only
+    old_v = max(metadata_versions(path))
+    old_meta = read_metadata(path, old_v)
+    first = old_meta["snapshots"][0]["snapshot-id"]
+
+    # a metadata-only expire, the external-engine shape: drop snapshot A
+    # from the head's list but leave every file on disk
+    head = _json.loads(_json.dumps(old_meta))
+    head["snapshots"] = [s for s in head["snapshots"]
+                         if s["snapshot-id"] != first]
+    head["snapshot-log"] = [e for e in head.get("snapshot-log", [])
+                            if e["snapshot-id"] != first]
+    new_v = old_v + 1
+    with open(os.path.join(_meta_dir(path),
+                           f"v{new_v}.metadata.json"), "w") as fh:
+        _json.dump(head, fh)
+
+    assert remove_orphan_iceberg_files(path, grace_s=0.0) == []
+    # audit replay through the retained old metadata still reads whole
+    got = read_iceberg_table(spark, path, snapshot_id=first,
+                             metadata_version=old_v)
+    assert got.count() == 4
+    assert read_iceberg_table(spark, path).count() == 4
+
+    # now ACTUALLY expire A's manifest storage: the old versions become
+    # unreadable for A, and its data files turn sweepable — no crash
+    from monday_etl_spark.iceberg_import import _from_uri, _manifest_paths
+
+    mlist = next(s["manifest-list"] for s in old_meta["snapshots"]
+                 if s["snapshot-id"] == first)
+    for m in _manifest_paths(old_meta,
+                             {"manifest-list": mlist,
+                              "snapshot-id": first}):
+        p = _from_uri(m["manifest_path"])
+        if os.path.exists(p):
+            os.unlink(p)
+    os.unlink(_from_uri(mlist))
+    deleted = remove_orphan_iceberg_files(path, grace_s=0.0)
+    assert deleted  # F1 collected
+    assert read_iceberg_table(spark, path).count() == 4  # head intact
+
+
 def test_fast_forward_refuses_non_ancestor(spark, tmp_path):
     """main moved past the branch point -> fast-forward would drop the
     main-side commit; it must refuse (that needs a merge)."""
