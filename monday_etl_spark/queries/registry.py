@@ -54,43 +54,44 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # already-green entries. Refreshed each round from CORRECTNESS_r{N}.json.
 # Purely an ordering hint; every query is still registered and runnable.
 _EVIDENCE_PRIORITY = [
-    # r09: queries whose code paths are NEW or CHANGED this round (nested
-    # bridge types; partition transforms; id-mapped streaming; ADVICE
-    # fixes to commit/checkpoint/DV machinery).
-    "iceberg_partition_transforms",  # NEW query (day+bucket transforms)
-    "delta_stream_id_mapped",        # NEW query (mode=id stream source)
-    "iceberg_wap_publish",           # NEW query (branch WAP publish)
-    "nested_bridge_roundtrip",  # NEW query (nested types, both bridges)
-    "delta_delete_where",       # DV anti-join path normalization
-    "delta_deletion_vectors",   # roaring cookie decode
-    "iceberg_delete_compact",   # unpartitioned delete spec + cur_v commit
-    "iceberg_merge_on_read",    # delete application unchanged, re-pin
-    "iceberg_append_pipeline",  # cur_v-pinned commit publish
-    # r05-latest evidence (12 rows; newest official confirmation is
-    # CORRECTNESS_r05.json) — the r08 verdict queued these for refresh.
-    "search_index_build", "semantic_dedup", "sequence_packing_sharded",
-    "source_temperature_resample", "streaming_enriched_rollup",
-    "streaming_trending_topk", "substring_dedup", "substring_dedup_rolling",
-    "table_profile", "timeseries_gap_fill", "training_order_shuffle",
-    "zorder_key",
-    # r06-latest evidence (39 rows; newest official confirmation is
-    # CORRECTNESS_r06.json).
-    "collection_battery", "corpus_curation", "deterministic_sample",
-    "filter_daterange", "filter_high_revenue", "filter_inlist",
-    "hopping_window_6h_2h", "join_anti", "join_full_outer",
-    "join_left_composite", "join_left_single", "join_semi",
-    "latest_snapshot", "normalize_personnel_costs", "normalize_projects",
-    "normalize_subitems", "normalize_supplier_costs",
-    "normalize_travel_costs", "price_quantity_corr", "rank_topn_per_group",
-    "revenue_equidepth_histogram", "revenue_histogram",
-    "revenue_percentiles", "rollup_maintenance_drain", "running_total",
-    "scd2_maintenance_drain", "semantic_dedup_auto", "setop_except",
-    "setop_intersect", "stratified_sample", "streaming_interval_join",
-    "text_scrub", "timeseries_moving_anomaly", "top10_orders",
-    "training_set_selection", "union_counts", "unpivot_measures",
-    "weekly_threshold", "window_function_battery",
-    # everything below here (unlisted) holds r07-or-newer official
-    # evidence, or was re-verified exact by the r08 judge's full 151-query
+    # r10: queries whose code paths are NEW or CHANGED this round
+    # (Delta CDF; Iceberg drop/promote evolution; lifecycle oracles;
+    # the executor-side DV encode rewires delete_delta_where).
+    "delta_cdc_diff",                # NEW query (change data feed)
+    "iceberg_schema_evolution",      # NEW query (rename+add+drop+promote)
+    "delta_lifecycle",               # NEW query (compact+vacuum+restore)
+    "iceberg_lifecycle",       # NEW query (compact+orphans+rollback)
+    "delta_delete_where",      # DV encode moved executor-side
+    "delta_deletion_vectors",  # same roaring machinery downstream
+    # r06-latest evidence (the final 10 stale rows; newest official
+    # confirmation is CORRECTNESS_r06.json — this rotation clears them).
+    "stratified_sample", "streaming_interval_join", "text_scrub",
+    "timeseries_moving_anomaly", "top10_orders", "training_set_selection",
+    "union_counts", "unpivot_measures", "weekly_threshold",
+    "window_function_battery",
+    # r07-latest evidence (50 rows) — front as many as the ~50-check
+    # budget reaches after the blocks above; the rest next round.
+    "asof_join", "customer_order_stats", "daily_metrics", "decontaminate",
+    "decontaminate_bloom", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_minhash_store", "dedup_ngram_jaccard", "delta_interop_roundtrip",
+    "delta_source_stream", "delta_stats_pruning", "distinct_count_sketch",
+    "doc_repetition_filter", "filter_snapshot_eq", "fk_json_extract",
+    "governance_erasure", "join_auto_salted", "leakage_safe_split",
+    "multimodal_decode", "multimodal_frame_sample", "ratio_kpi",
+    "revenue_percentiles_sketch", "scalar_battery", "sequence_packing",
+    "sessionize", "set_similarity_join", "snapshot_diff",
+    "sql_correlated_subquery", "streaming_daily_rollup",
+    "streaming_decontaminate", "streaming_delta_sink",
+    "streaming_incremental_dedup", "streaming_ivf_maintenance",
+    "streaming_stateful_sessions", "tableformat_cdc_diff",
+    "tableformat_dataskip", "tableformat_fieldid_reuse",
+    "tableformat_health", "tableformat_merge_history",
+    "tableformat_point_lookup", "tableformat_rename_evolution",
+    "text_fingerprint", "text_lang_id", "text_perplexity", "text_quality",
+    "tfidf_top_terms", "token_stats", "top_unshipped_orders",
+    "triangle_census",
+    # everything below here (unlisted) holds r08-or-newer official
+    # evidence, re-verified exact by the r09 judge's full 155-query
     # driver_sim run (FAILURES none)
 ]
 
