@@ -279,7 +279,17 @@ def _check_writer_protocol(protocol: dict, meta: dict) -> None:
             "enforce the table's guarantees"
         )
     feats = set(protocol.get("writerFeatures") or [])
-    unknown = feats - {"appendOnly", "checkConstraints", "invariants"}
+    # deletionVectors obligates a writer to keep vectors valid when it
+    # REMOVES or REWRITES files — a pure append touches none, and this
+    # module's own DELETE/compact paths do maintain them. changeDataFeed
+    # obligates change files for non-blind commits — a pure append is the
+    # spec's blind insert (reconstructed from adds, no cdc required) and
+    # delete_delta_where writes _change_data. Both are append-safe.
+    # v2Checkpoint obligates CHECKPOINT writes to use the uuid/sidecar
+    # form — write_checkpoint(form="auto") does; an append never writes
+    # a checkpoint, so the feature is append-safe as well.
+    unknown = feats - {"appendOnly", "checkConstraints", "invariants",
+                       "deletionVectors", "changeDataFeed", "v2Checkpoint"}
     if unknown:
         raise DeltaProtocolError(
             f"writerFeatures {sorted(unknown)}: not implemented by this "
@@ -1206,15 +1216,30 @@ _CKPT_DDL = (
 
 
 def write_checkpoint(
-    spark: SparkSession, path: str, clean_commits: bool = False
+    spark: SparkSession, path: str, clean_commits: bool = False,
+    form: str = "auto",
 ) -> str:
-    """Compact the log's latest state into ``<v:020d>.checkpoint.parquet``
-    plus the ``_last_checkpoint`` pointer external readers discover it by
+    """Compact the log's latest state into a checkpoint plus the
+    ``_last_checkpoint`` pointer external readers discover it by
     (PROTOCOL.md §Checkpoints). The checkpoint carries the latest
     protocol (verbatim — never downgraded) and metaData, every surviving
     ``add``, and every appId's latest ``txn``, so replay from it needs
     only the JSON tail — this is what keeps log replay O(tail) when the
     streaming sink commits once per micro-batch forever.
+
+    ``form`` picks the layout: ``"classic"`` writes the single-file
+    ``<v:020d>.checkpoint.parquet``; ``"v2"`` writes the uuid-named
+    ``<v:020d>.checkpoint.<uuid>.parquet`` whose top level carries ONLY
+    ``checkpointMetadata`` + singles + ``sidecar`` references, with the
+    add actions in parquet sidecars under ``_delta_log/_sidecars/``
+    (written DISTRIBUTED — one sidecar per shuffle partition, so a
+    million-file state never rides the driver); ``"auto"`` (default)
+    writes v2 exactly when the table's protocol declares the
+    ``v2Checkpoint`` feature — the spec's own rule. Writing v2 onto a
+    table whose READERS never declared the feature refuses (pre-feature
+    readers cannot discover uuid-named checkpoints, so log cleanup
+    would strand them); writing classic onto a v2-declaring table
+    refuses symmetrically.
 
     ``clean_commits=True`` additionally deletes the JSON commits the
     checkpoint covers (Delta's log cleanup). Time travel BELOW the
@@ -1225,12 +1250,23 @@ def write_checkpoint(
     import tempfile
 
     snap = _snapshot_state(spark, path, None)
-    if "v2Checkpoint" in set(snap.protocol.get("writerFeatures") or []):
+    feats_r = set(snap.protocol.get("readerFeatures") or [])
+    feats_w = set(snap.protocol.get("writerFeatures") or [])
+    if form == "auto":
+        form = "v2" if "v2Checkpoint" in feats_w else "classic"
+    if form == "v2" and "v2Checkpoint" not in feats_r:
+        raise DeltaProtocolError(
+            "table protocol does not declare the v2Checkpoint reader "
+            "feature: a uuid-named checkpoint would be invisible to its "
+            "readers after log cleanup"
+        )
+    if form == "classic" and "v2Checkpoint" in feats_w:
         raise DeltaProtocolError(
             "table declares the v2Checkpoint writer feature: checkpoints "
-            "must be written in the v2 format, which this bridge reads "
-            "but does not write — use the table's native engine"
+            "must be written in the v2 format (pass form='v2' or 'auto')"
         )
+    if form not in ("classic", "v2"):
+        raise ValueError(f"form must be classic/v2/auto, not {form!r}")
     txn_rows = [
         ({"appId": a, "version": v}, None, None, None, None)
         for a, v in sorted(snap.txns.items()) if v >= 0
@@ -1268,19 +1304,77 @@ def write_checkpoint(
         )
     )
 
-    stage = tempfile.mkdtemp(prefix="delta_ckpt_")
-    try:
-        ckpt_df.coalesce(1).write.mode("overwrite").parquet(stage)
-        part = next(f for f in sorted(os.listdir(stage))
-                    if f.endswith(".parquet"))
-        target = os.path.join(_log_dir(path),
-                              f"{snap.version:020d}.checkpoint.parquet")
-        os.replace(os.path.join(stage, part), target)
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
+    last_ckpt = {"version": snap.version,
+                 "size": n_adds + len(txn_rows) + 2}
+    if form == "classic":
+        stage = tempfile.mkdtemp(prefix="delta_ckpt_")
+        try:
+            ckpt_df.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(f for f in sorted(os.listdir(stage))
+                        if f.endswith(".parquet"))
+            target = os.path.join(_log_dir(path),
+                                  f"{snap.version:020d}.checkpoint.parquet")
+            os.replace(os.path.join(stage, part), target)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+    else:
+        # v2/uuid form: sidecars first (add actions, written DISTRIBUTED
+        # — one sidecar per output partition), then the top-level file
+        # naming them; publishing top-level last means a crashed writer
+        # leaves only invisible orphan sidecars, never a partial
+        # checkpoint (the read path refuses missing sidecars anyway)
+        side_dir = os.path.join(_log_dir(path), _SIDECAR_DIR)
+        os.makedirs(side_dir, exist_ok=True)
+        stage = tempfile.mkdtemp(prefix="delta_ckpt_v2_")
+        sidecar_rows = []
+        try:
+            adds.select(
+                F.struct(*[F.col(f) for f in _ADD_FIELDS],
+                         F.col("deletionVector")).alias("add"),
+                F.lit(None).cast(singles.schema["remove"].dataType)
+                .alias("remove"),
+            ).write.mode("overwrite").parquet(stage)
+            for part in sorted(os.listdir(stage)):
+                if not part.endswith(".parquet"):
+                    continue
+                name = f"{uuid.uuid4()}.parquet"
+                src = os.path.join(stage, part)
+                size = os.path.getsize(src)
+                os.replace(src, os.path.join(side_dir, name))
+                sidecar_rows.append(
+                    ({"path": name, "sizeInBytes": size,
+                      "modificationTime": int(_time.time() * 1000)},
+                     None, None, None, None, None, None))
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        top_ddl = (
+            "sidecar struct<path:string, sizeInBytes:bigint, "
+            "modificationTime:bigint>, "
+            "checkpointMetadata struct<version:bigint>, " + _CKPT_DDL
+        )
+        # widen singles rows into the top-level shape (no add/remove
+        # columns ride the top level when sidecars are present)
+        top = spark.createDataFrame(
+            sidecar_rows
+            + [(None, {"version": snap.version},
+                None, None, None, None, None)]
+            + [(None, None) + r for r in txn_rows + [meta_row, proto_row]],
+            top_ddl,
+        ).drop("add", "remove")
+        stage2 = tempfile.mkdtemp(prefix="delta_ckpt_v2t_")
+        try:
+            top.coalesce(1).write.mode("overwrite").parquet(stage2)
+            part = next(f for f in sorted(os.listdir(stage2))
+                        if f.endswith(".parquet"))
+            target = os.path.join(
+                _log_dir(path),
+                f"{snap.version:020d}.checkpoint.{uuid.uuid4()}.parquet")
+            os.replace(os.path.join(stage2, part), target)
+        finally:
+            shutil.rmtree(stage2, ignore_errors=True)
+        last_ckpt["v2Checkpoint"] = {"path": os.path.basename(target)}
     with open(os.path.join(_log_dir(path), "_last_checkpoint"), "w") as fh:
-        json.dump({"version": snap.version,
-                   "size": n_adds + len(txn_rows) + 2}, fh)
+        json.dump(last_ckpt, fh)
     if clean_commits:
         for v, f in _list_commits(path).items():
             if v <= snap.version:
@@ -1313,7 +1407,6 @@ def delete_delta_where(spark: SparkSession, path: str, column: str,
     reader, so a plain table refuses loudly (rewrite-based deletes or
     the protocol upgrade are the native engine's job)."""
     from . import tableformat as _tf
-    from .roaring import write_dv_file
 
     path = os.path.abspath(path)  # match read_delta's provenance form
     snap = _snapshot_state(spark, path, None)
@@ -1337,16 +1430,6 @@ def delete_delta_where(spark: SparkSession, path: str, column: str,
     if column not in {f.name for f in schema.fields}:
         raise ValueError(f"column {column!r} not in table schema")
 
-    df = read_delta(spark, path, _with_provenance=True)
-    grouped = (
-        df.filter(F.col(f"`{column}`").between(lo, hi))
-        .groupBy("__dv_src")
-        .agg(F.sort_array(F.collect_list("__dv_idx")).alias("pos"))
-        .collect()
-    )
-    if not grouped:
-        return latest  # nothing matched: no commit
-
     adds_all = snap.live.materialize(allow_dv=True)
     by_norm: dict[str, tuple[str, dict]] = {}
     for rel, a in adds_all.items():
@@ -1356,19 +1439,105 @@ def delete_delta_where(spark: SparkSession, path: str, column: str,
         absf = os.path.abspath(
             dec if os.path.isabs(dec) else os.path.join(path, dec))
         by_norm[absf] = (rel, a)
+    # prior-delete descriptors only (per-file metadata, not positions) —
+    # shipped in the encoder's closure so the union with existing DVs
+    # happens executor-side too
+    old_dv_by_abs = {absf: a.get("deletionVector")
+                     for absf, (_rel, a) in by_norm.items()
+                     if a.get("deletionVector")}
 
-    affected = []
-    for r in grouped:
-        rel, a = by_norm[r["__dv_src"]]
-        positions = set(int(p) for p in r["pos"])
-        old = a.get("deletionVector")
-        if old:
-            positions |= set(_dv_positions(path, old))
-        affected.append((rel, a, sorted(positions)))
+    df = read_delta(spark, path, _with_provenance=True)
+    matched = (df.filter(F.col(f"`{column}`").between(lo, hi))
+               .select("__dv_src", "__dv_idx"))
 
-    dv_file = os.path.join(
-        path, f"deletion_vector_{uuid.uuid4().hex}.bin")
-    spans = write_dv_file(dv_file, [pos for _r, _a, pos in affected])
+    # Encode per-file roaring bitmaps on the EXECUTORS: shuffle matched
+    # positions by source file, stream each partition's files through an
+    # incremental DV writer (one DV file per task — delta-spark's shape),
+    # and collect only one descriptor row per affected data file. The
+    # driver never materializes row positions, so a DELETE matching
+    # billions of rows collects only O(affected files).
+    table_path = path
+
+    def _encode_partition(batches):
+        import pandas as pd
+        from monday_etl_spark.roaring import DvFileWriter, z85_encode
+
+        writer: DvFileWriter | None = None
+        dv_u85: str | None = None
+        state = {"src": None, "pos": []}
+        out: list[tuple] = []
+
+        def _flush():
+            nonlocal writer, dv_u85
+            if state["src"] is None:
+                return
+            positions = set(state["pos"])
+            old = old_dv_by_abs.get(state["src"])
+            if old:
+                positions |= set(_dv_positions(table_path, old))
+            if writer is None:
+                # storageType "u": the descriptor carries the Z85 of the
+                # file's uuid RELATIVE to the table root, so the table
+                # stays relocatable (spec §Deletion Vector Descriptor;
+                # an absolute "p" path breaks on copy/move)
+                u = uuid.uuid4()
+                dv_u85 = z85_encode(u.bytes)
+                writer = DvFileWriter(os.path.join(
+                    table_path, f"deletion_vector_{u}.bin"))
+            off, size = writer.append(sorted(positions))
+            out.append((state["src"], dv_u85, off, size, len(positions)))
+
+        for pdf in batches:
+            for src, idx in zip(pdf["__dv_src"], pdf["__dv_idx"]):
+                if src != state["src"]:
+                    _flush()
+                    state["src"], state["pos"] = src, []
+                state["pos"].append(int(idx))
+        _flush()
+        if writer is not None:
+            writer.close()
+        if out:
+            yield pd.DataFrame(
+                out, columns=["src", "dv_u85", "offset",
+                              "size_in_bytes", "cardinality"])
+
+    descriptors = (
+        matched.repartition("__dv_src")
+        .sortWithinPartitions("__dv_src", "__dv_idx")
+        .mapInPandas(
+            _encode_partition,
+            schema=("src string, dv_u85 string, offset long, "
+                    "size_in_bytes long, cardinality long"))
+        .collect()
+    )
+    if not descriptors:
+        return latest  # nothing matched: no commit
+
+    # Change Data Feed: when the table declares
+    # delta.enableChangeDataFeed, the deleted rows' PRE-IMAGES are
+    # written as _change_data parquet (with the spec's _change_type
+    # column) and committed as cdc actions — the native engine's DELETE
+    # does the same, and it is what lets read_delta_changes serve this
+    # commit without reconstructing from the DV diff (which add/remove
+    # replay cannot express). Written distributed, Hive-partitioned
+    # like the data when the table is partitioned.
+    cdc_actions: list[dict] = []
+    if conf.get("delta.enableChangeDataFeed") == "true":
+        part_cols = meta.get("partitionColumns") or []
+        rel_dir = f"_change_data/cdc-{latest + 1}-{uuid.uuid4().hex[:8]}"
+        out_dir = os.path.join(path, rel_dir)
+        pre = (df.filter(F.col(f"`{column}`").between(lo, hi))
+               .select(*[f.name for f in schema.fields])
+               .withColumn("_change_type", F.lit("delete")))
+        w = pre.write
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(out_dir)
+        for a in _collect_written_adds(out_dir, rel_dir, part_cols):
+            cdc_actions.append({"cdc": {
+                "path": a["path"],
+                "partitionValues": a["partitionValues"],
+                "size": a["size"], "dataChange": False}})
 
     actions: list[dict] = [{
         "commitInfo": {
@@ -1378,15 +1547,17 @@ def delete_delta_where(spark: SparkSession, path: str, column: str,
                 "predicate": f"{column} BETWEEN {lo!r} AND {hi!r}"},
             "engineInfo": "monday-etl-spark delta bridge",
         }
-    }]
-    for (rel, a, positions), (off, size) in zip(affected, spans):
+    }] + cdc_actions
+    for r in sorted(descriptors, key=lambda r: r["src"]):
+        rel, a = by_norm[r["src"]]
         actions.append({"remove": {"path": rel, "dataChange": True}})
         newadd = {k: v for k, v in a.items()}
         newadd["dataChange"] = True
         newadd["deletionVector"] = {
-            "storageType": "p", "pathOrInlineDv": dv_file,
-            "offset": off, "sizeInBytes": size,
-            "cardinality": len(positions),
+            "storageType": "u", "pathOrInlineDv": r["dv_u85"],
+            "offset": int(r["offset"]),
+            "sizeInBytes": int(r["size_in_bytes"]),
+            "cardinality": int(r["cardinality"]),
         }
         if isinstance(newadd.get("stats"), dict):
             newadd["stats"] = json.dumps(newadd["stats"])
@@ -1644,6 +1815,20 @@ def vacuum_delta(spark: SparkSession, path: str, retain_last: int = 2,
             dv = a.get("deletionVector")
             if dv and dv.get("storageType") in ("p", "u"):
                 keep.add(os.path.abspath(_dv_file_path(path, dv)))
+    # change-data files for commits inside the retained window stay too:
+    # the feed must remain readable wherever time travel still works
+    # (delta-spark's VACUUM keeps _change_data on the same clock as data)
+    for v, f in _list_commits(path).items():
+        if v < retained[0]:
+            continue
+        with open(f) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "cdc" in a:
+                    rel = urllib.parse.unquote(a["cdc"]["path"])
+                    keep.add(os.path.abspath(os.path.join(path, rel)))
     now = _time.time()
     deleted: list[str] = []
     for root, dirs, names in os.walk(path):

@@ -239,3 +239,28 @@ def write_dv_file(path: str, vectors: list[list[int]]) -> list[tuple[int, int]]:
     with open(path, "wb") as fh:
         fh.write(bytes(out))
     return spans
+
+
+class DvFileWriter:
+    """Incremental DV-file writer — the executor-side shape of
+    :func:`write_dv_file`: one file per task, one framed vector appended
+    per data file, so a task encoding thousands of per-file bitmaps never
+    holds more than one bitmap in memory and the driver only ever sees
+    the returned ``(offset, sizeInBytes)`` descriptors."""
+
+    def __init__(self, path: str):
+        self._fh = open(path, "wb")
+        self._fh.write(b"\x01")
+        self._pos = 1
+
+    def append(self, values: list[int]) -> tuple[int, int]:
+        data = encode_rbm_array(values)
+        offset = self._pos
+        self._fh.write(struct.pack(">i", len(data)))
+        self._fh.write(data)
+        self._fh.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+        self._pos += 4 + len(data) + 4
+        return offset, len(data)
+
+    def close(self) -> None:
+        self._fh.close()

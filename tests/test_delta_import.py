@@ -726,7 +726,7 @@ def test_v2_parquet_sidecar_checkpoint_reads(spark, tmp_path):
     assert total == 3 and len(keep) < total
     # a classic checkpoint write against the v2Checkpoint feature refuses
     with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
-        write_checkpoint(spark, table)
+        write_checkpoint(spark, table, form="classic")
 
 
 def test_v2_json_inline_checkpoint_reads(spark, tmp_path):
@@ -1255,3 +1255,108 @@ def test_restore_delta_refuses_missing_dv_file(spark, tmp_path):
     # the refusal left no commit behind: head still reads clean
     assert sorted(r.id for r in read_delta(spark, table).collect()) \
         == [0, 2, 4, 6, 7, 8, 9]
+
+
+def test_delete_where_wide_match_encodes_executor_side(spark, tmp_path):
+    """A DELETE matching over a million rows: positions shuffle by source
+    file and the roaring vectors are encoded on the EXECUTORS
+    (mapInPandas streaming an incremental DV writer); the driver only
+    collects one descriptor row per affected file, so the matched-row
+    count never lands in driver memory. Read-back proves every matched
+    position made it into the committed vectors."""
+    import shutil
+
+    from monday_etl_spark.delta_import import delete_delta_where
+
+    table = str(tmp_path / "wide")
+    os.makedirs(table)
+    n = 1_200_000
+    stage = os.path.join(table, "_stage_wide")
+    spark.range(n).selectExpr("id", "cast(id as double) as v") \
+        .repartition(4).write.parquet(stage)
+    adds = []
+    os.makedirs(os.path.join(table, "data"))
+    for i, f in enumerate(sorted(
+            f for f in os.listdir(stage) if f.endswith(".parquet"))):
+        rel = f"data/w{i}.parquet"
+        os.replace(os.path.join(stage, f), os.path.join(table, rel))
+        adds.append(_add(rel))
+    shutil.rmtree(stage)
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        _meta()] + adds)
+
+    v = delete_delta_where(spark, table, "id", 0, 999_999)
+    assert v == 1
+    remaining = read_delta(spark, table)
+    assert remaining.count() == n - 1_000_000
+    assert remaining.agg(F.min("id").alias("m")).collect()[0]["m"] \
+        == 1_000_000
+    # the committed descriptors carry the true per-file cardinalities
+    with open(os.path.join(table, "_delta_log",
+                           f"{1:020d}.json")) as fh:
+        acts = [json.loads(line) for line in fh if line.strip()]
+    dvs = [a["add"]["deletionVector"] for a in acts if "add" in a]
+    assert sum(d["cardinality"] for d in dvs) == 1_000_000
+    assert all(d["storageType"] == "u" for d in dvs)
+
+
+def test_v2_checkpoint_write_roundtrip(spark, tmp_path):
+    """Our own v2 checkpoint write (form=auto on a v2Checkpoint-feature
+    table): uuid-named top level carries only checkpointMetadata +
+    singles + sidecar references, add actions ride parquet sidecars
+    written distributed, and after log cleanup the existing v2 READ path
+    replays the state row-identically — txns, DVs and features intact."""
+    from monday_etl_spark.delta_import import (
+        delta_versions,
+        last_txn_version,
+        write_checkpoint,
+    )
+
+    table = str(tmp_path / "v2w")
+    os.makedirs(table)
+    f0, _ = _write_file(spark, table, "f0",
+                        [(i, float(i)) for i in range(8)])
+    f1, _ = _write_file(spark, table, "f1",
+                        [(i, float(i)) for i in range(10, 14)])
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["v2Checkpoint",
+                                         "deletionVectors"],
+                      "writerFeatures": ["v2Checkpoint",
+                                         "deletionVectors"]}},
+        _meta(), _add(f0), _add(f1),
+        {"txn": {"appId": "pipe", "version": 7}},
+    ])
+    from monday_etl_spark.delta_import import delete_delta_where
+
+    delete_delta_where(spark, table, "id", 2, 3)  # v1: DVs in the state
+
+    target = write_checkpoint(spark, table, clean_commits=True)
+    assert os.path.basename(target).split(".")[1] == "checkpoint"
+    assert len(os.path.basename(target).split(".")[2]) == 36  # uuid name
+    side_dir = os.path.join(table, "_delta_log", "_sidecars")
+    assert os.path.isdir(side_dir) and os.listdir(side_dir)
+    # json commits are gone: replay can ONLY come through the checkpoint
+    assert not [f for f in os.listdir(os.path.join(table, "_delta_log"))
+                if f.endswith(".json") and f[0].isdigit()]
+
+    ids = sorted(r.id for r in read_delta(spark, table).collect())
+    assert ids == [0, 1, 4, 5, 6, 7, 10, 11, 12, 13]
+    assert delta_versions(table) == [1]
+    assert last_txn_version(spark, table, "pipe") == 7
+    # appends continue on top of the checkpointed state
+    append_delta(
+        spark, spark.createDataFrame([(99, 9.9)], "id long, v double"),
+        table)
+    assert 99 in {r.id for r in read_delta(spark, table).collect()}
+
+    # refusal: v2 form onto a table whose readers never declared it
+    plain = str(tmp_path / "plainv2")
+    os.makedirs(plain)
+    p0, _ = _write_file(spark, plain, "p0", [(1, 1.0)])
+    _commit(plain, 0, [_PROTO, _meta(), _add(p0)])
+    with pytest.raises(DeltaProtocolError, match="reader"):
+        write_checkpoint(spark, plain, form="v2")
