@@ -1,0 +1,249 @@
+"""Delta Change Data Feed: a ``table_changes``-style reader over the
+bridge's tables.
+
+Semantics follow the public Delta PROTOCOL.md (§Add CDC File) and the
+documented delta-spark CDF behavior:
+
+- a commit that carries ``cdc`` actions is served EXCLUSIVELY from its
+  change-data files (the ``_change_type`` column travels in the data);
+- a commit without ``cdc`` actions reconstructs: data-changing ``add``
+  actions are blind inserts (every row of the file is an ``insert``),
+  and data-changing ``remove`` actions whose path is not re-added in
+  the same commit are whole-file deletes (every LIVE row of the file —
+  its prior deletion vector applied — is a ``delete``);
+- a commit that both removes and re-adds the same path (a
+  deletion-vector update) without change-data files cannot be
+  reconstructed — the row-level diff lives only in the vector delta —
+  and refuses loudly instead of inventing rows.
+
+The reference's day-over-day snapshot diff
+(``monday_etl_automated.py:600-645``, SURVEY.md O-39) is exactly the
+consumer shape this serves: per-version change rows with
+``_change_type`` / ``_commit_version`` / ``_commit_timestamp``, ready
+for the same aggregation the reference runs over its two snapshots.
+
+Scale shape: change-data and reconstruction scans are ordinary
+per-partition-tuple parquet scans (same plan as ``read_delta``); DV
+positions for removed files decode on executors via the same
+one-task-per-vector path the snapshot reader uses; the driver only
+parses commit JSON (bounded per version, never row data).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.parse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from .delta_import import (
+    DeltaProtocolError,
+    _dv_pair_positions,
+    _list_commits,
+    _mapping_mode,
+    _partition_literal,
+    _snapshot_state,
+    commit_timestamps,
+)
+
+__all__ = ["read_delta_changes"]
+
+
+def _part_key_order(kv):
+    return tuple((v is None, v or "") for v in kv[0])
+
+
+def _scan_entries(
+    spark: SparkSession,
+    table_path: str,
+    schema: StructType,
+    part_cols: list[str],
+    entries: list[tuple[str, dict, dict | None]],
+    extra_data_fields: list[StructField] = (),
+) -> DataFrame:
+    """One logical scan over ``entries`` = [(relpath, partitionValues,
+    dv-or-None)]: schema from the log, partition columns injected as
+    typed literals, deletion vectors applied via the executor-decoded
+    anti-join. ``extra_data_fields`` widens the file schema (the CDF
+    files carry ``_change_type`` in the data)."""
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    data_schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in data_fields]
+        + list(extra_data_fields)
+    )
+    out_names = ([f.name for f in schema.fields]
+                 + [f.name for f in extra_data_fields])
+
+    by_part: dict[tuple, list[str]] = {}
+    dv_by_abs: dict[str, dict] = {}
+    for rel, pv, dv in entries:
+        dec = urllib.parse.unquote(rel)
+        absf = os.path.abspath(
+            dec if os.path.isabs(dec) else os.path.join(table_path, dec))
+        key = tuple(pv.get(c) for c in part_cols)
+        by_part.setdefault(key, []).append(absf)
+        if dv:
+            dv_by_abs[absf] = dv
+
+    with_dv = bool(dv_by_abs)
+    meta_cols = [
+        F.regexp_replace(
+            F.col("_metadata.file_path"), r"^[A-Za-z0-9+.-]+:/+", "/"
+        ).alias("__dv_src"),
+        F.col("_metadata.row_index").alias("__dv_idx"),
+    ]
+    pieces = []
+    for key, files in sorted(by_part.items(), key=_part_key_order):
+        df = spark.read.schema(data_schema).parquet(*files)
+        if with_dv:
+            df = df.select("*", *meta_cols)
+        for c, v in zip(part_cols, key):
+            df = df.withColumn(
+                c, _partition_literal(v, schema[c].dataType))
+        cols = [F.col(n) for n in out_names]
+        if with_dv:
+            cols += [F.col("__dv_src"), F.col("__dv_idx")]
+        pieces.append(df.select(*cols))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    if dv_by_abs:
+        pairs = sorted(
+            (absf, json.dumps(dv)) for absf, dv in dv_by_abs.items())
+        tp = table_path
+        rdd = (spark.sparkContext.parallelize(pairs, len(pairs))
+               .flatMap(lambda t: _dv_pair_positions(tp, t)))
+        pos_df = spark.createDataFrame(rdd, "__dvp string, __dvi bigint")
+        out = out.join(
+            F.broadcast(pos_df),
+            (F.col("__dv_src") == F.col("__dvp"))
+            & (F.col("__dv_idx") == F.col("__dvi")),
+            "left_anti",
+        ).select(*out_names)
+    return out
+
+
+def read_delta_changes(
+    spark: SparkSession,
+    path: str,
+    starting_version: int,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """Row-level changes committed in ``[starting_version,
+    ending_version]`` (default: through the latest version), as the
+    table schema plus ``_change_type`` / ``_commit_version`` /
+    ``_commit_timestamp`` — the delta-spark ``table_changes`` surface.
+
+    Refuses loudly when the feed cannot be served faithfully: CDF not
+    enabled on the table, a commit JSON already cleaned from the log, a
+    DV-update commit without change-data files, or a column-mapped
+    table (physical-name change files are not resolved here)."""
+    path = os.path.abspath(path)
+    snap = _snapshot_state(spark, path, None)
+    meta = snap.meta
+    conf = meta.get("configuration") or {}
+    if conf.get("delta.enableChangeDataFeed") != "true":
+        raise DeltaProtocolError(
+            "delta.enableChangeDataFeed is not set on this table: "
+            "change-data files were never written, so a change feed "
+            "would silently misreport history. Enable CDF via the "
+            "table's native engine first."
+        )
+    if _mapping_mode(meta) != "none":
+        raise DeltaProtocolError(
+            "change feed over a column-mapped table is not supported "
+            "by this bridge (change files carry physical names)")
+    if ending_version is None:
+        ending_version = snap.version
+    if not 0 <= starting_version <= ending_version <= snap.version:
+        raise ValueError(
+            f"bad version range [{starting_version}, {ending_version}] "
+            f"(table is at {snap.version})")
+
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = meta.get("partitionColumns") or []
+    commits = _list_commits(path)
+    ts = commit_timestamps(path)
+    ct_field = [StructField("_change_type", StringType(), True)]
+
+    pieces: list[DataFrame] = []
+    for v in range(starting_version, ending_version + 1):
+        f = commits.get(v)
+        if f is None:
+            raise DeltaProtocolError(
+                f"version {v}: commit JSON no longer in the log "
+                "(checkpoint-cleaned); its change feed is gone")
+        with open(f) as fh:
+            acts = [json.loads(line) for line in fh if line.strip()]
+        cdc = [a["cdc"] for a in acts if "cdc" in a]
+        adds = [a["add"] for a in acts
+                if "add" in a and a["add"].get("dataChange")]
+        removes = [a["remove"] for a in acts
+                   if "remove" in a and a["remove"].get("dataChange")]
+
+        if cdc:
+            df = _scan_entries(
+                spark, path, schema, part_cols,
+                [(c["path"], c.get("partitionValues") or {}, None)
+                 for c in cdc],
+                extra_data_fields=ct_field,
+            )
+            pieces.append(_stamp(df, v, ts))
+            continue
+
+        add_paths = {a["path"] for a in adds}
+        dv_updates = [r["path"] for r in removes if r["path"] in add_paths]
+        if dv_updates or any(a.get("deletionVector") for a in adds):
+            raise DeltaProtocolError(
+                f"version {v} updates deletion vectors without "
+                "change-data files: the row-level diff lives only in "
+                "the vectors and cannot be reconstructed from "
+                "add/remove actions")
+        if adds:
+            df = _scan_entries(
+                spark, path, schema, part_cols,
+                [(a["path"], a.get("partitionValues") or {}, None)
+                 for a in adds],
+            ).withColumn("_change_type", F.lit("insert"))
+            pieces.append(_stamp(df, v, ts))
+        removed = [r for r in removes if r["path"] not in add_paths]
+        if removed:
+            # whole-file deletes: the removed files' LIVE rows as of the
+            # PREVIOUS version (their prior deletion vectors applied)
+            prev = _snapshot_state(spark, path, v - 1) \
+                .live.materialize(allow_dv=True)
+            entries = []
+            for r in removed:
+                a = prev.get(r["path"])
+                if a is None:
+                    raise DeltaProtocolError(
+                        f"version {v} removes {r['path']!r} which was "
+                        f"not live at version {v - 1}")
+                entries.append((r["path"],
+                                a.get("partitionValues") or {},
+                                a.get("deletionVector")))
+            df = _scan_entries(spark, path, schema, part_cols, entries) \
+                .withColumn("_change_type", F.lit("delete"))
+            pieces.append(_stamp(df, v, ts))
+
+    if not pieces:
+        empty = StructType(
+            schema.fields
+            + [StructField("_change_type", ct_field[0].dataType, True)])
+        return (spark.createDataFrame([], empty)
+                .withColumn("_commit_version", F.lit(None).cast("long"))
+                .withColumn("_commit_timestamp",
+                            F.lit(None).cast("timestamp")))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _stamp(df: DataFrame, version: int, ts: dict[int, int]) -> DataFrame:
+    return (df.withColumn("_commit_version", F.lit(version).cast("long"))
+            .withColumn("_commit_timestamp",
+                        F.timestamp_millis(F.lit(ts[version]))))
