@@ -2257,19 +2257,49 @@ def rollback_iceberg(path: str, snapshot_id: int) -> int:
     return _publish_metadata(path, newmeta, versions, cur_v, now_ms)
 
 
+# the spec's safe primitive promotions (§Schema Evolution): anything
+# else loses information or changes representation and must refuse
+_SAFE_PROMOTIONS = {("int", "long"), ("float", "double")}
+
+
+def _check_promotion(old_t: str, new_t: str, col: str) -> None:
+    if (old_t, new_t) in _SAFE_PROMOTIONS:
+        return
+    m_old = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", old_t)
+    m_new = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", new_t)
+    if m_old and m_new and m_old.group(2) == m_new.group(2) \
+            and int(m_new.group(1)) >= int(m_old.group(1)):
+        return  # widen precision, same scale
+    raise IcebergProtocolError(
+        f"promote {col!r}: {old_t} -> {new_t} is not a safe promotion "
+        "(spec allows int->long, float->double, decimal precision "
+        "widening at the same scale)"
+    )
+
+
 def evolve_iceberg_schema(path: str,
                           add_columns: list[tuple] | None = None,
-                          rename_columns: dict[str, str] | None = None
+                          rename_columns: dict[str, str] | None = None,
+                          drop_columns: list[str] | None = None,
+                          promote_columns: dict[str, str] | None = None,
                           ) -> int:
     """Schema evolution, the Iceberg way: a METADATA-ONLY commit that
     installs a new schema-id — adds allocate fresh field ids (old files
     NULL-fill the new column on read), renames keep the field id (old
     footers keep resolving through the id / the name mapping, which
-    grows the new name alongside the old). Snapshots keep the schema-id
-    they were written under, so time travel reads each snapshot with its
-    own column names — exactly the spec's contract. Appends after the
-    evolution expect the NEW column set. Published through the
-    conditional put like every other commit."""
+    grows the new name alongside the old), drops REMOVE the field
+    without ever reusing its id (``last-column-id`` never decreases, so
+    a later add cannot resurrect dropped data under a recycled id), and
+    promotes rewrite a field's type along the spec's SAFE promotions
+    only (int->long, float->double, decimal precision widening — the
+    parquet reader upcasts old footers natively, so no data moves).
+    Snapshots keep the schema-id they were written under, so time
+    travel reads each snapshot with its own column names AND types —
+    exactly the spec's contract. Dropping a column any partition spec
+    or sort order still references refuses (the spec forbids it: the
+    transform would dangle). Appends after the evolution expect the NEW
+    column set. Published through the conditional put like every other
+    commit."""
     versions = metadata_versions(path)
     cur_v = max(versions)
     meta = read_metadata(path, cur_v)
@@ -2294,6 +2324,36 @@ def evolve_iceberg_schema(path: str,
             raise ValueError(f"rename target {new!r} already a column")
         by_name[old]["name"] = new
         by_name[new] = by_name.pop(old)
+    for col, new_t in sorted((promote_columns or {}).items()):
+        if col not in by_name:
+            raise ValueError(f"promote source {col!r} not in schema")
+        old_t = by_name[col]["type"]
+        if not isinstance(old_t, str):
+            raise IcebergProtocolError(
+                f"promote {col!r}: only primitive fields promote")
+        _spark_type(new_t)  # validate eagerly
+        _check_promotion(old_t, new_t, col)
+        by_name[col]["type"] = new_t
+
+    for col in sorted(drop_columns or []):
+        if col not in by_name:
+            raise ValueError(f"drop column {col!r} not in schema")
+        fid = by_name[col]["id"]
+        for spec in meta.get("partition-specs") or []:
+            for pf in spec.get("fields") or []:
+                if pf.get("source-id") == fid:
+                    raise IcebergProtocolError(
+                        f"drop {col!r}: partition spec "
+                        f"{spec.get('spec-id')} transforms it — dropping "
+                        "would dangle the spec's source field")
+        for so in meta.get("sort-orders") or []:
+            for sf in so.get("fields") or []:
+                if sf.get("source-id") == fid:
+                    raise IcebergProtocolError(
+                        f"drop {col!r}: sort order "
+                        f"{so.get('order-id')} references it")
+        fields.remove(by_name.pop(col))
+
     for n, t in add_columns or []:
         if n in by_name:
             raise ValueError(f"column {n!r} already exists")

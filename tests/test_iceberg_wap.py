@@ -420,3 +420,79 @@ def test_schema_evolution_add_and_rename(spark, tmp_path):
         evolve_iceberg_schema(path, rename_columns={"id": "val"})
     with pytest.raises(ValueError, match="already exists"):
         evolve_iceberg_schema(path, add_columns=[("note", "string")])
+
+
+def test_schema_evolution_drop_and_promote(spark, tmp_path):
+    """Drop removes the field without reusing its id; promote rewrites a
+    field's type along the spec's safe promotions only — old footers
+    upcast natively on read, time travel keeps each snapshot's types,
+    and unsafe promotions / partition-referenced drops refuse."""
+    from monday_etl_spark.iceberg_import import (
+        IcebergProtocolError,
+        evolve_iceberg_schema,
+    )
+
+    path = str(tmp_path / "tbl")
+    create_iceberg_table(
+        path, [("id", "int"), ("v", "float"), ("tag", "string")])
+    append_iceberg(spark, spark.createDataFrame(
+        [(i, float(i), f"t{i}") for i in range(4)],
+        "id int, v float, tag string"), path)
+    first = read_metadata(path)["snapshots"][0]["snapshot-id"]
+    dropped_id = next(
+        f["id"] for s in read_metadata(path)["schemas"]
+        for f in s["fields"] if f["name"] == "tag")
+
+    evolve_iceberg_schema(
+        path,
+        promote_columns={"id": "long", "v": "double"},
+        drop_columns=["tag"])
+
+    cur = read_iceberg_table(spark, path)
+    assert cur.columns == ["id", "v"]
+    assert dict(cur.dtypes) == {"id": "bigint", "v": "double"}
+    assert sorted((r.id, r.v) for r in cur.collect()) \
+        == [(i, float(i)) for i in range(4)]
+
+    # time travel keeps the snapshot's own schema AND types
+    old = read_iceberg_table(spark, path, snapshot_id=first)
+    assert old.columns == ["id", "v", "tag"]
+    assert dict(old.dtypes) == {"id": "int", "v": "float", "tag": "string"}
+
+    # appends take the evolved (promoted, dropped) column set
+    append_iceberg(spark, spark.createDataFrame(
+        [(100, 50.5)], "id bigint, v double"), path)
+    assert sorted(r.id for r in read_iceberg_table(spark, path).collect()) \
+        == [0, 1, 2, 3, 100]
+
+    # a post-drop add gets a FRESH field id, never the dropped one
+    evolve_iceberg_schema(path, add_columns=[("note", "string")])
+    meta = read_metadata(path)
+    cur_schema = next(s for s in meta["schemas"]
+                      if s["schema-id"] == meta["current-schema-id"])
+    note_id = next(f["id"] for f in cur_schema["fields"]
+                   if f["name"] == "note")
+    assert note_id > dropped_id
+
+    # refusals
+    with pytest.raises(IcebergProtocolError, match="not a safe promotion"):
+        evolve_iceberg_schema(path, promote_columns={"id": "int"})
+    with pytest.raises(IcebergProtocolError, match="not a safe promotion"):
+        evolve_iceberg_schema(path, promote_columns={"v": "float"})
+    with pytest.raises(ValueError, match="not in schema"):
+        evolve_iceberg_schema(path, drop_columns=["ghost"])
+
+    # decimal: widening precision at the same scale is safe, scale is not
+    dpath = str(tmp_path / "dec")
+    create_iceberg_table(dpath, [("d", "decimal(5,2)")])
+    evolve_iceberg_schema(dpath, promote_columns={"d": "decimal(10,2)"})
+    with pytest.raises(IcebergProtocolError, match="not a safe promotion"):
+        evolve_iceberg_schema(dpath, promote_columns={"d": "decimal(10,4)"})
+
+    # dropping a partition-transform source refuses
+    ppath = str(tmp_path / "ptbl")
+    create_iceberg_table(
+        ppath, [("id", "long"), ("cat", "string")],
+        partition_by=[("cat", "identity")])
+    with pytest.raises(IcebergProtocolError, match="partition spec"):
+        evolve_iceberg_schema(ppath, drop_columns=["cat"])
