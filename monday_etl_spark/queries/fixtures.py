@@ -760,6 +760,275 @@ def _delta_dml_table(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+@_fixture("delta_cdf_table", {"delta_cdc_diff"})
+def _delta_cdf_table(spark: SparkSession, sf_dir: str) -> str:
+    """A CDF-enabled, DV-enabled Delta table taking the full change-feed
+    lifecycle: v0 base (orders %16 = 9), v1 blind append (%16 = 10 —
+    reconstructed as inserts, no cdc files per spec), v2 DV DELETE of a
+    value range (pre-images written to _change_data + cdc actions).
+    Deterministic function of sf_dir."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..delta_import import append_delta, delete_delta_where
+
+    base = (
+        _load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(F.col("o_orderkey") % 16 == 9)
+        .orderBy("o_orderkey")
+        .toPandas()
+    )
+    root = tempfile.mkdtemp(prefix="delta_cdf_fx_")
+    path = os.path.join(root, "orders_cdf")
+    data_dir = os.path.join(path, "data")
+    log_dir = os.path.join(path, "_delta_log")
+    os.makedirs(data_dir)
+    os.makedirs(log_dir)
+    tbl = pa.Table.from_arrays(
+        [pa.array(base["o_orderkey"], pa.int64()),
+         pa.array(base["o_orderstatus"], pa.string()),
+         pa.array(base["o_totalprice"], pa.float64())],
+        names=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    pq.write_table(tbl, os.path.join(data_dir, "f1.parquet"))
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "o_orderkey", "type": "long", "nullable": True,
+         "metadata": {}},
+        {"name": "o_orderstatus", "type": "string", "nullable": True,
+         "metadata": {}},
+        {"name": "o_totalprice", "type": "double", "nullable": True,
+         "metadata": {}},
+    ]})
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors",
+                                         "changeDataFeed"]}},
+        {"metaData": {"id": "cdf-fixture", "format": {
+            "provider": "parquet", "options": {}},
+            "schemaString": schema, "partitionColumns": [],
+            "configuration": {"delta.enableChangeDataFeed": "true"}}},
+        {"add": {"path": "data/f1.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    appended = (
+        _load(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").cast("long"),
+                "o_orderstatus",
+                F.col("o_totalprice").cast("double"))
+        .filter(F.col("o_orderkey") % 16 == 10)
+    )
+    append_delta(spark, appended, path)
+    delete_delta_where(spark, path, "o_totalprice", 0.0, 80000.0)
+    return path
+
+
+@_fixture("delta_lifecycle_table", {"delta_lifecycle"})
+def _delta_lifecycle_table(spark: SparkSession, sf_dir: str) -> str:
+    """The full Delta maintenance lifecycle, run once per process: base
+    (orders %16 = 11) + append (%16 = 13) + DV DELETE + OPTIMIZE
+    compaction + VACUUM (retaining the whole history) + RESTORE back to
+    the pre-delete version. Also proves the refusal arm on a throwaway
+    copy: an aggressive vacuum that sweeps old files makes a later
+    restore refuse with the missing paths named (never a snapshot whose
+    reads break afterwards). Consumers only read the restored table."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..delta_import import (
+        append_delta,
+        compact_delta,
+        delete_delta_where,
+        read_delta,
+        restore_delta,
+        vacuum_delta,
+    )
+
+    base = (
+        _load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(F.col("o_orderkey") % 16 == 11)
+        .orderBy("o_orderkey")
+        .toPandas()
+    )
+    root = tempfile.mkdtemp(prefix="delta_lc_fx_")
+    path = os.path.join(root, "orders_lifecycle")
+    data_dir = os.path.join(path, "data")
+    log_dir = os.path.join(path, "_delta_log")
+    os.makedirs(data_dir)
+    os.makedirs(log_dir)
+    tbl = pa.Table.from_arrays(
+        [pa.array(base["o_orderkey"], pa.int64()),
+         pa.array(base["o_orderstatus"], pa.string()),
+         pa.array(base["o_totalprice"], pa.float64())],
+        names=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    pq.write_table(tbl, os.path.join(data_dir, "f1.parquet"))
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "o_orderkey", "type": "long", "nullable": True,
+         "metadata": {}},
+        {"name": "o_orderstatus", "type": "string", "nullable": True,
+         "metadata": {}},
+        {"name": "o_totalprice", "type": "double", "nullable": True,
+         "metadata": {}},
+    ]})
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "lifecycle-fixture", "format": {
+            "provider": "parquet", "options": {}},
+            "schemaString": schema, "partitionColumns": [],
+            "configuration": {}}},
+        {"add": {"path": "data/f1.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    appended = (
+        _load(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").cast("long"),
+                "o_orderstatus",
+                F.col("o_totalprice").cast("double"))
+        .filter(F.col("o_orderkey") % 16 == 13)
+    )
+    append_delta(spark, appended, path)                    # v1
+    n_v1 = read_delta(spark, path).count()
+    delete_delta_where(spark, path, "o_totalprice",
+                       0.0, 100000.0)                      # v2 (DV)
+    n_v2 = read_delta(spark, path).count()
+    if not n_v2 < n_v1:
+        raise AssertionError("lifecycle delete matched nothing")
+    compact_delta(spark, path)                             # v3
+    if read_delta(spark, path).count() != n_v2:
+        raise AssertionError("compaction changed the row set")
+    swept = vacuum_delta(spark, path, retain_last=10, grace_s=0.0)
+    if swept:
+        raise AssertionError(f"retaining vacuum swept files: {swept}")
+    restore_delta(spark, path, 1)                          # v4 = v1 rows
+
+    # refusal arm, on a throwaway copy: sweep history, restore refuses
+    doomed = fresh_copy(path)
+    vacuum_delta(spark, doomed, retain_last=1, grace_s=0.0)
+    try:
+        restore_delta(spark, doomed, 2)
+    except Exception:
+        shutil.rmtree(os.path.dirname(doomed), ignore_errors=True)
+    else:
+        raise AssertionError(
+            "restore after a sweeping vacuum must refuse, not commit a "
+            "snapshot whose reads break")
+    return path
+
+
+@_fixture("iceberg_lifecycle_table", {"iceberg_lifecycle"})
+def _iceberg_lifecycle_table(spark: SparkSession, sf_dir: str) -> str:
+    """The full Iceberg maintenance lifecycle, run once per process: two
+    appends (supplier %8 = 1, then %8 = 2) + MoR DELETE + compaction +
+    orphan-file removal (with a PLANTED stray parquet proving real
+    deletion and zero collateral) + rollback of main to the pre-delete
+    ancestor snapshot. Consumers only read the rolled-back table."""
+    from ..iceberg_import import (
+        append_iceberg,
+        compact_iceberg,
+        create_iceberg_table,
+        delete_iceberg_where,
+        read_iceberg_table,
+        read_metadata,
+        remove_orphan_iceberg_files,
+        rollback_iceberg,
+    )
+
+    root = tempfile.mkdtemp(prefix="iceberg_lc_fx_")
+    path = os.path.join(root, "supplier_lifecycle")
+    create_iceberg_table(
+        path,
+        [("s_suppkey", "long"), ("s_nationkey", "long"),
+         ("s_acctbal", "double")],
+    )
+    supp = _load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long"),
+        F.col("s_nationkey").cast("long"),
+        F.col("s_acctbal").cast("double"),
+    )
+    append_iceberg(spark, supp.filter(F.col("s_suppkey") % 8 == 1), path)
+    append_iceberg(spark, supp.filter(F.col("s_suppkey") % 8 == 2), path)
+    pre_delete = read_metadata(path)["current-snapshot-id"]
+    n_full = read_iceberg_table(spark, path).count()
+
+    delete_iceberg_where(spark, path, "s_acctbal", 0.0, 5000.0)
+    n_deleted = read_iceberg_table(spark, path).count()
+    if not n_deleted < n_full:
+        raise AssertionError("lifecycle delete matched nothing")
+    compact_iceberg(spark, path)
+    if read_iceberg_table(spark, path).count() != n_deleted:
+        raise AssertionError("compaction changed the row set")
+
+    stray = os.path.join(path, "data", "stray_orphan.parquet")
+    with open(stray, "wb") as fh:
+        fh.write(b"not referenced by any manifest")
+    removed = remove_orphan_iceberg_files(path, grace_s=0.0)
+    if [os.path.basename(p) for p in removed] != ["stray_orphan.parquet"]:
+        raise AssertionError(
+            f"orphan removal took the wrong files: {removed}")
+
+    rollback_iceberg(path, pre_delete)
+    if read_iceberg_table(spark, path).count() != n_full:
+        raise AssertionError("rollback did not restore the full row set")
+    return path
+
+
+@_fixture("iceberg_evolution_table", {"iceberg_schema_evolution"})
+def _iceberg_evolution_table(spark: SparkSession, sf_dir: str) -> str:
+    """A table that lives through every schema-evolution verb: created
+    narrow-typed (int key, float price), base rows appended (part
+    %8 = 3), then ONE evolution commit renames p_brand->brand, promotes
+    p_partkey int->long and price float->double, drops p_type, and adds
+    a nullable note column; evolved rows (%8 = 5, note='late') append
+    after. Old footers upcast natively on read; time travel keeps the
+    original schema. Consumers only read."""
+    from ..iceberg_import import (
+        append_iceberg,
+        create_iceberg_table,
+        evolve_iceberg_schema,
+    )
+
+    root = tempfile.mkdtemp(prefix="iceberg_evo_fx_")
+    path = os.path.join(root, "part_evolution")
+    create_iceberg_table(
+        path,
+        [("p_partkey", "int"), ("price", "float"),
+         ("p_brand", "string"), ("p_type", "string")],
+    )
+    part = _load(spark, sf_dir, "part")
+    base = (part.filter(F.col("p_partkey") % 8 == 3)
+            .select(F.col("p_partkey").cast("int"),
+                    F.col("p_retailprice").cast("float").alias("price"),
+                    "p_brand", "p_type"))
+    append_iceberg(spark, base, path)
+    evolve_iceberg_schema(
+        path,
+        rename_columns={"p_brand": "brand"},
+        promote_columns={"p_partkey": "long", "price": "double"},
+        drop_columns=["p_type"],
+        add_columns=[("note", "string")],
+    )
+    late = (part.filter(F.col("p_partkey") % 8 == 5)
+            .select(F.col("p_partkey").cast("long"),
+                    F.col("p_retailprice").cast("double").alias("price"),
+                    F.col("p_brand").alias("brand"),
+                    F.lit("late").alias("note")))
+    append_iceberg(spark, late, path)
+    return path
+
+
 @_fixture("iceberg_dml_table", {"iceberg_delete_compact"})
 def _iceberg_dml_table(spark: SparkSession, sf_dir: str) -> str:
     """The merge-on-read WRITE lifecycle, run once per process: an

@@ -1647,3 +1647,221 @@ def iceberg_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment", "n_rows", "sum_bal",
         )
     )
+
+
+@register(
+    "delta_cdc_diff",
+    oracle=f"""
+    SELECT change_type, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM (
+        SELECT 'insert' AS change_type, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 16 = 10
+        UNION ALL
+        SELECT 'delete' AS change_type, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE o_orderkey % 16 IN (9, 10)
+          AND o_totalprice BETWEEN 0 AND 80000
+    )
+    GROUP BY change_type, o_orderstatus
+    """,
+    doc="Delta Change Data Feed (r10): a CDF-enabled DV table takes a "
+        "blind append (v1 — reconstructed as inserts from its add "
+        "actions, the spec's no-cdc shape) and a DV DELETE (v2 — "
+        "pre-image rows written to _change_data + cdc actions by "
+        "delete_delta_where); read_delta_changes(1, 2) serves both and "
+        "the query aggregates the feed per change type — the "
+        "reference's day-over-day diff consumer shape "
+        "(monday_etl_automated.py:600-645, SURVEY.md O-39) over CDF "
+        "instead of two snapshot scans. In-query assertions pin that "
+        "the v2 commit carries cdc actions and that the feed stamps "
+        "both versions. Oracle: the insert set is the appended subset; "
+        "the delete set is the value-range match over base + appended.",
+)
+def delta_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..delta_cdf import read_delta_changes
+    from ..functions import money_sum
+    from .fixtures import shared
+
+    path = shared(spark, sf_dir, "delta_cdf_table")
+    with open(os.path.join(path, "_delta_log", f"{2:020d}.json")) as fh:
+        acts = [json.loads(line) for line in fh if line.strip()]
+    if not any("cdc" in a for a in acts):
+        raise AssertionError("DELETE commit carries no cdc actions")
+    feed = read_delta_changes(spark, path, 1, 2)
+    versions = {r["_commit_version"] for r in
+                feed.select("_commit_version").distinct().collect()}
+    if versions != {1, 2}:
+        raise AssertionError(f"feed stamped versions {versions}")
+    return (
+        feed.groupBy(
+            F.col("_change_type").alias("change_type"), "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select("change_type", "o_orderstatus", "n_rows", "total_price")
+    )
+
+
+@register(
+    "delta_lifecycle",
+    oracle=f"""
+    SELECT CAST(TRUE AS BOOLEAN) AS restored,
+           o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_orderkey % 16 IN (11, 13)
+    GROUP BY o_orderstatus
+    """,
+    doc="Delta maintenance lifecycle (r10): base + append + DV DELETE + "
+        "OPTIMIZE compaction (dataChange=false) + retaining VACUUM "
+        "(sweeps nothing while every version stays time-travelable) + "
+        "RESTORE back to the pre-delete version — five lifecycle commits "
+        "on one table, previously pytest-only. The fixture also proves "
+        "the refusal arm on a throwaway copy: restore after a sweeping "
+        "vacuum refuses with the missing files named (including on-disk "
+        "DV files). In-query assertions pin the version ladder, that the "
+        "deleted rows were really gone at v2/v3, and that the restored "
+        "head re-serves the v1 row set. Oracle: the plain union of both "
+        "appended subsets — restore semantics ARE the hashed check. "
+        "Reference scope: warehouse table maintenance as in "
+        "monday_etl_automated.py:571-590.",
+)
+def delta_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..delta_import import delta_versions, read_delta
+    from ..functions import money_sum
+    from .fixtures import shared
+
+    path = shared(spark, sf_dir, "delta_lifecycle_table")
+    if delta_versions(path) != [0, 1, 2, 3, 4]:
+        raise AssertionError(f"versions wrong: {delta_versions(path)}")
+    n_v1 = read_delta(spark, path, version=1).count()
+    n_v2 = read_delta(spark, path, version=2).count()
+    n_v3 = read_delta(spark, path, version=3).count()
+    df = read_delta(spark, path)
+    if not (n_v2 == n_v3 < n_v1 == df.count()):
+        raise AssertionError(
+            f"lifecycle counts wrong: v1={n_v1} v2={n_v2} v3={n_v3} "
+            f"head={df.count()}")
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            F.lit(True).alias("restored"),
+            "o_orderstatus", "n_orders", "total_price",
+        )
+    )
+
+
+@register(
+    "iceberg_lifecycle",
+    oracle=f"""
+    SELECT CAST(TRUE AS BOOLEAN) AS rolled_back,
+           s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           {sql_money_sum('s_acctbal')} AS total_bal
+    FROM supplier
+    WHERE s_suppkey % 8 IN (1, 2)
+    GROUP BY s_nationkey
+    """,
+    doc="Iceberg maintenance lifecycle (r10): two appends + "
+        "merge-on-read DELETE (position-delete files) + compaction "
+        "(replace snapshot) + orphan-file removal (a PLANTED stray "
+        "parquet is deleted, nothing referenced is — the fixture "
+        "asserts the removed list exactly) + rollback of main to the "
+        "pre-delete ancestor snapshot. In-query assertions pin the "
+        "snapshot ladder (append, append, delete, replace) and that "
+        "rollback moved main WITHOUT erasing history (all snapshots "
+        "retained for audit replay). Oracle: the union of both appended "
+        "subsets — rollback semantics ARE the hashed check. Reference "
+        "scope: warehouse table maintenance as in "
+        "monday_etl_automated.py:571-590.",
+)
+def iceberg_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import money_sum
+    from ..iceberg_import import read_iceberg_table, read_metadata
+    from .fixtures import shared
+
+    path = shared(spark, sf_dir, "iceberg_lifecycle_table")
+    meta = read_metadata(path)
+    snaps = meta["snapshots"]
+    if len(snaps) != 4:
+        raise AssertionError(f"expected 4 retained snapshots: {len(snaps)}")
+    # rollback moved main back to the second append without erasing
+    # the delete/replace snapshots from history
+    if meta["current-snapshot-id"] != snaps[1]["snapshot-id"]:
+        raise AssertionError("main is not at the pre-delete ancestor")
+    df = read_iceberg_table(spark, path)
+    return (
+        df.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            money_sum(F.col("s_acctbal")).alias("total_bal"),
+        )
+        .select(
+            F.lit(True).alias("rolled_back"),
+            "s_nationkey", "n_suppliers", "total_bal",
+        )
+    )
+
+
+@register(
+    "iceberg_schema_evolution",
+    oracle=f"""
+    SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           {sql_money_sum('price')} AS total_price,
+           CAST(COUNT(note) AS BIGINT) AS n_noted
+    FROM (
+        SELECT p_brand AS brand,
+               CAST(CAST(p_retailprice AS REAL) AS DOUBLE) AS price,
+               CAST(NULL AS VARCHAR) AS note
+        FROM part WHERE p_partkey % 8 = 3
+        UNION ALL
+        SELECT p_brand, p_retailprice, 'late'
+        FROM part WHERE p_partkey % 8 = 5
+    )
+    GROUP BY brand
+    """,
+    doc="Iceberg schema evolution, every verb in one commit (r10): the "
+        "fixture table is created narrow (int key, float price), takes "
+        "base rows, then ONE evolution renames p_brand->brand, PROMOTES "
+        "p_partkey int->long and price float->double (spec-safe "
+        "promotions; old footers upcast natively — the oracle's "
+        "double(float(x)) cast pins that the base rows really lived as "
+        "float32), DROPS p_type (field id never reused), and ADDS note; "
+        "evolved rows append after. In-query assertions pin the current "
+        "dtypes and that time travel to the first snapshot still serves "
+        "the ORIGINAL columns and types. Oracle: union of the "
+        "float-squashed base subset and the evolved append. Reference "
+        "scope: the explicit-schema DDL layer "
+        "(monday_etl_automated.py:64-170).",
+)
+def iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import money_sum
+    from ..iceberg_import import read_iceberg_table, read_metadata
+    from .fixtures import shared
+
+    path = shared(spark, sf_dir, "iceberg_evolution_table")
+    df = read_iceberg_table(spark, path)
+    if dict(df.dtypes) != {"p_partkey": "bigint", "price": "double",
+                           "brand": "string", "note": "string"}:
+        raise AssertionError(f"evolved dtypes wrong: {df.dtypes}")
+    first = read_metadata(path)["snapshots"][0]["snapshot-id"]
+    old = read_iceberg_table(spark, path, snapshot_id=first)
+    if dict(old.dtypes) != {"p_partkey": "int", "price": "float",
+                            "p_brand": "string", "p_type": "string"}:
+        raise AssertionError(
+            f"time travel lost the original schema: {old.dtypes}")
+    return (
+        df.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            money_sum(F.col("price")).alias("total_price"),
+            F.count("note").alias("n_noted"),
+        )
+        .select("brand", "n_parts", "total_price", "n_noted")
+    )
