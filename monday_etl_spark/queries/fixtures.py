@@ -760,6 +760,109 @@ def _delta_dml_table(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+@_fixture("maintenance_tables",
+          {"rollup_maintenance_drain", "scd2_maintenance_drain"})
+def _maintenance_tables(spark: SparkSession, sf_dir: str) -> dict:
+    """BOTH maintained views off ONE streaming drain (the multiplexed
+    runner): a single AvailableNow pass over the events ingest maintains
+    the additive daily rollup AND the SCD2 dimension history — one
+    source read, one checkpoint, one runner spawn for two views, the
+    shape a production ingest pipeline actually runs (r9 verdict task:
+    consolidate drains that exercise the same machinery). The
+    two-sequential-drain incremental contracts are pinned by
+    tests/test_multi_maintenance.py; consumers only read."""
+    import shutil
+
+    from ..streaming.multi_maintenance import (
+        apply_rollup_batch,
+        run_multi_maintenance,
+    )
+    from ..streaming.scd2_maintenance import apply_scd2_batch
+
+    root = tempfile.mkdtemp(prefix="maint_fx_")
+    ingest = os.path.join(root, "ingest")
+    os.makedirs(ingest)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(ingest, "part1.events.parquet"))
+    rollup = os.path.join(root, "rollup_table")
+    scd2 = os.path.join(root, "scd2_table")
+    run_multi_maintenance(
+        spark, ingest,
+        [(rollup, apply_rollup_batch), (scd2, apply_scd2_batch)],
+        os.path.join(root, "ckpt"), glob="*.events.parquet",
+    )
+    return {"rollup": rollup, "scd2": scd2}
+
+
+@_fixture("lakehouse_stream_drains",
+          {"delta_source_stream", "delta_stream_id_mapped",
+           "iceberg_stream_pipe"})
+def _lakehouse_stream_drains(spark: SparkSession, sf_dir: str) -> dict:
+    """The three lakehouse streaming pipes drained ONCE per process off
+    one Spark session (r9 verdict task: reuse one runner): the Delta
+    version-tailing source over the interop fixture, the same source
+    over the mode=id column-mapped table (logical-name resolution
+    asserted here, where the stream is built), and the Iceberg
+    snapshot-tailing source piped into an Iceberg sink with the
+    exactly-once summary stamp — including the post-drain REPLAY of
+    batch 0 that the sink must skip. Consumers only read the drained
+    outputs and the sink's metadata."""
+    from ..delta_source import stream_delta
+    from ..iceberg_import import (
+        append_iceberg,
+        iceberg_history,
+        read_iceberg_table,
+    )
+    from ..iceberg_source import stream_iceberg
+
+    root = tempfile.mkdtemp(prefix="lh_streams_fx_")
+    out: dict[str, str] = {}
+
+    def drain(stream, dest, ckpt):
+        def handle(batch, bid):
+            batch.write.mode("overwrite").parquet(
+                os.path.join(dest, f"batch={bid}"))
+        q = (stream.writeStream.foreachBatch(handle)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    # 1. version-tailing Delta source over the interop table
+    interop = shared(spark, sf_dir, "delta_interop_table")
+    out["delta_source_out"] = os.path.join(root, "delta_rows")
+    drain(stream_delta(spark, interop, starting_version=0),
+          out["delta_source_out"], os.path.join(root, "ck_delta"))
+
+    # 2. the same source over the mode=id column-mapped table; logical
+    # names must surface HERE, where the stream is constructed
+    idmap = shared(spark, sf_dir, "delta_idmap_table")
+    s = stream_delta(spark, idmap, starting_version=0)
+    if s.columns != ["l_orderkey", "l_returnflag", "l_quantity"]:
+        raise AssertionError(f"logical names not surfaced: {s.columns}")
+    out["idmap_out"] = os.path.join(root, "idmap_rows")
+    drain(s, out["idmap_out"], os.path.join(root, "ck_idmap"))
+
+    # 3. Iceberg table-to-table pipe + the at-least-once replay hazard
+    source = shared(spark, sf_dir, "iceberg_appended_table")
+    sink = fresh_copy(shared(spark, sf_dir, "iceberg_pipe_base"))
+    first = iceberg_history(source)[0]["snapshot_id"]
+
+    def pipe(batch, bid):
+        append_iceberg(spark, batch, sink,
+                       app_id="orders-pipe", txn_version=bid)
+
+    q = (stream_iceberg(spark, source, starting_snapshot_id=first)
+         .writeStream.foreachBatch(pipe)
+         .option("checkpointLocation", os.path.join(root, "ck_pipe"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    replay = read_iceberg_table(spark, source)
+    append_iceberg(spark, replay, sink,
+                   app_id="orders-pipe", txn_version=0)
+    out["iceberg_sink"] = sink
+    return out
+
+
 @_fixture("delta_cdf_table", {"delta_cdc_diff"})
 def _delta_cdf_table(spark: SparkSession, sf_dir: str) -> str:
     """A CDF-enabled, DV-enabled Delta table taking the full change-feed

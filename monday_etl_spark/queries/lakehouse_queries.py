@@ -128,25 +128,19 @@ def tableformat_merge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "which is the oracle (streaming/rollup_maintenance.py). The "
         "two-sequential-drain incremental contract (second drain MERGEs "
         "only its own changed groups onto the first's table) is pinned by "
-        "tests/test_rollup_maintenance.py; the driver query exercises the "
-        "subsystem once instead of paying the streaming machinery twice.",
+        "tests/test_multi_maintenance.py and test_rollup_maintenance.py. "
+        "r10: the drain is the MULTIPLEXED runner — one source pass, one "
+        "checkpoint, maintaining this view and the SCD2 view together "
+        "(streaming/multi_maintenance.py, ADDITIVE exact-decimal rollup "
+        "deltas) — so the suite pays the streaming fixed cost once for "
+        "both maintained views; this query serves ITS view's table.",
 )
 def rollup_maintenance_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
+    from ..streaming.multi_maintenance import read_rollup
+    from .fixtures import shared
 
-    from ..streaming.rollup_maintenance import run_rollup_maintenance
-
-    root = tempfile.mkdtemp(prefix="rollup_maint_q_")
-    ingest = os.path.join(root, "ingest")
-    os.makedirs(ingest)
-    shutil.copy(os.path.join(sf_dir, "events.parquet"),
-                os.path.join(ingest, "part1.events.parquet"))
-    table = os.path.join(root, "rollup_table")
-    ckpt = os.path.join(root, "ckpt")
-    # 4 buckets: the rollup table is (days x event_types)-sized — right-size
-    # the bucket count to the key cardinality, not the default
-    return run_rollup_maintenance(spark, ingest, table, ckpt,
-                                  glob="*.events.parquet", n_buckets=4)
+    tables = shared(spark, sf_dir, "maintenance_tables")
+    return read_rollup(spark, tables["rollup"])
 
 
 def _zorder_oracle() -> str:
@@ -440,22 +434,21 @@ def tableformat_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scd2_history build, which is the oracle. The two-micro-batch "
         "incremental contract (batch 2 re-derives only its users' tails "
         "against batch 1's open rows) is pinned by "
-        "tests/test_scd2_maintenance.py; the driver query pays the "
-        "streaming machinery once (streaming/scd2_maintenance.py).",
+        "tests/test_scd2_maintenance.py and test_multi_maintenance.py. "
+        "r10: the drain is the MULTIPLEXED runner — one source pass, one "
+        "checkpoint, maintaining this view and the rollup view together "
+        "(streaming/multi_maintenance.py) — so the suite pays the "
+        "streaming fixed cost once for both; this query serves ITS "
+        "view's table.",
 )
 def scd2_maintenance_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
+    from ..tableformat import read_version
+    from .fixtures import shared
 
-    from ..streaming.scd2_maintenance import run_scd2_maintenance
-
-    root = tempfile.mkdtemp(prefix="scd2_maint_q_")
-    ingest = os.path.join(root, "ingest")
-    os.makedirs(ingest)
-    shutil.copy(os.path.join(sf_dir, "events.parquet"),
-                os.path.join(ingest, "part1.events.parquet"))
-    return run_scd2_maintenance(
-        spark, ingest, os.path.join(root, "scd2_table"),
-        os.path.join(root, "ckpt"), glob="*.events.parquet",
+    tables = shared(spark, sf_dir, "maintenance_tables")
+    return read_version(spark, tables["scd2"]).select(
+        "user_id", "status", "version_n", "valid_from_us",
+        "valid_to_us", "is_current",
     )
 
 
@@ -847,29 +840,15 @@ def streaming_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entirely in the two logs.",
 )
 def delta_source_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..delta_source import stream_delta
     from ..functions import money_sum
     from .fixtures import shared
 
-    path = shared(spark, sf_dir, "delta_interop_table")
-    root = tempfile.mkdtemp(prefix="delta_src_q_")
-    out = os.path.join(root, "rows")
-    stream = stream_delta(spark, path, starting_version=0)
-
-    def handle(batch: DataFrame, bid: int) -> None:
-        batch.write.mode("overwrite").parquet(
-            os.path.join(out, f"batch={bid}")
-        )
-
-    q = (
-        stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r10: drained once per process by the shared lakehouse_stream_drains
+    # fixture (one session runs all three pipes); this query verifies the
+    # drained rows aggregate to the relational restatement
+    out = shared(spark, sf_dir, "lakehouse_stream_drains")
     return (
-        spark.read.parquet(out)
+        spark.read.parquet(out["delta_source_out"])
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -1120,36 +1099,16 @@ def iceberg_append_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def iceberg_stream_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import money_sum
     from ..iceberg_import import (
-        append_iceberg,
         iceberg_history,
         last_iceberg_txn,
         read_iceberg_table,
     )
-    from ..iceberg_source import stream_iceberg
-    from .fixtures import fresh_copy, shared
+    from .fixtures import shared
 
-    source = shared(spark, sf_dir, "iceberg_appended_table")
-    sink = fresh_copy(shared(spark, sf_dir, "iceberg_pipe_base"))
-    first = iceberg_history(source)[0]["snapshot_id"]
-    stream = stream_iceberg(spark, source, starting_snapshot_id=first)
-
-    def handle(batch: DataFrame, bid: int) -> None:
-        append_iceberg(spark, batch, sink,
-                       app_id="orders-pipe", txn_version=bid)
-
-    root = tempfile.mkdtemp(prefix="iceberg_pipe_q_")
-    q = (
-        stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # re-deliver batch 0 with fresh producer memory (the at-least-once
-    # hazard): the snapshot-summary txn check must skip it
-    replay = read_iceberg_table(spark, source)
-    append_iceberg(spark, replay, sink,
-                   app_id="orders-pipe", txn_version=0)
+    # r10: the pipe (drain + the replayed batch-0 hazard) runs once in
+    # the shared lakehouse_stream_drains fixture; this query re-derives
+    # the exactly-once evidence from the SINK's own metadata
+    sink = shared(spark, sf_dir, "lakehouse_stream_drains")["iceberg_sink"]
     n_snapshots = len(iceberg_history(sink))
     last = last_iceberg_txn(sink, "orders-pipe")
     return (
@@ -1546,32 +1505,19 @@ def iceberg_partition_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "open-ecosystem tables as in monday_etl_automated.py:571-590.",
 )
 def delta_stream_id_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..delta_source import stream_delta
     from ..functions import money_sum
     from .fixtures import shared
 
-    path = shared(spark, sf_dir, "delta_idmap_table")
-    root = tempfile.mkdtemp(prefix="delta_idmap_q_")
-    out = os.path.join(root, "rows")
-    stream = stream_delta(spark, path, starting_version=0)
-    if stream.columns != ["l_orderkey", "l_returnflag", "l_quantity"]:
-        raise AssertionError(f"logical names not surfaced: {stream.columns}")
-
-    def handle(batch: DataFrame, bid: int) -> None:
-        batch.write.mode("overwrite").parquet(
-            os.path.join(out, f"batch={bid}")
-        )
-
-    q = (
-        stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r10: drained by the shared lakehouse_stream_drains fixture (which
+    # asserts the stream surfaces LOGICAL names where it is built); the
+    # drained rows must still carry them, and aggregate exactly
+    out = shared(spark, sf_dir, "lakehouse_stream_drains")
+    rows = spark.read.parquet(out["idmap_out"])
+    got = [c for c in rows.columns if not c.startswith("batch")]
+    if sorted(got) != ["l_orderkey", "l_quantity", "l_returnflag"]:
+        raise AssertionError(f"logical names not surfaced: {rows.columns}")
     return (
-        spark.read.parquet(out)
-        .groupBy("l_returnflag")
+        rows.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             money_sum(F.col("l_quantity")).alias("sum_qty"),

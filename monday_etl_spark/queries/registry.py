@@ -61,8 +61,12 @@ _EVIDENCE_PRIORITY = [
     "iceberg_schema_evolution",      # NEW query (rename+add+drop+promote)
     "delta_lifecycle",               # NEW query (compact+vacuum+restore)
     "iceberg_lifecycle",       # NEW query (compact+orphans+rollback)
-    "delta_delete_where",      # DV encode moved executor-side
+    "delta_delete_where",      # DV encode moved executor-side (u-storage)
     "delta_deletion_vectors",  # same roaring machinery downstream
+    # consolidated streaming drains (multiplexed maintenance runner /
+    # shared stream-pipe fixture) — code paths changed this round
+    "rollup_maintenance_drain", "scd2_maintenance_drain",
+    "delta_source_stream", "delta_stream_id_mapped", "iceberg_stream_pipe",
     # r06-latest evidence (the final 10 stale rows; newest official
     # confirmation is CORRECTNESS_r06.json — this rotation clears them).
     "stratified_sample", "streaming_interval_join", "text_scrub",

@@ -97,6 +97,34 @@ def _scd2_upserts(batch: DataFrame, open_rows: DataFrame) -> DataFrame:
     )
 
 
+def apply_scd2_batch(spark: SparkSession, table_path: str,
+                     batch: DataFrame, n_buckets: int = 8) -> None:
+    """One micro-batch's SCD2 maintenance step against ``table_path`` —
+    the foreachBatch body, factored out so a multiplexed drain
+    (``multi_maintenance``) can apply it to a batch it shares with other
+    views."""
+    from ..tableformat import read_version
+
+    if not batch.take(1):
+        return
+    if current_version(table_path) is None:
+        ups = _scd2_upserts(
+            batch, spark.createDataFrame([], _SCHEMA).select(
+                "user_id", "status", "valid_from_us", "version_n")
+        )
+        write_versioned(ups, table_path, key=SCD2_KEY,
+                        n_buckets=n_buckets)
+    else:
+        users = batch.select("user_id").distinct()
+        open_rows = (
+            read_version(spark, table_path)
+            .filter(F.col("is_current"))
+            .join(F.broadcast(users), "user_id", "left_semi")
+            .select("user_id", "status", "valid_from_us", "version_n")
+        )
+        merge_versioned(spark, table_path, _scd2_upserts(batch, open_rows))
+
+
 def run_scd2_maintenance(
     spark: SparkSession,
     sf_dir: str,
@@ -115,24 +143,7 @@ def run_scd2_maintenance(
     )
 
     def handle(batch: DataFrame, _bid: int) -> None:
-        if not batch.take(1):
-            return
-        if current_version(table_path) is None:
-            ups = _scd2_upserts(
-                batch, spark.createDataFrame([], _SCHEMA).select(
-                    "user_id", "status", "valid_from_us", "version_n")
-            )
-            write_versioned(ups, table_path, key=SCD2_KEY,
-                            n_buckets=n_buckets)
-        else:
-            users = batch.select("user_id").distinct()
-            open_rows = (
-                read_version(spark, table_path)
-                .filter(F.col("is_current"))
-                .join(F.broadcast(users), "user_id", "left_semi")
-                .select("user_id", "status", "valid_from_us", "version_n")
-            )
-            merge_versioned(spark, table_path, _scd2_upserts(batch, open_rows))
+        apply_scd2_batch(spark, table_path, batch, n_buckets=n_buckets)
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
