@@ -632,12 +632,26 @@ class _LiveSet:
         return df
 
     # -- full materialization: tests and tail-only contexts. Checkpoint-
-    # -- backed snapshots pay the driver cost here and ONLY here.
+    # -- backed snapshots pay the driver cost here and ONLY here. Bounded:
+    # -- building a scan requires the file list on the driver (every
+    # -- engine's planner does), but an unbounded collect on a
+    # -- pathological multi-million-file table would OOM the driver with
+    # -- a confusing stack — refuse at the cap with the remedy named.
+    # -- SPARK_GRAFT_MAX_LIVE_FILES overrides for genuinely huge tables.
     def materialize(self, allow_dv: bool = False) -> dict[str, dict]:
+        cap = int(os.environ.get("SPARK_GRAFT_MAX_LIVE_FILES", "2000000"))
         guard = (lambda a: a) if allow_dv else self._guard_dv
         out = dict(self._tail)
         ck = self._ckpt_surviving()
         if ck is not None:
+            n_ck = ck.count()
+            if n_ck + len(out) > cap:
+                raise DeltaProtocolError(
+                    f"live file set has {n_ck + len(out)} entries, over "
+                    f"the {cap} driver cap — compact the table, or raise "
+                    "SPARK_GRAFT_MAX_LIVE_FILES if the driver has the "
+                    "memory for a list this size"
+                )
             for r in ck.collect():
                 out[r["path"]] = guard(_row_to_add(r))
         for a in out.values():
@@ -1562,6 +1576,147 @@ def delete_delta_where(spark: SparkSession, path: str, column: str,
         if isinstance(newadd.get("stats"), dict):
             newadd["stats"] = json.dumps(newadd["stats"])
         actions.append({"add": newadd})
+    payload = "\n".join(json.dumps(a) for a in actions) + "\n"
+    target = os.path.join(_log_dir(path), f"{latest + 1:020d}.json")
+    _tf._LOG_STORE.put_if_absent(target, payload)
+    return latest + 1
+
+
+def upsert_delta(spark: SparkSession, df: DataFrame, path: str,
+                 key_cols: list[str],
+                 app_id: str | None = None,
+                 txn_version: int | None = None) -> int:
+    """MERGE-shaped upsert: source rows REPLACE matched target rows (by
+    ``key_cols``) and INSERT otherwise — delta-spark's copy-on-write
+    MERGE without a not-matched-by-source clause, in ONE commit. Only
+    files that actually CONTAIN a matched key are rewritten: their
+    surviving rows move to fresh files (existing deletion vectors
+    applied and cleared by the rewrite), the source lands whole as new
+    files, and untouched files stay referenced — cost tracks the
+    matched-file set, not the table. Change Data Feed tables also get
+    ``_change_data`` rows (``update_preimage``/``update_postimage`` for
+    matched keys, ``insert`` for the rest) + cdc actions, so
+    :func:`delta_cdf.read_delta_changes` serves the commit exactly.
+    Source keys must be unique (the CDC upsert contract — two source
+    rows for one key have no defined winner); CHECK constraints and
+    column invariants are enforced on the source like any append;
+    ``app_id``/``txn_version`` give exactly-once replays via the spec's
+    transaction identifiers. Reference scope: keyed MERGE refreshes of
+    warehouse tables (monday_etl_automated.py:571-600)."""
+    from . import tableformat as _tf
+
+    if (app_id is None) != (txn_version is None):
+        raise ValueError("app_id and txn_version must be given together")
+    path = os.path.abspath(path)
+    snap = _snapshot_state(spark, path, None)
+    latest, meta = snap.version, snap.meta
+    _check_writer_protocol(snap.protocol, meta)
+    feats_w = set(snap.protocol.get("writerFeatures") or [])
+    conf = meta.get("configuration") or {}
+    if conf.get("delta.appendOnly") == "true" or "appendOnly" in feats_w:
+        raise DeltaProtocolError("table is append-only: upserts refuse")
+    if app_id is not None and snap.txns.get(app_id, -1) >= txn_version:
+        return latest  # replayed batch: exactly-once skip
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    got = {(f.name, f.dataType.simpleString()) for f in df.schema.fields}
+    want = {(f.name, f.dataType.simpleString()) for f in schema.fields}
+    if got != want:
+        raise ValueError(
+            f"upsert schema mismatch: df has {sorted(got)}, "
+            f"table wants {sorted(want)}")
+    names = {f.name for f in schema.fields}
+    if not set(key_cols) <= names:
+        raise ValueError(f"key columns {key_cols} not all in schema")
+    if df.groupBy(*key_cols).count().filter(F.col("count") > 1).take(1):
+        raise ValueError(
+            "source has duplicate keys: an upsert with two source rows "
+            "for one key has no defined winner")
+    for cname, sql, kind in _constraint_exprs(meta):
+        expr = F.expr(sql)
+        violated = (~expr.eqNullSafe(F.lit(True)) if kind == "invariant"
+                    else expr.eqNullSafe(F.lit(False)))
+        bad = df.filter(violated).limit(1)
+        if bad.count():
+            raise DeltaProtocolError(
+                f"upsert violates {cname} ({sql}); first bad row: "
+                f"{bad.collect()[0].asDict()}")
+
+    part_cols = meta.get("partitionColumns") or []
+    cols = [f.name for f in schema.fields]
+    src = df.select(*cols)
+    src_keys = src.select(*key_cols).distinct()
+
+    tgt = read_delta(spark, path, _with_provenance=True)
+    matched = tgt.join(src_keys, key_cols, "left_semi")
+    affected_abs = [r["__dv_src"] for r in
+                    matched.select("__dv_src").distinct().collect()]
+
+    adds_all = snap.live.materialize(allow_dv=True)
+    by_norm: dict[str, str] = {}
+    for rel in adds_all:
+        dec = urllib.parse.unquote(rel)
+        absf = os.path.abspath(
+            dec if os.path.isabs(dec) else os.path.join(path, dec))
+        by_norm[absf] = rel
+    affected_rel = sorted(by_norm[a] for a in affected_abs)
+
+    def _write_rows(rows: DataFrame, tag: str) -> list[dict]:
+        rel_dir = f"_data_m{latest + 1}-{tag}-{uuid.uuid4().hex[:8]}"
+        w = rows.select(*cols).write
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(os.path.join(path, rel_dir))
+        return _collect_written_adds(
+            os.path.join(path, rel_dir), rel_dir, part_cols)
+
+    adds: list[dict] = []
+    if affected_abs:
+        paths_df = spark.createDataFrame(
+            [(p,) for p in affected_abs], "__dv_src string")
+        survivors = (tgt.join(F.broadcast(paths_df), "__dv_src")
+                     .join(src_keys, key_cols, "left_anti"))
+        if survivors.take(1):
+            adds += _write_rows(survivors, "keep")
+    adds += _write_rows(src, "new")
+
+    cdc_actions: list[dict] = []
+    if conf.get("delta.enableChangeDataFeed") == "true":
+        mkeys = matched.select(*key_cols).distinct()
+        pre = (matched.select(*cols)
+               .withColumn("_change_type", F.lit("update_preimage")))
+        post = (src.join(F.broadcast(mkeys), key_cols, "left_semi")
+                .withColumn("_change_type", F.lit("update_postimage")))
+        ins = (src.join(F.broadcast(mkeys), key_cols, "left_anti")
+               .withColumn("_change_type", F.lit("insert")))
+        cdc_df = pre.unionByName(post).unionByName(ins)
+        rel_dir = f"_change_data/cdc-{latest + 1}-{uuid.uuid4().hex[:8]}"
+        w = cdc_df.write
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(os.path.join(path, rel_dir))
+        for a in _collect_written_adds(
+                os.path.join(path, rel_dir), rel_dir, part_cols):
+            cdc_actions.append({"cdc": {
+                "path": a["path"],
+                "partitionValues": a["partitionValues"],
+                "size": a["size"], "dataChange": False}})
+
+    now_ms = int(_time.time() * 1000)
+    actions: list[dict] = [{
+        "commitInfo": {
+            "timestamp": now_ms,
+            "operation": "MERGE",
+            "operationParameters": {"matchedPredicates": json.dumps(
+                [{"actionType": "update"}])},
+            "engineInfo": "monday-etl-spark delta bridge",
+        }
+    }] + cdc_actions
+    for rel in affected_rel:
+        actions.append({"remove": {"path": rel, "dataChange": True,
+                                   "deletionTimestamp": now_ms}})
+    actions += [{"add": a} for a in adds]
+    if app_id is not None:
+        actions.append({"txn": {"appId": app_id, "version": txn_version}})
     payload = "\n".join(json.dumps(a) for a in actions) + "\n"
     target = os.path.join(_log_dir(path), f"{latest + 1:020d}.json")
     _tf._LOG_STORE.put_if_absent(target, payload)

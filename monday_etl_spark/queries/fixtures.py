@@ -760,6 +760,74 @@ def _delta_dml_table(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+@_fixture("delta_merge_table", {"delta_upsert_merge"})
+def _delta_merge_table(spark: SparkSession, sf_dir: str) -> str:
+    """A CDF-enabled Delta table taking a copy-on-write MERGE: v0 base
+    (orders %16 = 14), v1 upsert whose source doubles the %32 = 14
+    half's totalprice (updates) and brings the %16 = 5 subset (inserts).
+    Deterministic function of sf_dir; consumers only read."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..delta_import import upsert_delta
+
+    base = (
+        _load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(F.col("o_orderkey") % 16 == 14)
+        .orderBy("o_orderkey")
+        .toPandas()
+    )
+    root = tempfile.mkdtemp(prefix="delta_merge_fx_")
+    path = os.path.join(root, "orders_merge")
+    data_dir = os.path.join(path, "data")
+    log_dir = os.path.join(path, "_delta_log")
+    os.makedirs(data_dir)
+    os.makedirs(log_dir)
+    tbl = pa.Table.from_arrays(
+        [pa.array(base["o_orderkey"], pa.int64()),
+         pa.array(base["o_orderstatus"], pa.string()),
+         pa.array(base["o_totalprice"], pa.float64())],
+        names=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    pq.write_table(tbl, os.path.join(data_dir, "f1.parquet"))
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "o_orderkey", "type": "long", "nullable": True,
+         "metadata": {}},
+        {"name": "o_orderstatus", "type": "string", "nullable": True,
+         "metadata": {}},
+        {"name": "o_totalprice", "type": "double", "nullable": True,
+         "metadata": {}},
+    ]})
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors",
+                                         "changeDataFeed"]}},
+        {"metaData": {"id": "merge-fixture", "format": {
+            "provider": "parquet", "options": {}},
+            "schemaString": schema, "partitionColumns": [],
+            "configuration": {"delta.enableChangeDataFeed": "true"}}},
+        {"add": {"path": "data/f1.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    orders = _load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double"))
+    src = (
+        orders.filter(F.col("o_orderkey") % 32 == 14)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .unionByName(orders.filter(F.col("o_orderkey") % 16 == 5))
+    )
+    upsert_delta(spark, src, path, ["o_orderkey"])
+    return path
+
+
 @_fixture("maintenance_tables",
           {"rollup_maintenance_drain", "scd2_maintenance_drain"})
 def _maintenance_tables(spark: SparkSession, sf_dir: str) -> dict:

@@ -1811,3 +1811,60 @@ def iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("brand", "n_parts", "total_price", "n_noted")
     )
+
+
+@register(
+    "delta_upsert_merge",
+    oracle=f"""
+    SELECT change_type, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_money_sum('price')} AS total_price
+    FROM (
+        SELECT 'update_preimage' AS change_type, o_orderstatus,
+               o_totalprice AS price
+        FROM orders WHERE o_orderkey % 32 = 14
+        UNION ALL
+        SELECT 'update_postimage', o_orderstatus, o_totalprice * 2
+        FROM orders WHERE o_orderkey % 32 = 14
+        UNION ALL
+        SELECT 'insert', o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 16 = 5
+    )
+    GROUP BY change_type, o_orderstatus
+    """,
+    doc="Copy-on-write MERGE on the Delta bridge (r10): upsert_delta "
+        "replaces matched keys and inserts the rest in ONE commit — only "
+        "files containing a matched key are rewritten (survivors move to "
+        "fresh files, untouched files stay referenced), and the CDF "
+        "change files carry update_preimage/update_postimage/insert "
+        "rows, which read_delta_changes serves exactly. The query "
+        "aggregates the MERGE commit's feed per change type; in-query "
+        "assertions pin the final head state (doubled updates, inserts "
+        "present, base half untouched). Oracle: the three change classes "
+        "restated relationally. Reference scope: keyed MERGE refreshes "
+        "as in monday_etl_automated.py:571-600.",
+)
+def delta_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..delta_cdf import read_delta_changes
+    from ..delta_import import read_delta
+    from ..functions import money_sum
+    from .fixtures import shared
+
+    path = shared(spark, sf_dir, "delta_merge_table")
+    head = read_delta(spark, path)
+    n_base = head.filter(F.col("o_orderkey") % 32 == 30).count()
+    n_upd = head.filter(F.col("o_orderkey") % 32 == 14).count()
+    n_ins = head.filter(F.col("o_orderkey") % 16 == 5).count()
+    if head.count() != n_base + n_upd + n_ins or not n_upd or not n_ins:
+        raise AssertionError("merged head has wrong composition")
+    feed = read_delta_changes(spark, path, 1, 1)
+    return (
+        feed.groupBy(
+            F.col("_change_type").alias("change_type"), "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select("change_type", "o_orderstatus", "n_rows",
+                F.col("total_price"))
+    )

@@ -58,6 +58,7 @@ _EVIDENCE_PRIORITY = [
     # (Delta CDF; Iceberg drop/promote evolution; lifecycle oracles;
     # the executor-side DV encode rewires delete_delta_where).
     "delta_cdc_diff",                # NEW query (change data feed)
+    "delta_upsert_merge",            # NEW query (copy-on-write MERGE)
     "iceberg_schema_evolution",      # NEW query (rename+add+drop+promote)
     "delta_lifecycle",               # NEW query (compact+vacuum+restore)
     "iceberg_lifecycle",       # NEW query (compact+orphans+rollback)
