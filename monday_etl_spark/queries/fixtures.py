@@ -1200,7 +1200,8 @@ def _iceberg_evolution_table(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-@_fixture("iceberg_dml_table", {"iceberg_delete_compact"})
+@_fixture("iceberg_dml_table",
+          {"iceberg_delete_compact", "iceberg_changelog"})
 def _iceberg_dml_table(spark: SparkSession, sf_dir: str) -> str:
     """The merge-on-read WRITE lifecycle, run once per process: an
     exported orders subset takes a DELETE WHERE (position-delete files —

@@ -1868,3 +1868,60 @@ def delta_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("change_type", "o_orderstatus", "n_rows",
                 F.col("total_price"))
     )
+
+
+@register(
+    "iceberg_changelog",
+    oracle=f"""
+    SELECT change_type, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM (
+        SELECT 'insert' AS change_type, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 16 = 12
+        UNION ALL
+        SELECT 'delete', o_orderstatus, o_totalprice
+        FROM orders
+        WHERE o_orderkey % 16 = 12
+          AND o_totalprice BETWEEN 0 AND 50000
+    )
+    GROUP BY change_type, o_orderstatus
+    """,
+    doc="Iceberg changelog scan (r10): read_iceberg_changes walks the "
+        "DML fixture's ancestry (append -> MoR delete -> replace) and "
+        "emits per-commit row-level changes — the append's rows as "
+        "inserts, the DELETE's position-delete files RESOLVED back to "
+        "concrete rows by joining (file, position) against the parent "
+        "snapshot's read (iceberg-spark's create_changelog_view refuses "
+        "MoR delete files; this reader serves them), and NOTHING for the "
+        "compaction (a replace snapshot changes no logical rows — the "
+        "in-query assertion pins that its ordinal is absent). Oracle: "
+        "insert = the whole subset, delete = the deleted value range. "
+        "Reference scope: the day-over-day diff consumer "
+        "(monday_etl_automated.py:600-645) served from commit history "
+        "instead of two snapshot scans.",
+)
+def iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import money_sum
+    from ..iceberg_changes import read_iceberg_changes
+    from ..iceberg_import import iceberg_history
+    from .fixtures import shared
+
+    path = shared(spark, sf_dir, "iceberg_dml_table")
+    ops = [h["operation"] for h in iceberg_history(path)]
+    if ops != ["append", "delete", "replace"]:
+        raise AssertionError(f"history wrong: {ops}")
+    feed = read_iceberg_changes(spark, path)
+    ordinals = {r["_change_ordinal"] for r in
+                feed.select("_change_ordinal").distinct().collect()}
+    if ordinals != {0, 1}:  # the replace (ordinal 2) must emit nothing
+        raise AssertionError(f"changelog ordinals wrong: {ordinals}")
+    return (
+        feed.groupBy(
+            F.col("_change_type").alias("change_type"), "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select("change_type", "o_orderstatus", "n_rows", "total_price")
+    )

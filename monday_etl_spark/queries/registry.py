@@ -59,6 +59,7 @@ _EVIDENCE_PRIORITY = [
     # the executor-side DV encode rewires delete_delta_where).
     "delta_cdc_diff",                # NEW query (change data feed)
     "delta_upsert_merge",            # NEW query (copy-on-write MERGE)
+    "iceberg_changelog",             # NEW query (changelog scan)
     "iceberg_schema_evolution",      # NEW query (rename+add+drop+promote)
     "delta_lifecycle",               # NEW query (compact+vacuum+restore)
     "iceberg_lifecycle",       # NEW query (compact+orphans+rollback)
