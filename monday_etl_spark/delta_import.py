@@ -1547,7 +1547,8 @@ def delete_delta_where(spark: SparkSession, path: str, column: str,
         if part_cols:
             w = w.partitionBy(*part_cols)
         w.parquet(out_dir)
-        for a in _collect_written_adds(out_dir, rel_dir, part_cols):
+        for a in _collect_written_adds(out_dir, rel_dir, part_cols,
+                                       spark=spark):
             cdc_actions.append({"cdc": {
                 "path": a["path"],
                 "partitionValues": a["partitionValues"],
@@ -1667,7 +1668,7 @@ def upsert_delta(spark: SparkSession, df: DataFrame, path: str,
             w = w.partitionBy(*part_cols)
         w.parquet(os.path.join(path, rel_dir))
         return _collect_written_adds(
-            os.path.join(path, rel_dir), rel_dir, part_cols)
+            os.path.join(path, rel_dir), rel_dir, part_cols, spark=spark)
 
     adds: list[dict] = []
     if affected_abs:
@@ -1695,7 +1696,8 @@ def upsert_delta(spark: SparkSession, df: DataFrame, path: str,
             w = w.partitionBy(*part_cols)
         w.parquet(os.path.join(path, rel_dir))
         for a in _collect_written_adds(
-                os.path.join(path, rel_dir), rel_dir, part_cols):
+                os.path.join(path, rel_dir), rel_dir, part_cols,
+                spark=spark):
             cdc_actions.append({"cdc": {
                 "path": a["path"],
                 "partitionValues": a["partitionValues"],
@@ -1723,16 +1725,26 @@ def upsert_delta(spark: SparkSession, df: DataFrame, path: str,
     return latest + 1
 
 
+def _num_records(absf: str) -> tuple[str, int]:
+    """(path, footer row count) — module-level so the add collector can
+    run it on EXECUTORS for wide Hive-partitioned writes."""
+    import pyarrow.parquet as pq
+
+    return absf, pq.ParquetFile(absf).metadata.num_rows
+
+
 def _collect_written_adds(
-    out_dir: str, rel_dir: str, part_cols: list[str]
+    out_dir: str, rel_dir: str, part_cols: list[str],
+    spark: SparkSession | None = None,
 ) -> list[dict]:
     """Walk a freshly-written parquet directory into add actions: one per
     data file, partitionValues parsed from the Hive-style key=value path
     components (Spark's escaping is Hive's percent-encoding; the spec's
-    null marker maps back to None)."""
-    import pyarrow.parquet as pq
-
-    adds: list[dict] = []
+    null marker maps back to None). Footer row counts (the stats field)
+    read on EXECUTORS above a few hundred files when ``spark`` is given —
+    a high-cardinality partitionBy write emits one file per tuple, and
+    the driver must not open them serially."""
+    found: list[tuple[str, str, dict]] = []
     for root, _dirs, files in sorted(os.walk(out_dir)):
         rel_sub = os.path.relpath(root, out_dir)
         pv: dict[str, str | None] = {}
@@ -1749,16 +1761,23 @@ def _collect_written_adds(
             absf = os.path.join(root, name)
             rel = f"{rel_dir}/{name}" if rel_sub == "." else \
                 f"{rel_dir}/{rel_sub}/{name}"
-            adds.append({
-                "path": urllib.parse.quote(rel, safe="/=%"),
-                "partitionValues": pv,
-                "size": os.path.getsize(absf),
-                "modificationTime": int(os.path.getmtime(absf) * 1000),
-                "dataChange": True,
-                "stats": json.dumps(
-                    {"numRecords": pq.ParquetFile(absf).metadata.num_rows}
-                ),
-            })
+            found.append((absf, rel, pv))
+    if spark is not None and len(found) > 256:
+        rdd = spark.sparkContext.parallelize(
+            [f for f, _r, _p in found], max(1, len(found) // 64))
+        counts = dict(rdd.map(_num_records).collect())
+    else:
+        counts = dict(_num_records(f) for f, _r, _p in found)
+    adds: list[dict] = []
+    for absf, rel, pv in found:
+        adds.append({
+            "path": urllib.parse.quote(rel, safe="/=%"),
+            "partitionValues": pv,
+            "size": os.path.getsize(absf),
+            "modificationTime": int(os.path.getmtime(absf) * 1000),
+            "dataChange": True,
+            "stats": json.dumps({"numRecords": counts[absf]}),
+        })
     return adds
 
 
@@ -1831,7 +1850,8 @@ def append_delta(
         writer = writer.partitionBy(*part_cols)
     writer.parquet(out_dir)
     adds = [
-        {"add": a} for a in _collect_written_adds(out_dir, rel_dir, part_cols)
+        {"add": a} for a in _collect_written_adds(out_dir, rel_dir,
+                                                   part_cols, spark=spark)
     ]
     commit = [{
         "commitInfo": {
@@ -1919,7 +1939,8 @@ def compact_delta(spark: SparkSession, path: str) -> int:
                            "deletionTimestamp": now_ms}}
                for rel in sorted(adds_all)]
     adds = []
-    for a in _collect_written_adds(out_dir, rel_dir, part_cols):
+    for a in _collect_written_adds(out_dir, rel_dir, part_cols,
+                                   spark=spark):
         a["dataChange"] = False
         adds.append({"add": a})
     commit = [{

@@ -1176,42 +1176,76 @@ def _write_data_files(typed: DataFrame, path: str, part_fields: list,
     return rel_files
 
 
+def _footer_file_stats(absf: str) -> tuple[str, int, int, dict]:
+    """One data file's manifest raw material: (path, rows, bytes,
+    {column: (min, max)}). Self-contained so the manifest builder can
+    run it on EXECUTORS — a transform-partitioned append can emit
+    thousands of files, and a driver-side sequential footer walk was
+    measured at ~12ms/file (2 minutes for a 9.6k-tuple day+bucket
+    append at sf0.1) before this moved out."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(absf)
+    nrec = pf.metadata.num_rows
+    stats: dict[str, tuple] = {}
+    for rg in range(pf.metadata.num_row_groups):
+        grp = pf.metadata.row_group(rg)
+        for ci in range(grp.num_columns):
+            col = grp.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            mn, mx = st.min, st.max
+            if name in stats:
+                omn, omx = stats[name]
+                mn, mx = min(omn, mn), max(omx, mx)
+            stats[name] = (mn, mx)
+    return absf, nrec, os.path.getsize(absf), stats
+
+
+# footer opens are ~2-12 ms driver-side; one RDD job's flat ~1 s cost
+# only amortizes past a few hundred files (same constant as
+# _footer_has_ids)
+_FOOTER_STATS_DRIVER_MAX = 256
+
+
 def _data_manifest(path: str, rel_files: list[tuple], fields: list[dict],
                    part_fields: list, spec_fields: list[dict],
                    spec_id: int, schema: dict, seq: int,
                    snapshot_id: int, token: str,
-                   content: int = 0) -> tuple[str, int, int]:
+                   content: int = 0,
+                   spark: SparkSession | None = None) -> tuple[str, int, int]:
     """Write one Avro manifest for freshly written files, with per-file
     footer bounds (pruning parity); identity partition values also
     publish as point bounds so readers data-skip on the partition column
-    without opening the (column-less) files. Returns
+    without opening the (column-less) files. Footer stats extract on
+    EXECUTORS above a small file count (pass ``spark``) — a
+    transform-routed append's file count scales with its partition-tuple
+    count, and the driver must not pay it serially. Returns
     ``(manifest path, n entries, total rows)``."""
-    import pyarrow.parquet as pq
-
     from .avro_ocf import write_ocf
+
+    if spark is not None and len(rel_files) > _FOOTER_STATS_DRIVER_MAX:
+        paths = [absf for absf, _tv in rel_files]
+        rdd = spark.sparkContext.parallelize(
+            paths, max(1, len(paths) // 64))
+        by_path = {p: (n, sz, st) for p, n, sz, st in
+                   rdd.map(_footer_file_stats).collect()}
+    else:
+        by_path = {}
+        for absf, _tv in rel_files:
+            p, n, sz, st = _footer_file_stats(absf)
+            by_path[p] = (n, sz, st)
 
     type_of = {f["name"]: f["type"] for f in fields}
     fid = {f["name"]: f["id"] for f in fields}
     entries, total_rows = [], 0
     for absf, tuple_vals in rel_files:
-        pf = pq.ParquetFile(absf)
-        nrec = pf.metadata.num_rows
+        nrec, fsize, stats = by_path[absf]
+        stats = dict(stats)
         total_rows += nrec
         lower, upper = [], []
-        stats: dict[str, tuple] = {}
-        for rg in range(pf.metadata.num_row_groups):
-            grp = pf.metadata.row_group(rg)
-            for ci in range(grp.num_columns):
-                col = grp.column(ci)
-                st = col.statistics
-                if st is None or not st.has_min_max:
-                    continue
-                name = col.path_in_schema
-                mn, mx = st.min, st.max
-                if name in stats:
-                    omn, omx = stats[name]
-                    mn, mx = min(omn, mn), max(omx, mx)
-                stats[name] = (mn, mx)
         for pf in part_fields:
             # identity values publish as point bounds: the column is not
             # in the (Hive-routed) file, so footer stats can't carry it.
@@ -1240,7 +1274,7 @@ def _data_manifest(path: str, rel_files: list[tuple], fields: list[dict],
                 "file_format": "PARQUET",
                 "partition": dict(tuple_vals),
                 "record_count": nrec,
-                "file_size_in_bytes": os.path.getsize(absf),
+                "file_size_in_bytes": fsize,
                 "lower_bounds": lower or None,
                 "upper_bounds": upper or None,
             },
@@ -1490,7 +1524,7 @@ def append_iceberg(spark: SparkSession, df: DataFrame, path: str,
 
     manifest_path, n_entries, total_rows = _data_manifest(
         path, rel_files, fields, part_fields, spec_fields, spec_id,
-        schema, seq, snapshot_id, token)
+        schema, seq, snapshot_id, token, spark=spark)
 
     # ---- manifest list: prior snapshot's manifests carried + the new one
     carried = _manifest_paths(meta, snap_prev) if snap_prev else []
@@ -1678,7 +1712,7 @@ def delete_iceberg_where(spark: SparkSession, path: str, column: str,
     del_spec = _ensure_unpartitioned_spec(newmeta)
     man_path, n_files, n_positions = _data_manifest(
         path, del_files, fields, [], [], del_spec, _schema_for(meta, {}),
-        seq, snapshot_id, token, content=1)
+        seq, snapshot_id, token, content=1, spark=spark)
     if n_positions == 0:
         import shutil
 
@@ -1815,7 +1849,7 @@ def upsert_iceberg(spark: SparkSession, df: DataFrame, path: str,
                  if n.endswith(".parquet")]
     del_man, n_del_files, n_del_keys = _data_manifest(
         path, del_files, key_fields, [], [], del_spec, schema,
-        seq, snapshot_id, f"{token}-del", content=2)
+        seq, snapshot_id, f"{token}-del", content=2, spark=spark)
     # stamp the equality ids into the manifest entries (the writer above
     # emits data_file records; patch content=2 entries with equality_ids)
     _patch_equality_ids(del_man, [f["id"] for f in key_fields], schema)
@@ -1824,7 +1858,7 @@ def upsert_iceberg(spark: SparkSession, df: DataFrame, path: str,
                                   f"upsert-{token}")
     data_man, n_files, total_rows = _data_manifest(
         path, rel_files, fields, part_fields, spec_fields, spec_id,
-        schema, seq, snapshot_id, token)
+        schema, seq, snapshot_id, token, spark=spark)
 
     carried = _manifest_paths(meta, snap)
     records = carried + [
@@ -1907,7 +1941,7 @@ def compact_iceberg(spark: SparkSession, path: str) -> int:
     snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
     man_path, n_files, total_rows = _data_manifest(
         path, rel_files, fields, part_fields, spec_fields, spec_id,
-        schema, seq, snapshot_id, token)
+        schema, seq, snapshot_id, token, spark=spark)
     rec = _manifest_list_record(
         man_path, spec_id, 0, seq, snapshot_id, n_files, total_rows)
     list_path = _write_manifest_list(
