@@ -117,8 +117,18 @@ def _scan_entries(
         rdd = (spark.sparkContext.parallelize(pairs, len(pairs))
                .flatMap(lambda t: _dv_pair_positions(tp, t)))
         pos_df = spark.createDataFrame(rdd, "__dvp string, __dvi bigint")
+        # same zero-job strategy gate as read_delta: descriptors declare
+        # their cardinality, so a delete-heavy history degrades to a
+        # shuffle-hash anti-join instead of a multi-GB broadcast
+        from .delta_import import _DV_BROADCAST_MAX_ROWS
+
+        n_del = sum(int(dv.get("cardinality") or 0)
+                    for dv in dv_by_abs.values())
+        pos_df = (F.broadcast(pos_df)
+                  if n_del <= _DV_BROADCAST_MAX_ROWS
+                  else pos_df.hint("shuffle_hash"))
         out = out.join(
-            F.broadcast(pos_df),
+            pos_df,
             (F.col("__dv_src") == F.col("__dvp"))
             & (F.col("__dv_idx") == F.col("__dvi")),
             "left_anti",

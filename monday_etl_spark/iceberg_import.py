@@ -1157,8 +1157,16 @@ def _write_data_files(typed: DataFrame, path: str, part_fields: list,
         # directories as one sequential run — measured 4.6x faster than
         # the unclustered write at a 9.4k-tuple day+bucket spec, and it
         # is what keeps file count at one per tuple instead of
-        # (input tasks x tuples) when the source scatters tuples
-        typed = typed.repartition(*[F.col(f"`{c}`") for c in part_cols])
+        # (input tasks x tuples) when the source scatters tuples. The
+        # partition COUNT is pinned explicitly: a column-only
+        # repartition is AQE-rebalanceable, and at small data AQE
+        # coalesces the write to a couple of tasks that then create
+        # thousands of directories serially (measured: 122 s vs 28 s at
+        # the same spec)
+        n_shuffle = int(typed.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "200"))
+        typed = typed.repartition(
+            n_shuffle, *[F.col(f"`{c}`") for c in part_cols])
         writer = typed.write.partitionBy(*part_cols)
     writer.parquet(data_dir)
     rel_files = []
