@@ -159,6 +159,62 @@ def _version_actions(path: str, v: int) -> tuple[list[dict], bool]:
     return adds, has_remove
 
 
+def _cdf_version_units(path: str, v: int) -> tuple[list[tuple], int]:
+    """One version's CHANGE-FEED units: ``([(rel_path, partitionValues,
+    change_type-or-None)], commit_ts_ms)``. A commit with ``cdc``
+    actions streams its change files exclusively (the ``_change_type``
+    column travels in the data — change_type None); a cdc-less commit's
+    data-changing adds are blind inserts; a cdc-less commit that removes
+    files or re-adds with deletion vectors refuses loudly — the row
+    diff lives in state this streaming source does not reconstruct
+    (the batch reader's whole-file-remove reconstruction needs a
+    snapshot replay; run read_delta_changes for history ranges)."""
+    f = _list_commits(path).get(v)
+    if f is None:
+        raise FileNotFoundError(
+            f"{path}: cannot stream changes of version {v}: commit "
+            "missing (log cleaned by a checkpoint?)"
+        )
+    cdc, adds = [], []
+    saw_remove = saw_dv = False
+    ts = None
+    with open(f) as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if "commitInfo" in a:
+                ts = a["commitInfo"].get("timestamp", ts)
+            elif "cdc" in a:
+                cdc.append(a["cdc"])
+            elif "add" in a and a["add"].get("dataChange", True):
+                if a["add"].get("deletionVector"):
+                    saw_dv = True
+                adds.append(a["add"])
+            elif "remove" in a and a["remove"].get("dataChange", True):
+                saw_remove = True
+    if ts is None:
+        ts = int(os.path.getmtime(f) * 1000)
+    if cdc:
+        return ([(c["path"], c.get("partitionValues") or {}, None)
+                 for c in cdc], ts)
+    if saw_remove or saw_dv:
+        raise DeltaProtocolError(
+            f"{path} v{v}: commit changes rows without change-data "
+            "files; the streaming change feed cannot reconstruct it — "
+            "use delta_cdf.read_delta_changes for this range"
+        )
+    return ([(a["path"], a.get("partitionValues") or {}, "insert")
+             for a in adds], ts)
+
+
+_CDF_META_FIELDS = [
+    ("_change_type", "string"),
+    ("_commit_version", "long"),
+    ("_commit_timestamp", "timestamp"),
+]
+
+
 def _part_cell(value: str | None, simple: str, col: str):
     """Delta serializes partition values as canonical strings (absent/null
     for NULL); re-type one for an arrow constant column."""
@@ -181,9 +237,18 @@ def _part_cell(value: str | None, simple: str, col: str):
 
 
 class DeltaFilePartition(InputPartition):
-    def __init__(self, abs_path: str, part_values: dict | None = None):
+    def __init__(self, abs_path: str, part_values: dict | None = None,
+                 change_type: str | None = None,
+                 commit_version: int | None = None,
+                 commit_ts_ms: int | None = None):
         self.abs_path = abs_path
         self.part_values = part_values or {}
+        # change-feed streams only: the constant _change_type for plain
+        # add files ("insert"; None = the file carries the column), and
+        # the commit stamps
+        self.change_type = change_type
+        self.commit_version = commit_version
+        self.commit_ts_ms = commit_ts_ms
 
 
 class DeltaStreamReader(DataSourceStreamReader):
@@ -219,6 +284,19 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.phys = _physical_names(meta) or {}
         self.part_cols = meta.get("partitionColumns") or []
         self.schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        self.cdf = (str(options.get("read_change_feed", "false")).lower()
+                    == "true")
+        if self.cdf:
+            conf = meta.get("configuration") or {}
+            if conf.get("delta.enableChangeDataFeed") != "true":
+                raise DeltaProtocolError(
+                    "read_change_feed: delta.enableChangeDataFeed is not "
+                    "set on this table — change files were never written"
+                )
+            if self.mode_id or self.phys:
+                raise DeltaProtocolError(
+                    "read_change_feed over a column-mapped table is not "
+                    "supported by this source")
         start = options.get("starting_version")
         start_ts = options.get("starting_timestamp")
         if start is not None and start_ts is not None:
@@ -264,13 +342,23 @@ class DeltaStreamReader(DataSourceStreamReader):
         stream one index short of it."""
         return {"version": _current_version(self.path)}
 
+    def _version_units(self, v: int) -> list:
+        """The version's micro-batch units — change-feed units when
+        streaming the feed, plain add actions otherwise. Offsets index
+        into THIS list on both the rate-limit walk and planning."""
+        if self.cdf:
+            units, _ts = _cdf_version_units(self.path, v)
+            return units
+        adds, _ = _version_actions(self.path, v)
+        return adds
+
     def _advance(self, pos: tuple[int, int], head_v: int,
                  budget: int) -> tuple[int, int]:
         """Walk at most ``budget`` add-files forward from ``pos``, never
         past the end of version ``head_v``."""
         v, i = pos
         while budget > 0 and v <= head_v:
-            adds, _ = _version_actions(self.path, v)
+            adds = self._version_units(v)
             if i >= len(adds):
                 if v >= head_v:
                     break
@@ -333,6 +421,18 @@ class DeltaStreamReader(DataSourceStreamReader):
         for v in range(lo[0], e[0] + 1) if e > lo else ():
             if v == e[0] and e[1] == 0:
                 break  # nothing taken from the end version
+            if self.cdf:
+                units, ts = _cdf_version_units(self.path, v)
+                plo = lo[1] if v == lo[0] else 0
+                phi = e[1] if v == e[0] else len(units)
+                for rel, pv, ct in units[plo:phi]:
+                    rel = urllib.parse.unquote(rel)
+                    absf = (rel if os.path.isabs(rel)
+                            else os.path.join(self.path, rel))
+                    parts.append(DeltaFilePartition(
+                        absf, pv, change_type=ct,
+                        commit_version=v, commit_ts_ms=ts))
+                continue
             adds, has_remove = _version_actions(self.path, v)
             # any traversed version with a remove refuses — even one whose
             # adds-slice is empty (a pure delete commit), since the delete
@@ -409,9 +509,25 @@ class DeltaStreamReader(DataSourceStreamReader):
                         # pre-evolution file: the column surfaces as NULLs,
                         # same contract as read_delta
                         cols.append(pa.nulls(n, type=at))
-                yield pa.RecordBatch.from_arrays(
-                    cols, names=[w[0] for w in want]
-                )
+                names = [w[0] for w in want]
+                if self.cdf:
+                    # change-feed stamps: the change type travels in cdc
+                    # files (change_type None) and is a constant for
+                    # plain-add inserts; version/timestamp are commit
+                    # constants
+                    if partition.change_type is None:
+                        idx = rb.schema.get_field_index("_change_type")
+                        cols.append(rb.column(idx).cast(pa.string()))
+                    else:
+                        cols.append(pa.array(
+                            [partition.change_type] * n, pa.string()))
+                    cols.append(pa.array(
+                        [partition.commit_version] * n, pa.int64()))
+                    cols.append(pa.array(
+                        [partition.commit_ts_ms * 1000] * n,
+                        pa.timestamp("us", tz="UTC")))
+                    names = names + [f for f, _t in _CDF_META_FIELDS]
+                yield pa.RecordBatch.from_arrays(cols, names=names)
 
         return batches()
 
@@ -433,9 +549,14 @@ class DeltaStreamDataSource(DataSource):
         return "delta_stream"
 
     def schema(self):
-        return StructType.fromJson(
+        st = StructType.fromJson(
             json.loads(_local_meta(self.options["path"])["schemaString"])
         )
+        if str(self.options.get("read_change_feed", "false")).lower() \
+                == "true":
+            for name, t in _CDF_META_FIELDS:
+                st = st.add(name, t)
+        return st
 
     def streamReader(self, schema) -> DeltaStreamReader:
         return DeltaStreamReader(self.options)
@@ -445,12 +566,21 @@ def stream_delta(spark: SparkSession, path: str,
                  starting_version: int | None = None,
                  starting_timestamp: int | None = None,
                  ignore_deletes: bool = False,
-                 max_files_per_batch: int | None = None) -> DataFrame:
+                 max_files_per_batch: int | None = None,
+                 read_change_feed: bool = False) -> DataFrame:
     """readStream over a Delta table's commit log: one micro-batch per
     range of new file positions, file-parallel Arrow reads. Pair with any
     writeStream sink; with ``streaming/delta_sink`` on the other side this
     is a table-to-table streaming pipe whose state lives entirely in the
-    two tables' logs."""
+    two tables' logs.
+
+    ``read_change_feed=True`` streams the CHANGE FEED instead of the
+    data (delta-spark's ``readChangeFeed``): rows carry
+    ``_change_type`` / ``_commit_version`` / ``_commit_timestamp``; cdc
+    commits stream their change files (deletes and update pre/post
+    images included), cdc-less appends stream as inserts, and a cdc-less
+    commit that removes or DV-rewrites files refuses loudly (use
+    ``delta_cdf.read_delta_changes`` for historical reconstruction)."""
     from .session import ensure_session_confs
 
     if starting_version is not None and starting_timestamp is not None:
@@ -474,4 +604,6 @@ def stream_delta(spark: SparkSession, path: str,
     if max_files_per_batch is not None:
         reader = reader.option("max_files_per_batch",
                                str(max_files_per_batch))
+    if read_change_feed:
+        reader = reader.option("read_change_feed", "true")
     return reader.load()

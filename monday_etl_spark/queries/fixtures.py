@@ -864,7 +864,7 @@ def _maintenance_tables(spark: SparkSession, sf_dir: str) -> dict:
 
 @_fixture("lakehouse_stream_drains",
           {"delta_source_stream", "delta_stream_id_mapped",
-           "iceberg_stream_pipe"})
+           "iceberg_stream_pipe", "delta_cdf_stream"})
 def _lakehouse_stream_drains(spark: SparkSession, sf_dir: str) -> dict:
     """The three lakehouse streaming pipes drained ONCE per process off
     one Spark session (r9 verdict task: reuse one runner): the Delta
@@ -910,7 +910,15 @@ def _lakehouse_stream_drains(spark: SparkSession, sf_dir: str) -> dict:
     out["idmap_out"] = os.path.join(root, "idmap_rows")
     drain(s, out["idmap_out"], os.path.join(root, "ck_idmap"))
 
-    # 3. Iceberg table-to-table pipe + the at-least-once replay hazard
+    # 3. the streaming CHANGE FEED over the CDF fixture (v1 blind
+    # append streams as inserts, v2 DV delete streams its cdc files)
+    cdf_table = shared(spark, sf_dir, "delta_cdf_table")
+    out["cdf_out"] = os.path.join(root, "cdf_rows")
+    drain(stream_delta(spark, cdf_table, starting_version=1,
+                       read_change_feed=True),
+          out["cdf_out"], os.path.join(root, "ck_cdf"))
+
+    # 4. Iceberg table-to-table pipe + the at-least-once replay hazard
     source = shared(spark, sf_dir, "iceberg_appended_table")
     sink = fresh_copy(shared(spark, sf_dir, "iceberg_pipe_base"))
     first = iceberg_history(source)[0]["snapshot_id"]

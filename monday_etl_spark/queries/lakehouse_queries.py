@@ -1925,3 +1925,54 @@ def iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("change_type", "o_orderstatus", "n_rows", "total_price")
     )
+
+
+@register(
+    "delta_cdf_stream",
+    oracle=f"""
+    SELECT change_type, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM (
+        SELECT 'insert' AS change_type, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 16 = 10
+        UNION ALL
+        SELECT 'delete' AS change_type, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE o_orderkey % 16 IN (9, 10)
+          AND o_totalprice BETWEEN 0 AND 80000
+    )
+    GROUP BY change_type, o_orderstatus
+    """,
+    doc="STREAMING the Delta change feed (r10): stream_delta("
+        "read_change_feed=True) — delta-spark's readChangeFeed — drains "
+        "the CDF fixture from version 1 through the version-tailing "
+        "Arrow source: the blind append streams as inserts "
+        "(reconstructed per spec, no cdc files), the DV DELETE streams "
+        "its _change_data files with the pre-image rows, and every row "
+        "carries _change_type/_commit_version/_commit_timestamp stamps. "
+        "Same oracle as the batch feed (delta_cdc_diff): the streamed "
+        "rows must aggregate identically — stream/batch parity IS the "
+        "hashed check. In-query assertions pin the version stamps. "
+        "Reference scope: the day-over-day diff consumer "
+        "(monday_etl_automated.py:600-645) fed incrementally.",
+)
+def delta_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import money_sum
+    from .fixtures import shared
+
+    out = shared(spark, sf_dir, "lakehouse_stream_drains")
+    rows = spark.read.parquet(out["cdf_out"])
+    versions = {r["_commit_version"] for r in
+                rows.select("_commit_version").distinct().collect()}
+    if versions != {1, 2}:
+        raise AssertionError(f"stream stamped versions {versions}")
+    return (
+        rows.groupBy(
+            F.col("_change_type").alias("change_type"), "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select("change_type", "o_orderstatus", "n_rows", "total_price")
+    )

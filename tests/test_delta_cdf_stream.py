@@ -1,0 +1,130 @@
+"""Streaming the Delta change feed: cdc commits stream their change
+files, appends stream as inserts, stamps ride every row, refusals are
+loud, and the checkpoint gives exactly-once across drains."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from monday_etl_spark.delta_import import (
+    append_delta,
+    delete_delta_where,
+)
+from monday_etl_spark.delta_source import stream_delta
+
+from .test_delta_cdf import _add, _cdf_table, _commit, _write_file
+
+
+def _drain(spark, stream, root):
+    out = os.path.join(root, "rows")
+
+    def handle(batch, bid):
+        batch.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch={bid}"))
+
+    q = (stream.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", os.path.join(root, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return out
+
+
+def test_change_feed_streams_inserts_and_deletes(spark, tmp_path):
+    table = _cdf_table(spark, tmp_path)           # v0: ids 0..9
+    append_delta(spark, spark.createDataFrame(
+        [(100, 1.0), (101, 2.0)], "id long, v double"), table)  # v1
+    delete_delta_where(spark, table, "id", 0, 2)  # v2: cdc files
+
+    stream = stream_delta(spark, table, starting_version=1,
+                          read_change_feed=True)
+    assert stream.columns == ["id", "v", "_change_type",
+                              "_commit_version", "_commit_timestamp"]
+    out = _drain(spark, stream, str(tmp_path / "d1"))
+    rows = {(r.id, r._change_type, r._commit_version)
+            for r in spark.read.parquet(out).collect()}
+    assert rows == {
+        (100, "insert", 1), (101, "insert", 1),
+        (0, "delete", 2), (1, "delete", 2), (2, "delete", 2),
+    }
+    ts = {r._commit_version: r._commit_timestamp
+          for r in spark.read.parquet(out).collect()}
+    assert ts[1] <= ts[2]
+
+    # same checkpoint, no new commits: nothing re-delivers
+    stream2 = stream_delta(spark, table, starting_version=1,
+                           read_change_feed=True)
+    _drain(spark, stream2, str(tmp_path / "d1"))
+    n = spark.read.parquet(out).count()
+    assert n == 5
+
+
+def test_change_feed_refusals(spark, tmp_path):
+    # CDF not enabled on the table
+    plain = str(tmp_path / "plain")
+    os.makedirs(plain)
+    f0 = _write_file(spark, plain, "f0", [(1, 1.0)])
+    _commit(plain, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "x",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": (
+                          '{"type":"struct","fields":['
+                          '{"name":"id","type":"long","nullable":true,'
+                          '"metadata":{}},'
+                          '{"name":"v","type":"double","nullable":true,'
+                          '"metadata":{}}]}'),
+                      "partitionColumns": [], "configuration": {}}},
+        _add(f0),
+    ])
+    with pytest.raises(Exception, match="enableChangeDataFeed"):
+        stream = stream_delta(spark, plain, starting_version=0,
+                              read_change_feed=True)
+        _drain(spark, stream, str(tmp_path / "r1"))
+
+    # an external DV-update commit WITHOUT change files: the drain
+    # traversing it fails loudly instead of inventing rows
+    table = _cdf_table(spark, tmp_path, name="dvup")
+    from monday_etl_spark.roaring import write_dv_file
+
+    dv_path = os.path.join(table, "ext_dv.bin")
+    (off, size), = write_dv_file(dv_path, [[0]])
+    readd = _add("data/f0.parquet")
+    readd["add"]["deletionVector"] = {
+        "storageType": "p", "pathOrInlineDv": dv_path,
+        "offset": off, "sizeInBytes": size, "cardinality": 1}
+    _commit(table, 1, [
+        {"remove": {"path": "data/f0.parquet", "dataChange": True}},
+        readd,
+    ])
+    with pytest.raises(Exception, match="change-data|change data"):
+        stream = stream_delta(spark, table, starting_version=1,
+                              read_change_feed=True)
+        _drain(spark, stream, str(tmp_path / "r2"))
+
+
+def test_change_feed_rate_limited_resumable_drain(spark, tmp_path):
+    """max_files_per_batch counts CHANGE-FEED units; repeated bounded
+    drains walk the feed to completion with no duplicates."""
+    table = _cdf_table(spark, tmp_path, name="rl")
+    append_delta(spark, spark.createDataFrame(
+        [(200, 1.0)], "id long, v double"), table)   # v1
+    append_delta(spark, spark.createDataFrame(
+        [(201, 2.0)], "id long, v double"), table)   # v2
+    delete_delta_where(spark, table, "id", 0, 1)     # v3: cdc
+
+    root = str(tmp_path / "rl_drain")
+    seen = []
+    for _ in range(6):
+        stream = stream_delta(spark, table, starting_version=1,
+                              read_change_feed=True,
+                              max_files_per_batch=1)
+        out = _drain(spark, stream, root)
+        seen = [(r.id, r._change_type) for r in
+                spark.read.parquet(out).collect()]
+        if len(seen) >= 4:
+            break
+    assert sorted(seen) == [(0, "delete"), (1, "delete"),
+                            (200, "insert"), (201, "insert")]
