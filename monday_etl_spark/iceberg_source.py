@@ -134,8 +134,70 @@ def _added_files(path: str, snap: dict) -> tuple[list[tuple], bool]:
     return out, rewrites
 
 
+def _changelog_units(path: str, snap: dict) -> list[tuple]:
+    """One snapshot's CHANGELOG units: ``[(kind, abs_path,
+    partition_json)]`` with kind ``"data"`` (added data file — insert
+    rows) or ``"posdel"`` (added position-delete file — the rows it
+    names, served as deletes). ``replace`` snapshots (compaction) emit
+    NOTHING — no logical rows changed. Equality-delete files and
+    copy-on-write overwrites (status-2 data entries) refuse loudly:
+    resolving them needs the parent snapshot's live set, which the batch
+    changelog (``iceberg_changes.read_iceberg_changes``) does and a
+    streaming source does not."""
+    sid = snap["snapshot-id"]
+    if (snap.get("summary") or {}).get("operation") == "replace":
+        return []
+    _, _, manifests = read_ocf(_from_uri(snap["manifest-list"]))
+    units: list[tuple] = []
+    for m in manifests:
+        if m.get("added_snapshot_id") != sid:
+            continue
+        is_del_manifest = m.get("content", 0) == 1
+        _, _, entries = read_ocf(_from_uri(m["manifest_path"]))
+        for e in entries:
+            if e.get("status", 1) != 1:
+                if not is_del_manifest and e.get("status", 1) == 2:
+                    raise IcebergProtocolError(
+                        f"{path}: snapshot {sid} removes data files "
+                        "copy-on-write; the row diff needs the parent "
+                        "state — use read_iceberg_changes for this range"
+                    )
+                continue
+            d = e["data_file"]
+            if (d.get("file_format") or "PARQUET").upper() != "PARQUET":
+                raise IcebergProtocolError(
+                    f"{d.get('file_path')}: only PARQUET streams")
+            c = d.get("content", 0)
+            if c == 0:
+                units.append(("data", _from_uri(d["file_path"]),
+                              json.dumps(d.get("partition") or {},
+                                         default=str)))
+            elif c == 1:
+                units.append(("posdel", _from_uri(d["file_path"]), "{}"))
+            else:
+                raise IcebergProtocolError(
+                    f"{path}: snapshot {sid} carries equality-delete "
+                    "files; the deleted rows live in the parent state — "
+                    "use read_iceberg_changes for this range"
+                )
+    # deletes first within a snapshot (old rows before new, the natural
+    # order for a downstream CDC consumer)
+    units.sort(key=lambda u: (u[0] != "posdel", u[1]))
+    return units
+
+
+_CHANGELOG_META = [("_change_type", "string"),
+                   ("_commit_snapshot_id", "long"),
+                   ("_commit_timestamp", "timestamp")]
+
+
 class IcebergFilePartition(InputPartition):
-    def __init__(self, abs_path: str, part_json: str = "{}"):
+    def __init__(self, abs_path: str, part_json: str = "{}",
+                 kind: str = "data", snap_id: int | None = None,
+                 ts_ms: int | None = None):
+        self.kind = kind
+        self.snap_id = snap_id
+        self.ts_ms = ts_ms
         self.abs_path = abs_path
         self.part_json = part_json
 
@@ -149,6 +211,9 @@ class IcebergStreamReader(DataSourceStreamReader):
             )
         self.skip_rewrites = (
             str(options.get("skip_rewrites", "false")).lower() == "true"
+        )
+        self.changelog = (
+            str(options.get("changelog", "false")).lower() == "true"
         )
         mf = options.get("max_files_per_batch")
         self.max_files = int(mf) if mf is not None else None
@@ -172,6 +237,13 @@ class IcebergStreamReader(DataSourceStreamReader):
                 )
         self.mapping = _name_mapping(meta)  # {id: [footer names]}
         self.id_part = _identity_sources(meta)  # {id: partition name}
+        if self.changelog and self.id_part:
+            raise IcebergProtocolError(
+                "changelog streaming over an identity-partitioned table "
+                "is not supported: position-delete resolution reads the "
+                "data files, which omit the partition column (Hive "
+                "layout) — use read_iceberg_changes for this table"
+            )
 
         start_sid = options.get("starting_snapshot_id")
         if start_sid is not None:
@@ -202,6 +274,16 @@ class IcebergStreamReader(DataSourceStreamReader):
     def _head_offset(self) -> dict:
         return {"seq": self._snaps()[-1]["sequence-number"]}
 
+    def _snap_units(self, snap: dict) -> list:
+        """The snapshot's micro-batch units — changelog units when
+        streaming the changelog, plain added data files otherwise.
+        Offsets index THIS list on both the rate-limit walk and
+        planning."""
+        if self.changelog:
+            return _changelog_units(self.path, snap)
+        files, _ = _added_files(self.path, snap)
+        return files
+
     def _advance(self, pos: tuple[int, int], snaps: list[dict],
                  budget: int) -> tuple[int, int]:
         """Walk at most ``budget`` added files forward from ``pos`` along
@@ -213,7 +295,7 @@ class IcebergStreamReader(DataSourceStreamReader):
             seq = snap["sequence-number"]
             if seq < s:
                 continue
-            files, _ = _added_files(self.path, snap)
+            files = self._snap_units(snap)
             j = i if seq == s else 0
             if j >= len(files):
                 if seq == s:
@@ -270,6 +352,16 @@ class IcebergStreamReader(DataSourceStreamReader):
                     continue
                 if seq == e[0] and e[1] == 0:
                     break
+                if self.changelog:
+                    units = _changelog_units(self.path, snap)
+                    plo = lo[1] if seq == lo[0] else 0
+                    phi = e[1] if seq == e[0] else len(units)
+                    for kind, absf, pj in units[plo:phi]:
+                        parts.append(IcebergFilePartition(
+                            absf, pj, kind=kind,
+                            snap_id=snap["snapshot-id"],
+                            ts_ms=snap.get("timestamp-ms", 0)))
+                    continue
                 files, rewrites = _added_files(self.path, snap)
                 if rewrites:
                     if not self.skip_rewrites:
@@ -300,10 +392,11 @@ class IcebergStreamReader(DataSourceStreamReader):
         mapping = self.mapping
         id_part = self.id_part
         pvals = json.loads(partition.part_json)
+        changelog = self.changelog
+        change_type = "insert" if partition.kind == "data" else "delete"
+        snap_id, ts_ms = partition.snap_id, partition.ts_ms
 
-        def batches():
-            pf = pq.ParquetFile(partition.abs_path)
-            arrow_schema = pf.schema_arrow
+        def plan_for(arrow_schema):
             by_id: dict[int, str] = {}
             for fld in arrow_schema:
                 fid = (fld.metadata or {}).get(b"PARQUET:field_id")
@@ -319,27 +412,63 @@ class IcebergStreamReader(DataSourceStreamReader):
                         return cand
                 return None
 
-            plan = [(f, footer_name(f), _ARROW_OF[f["type"]])
+            return [(f, footer_name(f), _ARROW_OF[f["type"]])
                     for f in fields]
+
+        def build(rb, plan):
+            n = rb.num_rows
+            cols = []
+            for f, src, at in plan:
+                if src is not None:
+                    cols.append(
+                        rb.column(rb.schema.get_field_index(src))
+                        .cast(at))
+                    continue
+                pname = id_part.get(f["id"])
+                if pname is not None and pname in pvals \
+                        and pvals[pname] is not None:
+                    cols.append(pa.array([pvals[pname]] * n).cast(at))
+                else:
+                    # pre-evolution file: NULLs, same as the batch read
+                    cols.append(pa.nulls(n, type=at))
+            names = [f["name"] for f in fields]
+            if changelog:
+                cols += [
+                    pa.array([change_type] * n, pa.string()),
+                    pa.array([snap_id] * n, pa.int64()),
+                    pa.array([ts_ms * 1000] * n,
+                             pa.timestamp("us", tz="UTC")),
+                ]
+                names = names + [m[0] for m in _CHANGELOG_META]
+            return pa.RecordBatch.from_arrays(cols, names=names)
+
+        if partition.kind == "posdel":
+            # a position-delete file names (data file, row position);
+            # serve the NAMED ROWS as deletes: group positions by data
+            # file, take() them from each — per-file bounded work, the
+            # streaming twin of the batch changelog's (file, pos) join
+            def del_batches():
+                dt = pq.read_table(partition.abs_path,
+                                   columns=["file_path", "pos"])
+                by_file: dict[str, list[int]] = {}
+                for fp, p in zip(dt.column("file_path").to_pylist(),
+                                 dt.column("pos").to_pylist()):
+                    by_file.setdefault(_from_uri(fp), []).append(p)
+                for dfp, positions in sorted(by_file.items()):
+                    pf = pq.ParquetFile(dfp)
+                    plan = plan_for(pf.schema_arrow)
+                    sub = pf.read().take(sorted(positions))
+                    for rb in sub.to_batches():
+                        if rb.num_rows:
+                            yield build(rb, plan)
+
+            return del_batches()
+
+        def batches():
+            pf = pq.ParquetFile(partition.abs_path)
+            plan = plan_for(pf.schema_arrow)
             for rb in pf.iter_batches():
-                n = rb.num_rows
-                cols = []
-                for f, src, at in plan:
-                    if src is not None:
-                        cols.append(
-                            rb.column(rb.schema.get_field_index(src))
-                            .cast(at))
-                        continue
-                    pname = id_part.get(f["id"])
-                    if pname is not None and pname in pvals \
-                            and pvals[pname] is not None:
-                        cols.append(pa.array([pvals[pname]] * n).cast(at))
-                    else:
-                        # pre-evolution file: NULLs, same as the batch read
-                        cols.append(pa.nulls(n, type=at))
-                yield pa.RecordBatch.from_arrays(
-                    cols, names=[f["name"] for f in fields]
-                )
+                yield build(rb, plan)
 
         return batches()
 
@@ -365,10 +494,14 @@ class IcebergStreamDataSource(DataSource):
         schema = next(
             s for s in meta["schemas"] if s.get("schema-id", 0) == cur
         )
-        return StructType([
+        st = StructType([
             StructField(f["name"], _spark_type(f["type"]), True)
             for f in schema["fields"]
         ])
+        if str(self.options.get("changelog", "false")).lower() == "true":
+            for name, t in _CHANGELOG_META:
+                st = st.add(name, t)
+        return st
 
     def streamReader(self, schema) -> IcebergStreamReader:
         return IcebergStreamReader(self.options)
@@ -377,11 +510,22 @@ class IcebergStreamDataSource(DataSource):
 def stream_iceberg(spark: SparkSession, path: str,
                    starting_snapshot_id: int | None = None,
                    skip_rewrites: bool = False,
-                   max_files_per_batch: int | None = None) -> DataFrame:
+                   max_files_per_batch: int | None = None,
+                   changelog: bool = False) -> DataFrame:
     """readStream over an Iceberg table's snapshot history: one micro-batch
     per range of newly added files, file-parallel Arrow reads. Errors a
     Python DataSource reader raises in ``__init__`` surface only at stream
-    START, so the wrapper validates eagerly at declaration time."""
+    START, so the wrapper validates eagerly at declaration time.
+
+    ``changelog=True`` streams per-commit ROW-LEVEL CHANGES instead of
+    the data (the streaming twin of
+    ``iceberg_changes.read_iceberg_changes``): appended data files
+    stream as inserts, a delete snapshot's position-delete files are
+    RESOLVED to the rows they name and stream as deletes, replace
+    snapshots (compaction) stream nothing, and every row carries
+    ``_change_type`` / ``_commit_snapshot_id`` / ``_commit_timestamp``.
+    Equality deletes, copy-on-write overwrites, and identity-partitioned
+    tables refuse loudly with the batch changelog named as the remedy."""
     from .session import ensure_session_confs
 
     meta = read_metadata(path)
@@ -410,4 +554,6 @@ def stream_iceberg(spark: SparkSession, path: str,
     if max_files_per_batch is not None:
         reader = reader.option(
             "max_files_per_batch", str(max_files_per_batch))
+    if changelog:
+        reader = reader.option("changelog", "true")
     return reader.load()

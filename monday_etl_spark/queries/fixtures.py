@@ -864,7 +864,8 @@ def _maintenance_tables(spark: SparkSession, sf_dir: str) -> dict:
 
 @_fixture("lakehouse_stream_drains",
           {"delta_source_stream", "delta_stream_id_mapped",
-           "iceberg_stream_pipe", "delta_cdf_stream"})
+           "iceberg_stream_pipe", "delta_cdf_stream",
+           "iceberg_changelog_stream"})
 def _lakehouse_stream_drains(spark: SparkSession, sf_dir: str) -> dict:
     """The three lakehouse streaming pipes drained ONCE per process off
     one Spark session (r9 verdict task: reuse one runner): the Delta
@@ -918,7 +919,20 @@ def _lakehouse_stream_drains(spark: SparkSession, sf_dir: str) -> dict:
                        read_change_feed=True),
           out["cdf_out"], os.path.join(root, "ck_cdf"))
 
-    # 4. Iceberg table-to-table pipe + the at-least-once replay hazard
+    # 4. the streaming Iceberg CHANGELOG over the DML fixture's chain
+    # (append streams as inserts, the MoR delete's position-delete files
+    # resolve to the rows they name, the compaction streams nothing)
+    from ..iceberg_source import stream_iceberg
+    from ..iceberg_import import iceberg_history
+
+    dml = shared(spark, sf_dir, "iceberg_dml_table")
+    first_snap = iceberg_history(dml)[0]["snapshot_id"]
+    out["changelog_out"] = os.path.join(root, "changelog_rows")
+    drain(stream_iceberg(spark, dml, starting_snapshot_id=first_snap,
+                         changelog=True),
+          out["changelog_out"], os.path.join(root, "ck_changelog"))
+
+    # 5. Iceberg table-to-table pipe + the at-least-once replay hazard
     source = shared(spark, sf_dir, "iceberg_appended_table")
     sink = fresh_copy(shared(spark, sf_dir, "iceberg_pipe_base"))
     first = iceberg_history(source)[0]["snapshot_id"]

@@ -1976,3 +1976,55 @@ def delta_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("change_type", "o_orderstatus", "n_rows", "total_price")
     )
+
+
+@register(
+    "iceberg_changelog_stream",
+    oracle=f"""
+    SELECT change_type, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM (
+        SELECT 'insert' AS change_type, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 16 = 12
+        UNION ALL
+        SELECT 'delete', o_orderstatus, o_totalprice
+        FROM orders
+        WHERE o_orderkey % 16 = 12
+          AND o_totalprice BETWEEN 0 AND 50000
+    )
+    GROUP BY change_type, o_orderstatus
+    """,
+    doc="STREAMING the Iceberg changelog (r10): stream_iceberg("
+        "changelog=True) drains the DML fixture's chain (append -> MoR "
+        "delete -> replace) through the snapshot-tailing Arrow source — "
+        "the append's files stream as inserts, the DELETE's position-"
+        "delete files RESOLVE to the rows they name executor-side (one "
+        "partition per delete file, (file,pos) take), the compaction "
+        "streams NOTHING, and every row carries _change_type/"
+        "_commit_snapshot_id/_commit_timestamp. Same oracle as the "
+        "batch changelog (iceberg_changelog): stream/batch parity IS "
+        "the hashed check. In-query assertions pin exactly TWO stamped "
+        "snapshots — append + delete, the replace absent. "
+        "Reference scope: the day-over-day diff consumer "
+        "(monday_etl_automated.py:600-645) fed incrementally.",
+)
+def iceberg_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import money_sum
+    from .fixtures import shared
+
+    out = shared(spark, sf_dir, "lakehouse_stream_drains")
+    rows = spark.read.parquet(out["changelog_out"])
+    sids = {r["_commit_snapshot_id"] for r in
+            rows.select("_commit_snapshot_id").distinct().collect()}
+    if len(sids) != 2:  # append + delete; the replace must be absent
+        raise AssertionError(f"changelog stamped {len(sids)} snapshots")
+    return (
+        rows.groupBy(
+            F.col("_change_type").alias("change_type"), "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select("change_type", "o_orderstatus", "n_rows", "total_price")
+    )

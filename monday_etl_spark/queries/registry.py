@@ -61,6 +61,7 @@ _EVIDENCE_PRIORITY = [
     "delta_upsert_merge",            # NEW query (copy-on-write MERGE)
     "iceberg_changelog",             # NEW query (changelog scan)
     "delta_cdf_stream",              # NEW query (streaming change feed)
+    "iceberg_changelog_stream",      # NEW query (streaming changelog)
     "iceberg_schema_evolution",      # NEW query (rename+add+drop+promote)
     "delta_lifecycle",               # NEW query (compact+vacuum+restore)
     "iceberg_lifecycle",       # NEW query (compact+orphans+rollback)
