@@ -1907,7 +1907,7 @@ def compact_delta(spark: SparkSession, path: str) -> int:
     feats_w = set(proto.get("writerFeatures") or [])
     if proto.get("minWriterVersion", 2) > 3 and not feats_w <= {
         "appendOnly", "deletionVectors", "v2Checkpoint", "columnMapping",
-        "checkConstraints", "invariants",
+        "checkConstraints", "invariants", "changeDataFeed",
     }:
         raise DeltaProtocolError(
             f"writerFeatures {sorted(feats_w)}: compaction under writer "
@@ -2059,7 +2059,7 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
     feats_w = set(proto.get("writerFeatures") or [])
     if proto.get("minWriterVersion", 2) > 3 and not feats_w <= {
         "deletionVectors", "v2Checkpoint", "columnMapping",
-        "checkConstraints", "invariants",
+        "checkConstraints", "invariants", "changeDataFeed",
     }:
         raise DeltaProtocolError(
             f"writerFeatures {sorted(feats_w)}: restore under writer "
@@ -2095,6 +2095,43 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
             f"restore to v{version} needs files a vacuum removed: "
             f"{missing[:5]}{'...' if len(missing) > 5 else ''}"
         )
+    # Change Data Feed: a RESTORE's row-level truth is the NET diff
+    # between head and target — files moving in/out double-report rows
+    # present in both, so reconstruction from add/remove is wrong for
+    # this op. CDF tables get exact pre-computed change rows instead
+    # (delta-spark's RESTORE does the same): multiset except in both
+    # directions, written as _change_data + cdc actions.
+    conf_now = snap_now.meta.get("configuration") or {}
+    cdc_actions: list[dict] = []
+    if conf_now.get("delta.enableChangeDataFeed") == "true":
+        schema = StructType.fromJson(
+            json.loads(snap_now.meta["schemaString"]))
+        cols = [f.name for f in schema.fields]
+        head_df = read_delta(spark, path).select(*cols)
+        tgt_df = read_delta(spark, path, version).select(*cols)
+        cdc_df = (
+            head_df.exceptAll(tgt_df)
+            .withColumn("_change_type", F.lit("delete"))
+            .unionByName(
+                tgt_df.exceptAll(head_df)
+                .withColumn("_change_type", F.lit("insert")))
+        )
+        if cdc_df.take(1):
+            part_cols = snap_now.meta.get("partitionColumns") or []
+            rel_dir = (f"_change_data/cdc-{latest + 1}-"
+                       f"{uuid.uuid4().hex[:8]}")
+            w = cdc_df.write
+            if part_cols:
+                w = w.partitionBy(*part_cols)
+            w.parquet(os.path.join(path, rel_dir))
+            for a in _collect_written_adds(
+                    os.path.join(path, rel_dir), rel_dir, part_cols,
+                    spark=spark):
+                cdc_actions.append({"cdc": {
+                    "path": a["path"],
+                    "partitionValues": a["partitionValues"],
+                    "size": a["size"], "dataChange": False}})
+
     now_ms = int(_time.time() * 1000)
     actions: list[dict] = [{
         "commitInfo": {
@@ -2103,7 +2140,7 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
             "operationParameters": {"version": str(version)},
             "engineInfo": "monday-etl-spark delta bridge",
         }
-    }]
+    }] + cdc_actions
     for rel in sorted(set(now_adds) - set(tgt_adds)):
         actions.append({"remove": {"path": rel, "dataChange": True,
                                    "deletionTimestamp": now_ms}})

@@ -192,3 +192,25 @@ def test_vacuum_keeps_retained_change_data(spark, tmp_path):
     assert deleted == []  # everything is referenced or retained-cdc
     feed = read_delta_changes(spark, table, 1, 1)
     assert sorted(r["id"] for r in feed.collect()) == [0, 1, 2]
+
+
+def test_restore_and_compaction_in_the_feed(spark, tmp_path):
+    """RESTORE on a CDF table writes the NET diff as change rows (the
+    back-in rows as inserts here); a compaction inside the range emits
+    nothing (dataChange=false both sides)."""
+    from monday_etl_spark.delta_import import compact_delta, restore_delta
+
+    table = _cdf_table(spark, tmp_path, name="rst")
+    delete_delta_where(spark, table, "id", 0, 3)      # v1: cdc deletes
+    compact_delta(spark, table)                       # v2: invisible
+    restore_delta(spark, table, 0)                    # v3: cdc inserts
+
+    feed = read_delta_changes(spark, table, 1, 3)
+    rows = {(r["id"], r["_change_type"], r["_commit_version"])
+            for r in feed.collect()}
+    want = {(i, "delete", 1) for i in range(4)} \
+        | {(i, "insert", 3) for i in range(4)}
+    assert rows == want
+    # the restored head serves the original row set again
+    assert sorted(r.id for r in read_delta(spark, table).collect()) \
+        == list(range(10))
