@@ -713,6 +713,19 @@ def _v2_checkpoint_state(
     ckpt_meta_v: int | None = None
 
     if f.endswith(".json"):
+        # the json top-level form parses driver-side (fine for its
+        # intended use: singles + sidecar refs, a few KB). A pathological
+        # giant json checkpoint carrying inline file actions would OOM
+        # the driver with a confusing stack — refuse at a generous cap
+        # with the remedy named instead
+        sz = os.path.getsize(f)
+        if sz > 256 * 1024 * 1024:
+            raise DeltaProtocolError(
+                f"{path}: v2 json-form checkpoint is {sz >> 20} MiB — "
+                "inline file actions at this scale must use the parquet "
+                "+ sidecar form (this reader parses json checkpoints "
+                "driver-side)"
+            )
         with open(f) as fh:
             for line in fh:
                 if not line.strip():
