@@ -528,6 +528,20 @@ class _LiveSet:
         ]
         ck = self._ckpt_surviving()
         if ck is not None:
+            # planning needs the file list on the driver (every engine's
+            # planner does), but an unbounded collect on a pathological
+            # multi-million-file state would OOM it — refuse at the cap
+            # with the remedy named. Same bound as materialize().
+            cap = int(os.environ.get(
+                "SPARK_GRAFT_MAX_LIVE_FILES", "2000000"))
+            n_ck = ck.count()
+            if n_ck + len(out) > cap:
+                raise DeltaProtocolError(
+                    f"live file set has {n_ck + len(out)} entries, over "
+                    f"the {cap} driver cap — compact the table, or raise "
+                    "SPARK_GRAFT_MAX_LIVE_FILES if the driver has the "
+                    "memory for a list this size"
+                )
             cols = [F.col("path"), F.col("partitionValues")]
             have_dv = "deletionVector" in ck.columns
             if have_dv:

@@ -1360,3 +1360,27 @@ def test_v2_checkpoint_write_roundtrip(spark, tmp_path):
     _commit(plain, 0, [_PROTO, _meta(), _add(p0)])
     with pytest.raises(DeltaProtocolError, match="reader"):
         write_checkpoint(spark, plain, form="v2")
+
+
+def test_live_file_set_cap_refuses_with_remedy(spark, tmp_path,
+                                               monkeypatch):
+    """The driver-side live-file materialization is bounded: past the
+    cap it refuses naming the override, instead of OOMing the driver on
+    a pathological multi-million-file checkpoint."""
+    from monday_etl_spark.delta_import import write_checkpoint
+
+    table = str(tmp_path / "capped")
+    os.makedirs(table)
+    adds = []
+    for i in range(3):
+        rel, _ = _write_file(spark, table, f"c{i}", [(i, float(i))])
+        adds.append(_add(rel))
+    _commit(table, 0, [_PROTO, _meta()] + adds)
+    write_checkpoint(spark, table)  # checkpoint-backed state
+
+    monkeypatch.setenv("SPARK_GRAFT_MAX_LIVE_FILES", "2")
+    with pytest.raises(DeltaProtocolError,
+                       match="SPARK_GRAFT_MAX_LIVE_FILES"):
+        read_delta(spark, table).collect()
+    monkeypatch.setenv("SPARK_GRAFT_MAX_LIVE_FILES", "100")
+    assert read_delta(spark, table).count() == 3
