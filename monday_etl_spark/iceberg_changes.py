@@ -6,30 +6,45 @@ and emits each commit's row-level delta — the Delta bridge's
 (spec: a snapshot's changes are the manifests whose
 ``added_snapshot_id`` is the snapshot, entries with status ADDED):
 
-- added DATA files are that commit's ``insert`` rows;
+- added DATA files are that commit's ``insert`` rows; rows a
+  SAME-snapshot position-delete file already covers ("deleted at
+  birth" — valid Iceberg, same sequence number) are excluded, since
+  they were never visible in any snapshot;
 - added POSITION-delete files resolve back to concrete rows by joining
   (file path, position) against the PARENT snapshot's read — exactly
   the rows the commit deleted;
-- added GLOBAL equality-delete files resolve by a null-safe semi-join
-  of the parent's live rows on the equality columns (the Flink-CDC
-  upsert's delete half);
+- added equality-delete files resolve by a null-safe semi-join of the
+  parent's live rows on the equality columns (the Flink-CDC upsert's
+  delete half). GLOBAL deletes (empty partition tuple) match the whole
+  parent; partition-SCOPED deletes match only parent rows in the
+  delete file's own partition tuple — the same scoping
+  ``iceberg_import._apply_deletes`` applies on the read path. (No
+  sequence-number reasoning is needed here: every parent row's data
+  sequence predates the delete commit's by construction.)
 - ``replace`` snapshots (compaction) change no logical rows and are
-  skipped.
+  skipped — and consume no changelog ordinal, so ``_change_ordinal``
+  stays consecutive over emitted commits like iceberg-spark's.
 
 iceberg-spark's ``create_changelog_view`` refuses merge-on-read delete
 files outright; this reader resolves them, so MoR DML history is served
-as rows. Partition-SCOPED equality deletes refuse loudly (resolving
-them needs per-partition sequence reasoning this reader does not carry)
-— the bridge's own writers never produce them.
+as rows.
 
 Output: the requested (default current) schema plus ``_change_type`` /
-``_change_ordinal`` (0-based commit position within the range) /
-``_commit_snapshot_id`` — iceberg-spark's changelog column names.
+``_change_ordinal`` (0-based position among the range's EMITTING
+commits) / ``_commit_snapshot_id`` — iceberg-spark's changelog column
+names.
 
 Scale shape: per-commit additions decode from exactly the manifests the
 commit added; delete resolution is one provenance-joined scan of the
 parent's live set per delete commit, with the delete side read
-distributed. The driver holds manifests and file lists only.
+distributed and its join strategy GATED on the manifests' summed
+``record_count`` (broadcast under ``_DELETE_BROADCAST_MAX_ROWS``,
+shuffle-hash above — the same zero-job gate as the import path, so a
+100M-row delete commit never ships its delete set to every executor).
+The plan grows one scan piece per emitting commit, so ranges are capped
+at ``_CHANGELOG_MAX_COMMITS`` commits with a loud remedy — walk the
+history in bounded windows — instead of planning thousands of scans.
+The driver holds manifests and file lists only.
 """
 
 from __future__ import annotations
@@ -40,12 +55,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .iceberg_import import (
+    _DELETE_BROADCAST_MAX_ROWS,
     IcebergProtocolError,
     _assemble_read,
     _decode_manifest,
     _from_uri,
     _live_entry_tuples,
     _manifest_paths,
+    _norm_path,
     _schema_for,
     _spark_type,
     _split_manifests,
@@ -53,6 +70,10 @@ from .iceberg_import import (
 )
 
 __all__ = ["read_iceberg_changes"]
+
+# one plan piece per emitting commit: past this, refuse with the remedy
+# (bounded windows) instead of building a plan that grows without bound
+_CHANGELOG_MAX_COMMITS = 256
 
 
 def _ancestry(meta: dict, from_id: int | None,
@@ -99,10 +120,36 @@ def _stamp(df: DataFrame, names: list[str], change: str | None,
     ct = (F.lit(change) if change is not None
           else F.col("_change_type"))
     return df.select(
-        *[F.col(n) for n in names],
+        *[F.col(f"`{n}`") for n in names],
         ct.alias("_change_type"),
         F.lit(ordinal).cast("int").alias("_change_ordinal"),
         F.lit(snap_id).cast("long").alias("_commit_snapshot_id"),
+    )
+
+
+def _gated(ddf: DataFrame, n_rows: int) -> DataFrame:
+    """Join-strategy gate for a delete set, sized for free from the
+    manifests' ``record_count`` sums: broadcast under the cap (no
+    shuffle of the parent scan), shuffle-hash above it (slower, but it
+    cannot OOM every executor) — `iceberg_import._apply_deletes`'
+    exact pattern."""
+    if n_rows <= _DELETE_BROADCAST_MAX_ROWS:
+        return F.broadcast(ddf)
+    return ddf.hint("shuffle_hash")
+
+
+def _pos_delete_df(spark: SparkSession, pos: list[tuple]) -> DataFrame:
+    """The (normalized source path, position) pairs of a commit's added
+    position-delete files, read distributed."""
+    return (
+        spark.read.schema("file_path string, pos bigint")
+        .parquet(*sorted(_from_uri(t[1]) for t in pos))
+        .select(
+            F.regexp_replace(
+                F.col("file_path"), r"^[A-Za-z0-9+.-]+:/+", "/"
+            ).alias("__del_src"),
+            F.col("pos").alias("__del_pos"),
+        )
     )
 
 
@@ -111,13 +158,58 @@ def read_iceberg_changes(
     path: str,
     from_snapshot_id: int | None = None,
     to_snapshot_id: int | None = None,
+    from_timestamp_ms: int | None = None,
+    to_timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Row-level changes committed by each snapshot in
     ``(from_snapshot_id, to_snapshot_id]`` along main's ancestry
-    (defaults: from the first snapshot, to the current one)."""
+    (defaults: from the first snapshot, to the current one).
+
+    Bounds may also be COMMIT TIMESTAMPS (epoch ms), one or the other
+    per side — iceberg-spark's CREATE_CHANGELOG_VIEW start/end-timestamp
+    options: ``from_timestamp_ms`` serves changes committed strictly
+    AFTER it (the newest ancestor at or before the timestamp becomes
+    the exclusive start), ``to_timestamp_ms`` through the newest
+    ancestor at or before it (error when it predates the first
+    snapshot)."""
     meta = read_metadata(path)
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if from_snapshot_id is not None and from_timestamp_ms is not None:
+        raise ValueError(
+            "give from_snapshot_id OR from_timestamp_ms, not both")
+    if to_snapshot_id is not None and to_timestamp_ms is not None:
+        raise ValueError(
+            "give to_snapshot_id OR to_timestamp_ms, not both")
+    if from_timestamp_ms is not None or to_timestamp_ms is not None:
+        full = _ancestry(meta, None, to_snapshot_id)
+        if to_timestamp_ms is not None:
+            at_or_before = [s for s in full
+                            if s.get("timestamp-ms", 0)
+                            <= int(to_timestamp_ms)]
+            if not at_or_before:
+                first = full[0].get("timestamp-ms") if full else None
+                raise ValueError(
+                    f"to_timestamp_ms {to_timestamp_ms} predates the "
+                    f"first snapshot ({first})")
+            to_snapshot_id = at_or_before[-1]["snapshot-id"]
+        if from_timestamp_ms is not None:
+            at_or_before = [s for s in full
+                            if s.get("timestamp-ms", 0)
+                            <= int(from_timestamp_ms)]
+            if at_or_before:
+                from_snapshot_id = at_or_before[-1]["snapshot-id"]
+            # else: before the first snapshot — serve from the beginning
     chain = _ancestry(meta, from_snapshot_id, to_snapshot_id)
+
+    emitting = [s for s in chain
+                if (s.get("summary") or {}).get("operation") != "replace"]
+    if len(emitting) > _CHANGELOG_MAX_COMMITS:
+        raise IcebergProtocolError(
+            f"changelog range spans {len(emitting)} emitting commits "
+            f"(cap {_CHANGELOG_MAX_COMMITS}): the plan grows one scan "
+            "per commit. Walk the history in bounded windows instead — "
+            "repeated read_iceberg_changes calls with narrower "
+            "from/to_snapshot_id ranges.")
 
     fields = _schema_for(
         meta, chain[-1] if chain else {})["fields"]
@@ -125,71 +217,97 @@ def read_iceberg_changes(
     id_of = {f["id"]: f for f in fields}
 
     pieces: list[DataFrame] = []
-    for ordinal, snap in enumerate(chain):
+    ordinal = 0  # consecutive over EMITTING commits (replace/no-op skip)
+    for snap in chain:
         sid = snap["snapshot-id"]
         op = (snap.get("summary") or {}).get("operation")
         if op == "replace":
-            continue  # compaction: no logical rows changed
+            continue  # compaction: no logical rows changed, no ordinal
         data_added, del_added = _added_entries(meta, snap)
 
-        if data_added:
-            ins = _assemble_read(spark, meta, fields, data_added, [])
-            pieces.append(_stamp(ins, names, "insert", ordinal, sid))
+        pos = [t for t in del_added if t[4] == 1]
+        eqs = [t for t in del_added if t[4] == 2]
+        other = [t for t in del_added if t[4] not in (1, 2)]
+        if other:
+            raise IcebergProtocolError(
+                f"delete entry with content={other[0][4]}: unknown "
+                "delete kind")
 
-        if del_added:
-            parent_id = snap.get("parent-snapshot-id")
-            parent = snaps.get(parent_id)
-            if parent is None:
-                raise IcebergProtocolError(
-                    f"snapshot {sid} deletes rows but its parent "
-                    f"{parent_id} is expired: the deleted rows cannot "
-                    "be reconstructed")
+        emitted = False
+        if data_added:
+            ins = _assemble_read(spark, meta, fields, data_added, [],
+                                 keep_meta=bool(pos))
+            if pos:
+                # "deleted at birth": a same-snapshot position delete may
+                # reference a data file this very commit added (same
+                # sequence number — valid Iceberg); those rows were never
+                # visible in any snapshot, so they are neither inserts
+                # nor deletes
+                ins = ins.join(
+                    _gated(_pos_delete_df(spark, pos),
+                           sum(t[3] for t in pos)),
+                    (F.col("__ice_src") == F.col("__del_src"))
+                    & (F.col("__ice_pos") == F.col("__del_pos")),
+                    "left_anti",
+                )
+            pieces.append(_stamp(ins, names, "insert", ordinal, sid))
+            emitted = True
+
+        parent_id = snap.get("parent-snapshot-id")
+        parent = snaps.get(parent_id)
+        if del_added and parent is None and parent_id is not None:
+            raise IcebergProtocolError(
+                f"snapshot {sid} deletes rows but its parent "
+                f"{parent_id} is expired: the deleted rows cannot "
+                "be reconstructed")
+        if del_added and parent is not None:
             data_mans, del_mans = _split_manifests(meta, parent)
+            parent_entries = _live_entry_tuples(spark, data_mans)
             parent_read = _assemble_read(
                 spark, meta, fields,
-                _live_entry_tuples(spark, data_mans),
+                parent_entries,
                 _live_entry_tuples(spark, del_mans),
                 keep_meta=True,
             )
-            pos = [t for t in del_added if t[4] == 1]
-            eqs = [t for t in del_added if t[4] == 2]
-            other = [t for t in del_added if t[4] not in (1, 2)]
-            if other:
-                raise IcebergProtocolError(
-                    f"delete entry with content={other[0][4]}: unknown "
-                    "delete kind")
+            scoped = [t for t in eqs
+                      if (json.loads(t[5]) if t[5] else {})]
+            if scoped:
+                # partition-SCOPED equality deletes match only parent
+                # rows in the delete file's own partition tuple; tag each
+                # parent row with its file's tuple via a broadcast
+                # (file-level, bounded by the live-file cap) — the same
+                # per-(ids, partition) scoping _apply_deletes uses
+                part_df = spark.createDataFrame(
+                    [(_norm_path(t[1]), t[5]) for t in parent_entries],
+                    "__ice_src string, __ice_part string")
+                parent_read = parent_read.join(
+                    F.broadcast(part_df), "__ice_src", "left")
             if pos:
-                pdel = (
-                    spark.read.schema("file_path string, pos bigint")
-                    .parquet(*sorted(_from_uri(t[1]) for t in pos))
-                    .select(
-                        F.regexp_replace(
-                            F.col("file_path"),
-                            r"^[A-Za-z0-9+.-]+:/+", "/"
-                        ).alias("__del_src"),
-                        F.col("pos").alias("__del_pos"),
-                    )
-                )
                 hit = parent_read.join(
-                    F.broadcast(pdel),
+                    _gated(_pos_delete_df(spark, pos),
+                           sum(t[3] for t in pos)),
                     (F.col("__ice_src") == F.col("__del_src"))
                     & (F.col("__ice_pos") == F.col("__del_pos")),
                 )
                 pieces.append(
                     _stamp(hit, names, "delete", ordinal, sid))
+                emitted = True
             if eqs:
+                # group delete files sharing (equality ids, partition):
+                # each group is one read + one null-safe semi-join
+                groups: dict[tuple, list[str]] = {}
+                group_rows: dict[tuple, int] = {}
                 for t in eqs:
-                    part = json.loads(t[5]) if t[5] else {}
-                    if part:
-                        raise IcebergProtocolError(
-                            "partition-scoped equality delete: the "
-                            "changelog resolves only GLOBAL equality "
-                            "deletes (empty partition tuple)")
-                groups: dict[str, list[str]] = {}
-                for t in eqs:
-                    groups.setdefault(t[9], []).append(_from_uri(t[1]))
-                for eq_json, files in sorted(groups.items()):
+                    key = (t[9], t[5] or "{}")
+                    groups.setdefault(key, []).append(_from_uri(t[1]))
+                    group_rows[key] = group_rows.get(key, 0) + t[3]
+                for (eq_json, part_json), files in sorted(groups.items()):
                     eq_ids = json.loads(eq_json)
+                    missing = [i for i in eq_ids if i not in id_of]
+                    if missing:
+                        raise IcebergProtocolError(
+                            f"equality delete references field ids "
+                            f"{missing} not in the snapshot schema")
                     cols = [id_of[i]["name"] for i in eq_ids]
                     edf = (
                         spark.read.schema(", ".join(
@@ -203,10 +321,19 @@ def read_iceberg_changes(
                         term = F.col(f"l.`{c}`").eqNullSafe(
                             F.col(f"r.`{c}`"))
                         cond = term if cond is None else cond & term
-                    hit = parent_read.alias("l").join(
-                        F.broadcast(edf.alias("r")), cond, "left_semi")
+                    left = parent_read
+                    if part_json != "{}":
+                        left = left.filter(
+                            F.col("__ice_part") == F.lit(part_json))
+                    hit = left.alias("l").join(
+                        _gated(edf.alias("r"),
+                               group_rows[(eq_json, part_json)]),
+                        cond, "left_semi")
                     pieces.append(
                         _stamp(hit, names, "delete", ordinal, sid))
+                    emitted = True
+        if emitted:
+            ordinal += 1
 
     if not pieces:
         from pyspark.sql.types import (

@@ -65,6 +65,256 @@ def test_changelog_inserts_deletes_and_compaction(spark, tmp_path):
         read_iceberg_changes(spark, path, from_snapshot_id=12345)
 
 
+def test_changelog_ordinals_consecutive_across_compaction(spark, tmp_path):
+    """A replace snapshot BETWEEN two DML commits consumes no ordinal:
+    iceberg-spark's changelog ordinals are consecutive over emitted
+    commits, so a compaction in the middle must yield {0, 1}, not
+    {0, 2}."""
+    path = str(tmp_path / "ord")
+    create_iceberg_table(path, [("id", "long"), ("v", "double")])
+    append_iceberg(spark, spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "id long, v double"), path)
+    compact_iceberg(spark, path)
+    append_iceberg(spark, spark.createDataFrame(
+        [(3, 3.0)], "id long, v double"), path)
+    got = _feed(spark, path)
+    assert got == {(1, 1.0, "insert", 0), (2, 2.0, "insert", 0),
+                   (3, 3.0, "insert", 1)}
+
+
+def test_changelog_delete_join_gated_on_record_count(spark, tmp_path,
+                                                     monkeypatch):
+    """The delete-resolution join strategy is sized from the manifests'
+    record_count sums (zero jobs): broadcast under the cap, shuffle-hash
+    above it — never an ungated multi-GB broadcast."""
+    from monday_etl_spark import iceberg_changes as ic
+
+    path = str(tmp_path / "gate")
+    create_iceberg_table(path, [("id", "long"), ("v", "double")])
+    append_iceberg(spark, spark.createDataFrame(
+        [(i, float(i)) for i in range(6)], "id long, v double"), path)
+    first = read_metadata(path)["current-snapshot-id"]
+    delete_iceberg_where(spark, path, "v", 0.0, 2.5)  # pos-delete file
+
+    under = read_iceberg_changes(spark, path, from_snapshot_id=first)
+    plan = under._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    monkeypatch.setattr(ic, "_DELETE_BROADCAST_MAX_ROWS", 0)
+    over = read_iceberg_changes(spark, path, from_snapshot_id=first)
+    plan = over._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan and "BroadcastHashJoin" not in plan
+    # both sides of the gate produce the same rows
+    assert ({(r.id, r.v, r._change_type) for r in over.collect()}
+            == {(r.id, r.v, r._change_type) for r in under.collect()}
+            == {(0, 0.0, "delete"), (1, 1.0, "delete"),
+                (2, 2.0, "delete")})
+
+
+def test_changelog_commit_range_cap(spark, tmp_path, monkeypatch):
+    """Past the commit cap the reader refuses loudly, naming the remedy
+    (bounded windows) — the plan grows one scan per commit, so an
+    unbounded full-history walk must not plan thousands of scans."""
+    from monday_etl_spark import iceberg_changes as ic
+
+    path = str(tmp_path / "cap")
+    create_iceberg_table(path, [("id", "long"), ("v", "double")])
+    for i in range(3):
+        append_iceberg(spark, spark.createDataFrame(
+            [(i, float(i))], "id long, v double"), path)
+    monkeypatch.setattr(ic, "_CHANGELOG_MAX_COMMITS", 2)
+    with pytest.raises(IcebergProtocolError, match="bounded windows"):
+        read_iceberg_changes(spark, path)
+    # a windowed walk under the cap still works
+    hist = iceberg_history(path)
+    assert _feed(spark, path, to_snapshot_id=hist[1]["snapshot_id"]) \
+        == {(0, 0.0, "insert", 0), (1, 1.0, "insert", 1)}
+
+
+def test_changelog_deleted_at_birth_rows_not_reported(spark, tmp_path):
+    """A snapshot that adds a data file AND a position-delete referencing
+    that same new file (valid Iceberg, same sequence number — foreign
+    engines write this shape) must report the surviving rows as inserts
+    and the deleted-at-birth rows as NOTHING: they were never visible in
+    any snapshot."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from monday_etl_spark.avro_ocf import write_ocf
+    from monday_etl_spark.iceberg_export import _MANIFEST_FILE
+    from tests._iceberg_builders import (
+        entry,
+        manifest,
+        metadata,
+        write_data_file,
+    )
+
+    path = str(tmp_path / "birth")
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir)
+    os.makedirs(meta_dir)
+    schema = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "v", "required": False, "type": "long"},
+    ]}
+    f1 = write_data_file(os.path.join(data_dir, "f1.parquet"),
+                         ["id", "v"], [1, 2], [[1, 2], [10, 20]])
+    f2 = write_data_file(os.path.join(data_dir, "f2.parquet"),
+                         ["id", "v"], [1, 2], [[5, 6], [50, 60]])
+    # position delete written IN snapshot 200: row 0 of the file the
+    # same snapshot adds (deleted at birth) + row 0 of the parent's file
+    pd1 = os.path.join(data_dir, "pd1.parquet")
+    pq.write_table(pa.table({
+        "file_path": pa.array(["file://" + f2, "file://" + f1],
+                              pa.string()),
+        "pos": pa.array([0, 0], pa.int64()),
+    }), pd1)
+    m1 = manifest(meta_dir, [entry(f1, 2, 100, seq=1)], schema)
+    m2 = manifest(meta_dir, [entry(f2, 2, 200, seq=2)], schema)
+    mp = manifest(meta_dir,
+                  [entry(pd1, 2, 200, seq=2, content=1)], schema)
+
+    def mlist(snap_id, items):  # items: (manifest, content, seq, added_by)
+        p = os.path.join(meta_dir, f"snap-{snap_id}-{snap_id}.avro")
+        write_ocf(p, _MANIFEST_FILE, [
+            {"manifest_path": "file://" + m,
+             "manifest_length": os.path.getsize(m),
+             "partition_spec_id": 0, "content": content,
+             "sequence_number": seq, "min_sequence_number": seq,
+             "added_snapshot_id": added_by,
+             "added_files_count": 1, "existing_files_count": 0,
+             "deleted_files_count": 0, "added_rows_count": 1,
+             "existing_rows_count": 0, "deleted_rows_count": 0,
+             "partitions": None}
+            for m, content, seq, added_by in items
+        ], metadata={"format-version": "2",
+                     "snapshot-id": str(snap_id),
+                     "sequence-number": str(max(
+                         s for _m, _c, s, _a in items)),
+                     "parent-snapshot-id": "null"})
+        return p
+
+    l1 = mlist(100, [(m1, 0, 1, 100)])
+    l2 = mlist(200, [(m1, 0, 1, 100), (m2, 0, 2, 200),
+                     (mp, 1, 2, 200)])
+    snaps = [
+        {"snapshot-id": 100, "sequence-number": 1, "timestamp-ms": 1000,
+         "manifest-list": "file://" + l1, "schema-id": 0,
+         "summary": {"operation": "append"}},
+        {"snapshot-id": 200, "sequence-number": 2, "timestamp-ms": 2000,
+         "parent-snapshot-id": 100,
+         "manifest-list": "file://" + l2, "schema-id": 0,
+         "summary": {"operation": "overwrite"}},
+    ]
+    metadata(path, [schema], snaps,
+             [{"snapshot-id": 100, "timestamp-ms": 1000},
+              {"snapshot-id": 200, "timestamp-ms": 2000}], current=200)
+
+    got = _feed(spark, path, from_snapshot_id=100)
+    # (5,50) was added and position-deleted by the SAME snapshot: absent.
+    # (6,60) survives as an insert; (1,10) is a real delete of a parent
+    # row. The parent's (2,20) is untouched.
+    assert got == {(6, 60, "insert", 0), (1, 10, "delete", 0)}
+
+
+def test_changelog_partition_scoped_equality_deletes(spark, tmp_path):
+    """A Flink-CDC-shaped table whose equality-delete file is scoped to
+    ONE partition tuple: only parent rows in that partition die — the
+    same-keyed row in the other partition survives (previously this
+    shape refused loudly)."""
+    import os
+
+    from monday_etl_spark.avro_ocf import write_ocf
+    from monday_etl_spark.iceberg_export import _MANIFEST_FILE
+    from tests._iceberg_builders import (
+        entry,
+        manifest,
+        metadata,
+        write_data_file,
+    )
+
+    path = str(tmp_path / "scoped")
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir)
+    os.makedirs(meta_dir)
+    import pyarrow as pa
+
+    schema = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "region", "required": False, "type": "string"},
+    ]}
+    fa = write_data_file(
+        os.path.join(data_dir, "eu.parquet"), ["id", "region"], [1, 2],
+        [[1, 2], ["EU", "EU"]], types=[pa.int64(), pa.string()])
+    fb = write_data_file(
+        os.path.join(data_dir, "us.parquet"), ["id", "region"], [1, 2],
+        [[1, 3], ["US", "US"]], types=[pa.int64(), pa.string()])
+    # equality delete on id=1, SCOPED to the EU partition tuple
+    ed = write_data_file(
+        os.path.join(data_dir, "ed.parquet"), ["id"], [1], [[1]])
+    m_data = manifest(
+        meta_dir,
+        [entry(fa, 2, 100, seq=1, partition={"region": "EU"}),
+         entry(fb, 2, 100, seq=1, partition={"region": "US"})],
+        schema, partition={"region": "string"})
+    m_del = manifest(
+        meta_dir,
+        [entry(ed, 1, 200, seq=2, content=2, equality_ids=[1],
+               partition={"region": "EU"})],
+        schema, partition={"region": "string"})
+
+    def mlist(snap_id, items):
+        p = os.path.join(meta_dir, f"snap-{snap_id}-{snap_id}.avro")
+        write_ocf(p, _MANIFEST_FILE, [
+            {"manifest_path": "file://" + m,
+             "manifest_length": os.path.getsize(m),
+             "partition_spec_id": 0, "content": content,
+             "sequence_number": seq, "min_sequence_number": seq,
+             "added_snapshot_id": added_by,
+             "added_files_count": 1, "existing_files_count": 0,
+             "deleted_files_count": 0, "added_rows_count": 1,
+             "existing_rows_count": 0, "deleted_rows_count": 0,
+             "partitions": None}
+            for m, content, seq, added_by in items
+        ], metadata={"format-version": "2",
+                     "snapshot-id": str(snap_id),
+                     "sequence-number": str(max(
+                         s for _m, _c, s, _a in items)),
+                     "parent-snapshot-id": "null"})
+        return p
+
+    l1 = mlist(100, [(m_data, 0, 1, 100)])
+    l2 = mlist(200, [(m_data, 0, 1, 100), (m_del, 1, 2, 200)])
+    spec = [{"spec-id": 0, "fields": [
+        {"name": "region", "transform": "identity",
+         "source-id": 2, "field-id": 1000}]}]
+    snaps = [
+        {"snapshot-id": 100, "sequence-number": 1, "timestamp-ms": 1000,
+         "manifest-list": "file://" + l1, "schema-id": 0,
+         "summary": {"operation": "append"}},
+        {"snapshot-id": 200, "sequence-number": 2, "timestamp-ms": 2000,
+         "parent-snapshot-id": 100,
+         "manifest-list": "file://" + l2, "schema-id": 0,
+         "summary": {"operation": "overwrite"}},
+    ]
+    metadata(path, [schema], snaps,
+             [{"snapshot-id": 100, "timestamp-ms": 1000},
+              {"snapshot-id": 200, "timestamp-ms": 2000}],
+             current=200, specs=spec)
+
+    got = {
+        (r.id, r.region, r._change_type, r._change_ordinal)
+        for r in read_iceberg_changes(
+            spark, path, from_snapshot_id=100).collect()
+    }
+    # only the EU id=1 row dies; US id=1 survives untouched
+    assert got == {(1, "EU", "delete", 0)}
+
+
 def test_changelog_resolves_global_equality_deletes(spark, tmp_path):
     """An upsert's single snapshot emits BOTH halves: the equality
     delete resolved against the parent (old row values) and the
@@ -82,3 +332,36 @@ def test_changelog_resolves_global_equality_deletes(spark, tmp_path):
         (2, 99.0, "insert", 0),
         (50, 5.0, "insert", 0),
     }
+
+
+def test_changelog_timestamp_addressing(spark, tmp_path):
+    """Timestamp bounds resolve against snapshot commit times:
+    from_timestamp_ms serves changes strictly AFTER it (newest ancestor
+    at/before becomes the exclusive start), to_timestamp_ms through the
+    newest ancestor at/before it — iceberg-spark's changelog
+    start/end-timestamp contract."""
+    path = str(tmp_path / "tsaddr")
+    create_iceberg_table(path, [("id", "long"), ("v", "double")])
+    for i in range(3):
+        append_iceberg(spark, spark.createDataFrame(
+            [(i, float(i))], "id long, v double"), path)
+    meta = read_metadata(path)
+    by_id = {s["snapshot-id"]: s["timestamp-ms"] for s in meta["snapshots"]}
+    hist = iceberg_history(path)
+    t0, t1, t2 = (by_id[h["snapshot_id"]] for h in hist)
+    assert t0 <= t1 <= t2
+
+    # from exactly t0: strictly-after semantics exclude snapshot 0
+    got = _feed(spark, path, from_timestamp_ms=t0, to_timestamp_ms=t2)
+    assert {r[0] for r in got} == ({1, 2} if t1 > t0 else {2})
+    # from before the first snapshot: everything
+    got = _feed(spark, path, from_timestamp_ms=t0 - 1)
+    assert {r[0] for r in got} == {0, 1, 2}
+    # to before the first snapshot: loud error
+    with pytest.raises(ValueError, match="predates the first snapshot"):
+        read_iceberg_changes(spark, path, to_timestamp_ms=t0 - 1)
+    # one bound kind per side
+    with pytest.raises(ValueError, match="not both"):
+        read_iceberg_changes(spark, path,
+                             from_snapshot_id=hist[0]["snapshot_id"],
+                             from_timestamp_ms=t0)
