@@ -47,9 +47,14 @@ from .delta_import import (
     _partition_literal,
     _snapshot_state,
     commit_timestamps,
+    version_at_or_after,
 )
 
 __all__ = ["read_delta_changes"]
+
+# one plan piece (or more) per commit: past this, refuse with the remedy
+# (bounded windows) instead of building a plan that grows without bound
+_CDF_MAX_COMMITS = 256
 
 
 def _part_key_order(kv):
@@ -136,21 +141,84 @@ def _scan_entries(
     return out
 
 
+def _check_cdf_enabled_over(spark, path: str, commits: dict[int, str],
+                            start_v: int, end_v: int) -> None:
+    """Refuse unless ``delta.enableChangeDataFeed`` was "true" at EVERY
+    commit in ``[start_v, end_v]``. Commits written while CDF was off
+    carry no change-data files, so serving them via add/remove
+    reconstruction would over-report rewrites (a pre-enablement
+    copy-on-write commit reads as delete+insert of every surviving row)
+    — delta-spark refuses such ranges. ``metaData`` actions carry the
+    full configuration, so the log replay tracks every transition; when
+    the log tail is checkpoint-truncated, the state at the earliest
+    retained version comes from that version's snapshot meta."""
+    versions = [v for v in sorted(commits) if v <= end_v]
+    if not versions:
+        return
+    if versions[0] == 0:
+        enabled = False  # a new table starts with no configuration
+    else:
+        base = _snapshot_state(spark, path, versions[0]).meta
+        conf = base.get("configuration") or {}
+        enabled = conf.get("delta.enableChangeDataFeed") == "true"
+    floor = None
+    for v in versions:
+        with open(commits[v]) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "metaData" in a:
+                    conf = a["metaData"].get("configuration") or {}
+                    now = conf.get("delta.enableChangeDataFeed") == "true"
+                    if now and not enabled:
+                        floor = v
+                    enabled = now
+        if v >= start_v and not enabled:
+            raise DeltaProtocolError(
+                f"change feed is off at version {v} (enabled "
+                f"{'at version ' + str(floor) if floor is not None else 'never in the retained log'}): "
+                f"commits written while CDF is disabled carry no "
+                "change-data files, so the range "
+                f"[{start_v}, {end_v}] cannot be served faithfully.")
+    if floor is not None and start_v < floor:
+        raise DeltaProtocolError(
+            f"change feed was (re-)enabled at version {floor}: commits "
+            f"before it carry no change-data files, so the range "
+            f"[{start_v}, {end_v}] cannot be served faithfully. Start "
+            "at or above the enablement version.")
+
+
 def read_delta_changes(
     spark: SparkSession,
     path: str,
-    starting_version: int,
+    starting_version: int | None = None,
     ending_version: int | None = None,
+    starting_timestamp: int | None = None,
+    ending_timestamp: int | None = None,
 ) -> DataFrame:
     """Row-level changes committed in ``[starting_version,
     ending_version]`` (default: through the latest version), as the
     table schema plus ``_change_type`` / ``_commit_version`` /
     ``_commit_timestamp`` — the delta-spark ``table_changes`` surface.
 
+    Bounds address by version or by commit timestamp (epoch ms), one or
+    the other per side like delta-spark's startingVersion /
+    startingTimestamp: a starting timestamp resolves to the EARLIEST
+    commit at or after it (error past the latest commit), an ending
+    timestamp to the LATEST commit at or before it (error before the
+    first commit) — both against the monotone ``commit_timestamps``
+    clock, so the cut is well-defined even when raw commit times
+    interleave.
+
     Refuses loudly when the feed cannot be served faithfully: CDF not
-    enabled on the table, a commit JSON already cleaned from the log, a
-    DV-update commit without change-data files, or a column-mapped
-    table (physical-name change files are not resolved here)."""
+    enabled on the table, commits from before CDF was (last) enabled —
+    their change-data files were never written, so add/remove
+    reconstruction would over-report pre-enablement rewrites — a commit
+    JSON already cleaned from the log, a change-data file already
+    vacuumed, a DV-update commit without change-data files, or a
+    column-mapped table (physical-name change files are not resolved
+    here)."""
     path = os.path.abspath(path)
     snap = _snapshot_state(spark, path, None)
     meta = snap.meta
@@ -166,17 +234,47 @@ def read_delta_changes(
         raise DeltaProtocolError(
             "change feed over a column-mapped table is not supported "
             "by this bridge (change files carry physical names)")
+    commits = _list_commits(path)
+    ts = commit_timestamps(path)
+    if starting_version is not None and starting_timestamp is not None:
+        raise ValueError(
+            "give starting_version OR starting_timestamp, not both")
+    if ending_version is not None and ending_timestamp is not None:
+        raise ValueError(
+            "give ending_version OR ending_timestamp, not both")
+    if starting_timestamp is not None:
+        starting_version = version_at_or_after(path, int(starting_timestamp))
+    if starting_version is None:
+        raise ValueError(
+            "give starting_version or starting_timestamp")
+    if ending_timestamp is not None:
+        at_or_before = [v for v, t in ts.items()
+                        if t <= int(ending_timestamp)]
+        if not at_or_before:
+            earliest = min(ts.values()) if ts else None
+            raise ValueError(
+                f"{path}: ending_timestamp {ending_timestamp} is before "
+                f"the first commit time ({earliest})")
+        ending_version = max(at_or_before)
     if ending_version is None:
         ending_version = snap.version
     if not 0 <= starting_version <= ending_version <= snap.version:
         raise ValueError(
             f"bad version range [{starting_version}, {ending_version}] "
             f"(table is at {snap.version})")
+    if ending_version - starting_version + 1 > _CDF_MAX_COMMITS:
+        raise DeltaProtocolError(
+            f"change-feed range spans "
+            f"{ending_version - starting_version + 1} commits (cap "
+            f"{_CDF_MAX_COMMITS}): the plan grows at least one scan per "
+            "commit. Walk the history in bounded windows instead — "
+            "repeated read_delta_changes calls with narrower version "
+            "ranges.")
+    _check_cdf_enabled_over(spark, path, commits,
+                            starting_version, ending_version)
 
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = meta.get("partitionColumns") or []
-    commits = _list_commits(path)
-    ts = commit_timestamps(path)
     ct_field = [StructField("_change_type", StringType(), True)]
 
     pieces: list[DataFrame] = []
@@ -195,6 +293,19 @@ def read_delta_changes(
                    if "remove" in a and a["remove"].get("dataChange")]
 
         if cdc:
+            # a vacuumed change-data file would otherwise surface as a
+            # raw parquet path-not-found deep in the scan: refuse loudly
+            # naming the version instead (same contract as the
+            # checkpoint-cleaned-commit refusal above)
+            for c in cdc:
+                rel = urllib.parse.unquote(c["path"])
+                absf = rel if os.path.isabs(rel) \
+                    else os.path.join(path, rel)
+                if not os.path.exists(absf):
+                    raise DeltaProtocolError(
+                        f"version {v}: change-data file {c['path']!r} "
+                        "has been vacuumed; this version's change feed "
+                        "is gone")
             df = _scan_entries(
                 spark, path, schema, part_cols,
                 [(c["path"], c.get("partitionValues") or {}, None)

@@ -1276,11 +1276,15 @@ def write_checkpoint(
     (written DISTRIBUTED — one sidecar per shuffle partition, so a
     million-file state never rides the driver); ``"auto"`` (default)
     writes v2 exactly when the table's protocol declares the
-    ``v2Checkpoint`` feature — the spec's own rule. Writing v2 onto a
-    table whose READERS never declared the feature refuses (pre-feature
-    readers cannot discover uuid-named checkpoints, so log cleanup
-    would strand them); writing classic onto a v2-declaring table
-    refuses symmetrically.
+    ``v2Checkpoint`` feature — the spec's own rule. ``"v2-json"``
+    writes the same distributed sidecars but a JSON-lines top level
+    (``<v:020d>.checkpoint.<uuid>.json`` — the form some engines prefer
+    for small tables; it is always tiny here: checkpointMetadata +
+    sidecar refs + singles, never inline file actions). Writing v2 onto
+    a table whose READERS never declared the feature refuses
+    (pre-feature readers cannot discover uuid-named checkpoints, so log
+    cleanup would strand them); writing classic onto a v2-declaring
+    table refuses symmetrically.
 
     ``clean_commits=True`` additionally deletes the JSON commits the
     checkpoint covers (Delta's log cleanup). Time travel BELOW the
@@ -1295,7 +1299,7 @@ def write_checkpoint(
     feats_w = set(snap.protocol.get("writerFeatures") or [])
     if form == "auto":
         form = "v2" if "v2Checkpoint" in feats_w else "classic"
-    if form == "v2" and "v2Checkpoint" not in feats_r:
+    if form in ("v2", "v2-json") and "v2Checkpoint" not in feats_r:
         raise DeltaProtocolError(
             "table protocol does not declare the v2Checkpoint reader "
             "feature: a uuid-named checkpoint would be invisible to its "
@@ -1306,8 +1310,9 @@ def write_checkpoint(
             "table declares the v2Checkpoint writer feature: checkpoints "
             "must be written in the v2 format (pass form='v2' or 'auto')"
         )
-    if form not in ("classic", "v2"):
-        raise ValueError(f"form must be classic/v2/auto, not {form!r}")
+    if form not in ("classic", "v2", "v2-json"):
+        raise ValueError(
+            f"form must be classic/v2/v2-json/auto, not {form!r}")
     txn_rows = [
         ({"appId": a, "version": v}, None, None, None, None)
         for a, v in sorted(snap.txns.items()) if v >= 0
@@ -1388,31 +1393,50 @@ def write_checkpoint(
                      None, None, None, None, None, None))
         finally:
             shutil.rmtree(stage, ignore_errors=True)
-        top_ddl = (
-            "sidecar struct<path:string, sizeInBytes:bigint, "
-            "modificationTime:bigint>, "
-            "checkpointMetadata struct<version:bigint>, " + _CKPT_DDL
-        )
-        # widen singles rows into the top-level shape (no add/remove
-        # columns ride the top level when sidecars are present)
-        top = spark.createDataFrame(
-            sidecar_rows
-            + [(None, {"version": snap.version},
-                None, None, None, None, None)]
-            + [(None, None) + r for r in txn_rows + [meta_row, proto_row]],
-            top_ddl,
-        ).drop("add", "remove")
-        stage2 = tempfile.mkdtemp(prefix="delta_ckpt_v2t_")
-        try:
-            top.coalesce(1).write.mode("overwrite").parquet(stage2)
-            part = next(f for f in sorted(os.listdir(stage2))
-                        if f.endswith(".parquet"))
+        if form == "v2-json":
+            # JSON-lines top level: always tiny (checkpointMetadata +
+            # sidecar refs + singles — file actions live in the parquet
+            # sidecars), written to a temp name then atomically renamed
+            lines = [{"checkpointMetadata": {"version": snap.version}}]
+            lines += [{"sidecar": s[0]} for s in sidecar_rows]
+            lines += [{"txn": t[0]} for t in txn_rows]
+            lines += [{"metaData": meta_row[3]},
+                      {"protocol": proto_row[4]}]
             target = os.path.join(
                 _log_dir(path),
-                f"{snap.version:020d}.checkpoint.{uuid.uuid4()}.parquet")
-            os.replace(os.path.join(stage2, part), target)
-        finally:
-            shutil.rmtree(stage2, ignore_errors=True)
+                f"{snap.version:020d}.checkpoint.{uuid.uuid4()}.json")
+            tmp = target + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write("\n".join(json.dumps(ln) for ln in lines) + "\n")
+            os.replace(tmp, target)
+        else:
+            top_ddl = (
+                "sidecar struct<path:string, sizeInBytes:bigint, "
+                "modificationTime:bigint>, "
+                "checkpointMetadata struct<version:bigint>, " + _CKPT_DDL
+            )
+            # widen singles rows into the top-level shape (no add/remove
+            # columns ride the top level when sidecars are present)
+            top = spark.createDataFrame(
+                sidecar_rows
+                + [(None, {"version": snap.version},
+                    None, None, None, None, None)]
+                + [(None, None) + r
+                   for r in txn_rows + [meta_row, proto_row]],
+                top_ddl,
+            ).drop("add", "remove")
+            stage2 = tempfile.mkdtemp(prefix="delta_ckpt_v2t_")
+            try:
+                top.coalesce(1).write.mode("overwrite").parquet(stage2)
+                part = next(f for f in sorted(os.listdir(stage2))
+                            if f.endswith(".parquet"))
+                target = os.path.join(
+                    _log_dir(path),
+                    f"{snap.version:020d}.checkpoint."
+                    f"{uuid.uuid4()}.parquet")
+                os.replace(os.path.join(stage2, part), target)
+            finally:
+                shutil.rmtree(stage2, ignore_errors=True)
         last_ckpt["v2Checkpoint"] = {"path": os.path.basename(target)}
     with open(os.path.join(_log_dir(path), "_last_checkpoint"), "w") as fh:
         json.dump(last_ckpt, fh)

@@ -115,6 +115,49 @@ def _local_meta(path: str) -> dict:
     return meta
 
 
+def _check_cdf_enabled_local(path: str, start_v: int, end_v: int) -> None:
+    """SparkSession-free twin of ``delta_cdf._check_cdf_enabled_over``
+    for stream start: refuse when the retained JSON log PROVES a commit
+    in ``[start_v, end_v]`` was written while
+    ``delta.enableChangeDataFeed`` was off (its change-data files were
+    never written — reconstruction would over-report rewrites). When the
+    log tail is checkpoint-truncated the base state is unknown and only
+    transitions visible in retained commits are judged — the stream
+    under-refuses there; the batch reader (``read_delta_changes``) does
+    the full checkpoint-backed check."""
+    commits = _list_commits(path)
+    versions = [v for v in sorted(commits) if v <= end_v]
+    if not versions:
+        return
+    # a new table starts with no configuration; a truncated tail starts
+    # unknown (None) — only a PROVEN off state refuses
+    enabled: bool | None = False if versions[0] == 0 else None
+    floor = None
+    for v in versions:
+        with open(commits[v]) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "metaData" in a:
+                    conf = a["metaData"].get("configuration") or {}
+                    now = conf.get("delta.enableChangeDataFeed") == "true"
+                    if now and enabled is False:
+                        floor = v
+                    enabled = now
+        if v >= start_v and enabled is False:
+            raise DeltaProtocolError(
+                f"read_change_feed: change feed is off at version {v}: "
+                "commits written while CDF is disabled carry no "
+                "change-data files, so streaming from "
+                f"{start_v} cannot be served faithfully.")
+    if floor is not None and start_v < floor:
+        raise DeltaProtocolError(
+            f"read_change_feed: change feed was (re-)enabled at version "
+            f"{floor}: commits before it carry no change-data files. "
+            "Start the stream at or above the enablement version.")
+
+
 def _current_version(path: str) -> int:
     vs = set(_list_commits(path)) | set(_list_checkpoints(path))
     if not vs:
@@ -310,6 +353,9 @@ class DeltaStreamReader(DataSourceStreamReader):
             # after the timestamp; errors past the latest commit
             start = version_at_or_after(self.path, int(start_ts))
         if start is not None:
+            if self.cdf:
+                _check_cdf_enabled_local(
+                    self.path, int(start), _current_version(self.path))
             self._initial = {"version": int(start), "index": 0}
         else:
             # only NEW commits stream: the current head, fully consumed

@@ -1612,21 +1612,26 @@ def iceberg_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     GROUP BY change_type, o_orderstatus
     """,
-    doc="Delta Change Data Feed (r10): a CDF-enabled DV table takes a "
+    doc="Delta Change Data Feed (r10; r11: timestamp-addressed): a "
+        "CDF-enabled DV table takes a "
         "blind append (v1 — reconstructed as inserts from its add "
         "actions, the spec's no-cdc shape) and a DV DELETE (v2 — "
         "pre-image rows written to _change_data + cdc actions by "
-        "delete_delta_where); read_delta_changes(1, 2) serves both and "
-        "the query aggregates the feed per change type — the "
+        "delete_delta_where); the feed over [v1, v2] is addressed BY "
+        "COMMIT TIMESTAMP (delta-spark's starting/endingTimestamp "
+        "against the monotone commit clock — boundary-exact on both "
+        "sides) and the query aggregates it per change type — the "
         "reference's day-over-day diff consumer shape "
         "(monday_etl_automated.py:600-645, SURVEY.md O-39) over CDF "
         "instead of two snapshot scans. In-query assertions pin that "
-        "the v2 commit carries cdc actions and that the feed stamps "
-        "both versions. Oracle: the insert set is the appended subset; "
-        "the delete set is the value-range match over base + appended.",
+        "the v2 commit carries cdc actions and that the timestamp "
+        "bounds resolved to exactly versions {1, 2}. Oracle: the "
+        "insert set is the appended subset; the delete set is the "
+        "value-range match over base + appended.",
 )
 def delta_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..delta_cdf import read_delta_changes
+    from ..delta_import import commit_timestamps
     from ..functions import money_sum
     from .fixtures import shared
 
@@ -1635,7 +1640,16 @@ def delta_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         acts = [json.loads(line) for line in fh if line.strip()]
     if not any("cdc" in a for a in acts):
         raise AssertionError("DELETE commit carries no cdc actions")
-    feed = read_delta_changes(spark, path, 1, 2)
+    ts = commit_timestamps(path)
+    if ts[1] > ts[0]:
+        # timestamp addressing: start rounds UP to v1's commit time,
+        # end rounds DOWN to v2's — the distinct-versions assertion
+        # below pins the resolution end-to-end under the exact oracle
+        feed = read_delta_changes(spark, path,
+                                  starting_timestamp=ts[1],
+                                  ending_timestamp=ts[2])
+    else:  # same-millisecond commits: timestamps cannot split them
+        feed = read_delta_changes(spark, path, 1, 2)
     versions = {r["_commit_version"] for r in
                 feed.select("_commit_version").distinct().collect()}
     if versions != {1, 2}:

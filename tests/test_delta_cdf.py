@@ -214,3 +214,145 @@ def test_restore_and_compaction_in_the_feed(spark, tmp_path):
     # the restored head serves the original row set again
     assert sorted(r.id for r in read_delta(spark, table).collect()) \
         == list(range(10))
+
+
+def _ci(ts_ms):
+    return {"commitInfo": {"timestamp": ts_ms}}
+
+
+def test_feed_timestamp_addressing(spark, tmp_path):
+    """Timestamp bounds resolve against the monotone commit clock:
+    starting → earliest commit at/after, ending → latest commit
+    at/before; boundary-exact, between-commit, and out-of-range cases
+    match delta-spark's startingTimestamp/endingTimestamp contract."""
+    table = str(tmp_path / "ts")
+    os.makedirs(table)
+    f0 = _write_file(spark, table, "f0", [(0, 0.0)])
+    f1 = _write_file(spark, table, "f1", [(1, 1.0)])
+    f2 = _write_file(spark, table, "f2", [(2, 2.0)])
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "ts-fixture",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": _SCHEMA_JSON,
+                      "partitionColumns": [],
+                      "configuration": {
+                          "delta.enableChangeDataFeed": "true"}}},
+        _add(f0), _ci(1000),
+    ])
+    _commit(table, 1, [_add(f1), _ci(2000)])
+    _commit(table, 2, [_add(f2), _ci(3000)])
+
+    def ids(**kw):
+        return sorted(r["id"] for r in
+                      read_delta_changes(spark, table, **kw).collect())
+
+    # between commits: start rounds up, end rounds down
+    assert ids(starting_timestamp=1500, ending_timestamp=2500) == [1]
+    # boundary-exact on both sides
+    assert ids(starting_timestamp=2000, ending_timestamp=3000) == [1, 2]
+    # open end defaults to the latest version
+    assert ids(starting_timestamp=1500) == [1, 2]
+    # mixing a version bound with a timestamp bound on the OTHER side
+    assert ids(starting_version=1, ending_timestamp=2999) == [1]
+    with pytest.raises(ValueError, match="after the latest commit"):
+        ids(starting_timestamp=9999)
+    with pytest.raises(ValueError, match="before the first commit"):
+        ids(starting_timestamp=1000, ending_timestamp=500)
+    with pytest.raises(ValueError, match="not both"):
+        read_delta_changes(spark, table, starting_version=0,
+                           starting_timestamp=1000)
+    with pytest.raises(ValueError, match="not both"):
+        read_delta_changes(spark, table, starting_version=0,
+                           ending_version=1, ending_timestamp=2000)
+    with pytest.raises(ValueError, match="starting_version or"):
+        read_delta_changes(spark, table)
+
+
+def test_feed_refuses_pre_enablement_versions(spark, tmp_path):
+    """CDF enabled mid-history: versions below the enablement carry no
+    change-data files, so a pre-enablement copy-on-write rewrite
+    (remove f / add g, no cdc) would over-report every surviving row as
+    delete+insert. The reader refuses ranges that predate enablement,
+    like delta-spark."""
+    table = str(tmp_path / "late")
+    os.makedirs(table)
+    f0 = _write_file(spark, table, "f0", [(0, 0.0), (1, 1.0)])
+    f1 = _write_file(spark, table, "f1", [(0, 0.0), (1, 1.0)])
+    f2 = _write_file(spark, table, "f2", [(2, 2.0)])
+    md = {"metaData": {"id": "late-fixture",
+                       "format": {"provider": "parquet", "options": {}},
+                       "schemaString": _SCHEMA_JSON,
+                       "partitionColumns": [], "configuration": {}}}
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        md, _add(f0),
+    ])
+    # v1: pre-enablement COW rewrite (remove f0 / add f1, no cdc)
+    _commit(table, 1, [
+        {"remove": {"path": f0, "dataChange": True}}, _add(f1),
+    ])
+    # v2: enable CDF via a metaData action
+    md_on = json.loads(json.dumps(md))
+    md_on["metaData"]["configuration"] = {
+        "delta.enableChangeDataFeed": "true"}
+    _commit(table, 2, [md_on])
+    # v3: post-enablement blind append (reconstructable)
+    _commit(table, 3, [_add(f2)])
+
+    with pytest.raises(DeltaProtocolError, match="off at version 0"):
+        read_delta_changes(spark, table, 0)
+    with pytest.raises(DeltaProtocolError, match="off at version 1"):
+        read_delta_changes(spark, table, 1, 3)
+    got = {(r["id"], r["_change_type"], r["_commit_version"])
+           for r in read_delta_changes(spark, table, 2).collect()}
+    assert got == {(2, "insert", 3)}
+
+    # a disable INSIDE the range refuses even when CDF is back on later:
+    # v4 disables, v5 re-enables — [3, 5] covers the dark commit
+    md_off = json.loads(json.dumps(md))
+    _commit(table, 4, [md_off])
+    md_on2 = json.loads(json.dumps(md))
+    md_on2["metaData"]["configuration"] = {
+        "delta.enableChangeDataFeed": "true"}
+    _commit(table, 5, [md_on2])
+    with pytest.raises(DeltaProtocolError, match="off at version 4"):
+        read_delta_changes(spark, table, 3, 5)
+    # the re-enablement is the new floor: starting there serves again
+    assert read_delta_changes(spark, table, 5).count() == 0
+
+
+def test_feed_refuses_vacuumed_change_data(spark, tmp_path):
+    """A change-data file swept from disk refuses loudly naming the
+    version, instead of a raw parquet path-not-found deep in the
+    scan."""
+    import glob
+
+    table = _cdf_table(spark, tmp_path)
+    delete_delta_where(spark, table, "id", 0, 2)  # v1: cdc written
+    assert sorted(
+        r["id"] for r in
+        read_delta_changes(spark, table, 1, 1).collect()) == [0, 1, 2]
+    for f in glob.glob(os.path.join(table, "_change_data", "**", "*"),
+                       recursive=True):
+        if os.path.isfile(f):
+            os.unlink(f)
+    with pytest.raises(DeltaProtocolError, match="version 1.*vacuumed"):
+        read_delta_changes(spark, table, 1, 1)
+
+
+def test_feed_commit_range_cap(spark, tmp_path, monkeypatch):
+    """Past the commit cap the reader refuses loudly naming the remedy
+    (bounded windows): the plan grows at least one scan per commit."""
+    from monday_etl_spark import delta_cdf as dc
+
+    table = _cdf_table(spark, tmp_path)
+    for i in range(2):
+        append_delta(
+            spark,
+            spark.createDataFrame([(200 + i, 0.0)], "id long, v double"),
+            table)
+    monkeypatch.setattr(dc, "_CDF_MAX_COMMITS", 2)
+    with pytest.raises(DeltaProtocolError, match="bounded windows"):
+        read_delta_changes(spark, table, 0, 2)
+    assert read_delta_changes(spark, table, 1, 2).count() == 2

@@ -128,3 +128,49 @@ def test_change_feed_rate_limited_resumable_drain(spark, tmp_path):
             break
     assert sorted(seen) == [(0, "delete"), (1, "delete"),
                             (200, "insert"), (201, "insert")]
+
+
+def test_change_feed_stream_refuses_pre_enablement_start(spark, tmp_path):
+    """Starting the CDF stream below the version where CDF was enabled
+    refuses at stream start (the batch reader's enablement-floor
+    contract, session-free): pre-enablement commits carry no change
+    files, so reconstruction would over-report rewrites."""
+    import json as _json
+
+    table = str(tmp_path / "latestream")
+    os.makedirs(table)
+    f0 = _write_file(spark, table, "f0", [(1, 1.0)])
+    f1 = _write_file(spark, table, "f1", [(2, 2.0)])
+    md = {"metaData": {"id": "ls",
+                       "format": {"provider": "parquet", "options": {}},
+                       "schemaString": (
+                           '{"type":"struct","fields":['
+                           '{"name":"id","type":"long","nullable":true,'
+                           '"metadata":{}},'
+                           '{"name":"v","type":"double","nullable":true,'
+                           '"metadata":{}}]}'),
+                       "partitionColumns": [], "configuration": {}}}
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        md, _add(f0),
+    ])
+    md_on = _json.loads(_json.dumps(md))
+    md_on["metaData"]["configuration"] = {
+        "delta.enableChangeDataFeed": "true"}
+    _commit(table, 1, [md_on])
+    _commit(table, 2, [_add(f1)])
+
+    with pytest.raises(Exception, match="off at version 0"):
+        stream = stream_delta(spark, table, starting_version=0,
+                              read_change_feed=True)
+        _drain(spark, stream, str(tmp_path / "c0"))
+
+    # starting at/above the enablement serves
+    out = _drain(
+        spark,
+        stream_delta(spark, table, starting_version=1,
+                     read_change_feed=True),
+        str(tmp_path / "c1"))
+    assert {(r.id, r._change_type)
+            for r in spark.read.parquet(out).collect()} \
+        == {(2, "insert")}

@@ -1384,3 +1384,62 @@ def test_live_file_set_cap_refuses_with_remedy(spark, tmp_path,
         read_delta(spark, table).collect()
     monkeypatch.setenv("SPARK_GRAFT_MAX_LIVE_FILES", "100")
     assert read_delta(spark, table).count() == 3
+
+
+def test_v2_json_checkpoint_write_roundtrip(spark, tmp_path):
+    """form='v2-json' writes the SAME distributed parquet sidecars but a
+    JSON-lines top level (the form some engines prefer for small
+    tables): uuid-named *.checkpoint.<uuid>.json, singles + sidecar refs
+    only — and after log cleanup the existing json-form READ path
+    replays the state row-identically."""
+    import json as _json
+
+    from monday_etl_spark.delta_import import (
+        delta_versions,
+        last_txn_version,
+        write_checkpoint,
+    )
+
+    table = str(tmp_path / "v2j")
+    os.makedirs(table)
+    f0, _ = _write_file(spark, table, "f0",
+                        [(i, float(i)) for i in range(6)])
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["v2Checkpoint",
+                                         "deletionVectors"],
+                      "writerFeatures": ["v2Checkpoint",
+                                         "deletionVectors"]}},
+        _meta(), _add(f0),
+        {"txn": {"appId": "pipe", "version": 3}},
+    ])
+    from monday_etl_spark.delta_import import delete_delta_where
+
+    delete_delta_where(spark, table, "id", 0, 1)  # v1: DVs in the state
+
+    target = write_checkpoint(spark, table, form="v2-json",
+                              clean_commits=True)
+    assert target.endswith(".json")
+    assert len(os.path.basename(target).split(".")[2]) == 36  # uuid
+    with open(target) as fh:
+        acts = [_json.loads(ln) for ln in fh if ln.strip()]
+    kinds = [next(iter(a)) for a in acts]
+    assert kinds[0] == "checkpointMetadata"
+    assert "sidecar" in kinds and "metaData" in kinds \
+        and "protocol" in kinds and "txn" in kinds
+    # no inline file actions ride the json top level
+    assert "add" not in kinds and "remove" not in kinds
+    # json commits are gone: replay can ONLY come through the checkpoint
+    assert not [f for f in os.listdir(os.path.join(table, "_delta_log"))
+                if f.endswith(".json") and f[0].isdigit()
+                and ".checkpoint." not in f]
+
+    ids = sorted(r.id for r in read_delta(spark, table).collect())
+    assert ids == [2, 3, 4, 5]
+    assert delta_versions(table) == [1]
+    assert last_txn_version(spark, table, "pipe") == 3
+    # appends continue on top of the checkpointed state
+    append_delta(
+        spark, spark.createDataFrame([(99, 9.9)], "id long, v double"),
+        table)
+    assert 99 in {r.id for r in read_delta(spark, table).collect()}
