@@ -26,6 +26,8 @@ same sufficient-state contract (affected users' open rows), same MERGE.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -36,14 +38,25 @@ ROLLUP_KEY = ["event_date", "event_type"]
 
 
 def apply_rollup_batch(spark: SparkSession, table_path: str,
-                       batch: DataFrame, n_buckets: int = 4) -> None:
+                       batch: DataFrame, n_buckets: int = 4,
+                       txn: tuple | None = None) -> None:
     """Additive incremental maintenance of the daily rollup: the batch's
     exact-decimal partial aggregate folds into the existing rows of the
     touched groups. ``sum_dec`` stays DECIMAL in the table so cross-batch
     addition is exact; readers cast to the money-rounded double at the
-    edge (``read_rollup``)."""
-    from ..tableformat import read_version
+    edge (``read_rollup``).
 
+    ``txn = (app_id, batch_id)`` makes the ADDITIVE fold replay-safe:
+    foreachBatch is at-least-once, and re-folding an already-applied
+    batch would double-count n_events/sum_dec. The stamp commits
+    ATOMICALLY with the fold (same manifest), and an already-applied
+    batch id no-ops — the Delta ``txn`` action pattern."""
+    from ..tableformat import last_versioned_txn, read_version
+
+    if txn is not None:
+        last = last_versioned_txn(table_path, txn[0])
+        if last is not None and last >= int(txn[1]):
+            return  # replayed micro-batch: already folded in
     if not batch.take(1):
         return
     delta = (
@@ -58,7 +71,7 @@ def apply_rollup_batch(spark: SparkSession, table_path: str,
     )
     if current_version(table_path) is None:
         write_versioned(delta, table_path, key=ROLLUP_KEY,
-                        n_buckets=n_buckets)
+                        n_buckets=n_buckets, txn=txn)
         return
     existing = (
         read_version(spark, table_path)
@@ -80,7 +93,7 @@ def apply_rollup_batch(spark: SparkSession, table_path: str,
             .cast("decimal(28,2)").alias("sum_dec"),
         )
     )
-    merge_versioned(spark, table_path, combined)
+    merge_versioned(spark, table_path, combined, txn=txn)
 
 
 def read_rollup(spark: SparkSession, table_path: str) -> DataFrame:
@@ -111,19 +124,39 @@ def run_multi_maintenance(
     ``[(table_path, apply_fn), ...]`` where ``apply_fn(spark,
     table_path, batch)`` is that view's incremental step. The micro-batch
     is cached once and fanned out, so the source is read once per drain
-    regardless of view count."""
+    regardless of view count.
+
+    Replay-safe: foreachBatch is at-least-once (a crash — or a LATER
+    view's apply_fn throwing — after one view committed but before the
+    checkpoint records the batch re-delivers the same micro-batch on
+    restart). Apply fns that accept a ``txn`` keyword get ``(app_id,
+    batch_id)`` — app_id derived from this drain's checkpoint + the
+    view's table, stable across restarts — and no-op on already-applied
+    batch ids via the stamp their own commit carries
+    (``tableformat.last_versioned_txn``)."""
+    import inspect
+
     stream = read_events_stream(
         spark, ingest_dir, glob=glob,
         max_files_per_trigger=max_files_per_trigger,
     )
+    ckpt = os.path.abspath(checkpoint_dir)
+    takes_txn = {
+        id(fn): "txn" in inspect.signature(fn).parameters
+        for _p, fn in views
+    }
 
-    def handle(batch: DataFrame, _bid: int) -> None:
+    def handle(batch: DataFrame, bid: int) -> None:
         if not batch.take(1):
             return
         batch.persist()
         try:
             for table_path, apply_fn in views:
-                apply_fn(spark, table_path, batch)
+                if takes_txn[id(apply_fn)]:
+                    app = f"multi:{ckpt}:{os.path.abspath(table_path)}"
+                    apply_fn(spark, table_path, batch, txn=(app, bid))
+                else:
+                    apply_fn(spark, table_path, batch)
         finally:
             batch.unpersist()
 

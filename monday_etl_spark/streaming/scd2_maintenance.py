@@ -98,13 +98,23 @@ def _scd2_upserts(batch: DataFrame, open_rows: DataFrame) -> DataFrame:
 
 
 def apply_scd2_batch(spark: SparkSession, table_path: str,
-                     batch: DataFrame, n_buckets: int = 8) -> None:
+                     batch: DataFrame, n_buckets: int = 8,
+                     txn: tuple | None = None) -> None:
     """One micro-batch's SCD2 maintenance step against ``table_path`` —
     the foreachBatch body, factored out so a multiplexed drain
     (``multi_maintenance``) can apply it to a batch it shares with other
-    views."""
-    from ..tableformat import read_version
+    views.
 
+    ``txn = (app_id, batch_id)`` makes replays no-ops: foreachBatch is
+    at-least-once, and re-applying a batch whose events already closed a
+    user's row would append spurious SCD2 versions. The stamp commits
+    atomically with the MERGE (same manifest)."""
+    from ..tableformat import last_versioned_txn, read_version
+
+    if txn is not None:
+        last = last_versioned_txn(table_path, txn[0])
+        if last is not None and last >= int(txn[1]):
+            return  # replayed micro-batch: already applied
     if not batch.take(1):
         return
     if current_version(table_path) is None:
@@ -113,7 +123,7 @@ def apply_scd2_batch(spark: SparkSession, table_path: str,
                 "user_id", "status", "valid_from_us", "version_n")
         )
         write_versioned(ups, table_path, key=SCD2_KEY,
-                        n_buckets=n_buckets)
+                        n_buckets=n_buckets, txn=txn)
     else:
         users = batch.select("user_id").distinct()
         open_rows = (
@@ -122,7 +132,8 @@ def apply_scd2_batch(spark: SparkSession, table_path: str,
             .join(F.broadcast(users), "user_id", "left_semi")
             .select("user_id", "status", "valid_from_us", "version_n")
         )
-        merge_versioned(spark, table_path, _scd2_upserts(batch, open_rows))
+        merge_versioned(spark, table_path, _scd2_upserts(batch, open_rows),
+                        txn=txn)
 
 
 def run_scd2_maintenance(

@@ -417,7 +417,8 @@ def _carry_stats(path: str, man_old: dict, new_buckets: dict,
 
 def write_versioned(df: DataFrame, path: str, key,
                     n_buckets: int = 64,
-                    stats_cols: list[str] | None = None) -> int:
+                    stats_cols: list[str] | None = None,
+                    txn: tuple | None = None) -> int:
     """Commit the frame as the table's next version (full snapshot write,
     bucketed by the key hash). ``key`` may be one column name or a list
     (composite entity key). ``stats_cols`` declares columns whose per-file
@@ -463,6 +464,12 @@ def write_versioned(df: DataFrame, path: str, key,
             next_id += 1
     man["field_ids"] = fid
     man["next_field_id"] = next_id
+    if prior and prior.get("txns"):
+        # txn stamps survive even a full-snapshot rewrite: a replayed
+        # micro-batch must stay recognizable (aliases/retired do NOT
+        # carry here — the rewrite's files carry current names)
+        man["txns"] = prior["txns"]
+    _stamp_txn(man, txn)
     _record_epoch(man, None, commit_dir)
     if stats_cols:
         man["stats"] = _footer_stats(
@@ -611,13 +618,42 @@ def _live_and_retired_names(man: dict) -> tuple[set, set]:
 
 
 def _carry_naming(newman: dict, man: dict) -> dict:
-    """Carry rename/drop metadata (aliases, retired names) into a new
-    commit's manifest: every commit type must preserve them or files
-    written before a rename would stop resolving."""
-    for k in ("aliases", "retired"):
+    """Carry rename/drop metadata (aliases, retired names) AND streaming
+    txn stamps into a new commit's manifest: every commit type must
+    preserve them — files written before a rename would stop resolving,
+    and a dropped txn stamp would let an at-least-once foreachBatch
+    re-apply an already-folded micro-batch (double-counting)."""
+    for k in ("aliases", "retired", "txns"):
         if man.get(k):
             newman[k] = man[k]
     return newman
+
+
+def _stamp_txn(newman: dict, txn: tuple | None) -> None:
+    """Record ``txn = (app_id, txn_version)`` in the manifest being
+    committed — ATOMIC with the data change, so a replayed micro-batch
+    can be recognized and skipped (the Delta ``txn`` action / Iceberg
+    snapshot-summary stamp pattern). The map rides the manifest forward
+    via ``_carry_naming``."""
+    if txn is None:
+        return
+    app_id, ver = txn
+    txns = dict(newman.get("txns") or {})
+    txns[str(app_id)] = int(ver)
+    newman["txns"] = txns
+
+
+def last_versioned_txn(path: str, app_id: str) -> int | None:
+    """The highest txn version ``app_id`` ever committed to this table
+    (None if never): the idempotent-replay check for streaming
+    maintainers. Reads only the CURRENT manifest — stamps are carried
+    forward on every commit, so no history walk (and no dependence on
+    old manifests surviving vacuum)."""
+    v = current_version(path)
+    if v is None:
+        return None
+    got = (_read_manifest(path, v).get("txns") or {}).get(str(app_id))
+    return int(got) if got is not None else None
 
 
 def _metadata_only_manifest(man: dict, operation: str) -> dict:
@@ -992,7 +1028,8 @@ def read_where_all(spark: SparkSession, path: str, preds: dict,
 def merge_versioned(spark: SparkSession, path: str,
                     updates: DataFrame,
                     allow_schema_evolution: bool = False,
-                    retries: int = 0) -> int:
+                    retries: int = 0,
+                    txn: tuple | None = None) -> int:
     """MERGE (upsert) as a new version: write ONLY the touched buckets'
     merged files; carry every untouched bucket's file list forward BY
     REFERENCE. Returns the new version number.
@@ -1015,7 +1052,8 @@ def merge_versioned(spark: SparkSession, path: str,
     if retries:
         return _retrying_commit(
             lambda: merge_versioned(spark, path, updates,
-                                    allow_schema_evolution, retries=0),
+                                    allow_schema_evolution, retries=0,
+                                    txn=txn),
             retries,
         )
     version = current_version(path)
@@ -1082,6 +1120,7 @@ def merge_versioned(spark: SparkSession, path: str,
         "buckets": buckets,
     }
     _carry_naming(newman, man)
+    _stamp_txn(newman, txn)
     _record_epoch(newman, man, commit_dir)
     stats = _carry_stats(path, man, buckets)
     if stats is not None:

@@ -118,3 +118,47 @@ def test_multiplexed_rollup_matches_standalone(spark, tmp_path):
         glob="*.events.parquet", n_buckets=4)
     assert _rollup_state(read_rollup(spark, multi)) \
         == _rollup_state(solo_df)
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-applying the SAME (app, batch_id)
+    — a crash after one view committed but before the checkpoint recorded
+    the batch — must NOT double-count the additive rollup or append
+    spurious SCD2 versions. The txn stamp commits atomically with each
+    view's change and makes the replay a no-op."""
+    from monday_etl_spark.io import normalize_event_ts
+    from monday_etl_spark.tableformat import (
+        last_versioned_txn,
+        read_version,
+    )
+
+    t = pq.read_table(f"{SF_SMOKE}/events.parquet").sort_by("ts")
+    src = tmp_path / "events.parquet"
+    pq.write_table(t.slice(0, t.num_rows // 2), src)
+    batch = normalize_event_ts(spark.read.parquet(str(src)))
+
+    rollup = str(tmp_path / "rollup_table")
+    scd2 = str(tmp_path / "scd2_table")
+
+    apply_rollup_batch(spark, rollup, batch, txn=("app-r", 0))
+    apply_scd2_batch(spark, scd2, batch, txn=("app-s", 0))
+    want_rollup = _rollup_state(read_rollup(spark, rollup))
+    want_scd2 = read_version(spark, scd2).count()
+    assert last_versioned_txn(rollup, "app-r") == 0
+    assert last_versioned_txn(scd2, "app-s") == 0
+
+    # replay the identical batch id: both views no-op (no new version,
+    # no value drift)
+    apply_rollup_batch(spark, rollup, batch, txn=("app-r", 0))
+    apply_scd2_batch(spark, scd2, batch, txn=("app-s", 0))
+    assert current_version(rollup) == 1 and current_version(scd2) == 1
+    assert _rollup_state(read_rollup(spark, rollup)) == want_rollup
+    assert read_version(spark, scd2).count() == want_scd2
+
+    # a NEW batch id still applies — and the stamp survives the commit
+    batch2 = normalize_event_ts(spark.read.parquet(str(src))).limit(50)
+    apply_rollup_batch(spark, rollup, batch2, txn=("app-r", 1))
+    assert current_version(rollup) == 2
+    assert last_versioned_txn(rollup, "app-r") == 1
+    # an unknown app has no stamp
+    assert last_versioned_txn(rollup, "other-app") is None
