@@ -195,6 +195,54 @@ def _run_segment(names: list[str], sf_dir: str, runs: int) -> dict:
             "reused": reused}
 
 
+# Pinned reference for the host-band calibration workload (best-of-3 of
+# _run_calibration's fixed pure-JVM agg+shuffle on this container's
+# mid-band; r11). The artifact's value_normalized = value *
+# (_CALIBRATION_REF_S / host_calibration_s): six rounds showed identical
+# code swinging 87-108 s with host band while same-day clean runs beat
+# the budget, so the normalized total measures the ENGINE and the raw
+# total the host. See SCALE.md "Host-band calibration".
+_CALIBRATION_REF_S = 1.80
+
+
+def _run_calibration() -> dict:
+    """A fixed, data-independent, pure-JVM workload (codegen agg over
+    generated rows + a range-partitioning shuffle) timed best-of-3 in a
+    fresh session: its wall time moves with the HOST's available CPU
+    band and with nothing in this repo, so it calibrates the artifact
+    across runs on shared hardware."""
+    from pyspark.sql import functions as F
+
+    spark = _new_session()
+
+    def agg_part():
+        df = (spark.range(0, 400_000_000, 1, 32)
+              .withColumn("k", F.col("id") % 9973)
+              .withColumn("v", (F.col("id") * 2654435761) % 1000003))
+        return (df.groupBy("k")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"),
+                     F.max("v").alias("m"))
+                .orderBy(F.desc("s")).limit(100))
+
+    def shuffle_part():
+        df = (spark.range(0, 24_000_000, 1, 32)
+              .withColumn("v",
+                          (F.col("id") * 6364136223846793005) % 999983))
+        return df.repartitionByRange(32, "v")
+
+    agg_part().count()
+    shuffle_part().count()
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        agg_part().count()
+        shuffle_part().count()
+        e = time.perf_counter() - t0
+        best = e if best is None else min(best, e)
+    spark.stop()
+    return {"calibration_s": round(best, 4)}
+
+
 def _run_skew(sf_dir: str) -> dict:
     """Skew demonstration: explicit salted_join vs the naive plan on the
     same pathologically skewed input (70% of rows on one key), broadcast
@@ -299,10 +347,20 @@ def main() -> None:
                 print(json.dumps({"error": f"{type(exc).__name__}: {exc}"[:200]}))
         elif sys.argv[1] == "--isolated":
             print(json.dumps(_run_isolated(payload["names"], sf_dir)))
+        elif sys.argv[1] == "--calibrate":
+            try:
+                print(json.dumps(_run_calibration()))
+            except Exception as exc:  # noqa: BLE001 — never fails bench
+                print(json.dumps(
+                    {"error": f"{type(exc).__name__}: {exc}"[:200]}))
         return
 
     from monday_etl_spark.queries import REGISTRY
 
+    # host-band calibration brackets the suite (before the first segment
+    # and after the isolated re-times): band can drift DURING a long
+    # run, so the scaler is the mean of the two readings
+    calib_pre = _child("calibrate", {}).get("calibration_s")
     names = sorted(REGISTRY)
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
@@ -328,8 +386,15 @@ def main() -> None:
     top12 = [k for k, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:12]]
     isolated = _child("isolated", {"names": top12})
     isolated = {k: v for k, v in isolated.items() if isinstance(v, float)}
+    calib_post = _child("calibrate", {}).get("calibration_s")
 
     total = round(sum(timings.values()), 4)
+    calib_reads = [c for c in (calib_pre, calib_post)
+                   if isinstance(c, float)]
+    calibration = (round(sum(calib_reads) / len(calib_reads), 4)
+                   if calib_reads else None)
+    normalized = (round(total * _CALIBRATION_REF_S / calibration, 4)
+                  if calibration else None)
     detail = {
         "metric": "operator_suite_wall_time",
         "value": total,
@@ -377,6 +442,11 @@ def main() -> None:
         detail["queries_isolated"] = isolated
     if skew:
         detail["skew_demo"] = skew
+    if calibration:
+        detail["host_calibration_s"] = calibration
+        detail["host_calibration_reads"] = calib_reads
+        detail["calibration_ref_s"] = _CALIBRATION_REF_S
+        detail["value_normalized"] = normalized
     if errors:
         detail["errors"] = errors
     # Full per-query detail goes to a file; stdout gets a COMPACT summary as
@@ -398,6 +468,10 @@ def main() -> None:
         summary["isolated_total_top12"] = round(sum(isolated.values()), 4)
     if first_run:
         summary["first_run_total"] = round(sum(first_run.values()), 4)
+    if calibration:
+        summary["host_calibration_s"] = calibration
+        summary["calibration_ref_s"] = _CALIBRATION_REF_S
+        summary["value_normalized"] = normalized
     print(json.dumps(summary))
 
 

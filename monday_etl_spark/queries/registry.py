@@ -54,52 +54,27 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # already-green entries. Refreshed each round from CORRECTNESS_r{N}.json.
 # Purely an ordering hint; every query is still registered and runnable.
 _EVIDENCE_PRIORITY = [
-    # r10: queries whose code paths are NEW or CHANGED this round
-    # (Delta CDF; Iceberg drop/promote evolution; lifecycle oracles;
-    # the executor-side DV encode rewires delete_delta_where).
-    "delta_cdc_diff",                # NEW query (change data feed)
-    "delta_upsert_merge",            # NEW query (copy-on-write MERGE)
-    "iceberg_changelog",             # NEW query (changelog scan)
-    "delta_cdf_stream",              # NEW query (streaming change feed)
-    "iceberg_changelog_stream",      # NEW query (streaming changelog)
-    "iceberg_schema_evolution",      # NEW query (rename+add+drop+promote)
-    "delta_lifecycle",               # NEW query (compact+vacuum+restore)
-    "iceberg_lifecycle",       # NEW query (compact+orphans+rollback)
-    "delta_delete_where",      # DV encode moved executor-side (u-storage)
-    "delta_deletion_vectors",  # same roaring machinery downstream
-    # consolidated streaming drains (multiplexed maintenance runner /
-    # shared stream-pipe fixture) — code paths changed this round
+    # r11: the 24 queries whose newest official driver row is r07
+    # (this rotation clears the last evidence tail — VERDICT r10 #3)
+    "set_similarity_join", "snapshot_diff", "sql_correlated_subquery",
+    "streaming_daily_rollup", "streaming_decontaminate",
+    "streaming_delta_sink", "streaming_incremental_dedup",
+    "streaming_ivf_maintenance", "streaming_stateful_sessions",
+    "tableformat_cdc_diff", "tableformat_dataskip",
+    "tableformat_fieldid_reuse", "tableformat_health",
+    "tableformat_merge_history", "tableformat_point_lookup",
+    "tableformat_rename_evolution", "text_fingerprint", "text_lang_id",
+    "text_perplexity", "text_quality", "tfidf_top_terms", "token_stats",
+    "top_unshipped_orders", "triangle_census",
+    # r11: queries whose code paths CHANGED this round (Iceberg changelog
+    # rewrite: gated broadcasts, scoped equality deletes, consecutive
+    # ordinals; Delta CDF: timestamp addressing, enablement floor,
+    # vacuumed-CDC refusal, range cap; txn-stamped maintenance drains)
+    "iceberg_changelog", "iceberg_changelog_stream", "delta_cdc_diff",
+    "delta_cdf_stream", "delta_upsert_merge", "delta_lifecycle",
     "rollup_maintenance_drain", "scd2_maintenance_drain",
-    "delta_source_stream", "delta_stream_id_mapped", "iceberg_stream_pipe",
-    # r06-latest evidence (the final 10 stale rows; newest official
-    # confirmation is CORRECTNESS_r06.json — this rotation clears them).
-    "stratified_sample", "streaming_interval_join", "text_scrub",
-    "timeseries_moving_anomaly", "top10_orders", "training_set_selection",
-    "union_counts", "unpivot_measures", "weekly_threshold",
-    "window_function_battery",
-    # r07-latest evidence (50 rows) — front as many as the ~50-check
-    # budget reaches after the blocks above; the rest next round.
-    "asof_join", "customer_order_stats", "daily_metrics", "decontaminate",
-    "decontaminate_bloom", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_minhash_store", "dedup_ngram_jaccard", "delta_interop_roundtrip",
-    "delta_source_stream", "delta_stats_pruning", "distinct_count_sketch",
-    "doc_repetition_filter", "filter_snapshot_eq", "fk_json_extract",
-    "governance_erasure", "join_auto_salted", "leakage_safe_split",
-    "multimodal_decode", "multimodal_frame_sample", "ratio_kpi",
-    "revenue_percentiles_sketch", "scalar_battery", "sequence_packing",
-    "sessionize", "set_similarity_join", "snapshot_diff",
-    "sql_correlated_subquery", "streaming_daily_rollup",
-    "streaming_decontaminate", "streaming_delta_sink",
-    "streaming_incremental_dedup", "streaming_ivf_maintenance",
-    "streaming_stateful_sessions", "tableformat_cdc_diff",
-    "tableformat_dataskip", "tableformat_fieldid_reuse",
-    "tableformat_health", "tableformat_merge_history",
-    "tableformat_point_lookup", "tableformat_rename_evolution",
-    "text_fingerprint", "text_lang_id", "text_perplexity", "text_quality",
-    "tfidf_top_terms", "token_stats", "top_unshipped_orders",
-    "triangle_census",
     # everything below here (unlisted) holds r08-or-newer official
-    # evidence, re-verified exact by the r09 judge's full 155-query
+    # evidence, re-verified exact by the r10 judge's full 163-query
     # driver_sim run (FAILURES none)
 ]
 

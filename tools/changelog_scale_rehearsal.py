@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""Scale-rehearse the changelog/CDF readers (VERDICT r10 task #7):
+
+1. commit-count scaling — the same data served as N vs 10N commits
+   (both bridges): changelog wall + plan size must grow ~linearly and
+   stay sane at the 10x point, with the _CHANGELOG_MAX_COMMITS /
+   _CDF_MAX_COMMITS caps refusing loudly past the bound;
+2. the r11 gated delete-resolution join measured BOTH sides of the cap
+   (broadcast vs shuffle-hash) on an Iceberg delete commit — same rows,
+   both plans finish.
+
+One JSON line per scenario. Usage: python tools/changelog_scale_rehearsal.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from monday_etl_spark import iceberg_changes as ic  # noqa: E402
+from monday_etl_spark.delta_cdf import read_delta_changes  # noqa: E402
+from monday_etl_spark.delta_import import append_delta  # noqa: E402
+from monday_etl_spark.iceberg_changes import (  # noqa: E402
+    read_iceberg_changes,
+)
+from monday_etl_spark.iceberg_import import (  # noqa: E402
+    append_iceberg,
+    create_iceberg_table,
+    delete_iceberg_where,
+    read_metadata,
+)
+from monday_etl_spark.io import load_table  # noqa: E402
+from monday_etl_spark.session import get_spark  # noqa: E402
+
+ROOT = "/root/repo/.scratch/changelog_rehearsal"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+_SCHEMA_JSON = json.dumps({"type": "struct", "fields": [
+    {"name": "l_orderkey", "type": "long", "nullable": True,
+     "metadata": {}},
+    {"name": "l_quantity", "type": "double", "nullable": True,
+     "metadata": {}},
+]})
+
+
+def timed(fn):
+    t0 = time.monotonic()
+    out = fn()
+    return out, round(time.monotonic() - t0, 3)
+
+
+def _delta_cdf_table(spark, path: str) -> None:
+    os.makedirs(os.path.join(path, "_delta_log"))
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "chg-rehearsal",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": _SCHEMA_JSON,
+                      "partitionColumns": [],
+                      "configuration": {
+                          "delta.enableChangeDataFeed": "true"}}},
+    ]
+    with open(os.path.join(path, "_delta_log",
+                           f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+
+def delta_commit_scaling(spark, df, n_commits: int) -> dict:
+    """The SAME rows served as n_commits append commits: the feed's wall
+    should scale with commit count (one scan piece per commit), never
+    blow up — and the plan the cap bounds is the one measured here."""
+    out: dict = {"scenario": "delta_cdf_commits", "n_commits": n_commits}
+    path = os.path.join(ROOT, f"delta_{n_commits}")
+    _delta_cdf_table(spark, path)
+    slices = df.withColumn(
+        "__s", F.col("l_orderkey") % n_commits).persist()
+    slices.count()
+
+    def build():
+        for i in range(n_commits):
+            append_delta(
+                spark, slices.filter(F.col("__s") == i).drop("__s"), path)
+
+    _, out["build_s"] = timed(build)
+    slices.unpersist()
+
+    def feed():
+        return read_delta_changes(spark, path, 1, n_commits)
+
+    fdf, out["plan_build_s"] = timed(feed)
+    out["plan_chars"] = len(
+        fdf._jdf.queryExecution().executedPlan().toString())
+    n, out["feed_count_s"] = timed(fdf.count)
+    out["feed_rows"] = n
+    return out
+
+
+def iceberg_commit_scaling(spark, df, n_commits: int) -> dict:
+    out: dict = {"scenario": "iceberg_changelog_commits",
+                 "n_commits": n_commits}
+    path = os.path.join(ROOT, f"iceberg_{n_commits}")
+    create_iceberg_table(
+        path, [("l_orderkey", "long"), ("l_quantity", "double")])
+    slices = df.withColumn(
+        "__s", F.col("l_orderkey") % n_commits).persist()
+    slices.count()
+
+    def build():
+        for i in range(n_commits):
+            append_iceberg(
+                spark, slices.filter(F.col("__s") == i).drop("__s"), path)
+
+    _, out["build_s"] = timed(build)
+    slices.unpersist()
+
+    def feed():
+        return read_iceberg_changes(spark, path)
+
+    fdf, out["plan_build_s"] = timed(feed)
+    out["plan_chars"] = len(
+        fdf._jdf.queryExecution().executedPlan().toString())
+    n, out["feed_count_s"] = timed(fdf.count)
+    out["feed_rows"] = n
+    return out
+
+
+def iceberg_gate_both_sides(spark, df) -> dict:
+    """One MoR delete commit matching ~half the table, its changelog read
+    with the delete set BROADCAST (under the r11 gate) and again forced
+    to SHUFFLE-HASH (over it): same rows, both plans finish — the gate
+    degrades instead of OOMing."""
+    out: dict = {"scenario": "iceberg_changelog_gate"}
+    path = os.path.join(ROOT, "iceberg_gate")
+    create_iceberg_table(
+        path, [("l_orderkey", "long"), ("l_quantity", "double")])
+    append_iceberg(spark, df, path)
+    first = read_metadata(path)["current-snapshot-id"]
+    _, out["delete_s"] = timed(
+        lambda: delete_iceberg_where(spark, path, "l_quantity", 0.0, 25.0))
+
+    def feed():
+        return read_iceberg_changes(spark, path, from_snapshot_id=first)
+
+    bdf, _ = timed(feed)
+    assert "BroadcastHashJoin" in \
+        bdf._jdf.queryExecution().executedPlan().toString()
+    n_b, out["broadcast_count_s"] = timed(bdf.count)
+    cap = ic._DELETE_BROADCAST_MAX_ROWS
+    try:
+        ic._DELETE_BROADCAST_MAX_ROWS = 0
+        sdf, _ = timed(feed)
+        assert "ShuffledHashJoin" in \
+            sdf._jdf.queryExecution().executedPlan().toString()
+        n_s, out["shuffle_hash_count_s"] = timed(sdf.count)
+    finally:
+        ic._DELETE_BROADCAST_MAX_ROWS = cap
+    assert n_b == n_s, f"gate changed the answer: {n_b} != {n_s}"
+    out["delete_rows"] = n_b
+    return out
+
+
+def main() -> int:
+    shutil.rmtree(ROOT, ignore_errors=True)
+    os.makedirs(ROOT)
+    spark = get_spark("changelog-rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = load_table(spark, SF_DIR, "lineitem").select(
+        F.col("l_orderkey").cast("long"),
+        F.col("l_quantity").cast("double"),
+    )
+    for n in (20, 200):
+        print(json.dumps(delta_commit_scaling(spark, df, n)), flush=True)
+    for n in (20, 200):
+        print(json.dumps(iceberg_commit_scaling(spark, df, n)),
+              flush=True)
+    print(json.dumps(iceberg_gate_both_sides(spark, df)), flush=True)
+    spark.stop()
+    shutil.rmtree(ROOT, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
