@@ -10,6 +10,12 @@ and emits each commit's row-level delta — the Delta bridge's
   SAME-snapshot position-delete file already covers ("deleted at
   birth" — valid Iceberg, same sequence number) are excluded, since
   they were never visible in any snapshot;
+- REMOVED data files (status DELETED in the commit's manifests — a
+  foreign engine's copy-on-write DELETE/UPDATE) emit their
+  live-at-parent rows as ``delete``s, with the parent's delete files
+  applied so already-masked rows do not resurrect (gross emission:
+  removed-file rows as deletes + added-file rows as inserts,
+  iceberg-spark's changelog shape for COW commits);
 - added POSITION-delete files resolve back to concrete rows by joining
   (file path, position) against the PARENT snapshot's read — exactly
   the rows the commit deleted;
@@ -101,18 +107,26 @@ def _ancestry(meta: dict, from_id: int | None,
     return list(reversed(chain))
 
 
-def _added_entries(meta: dict, snap: dict) -> tuple[list, list]:
-    """(data entries, delete entries) ADDED by this snapshot — status
-    ADDED in manifests whose added_snapshot_id is the snapshot."""
-    data, dele = [], []
+def _added_entries(meta: dict, snap: dict) -> tuple[list, list, list]:
+    """(added data entries, REMOVED data entries, added delete entries)
+    for this snapshot — from manifests whose added_snapshot_id is the
+    snapshot: status ADDED (1) for the additions, status DELETED (2) in
+    DATA manifests for copy-on-write removals (a foreign engine's COW
+    DELETE/UPDATE marks the rewritten files deleted). Removed DELETE
+    files change no logical rows and are ignored."""
+    data, removed, dele = [], [], []
     for m in _manifest_paths(meta, snap):
         if m.get("added_snapshot_id") != snap["snapshot-id"]:
             continue
         pair = (m["manifest_path"],
                 int(m.get("sequence_number", 0) or 0))
-        entries = [t for t in _decode_manifest(pair) if t[0] == 1]
-        (dele if m.get("content", 0) == 1 else data).extend(entries)
-    return data, dele
+        is_del = m.get("content", 0) == 1
+        for t in _decode_manifest(pair):
+            if t[0] == 1:
+                (dele if is_del else data).append(t)
+            elif t[0] == 2 and not is_del:
+                removed.append(t)
+    return data, removed, dele
 
 
 def _stamp(df: DataFrame, names: list[str], change: str | None,
@@ -223,7 +237,7 @@ def read_iceberg_changes(
         op = (snap.get("summary") or {}).get("operation")
         if op == "replace":
             continue  # compaction: no logical rows changed, no ordinal
-        data_added, del_added = _added_entries(meta, snap)
+        data_added, data_removed, del_added = _added_entries(meta, snap)
 
         pos = [t for t in del_added if t[4] == 1]
         eqs = [t for t in del_added if t[4] == 2]
@@ -255,11 +269,25 @@ def read_iceberg_changes(
 
         parent_id = snap.get("parent-snapshot-id")
         parent = snaps.get(parent_id)
-        if del_added and parent is None and parent_id is not None:
+        if (del_added or data_removed) and parent is None \
+                and parent_id is not None:
             raise IcebergProtocolError(
                 f"snapshot {sid} deletes rows but its parent "
                 f"{parent_id} is expired: the deleted rows cannot "
                 "be reconstructed")
+        if data_removed and parent is not None:
+            # copy-on-write removal (a foreign engine's COW
+            # DELETE/UPDATE): every LIVE-at-parent row of the removed
+            # files is a delete — the parent's delete files still apply,
+            # so rows they had already masked are not resurrected.
+            # Gross emission (full removed-file rows as deletes, full
+            # added-file rows as inserts), iceberg-spark's changelog
+            # shape for COW commits.
+            _, prm = _split_manifests(meta, parent)
+            rem = _assemble_read(spark, meta, fields, list(data_removed),
+                                 _live_entry_tuples(spark, prm))
+            pieces.append(_stamp(rem, names, "delete", ordinal, sid))
+            emitted = True
         if del_added and parent is not None:
             data_mans, del_mans = _split_manifests(meta, parent)
             parent_entries = _live_entry_tuples(spark, data_mans)

@@ -65,6 +65,35 @@ def test_changelog_inserts_deletes_and_compaction(spark, tmp_path):
         read_iceberg_changes(spark, path, from_snapshot_id=12345)
 
 
+def _mlist(meta_dir, snap_id, items):
+    """Manifest list with per-item (manifest, content, seq, added_by) —
+    the shape foreign multi-snapshot histories need (manifests carried
+    forward keep their ORIGINAL added_snapshot_id)."""
+    import os
+
+    from monday_etl_spark.avro_ocf import write_ocf
+    from monday_etl_spark.iceberg_export import _MANIFEST_FILE
+
+    p = os.path.join(meta_dir, f"snap-{snap_id}-{snap_id}.avro")
+    write_ocf(p, _MANIFEST_FILE, [
+        {"manifest_path": "file://" + m,
+         "manifest_length": os.path.getsize(m),
+         "partition_spec_id": 0, "content": content,
+         "sequence_number": seq, "min_sequence_number": seq,
+         "added_snapshot_id": added_by,
+         "added_files_count": 1, "existing_files_count": 0,
+         "deleted_files_count": 0, "added_rows_count": 1,
+         "existing_rows_count": 0, "deleted_rows_count": 0,
+         "partitions": None}
+        for m, content, seq, added_by in items
+    ], metadata={"format-version": "2",
+                 "snapshot-id": str(snap_id),
+                 "sequence-number": str(max(
+                     s for _m, _c, s, _a in items)),
+                 "parent-snapshot-id": "null"})
+    return p
+
+
 def test_changelog_ordinals_consecutive_across_compaction(spark, tmp_path):
     """A replace snapshot BETWEEN two DML commits consumes no ordinal:
     iceberg-spark's changelog ordinals are consecutive over emitted
@@ -177,25 +206,7 @@ def test_changelog_deleted_at_birth_rows_not_reported(spark, tmp_path):
     mp = manifest(meta_dir,
                   [entry(pd1, 2, 200, seq=2, content=1)], schema)
 
-    def mlist(snap_id, items):  # items: (manifest, content, seq, added_by)
-        p = os.path.join(meta_dir, f"snap-{snap_id}-{snap_id}.avro")
-        write_ocf(p, _MANIFEST_FILE, [
-            {"manifest_path": "file://" + m,
-             "manifest_length": os.path.getsize(m),
-             "partition_spec_id": 0, "content": content,
-             "sequence_number": seq, "min_sequence_number": seq,
-             "added_snapshot_id": added_by,
-             "added_files_count": 1, "existing_files_count": 0,
-             "deleted_files_count": 0, "added_rows_count": 1,
-             "existing_rows_count": 0, "deleted_rows_count": 0,
-             "partitions": None}
-            for m, content, seq, added_by in items
-        ], metadata={"format-version": "2",
-                     "snapshot-id": str(snap_id),
-                     "sequence-number": str(max(
-                         s for _m, _c, s, _a in items)),
-                     "parent-snapshot-id": "null"})
-        return p
+    mlist = lambda snap_id, items: _mlist(meta_dir, snap_id, items)  # noqa: E731
 
     l1 = mlist(100, [(m1, 0, 1, 100)])
     l2 = mlist(200, [(m1, 0, 1, 100), (m2, 0, 2, 200),
@@ -267,25 +278,7 @@ def test_changelog_partition_scoped_equality_deletes(spark, tmp_path):
                partition={"region": "EU"})],
         schema, partition={"region": "string"})
 
-    def mlist(snap_id, items):
-        p = os.path.join(meta_dir, f"snap-{snap_id}-{snap_id}.avro")
-        write_ocf(p, _MANIFEST_FILE, [
-            {"manifest_path": "file://" + m,
-             "manifest_length": os.path.getsize(m),
-             "partition_spec_id": 0, "content": content,
-             "sequence_number": seq, "min_sequence_number": seq,
-             "added_snapshot_id": added_by,
-             "added_files_count": 1, "existing_files_count": 0,
-             "deleted_files_count": 0, "added_rows_count": 1,
-             "existing_rows_count": 0, "deleted_rows_count": 0,
-             "partitions": None}
-            for m, content, seq, added_by in items
-        ], metadata={"format-version": "2",
-                     "snapshot-id": str(snap_id),
-                     "sequence-number": str(max(
-                         s for _m, _c, s, _a in items)),
-                     "parent-snapshot-id": "null"})
-        return p
+    mlist = lambda snap_id, items: _mlist(meta_dir, snap_id, items)  # noqa: E731
 
     l1 = mlist(100, [(m_data, 0, 1, 100)])
     l2 = mlist(200, [(m_data, 0, 1, 100), (m_del, 1, 2, 200)])
@@ -365,3 +358,74 @@ def test_changelog_timestamp_addressing(spark, tmp_path):
         read_iceberg_changes(spark, path,
                              from_snapshot_id=hist[0]["snapshot_id"],
                              from_timestamp_ms=t0)
+
+
+def test_changelog_copy_on_write_overwrite(spark, tmp_path):
+    """A foreign engine's COPY-ON-WRITE DELETE: the commit marks the old
+    data file DELETED (status 2) and adds the rewritten survivor file.
+    The changelog must emit the removed file's live-at-parent rows as
+    deletes — with the parent's own delete files applied, so a row a
+    parent position-delete had already masked does not resurrect — and
+    the added file's rows as inserts (gross emission, iceberg-spark's
+    COW changelog shape). Previously this commit read as inserts only."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests._iceberg_builders import entry, manifest, metadata, \
+        write_data_file
+
+    path = str(tmp_path / "cow")
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir)
+    os.makedirs(meta_dir)
+    schema = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "v", "required": False, "type": "long"},
+    ]}
+    f1 = write_data_file(os.path.join(data_dir, "f1.parquet"),
+                         ["id", "v"], [1, 2],
+                         [[1, 2, 3, 4], [10, 20, 30, 40]])
+    # parent MoR posdel: row 0 of f1 (id=1) already dead at the parent
+    pd1 = os.path.join(data_dir, "pd1.parquet")
+    pq.write_table(pa.table({
+        "file_path": pa.array(["file://" + f1], pa.string()),
+        "pos": pa.array([0], pa.int64()),
+    }), pd1)
+    # the COW rewrite: survivors of f1 minus id=2
+    g = write_data_file(os.path.join(data_dir, "g.parquet"),
+                        ["id", "v"], [1, 2], [[3, 4], [30, 40]])
+
+    m1 = manifest(meta_dir, [entry(f1, 4, 100, seq=1)], schema)
+    mp = manifest(meta_dir,
+                  [entry(pd1, 1, 100, seq=1, content=1)], schema)
+    # snapshot 200's manifests: f1 marked DELETED + g added
+    m_rm = manifest(meta_dir,
+                    [entry(f1, 4, 200, seq=1, status=2)], schema)
+    m_g = manifest(meta_dir, [entry(g, 2, 200, seq=2)], schema)
+
+    mlist = lambda snap_id, items: _mlist(meta_dir, snap_id, items)  # noqa: E731
+    l1 = mlist(100, [(m1, 0, 1, 100), (mp, 1, 1, 100)])
+    l2 = mlist(200, [(m_rm, 0, 1, 200), (m_g, 0, 2, 200),
+                     (mp, 1, 1, 100)])
+    snaps = [
+        {"snapshot-id": 100, "sequence-number": 1, "timestamp-ms": 1000,
+         "manifest-list": "file://" + l1, "schema-id": 0,
+         "summary": {"operation": "append"}},
+        {"snapshot-id": 200, "sequence-number": 2, "timestamp-ms": 2000,
+         "parent-snapshot-id": 100,
+         "manifest-list": "file://" + l2, "schema-id": 0,
+         "summary": {"operation": "overwrite"}},
+    ]
+    metadata(path, [schema], snaps,
+             [{"snapshot-id": 100, "timestamp-ms": 1000},
+              {"snapshot-id": 200, "timestamp-ms": 2000}], current=200)
+
+    got = _feed(spark, path, from_snapshot_id=100)
+    # deletes: f1's live-at-parent rows (2,3,4) — id=1 was already dead
+    # at the parent so it does NOT resurrect; inserts: g's rows (3,4)
+    assert got == {(2, 20, "delete", 0), (3, 30, "delete", 0),
+                   (4, 40, "delete", 0),
+                   (3, 30, "insert", 0), (4, 40, "insert", 0)}
