@@ -163,6 +163,8 @@ def _run_segment(names: list[str], sf_dir: str, runs: int) -> dict:
     if built:
         print(f"# prewarmed fixtures: {built}", file=sys.stderr)
     spark.catalog.clearCache()
+    calib = _calibrate_session(spark)
+    print(f"# segment calibration: {calib:.3f}s", file=sys.stderr)
 
     from monday_etl_spark.queries import REGISTRY
     from monday_etl_spark.queries.purity import plan_only_candidates
@@ -192,31 +194,35 @@ def _run_segment(names: list[str], sf_dir: str, runs: int) -> dict:
         spark.sparkContext._jvm.System.gc()
     spark.stop()
     return {"timings": timings, "first_run": first_run, "errors": errors,
-            "reused": reused}
+            "reused": reused, "calibration_s": calib}
 
 
-# Pinned reference for the host-band calibration workload (best-of-3 of
-# _run_calibration's fixed pure-JVM agg+shuffle on this container's
-# mid-band; r11). The artifact's value_normalized = value *
-# (_CALIBRATION_REF_S / host_calibration_s): six rounds showed identical
-# code swinging 87-108 s with host band while same-day clean runs beat
-# the budget, so the normalized total measures the ENGINE and the raw
-# total the host. See SCALE.md "Host-band calibration".
-_CALIBRATION_REF_S = 1.80
+# Pinned reference for the host-band calibration workload (best-of-2 of
+# _calibrate_session's fixed pure-JVM agg+shuffle, measured on this
+# container; r11). Each SEGMENT child takes its own reading right before
+# its queries are timed, and value_normalized rescales each segment's
+# query time by (_CALIBRATION_REF_S / segment_calibration): six rounds
+# showed identical code swinging 87-108 s with host band while same-day
+# clean runs beat the budget, and r11 measured the band drifting
+# materially WITHIN one run — so the normalized total measures the
+# ENGINE and the raw total the host. See SCALE.md "Host-band
+# calibration".
+_CALIBRATION_REF_S = 0.90
 
 
-def _run_calibration() -> dict:
+def _calibrate_session(spark) -> float:
     """A fixed, data-independent, pure-JVM workload (codegen agg over
-    generated rows + a range-partitioning shuffle) timed best-of-3 in a
-    fresh session: its wall time moves with the HOST's available CPU
-    band and with nothing in this repo, so it calibrates the artifact
-    across runs on shared hardware."""
+    generated rows + a range-partitioning shuffle) timed best-of-2 in
+    the GIVEN session: its wall time moves with the HOST's available
+    band and with nothing in this repo. Run inside each segment's own
+    JVM immediately before its queries are timed — the band drifts
+    materially WITHIN one ~18-minute suite run (measured r11:
+    bracketing reads 1.63→1.99 and 1.71→1.32 around the same run), so
+    per-segment readings are the granularity that means anything."""
     from pyspark.sql import functions as F
 
-    spark = _new_session()
-
     def agg_part():
-        df = (spark.range(0, 400_000_000, 1, 32)
+        df = (spark.range(0, 200_000_000, 1, 32)
               .withColumn("k", F.col("id") % 9973)
               .withColumn("v", (F.col("id") * 2654435761) % 1000003))
         return (df.groupBy("k")
@@ -225,7 +231,7 @@ def _run_calibration() -> dict:
                 .orderBy(F.desc("s")).limit(100))
 
     def shuffle_part():
-        df = (spark.range(0, 24_000_000, 1, 32)
+        df = (spark.range(0, 12_000_000, 1, 32)
               .withColumn("v",
                           (F.col("id") * 6364136223846793005) % 999983))
         return df.repartitionByRange(32, "v")
@@ -233,14 +239,23 @@ def _run_calibration() -> dict:
     agg_part().count()
     shuffle_part().count()
     best = None
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
         agg_part().count()
         shuffle_part().count()
         e = time.perf_counter() - t0
         best = e if best is None else min(best, e)
+    return round(best, 4)
+
+
+def _run_calibration() -> dict:
+    """Standalone bracket reading (fresh session) — kept for the
+    before/after context fields; the per-segment readings are the ones
+    the normalization uses."""
+    spark = _new_session()
+    best = _calibrate_session(spark)
     spark.stop()
-    return {"calibration_s": round(best, 4)}
+    return {"calibration_s": best}
 
 
 def _run_skew(sf_dir: str) -> dict:
@@ -374,6 +389,8 @@ def main() -> None:
     # Interleaving spreads the heavy tail across fresh sessions while
     # staying order-stable run to run.
     n_seg = max(1, -(-len(names) // SEGMENT_SIZE))
+    seg_calibs: list[float] = []
+    seg_normalized = 0.0
     for j in range(n_seg):
         seg = names[j::n_seg]
         res = _child("segment", {"names": seg})
@@ -381,6 +398,13 @@ def main() -> None:
         first_run.update(res.get("first_run", {}))
         errors.update(res.get("errors", {}))
         reused.extend(res.get("reused", []))
+        c = res.get("calibration_s")
+        seg_total = sum(res.get("timings", {}).values())
+        if isinstance(c, float) and c > 0:
+            seg_calibs.append(c)
+            seg_normalized += seg_total * _CALIBRATION_REF_S / c
+        else:  # a crashed segment degrades to its raw time
+            seg_normalized += seg_total
 
     skew = _child("skew", {})
     top12 = [k for k, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:12]]
@@ -391,10 +415,9 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     calib_reads = [c for c in (calib_pre, calib_post)
                    if isinstance(c, float)]
-    calibration = (round(sum(calib_reads) / len(calib_reads), 4)
-                   if calib_reads else None)
-    normalized = (round(total * _CALIBRATION_REF_S / calibration, 4)
-                  if calibration else None)
+    calibration = (round(sorted(seg_calibs)[len(seg_calibs) // 2], 4)
+                   if seg_calibs else None)
+    normalized = round(seg_normalized, 4) if seg_calibs else None
     detail = {
         "metric": "operator_suite_wall_time",
         "value": total,
@@ -444,7 +467,8 @@ def main() -> None:
         detail["skew_demo"] = skew
     if calibration:
         detail["host_calibration_s"] = calibration
-        detail["host_calibration_reads"] = calib_reads
+        detail["host_calibration_segments"] = seg_calibs
+        detail["host_calibration_bracket"] = calib_reads
         detail["calibration_ref_s"] = _CALIBRATION_REF_S
         detail["value_normalized"] = normalized
     if errors:
