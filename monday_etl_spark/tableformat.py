@@ -107,6 +107,151 @@ def _bucket_expr(key, n_buckets: int):
     ).cast("int")
 
 
+# ---- driver-side xxhash64 (Spark-exact, zero jobs) --------------------
+#
+# read_key routes a point lookup to its bucket by hashing the key value
+# DRIVER-SIDE. Doing that with a one-row DataFrame + collect costs a full
+# Spark job per lookup (~0.7 s of scheduler latency on local[32] for a
+# microsecond of hashing). These are bit-exact Python ports of Spark's
+# XxHash64Function (seed chaining, per-type specializations — the same
+# public xxHash64 algorithm Spark documents for its `xxhash64` SQL
+# function), pinned against F.xxhash64 by a hypothesis property test
+# (tests/test_tableformat_property.py). A type without a port falls back
+# to the one-row-job path — never a silent mismatch.
+
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+_U64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _U64
+
+
+def _xxh_fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _XXH_P2) & _U64
+    h ^= h >> 29
+    h = (h * _XXH_P3) & _U64
+    h ^= h >> 32
+    return h
+
+
+def _xxh_long(l: int, seed: int) -> int:
+    h = (seed + _XXH_P5 + 8) & _U64
+    k1 = _rotl64((l & _U64) * _XXH_P2 & _U64, 31) * _XXH_P1 & _U64
+    h ^= k1
+    h = (_rotl64(h, 27) * _XXH_P1 + _XXH_P4) & _U64
+    return _xxh_fmix(h)
+
+
+def _xxh_int(i: int, seed: int) -> int:
+    h = (seed + _XXH_P5 + 4) & _U64
+    h ^= ((i & 0xFFFFFFFF) * _XXH_P1) & _U64
+    h = (_rotl64(h, 23) * _XXH_P2 + _XXH_P3) & _U64
+    return _xxh_fmix(h)
+
+
+def _xxh_bytes(data: bytes, seed: int) -> int:
+    n = len(data)
+    off = 0
+    if n >= 32:
+        v1 = (seed + _XXH_P1 + _XXH_P2) & _U64
+        v2 = (seed + _XXH_P2) & _U64
+        v3 = seed & _U64
+        v4 = (seed - _XXH_P1) & _U64
+        while off <= n - 32:
+            for i, v in enumerate((v1, v2, v3, v4)):
+                w = int.from_bytes(data[off + 8 * i:off + 8 * i + 8],
+                                   "little")
+                v = _rotl64((v + w * _XXH_P2) & _U64, 31) * _XXH_P1 & _U64
+                if i == 0:
+                    v1 = v
+                elif i == 1:
+                    v2 = v
+                elif i == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            off += 32
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7)
+             + _rotl64(v3, 12) + _rotl64(v4, 18)) & _U64
+        for v in (v1, v2, v3, v4):
+            h ^= _rotl64((v * _XXH_P2) & _U64, 31) * _XXH_P1 & _U64
+            h = (h * _XXH_P1 + _XXH_P4) & _U64
+    else:
+        h = (seed + _XXH_P5) & _U64
+    h = (h + n) & _U64
+    while off <= n - 8:
+        w = int.from_bytes(data[off:off + 8], "little")
+        h ^= _rotl64((w * _XXH_P2) & _U64, 31) * _XXH_P1 & _U64
+        h = (_rotl64(h, 27) * _XXH_P1 + _XXH_P4) & _U64
+        off += 8
+    if off <= n - 4:
+        w = int.from_bytes(data[off:off + 4], "little")
+        h ^= (w * _XXH_P1) & _U64
+        h = (_rotl64(h, 23) * _XXH_P2 + _XXH_P3) & _U64
+        off += 4
+    while off < n:
+        h ^= (data[off] * _XXH_P5) & _U64
+        h = (_rotl64(h, 11) * _XXH_P1) & _U64
+        off += 1
+    return _xxh_fmix(h)
+
+
+def _xxhash64_py(values, dtypes, seed: int = 42) -> int | None:
+    """Spark's ``xxhash64(cols...)`` over literal values: each child's
+    hash seeds the next (Spark's chaining), NULLs leave the seed
+    untouched. Returns the SIGNED 64-bit result, or None when a value's
+    type has no port here (caller falls back to the job path)."""
+    import datetime as _dt
+
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DateType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        TimestampType,
+    )
+
+    h = seed & _U64
+    for v, t in zip(values, dtypes):
+        if v is None:
+            continue
+        if isinstance(t, (ByteType, ShortType, IntegerType)):
+            h = _xxh_int(int(v), h)
+        elif isinstance(t, BooleanType):
+            h = _xxh_int(1 if v else 0, h)
+        elif isinstance(t, LongType):
+            h = _xxh_long(int(v), h)
+        elif isinstance(t, DateType):
+            days = (v - _dt.date(1970, 1, 1)).days \
+                if isinstance(v, _dt.date) else int(v)
+            h = _xxh_int(days, h)
+        elif isinstance(t, TimestampType):
+            if isinstance(v, _dt.datetime):
+                epoch = _dt.datetime(1970, 1, 1,
+                                     tzinfo=_dt.timezone.utc)
+                vv = v if v.tzinfo else v.replace(
+                    tzinfo=_dt.timezone.utc)
+                micros = (vv - epoch) // _dt.timedelta(microseconds=1)
+            else:
+                micros = int(v)
+            h = _xxh_long(micros, h)
+        elif isinstance(t, StringType):
+            h = _xxh_bytes(str(v).encode("utf-8"), h)
+        else:
+            return None  # unported type: use the job path
+    # Spark returns the signed 64-bit value
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 def _manifest_path(path: str, version: int) -> str:
     return os.path.join(path, _MANIFESTS, f"v{version:05d}.json")
 
@@ -798,13 +943,21 @@ def read_key(spark: SparkSession, path: str, key_value,
 
     schema = StructType.fromJson(json.loads(man["schema"]))
     types = {f.name: f.dataType for f in schema.fields}
-    one = spark.createDataFrame(
-        [vals],
-        ", ".join(f"`{k}` {types[k].simpleString()}" for k in key),
-    )
-    bucket = one.select(
-        _bucket_expr(key, man["spec"]["n_buckets"]).alias("b")
-    ).collect()[0][0]
+    n_buckets = man["spec"]["n_buckets"]
+    # driver-side Spark-exact xxhash64: zero jobs for the routing (the
+    # one-row-DataFrame path costs a full job's scheduler latency per
+    # lookup); unported key types fall back to that job path
+    h = _xxhash64_py(vals, [types[k] for k in key])
+    if h is not None:
+        bucket = h % n_buckets  # Python % == Spark pmod for positive n
+    else:
+        one = spark.createDataFrame(
+            [vals],
+            ", ".join(f"`{k}` {types[k].simpleString()}" for k in key),
+        )
+        bucket = one.select(
+            _bucket_expr(key, n_buckets).alias("b")
+        ).collect()[0][0]
     df = read_version(spark, path, version, buckets=[bucket])
     for k, v in zip(key, vals):
         df = df.filter(F.col(k) == F.lit(v))

@@ -115,3 +115,67 @@ def test_operation_mix_equals_dict_model(spark, tmp_path_factory, ops,
                for r in read_where(spark, path, "v", lo, hi).collect()}
     want_rng = {k: x for k, x in model.items() if lo <= x <= hi}
     assert got_rng == want_rng
+
+
+def test_python_xxhash64_matches_spark(spark):
+    """The driver-side XXH64 port must be BIT-EXACT with Spark's
+    xxhash64 for every key type read_key routes with — a mismatch
+    silently sends a lookup to the wrong bucket (empty result, no
+    error), so parity is pinned here across widths, signs, unicode,
+    NULLs, chaining, and byte-length boundaries of the string path."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        IntegerType,
+        LongType,
+        StringType,
+        TimestampType,
+    )
+
+    from monday_etl_spark.tableformat import _xxhash64_py
+
+    longs = [0, 1, -1, 42, -42, 2**63 - 1, -(2**63), 2**31, -(2**31) - 1,
+             982451653, -982451653]
+    ints = [0, 1, -1, 2**31 - 1, -(2**31), 97, -12345]
+    strings = ["", "a", "abc", "abcd", "abcdefg", "abcdefgh",
+               "abcdefghi", "x" * 31, "y" * 32, "z" * 33, "w" * 100,
+               "héllo wörld", "日本語テキスト", "emoji \U0001F600 tail",
+               "tab\tnl\n"]
+    dates = [dt.date(1970, 1, 1), dt.date(1969, 12, 31),
+             dt.date(2024, 2, 29), dt.date(1902, 7, 4)]
+    stamps = [dt.datetime(1970, 1, 1), dt.datetime(2024, 6, 1, 12, 34, 56,
+                                                   789012),
+              dt.datetime(1969, 12, 31, 23, 59, 59, 999999)]
+    bools = [True, False]
+
+    cases = (
+        [((v,), (LongType(),)) for v in longs]
+        + [((v,), (IntegerType(),)) for v in ints]
+        + [((v,), (StringType(),)) for v in strings]
+        + [((v,), (DateType(),)) for v in dates]
+        + [((v,), (TimestampType(),)) for v in stamps]
+        + [((v,), (BooleanType(),)) for v in bools]
+        + [((None,), (LongType(),)), ((None,), (StringType(),))]
+        # chaining: composite keys seed each other in order
+        + [((7, "abc"), (LongType(), StringType())),
+           ((None, "abc"), (LongType(), StringType())),
+           ((dt.date(2024, 1, 2), "evt"), (DateType(), StringType())),
+           ((1, 2, 3), (LongType(), LongType(), LongType()))]
+    )
+
+    for vals, dtypes in cases:
+        got = _xxhash64_py(vals, dtypes)
+        ddl = ", ".join(f"`c{i}` {t.simpleString()}"
+                        for i, t in enumerate(dtypes))
+        want = spark.createDataFrame([tuple(vals)], ddl).select(
+            F.xxhash64(*[F.col(f"c{i}") for i in range(len(vals))])
+        ).collect()[0][0]
+        assert got == want, f"mismatch for {vals!r}: {got} != {want}"
+
+    # the fallback contract: unported types return None, never a guess
+    from pyspark.sql.types import DoubleType
+
+    assert _xxhash64_py((1.5,), (DoubleType(),)) is None
