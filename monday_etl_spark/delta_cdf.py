@@ -43,7 +43,6 @@ from .delta_import import (
     DeltaProtocolError,
     _dv_pair_positions,
     _list_commits,
-    _mapping_mode,
     _partition_literal,
     _snapshot_state,
     commit_timestamps,
@@ -68,17 +67,37 @@ def _scan_entries(
     part_cols: list[str],
     entries: list[tuple[str, dict, dict | None]],
     extra_data_fields: list[StructField] = (),
+    meta: dict | None = None,
 ) -> DataFrame:
     """One logical scan over ``entries`` = [(relpath, partitionValues,
     dv-or-None)]: schema from the log, partition columns injected as
     typed literals, deletion vectors applied via the executor-decoded
     anti-join. ``extra_data_fields`` widens the file schema (the CDF
-    files carry ``_change_type`` in the data)."""
-    data_fields = [f for f in schema.fields if f.name not in part_cols]
-    data_schema = StructType(
-        [StructField(f.name, f.dataType, True) for f in data_fields]
-        + list(extra_data_fields)
+    files carry ``_change_type`` in the data — always under its literal
+    name, never mapped). Under column mapping (``meta`` carries
+    ``delta.columnMapping.mode``) data columns and partitionValues are
+    keyed by PHYSICAL names (mode=name) or resolved by field id
+    (mode=id) exactly as ``read_delta`` does, and the result surfaces
+    logical names."""
+    from .delta_import import (
+        _id_requested_schema,
+        _mapping_mode,
+        _physical_names,
     )
+
+    phys = _physical_names(meta) if meta else None
+    mode_id = bool(meta) and _mapping_mode(meta) == "id"
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    if mode_id:
+        data_schema = StructType(
+            _id_requested_schema(spark, meta, data_fields).fields
+            + list(extra_data_fields))
+    else:
+        data_schema = StructType(
+            [StructField(phys[f.name] if phys else f.name,
+                         f.dataType, True) for f in data_fields]
+            + list(extra_data_fields)
+        )
     out_names = ([f.name for f in schema.fields]
                  + [f.name for f in extra_data_fields])
 
@@ -88,7 +107,11 @@ def _scan_entries(
         dec = urllib.parse.unquote(rel)
         absf = os.path.abspath(
             dec if os.path.isabs(dec) else os.path.join(table_path, dec))
-        key = tuple(pv.get(c) for c in part_cols)
+        # under column mapping partitionValues are keyed by physical name
+        key = tuple(
+            pv.get(phys[c], pv.get(c)) if phys else pv.get(c)
+            for c in part_cols
+        )
         by_part.setdefault(key, []).append(absf)
         if dv:
             dv_by_abs[absf] = dv
@@ -107,8 +130,17 @@ def _scan_entries(
             df = df.select("*", *meta_cols)
         for c, v in zip(part_cols, key):
             df = df.withColumn(
-                c, _partition_literal(v, schema[c].dataType))
-        cols = [F.col(n) for n in out_names]
+                c if (mode_id or not phys) else phys[c],
+                _partition_literal(v, schema[c].dataType))
+        extra_names = [f.name for f in extra_data_fields]
+        if mode_id or not phys:
+            cols = [F.col(n) for n in out_names]
+        else:
+            cols = [
+                (F.col(n) if n in extra_names
+                 else F.col(phys[n]).alias(n))
+                for n in out_names
+            ]
         if with_dv:
             cols += [F.col("__dv_src"), F.col("__dv_idx")]
         pieces.append(df.select(*cols))
@@ -216,9 +248,10 @@ def read_delta_changes(
     their change-data files were never written, so add/remove
     reconstruction would over-report pre-enablement rewrites — a commit
     JSON already cleaned from the log, a change-data file already
-    vacuumed, a DV-update commit without change-data files, or a
-    column-mapped table (physical-name change files are not resolved
-    here)."""
+    vacuumed, or a DV-update commit without change-data files.
+    Column-mapped tables (modes ``name`` and ``id``) are served with
+    data columns and partitionValues resolved by physical name / field
+    id exactly as ``read_delta`` resolves them."""
     path = os.path.abspath(path)
     snap = _snapshot_state(spark, path, None)
     meta = snap.meta
@@ -230,10 +263,6 @@ def read_delta_changes(
             "would silently misreport history. Enable CDF via the "
             "table's native engine first."
         )
-    if _mapping_mode(meta) != "none":
-        raise DeltaProtocolError(
-            "change feed over a column-mapped table is not supported "
-            "by this bridge (change files carry physical names)")
     commits = _list_commits(path)
     ts = commit_timestamps(path)
     if starting_version is not None and starting_timestamp is not None:
@@ -311,6 +340,7 @@ def read_delta_changes(
                 [(c["path"], c.get("partitionValues") or {}, None)
                  for c in cdc],
                 extra_data_fields=ct_field,
+                meta=meta,
             )
             pieces.append(_stamp(df, v, ts))
             continue
@@ -328,6 +358,7 @@ def read_delta_changes(
                 spark, path, schema, part_cols,
                 [(a["path"], a.get("partitionValues") or {}, None)
                  for a in adds],
+                meta=meta,
             ).withColumn("_change_type", F.lit("insert"))
             pieces.append(_stamp(df, v, ts))
         removed = [r for r in removes if r["path"] not in add_paths]
@@ -346,7 +377,8 @@ def read_delta_changes(
                 entries.append((r["path"],
                                 a.get("partitionValues") or {},
                                 a.get("deletionVector")))
-            df = _scan_entries(spark, path, schema, part_cols, entries) \
+            df = _scan_entries(spark, path, schema, part_cols, entries,
+                               meta=meta) \
                 .withColumn("_change_type", F.lit("delete"))
             pieces.append(_stamp(df, v, ts))
 

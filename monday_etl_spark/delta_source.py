@@ -339,7 +339,9 @@ class DeltaStreamReader(DataSourceStreamReader):
             if self.mode_id or self.phys:
                 raise DeltaProtocolError(
                     "read_change_feed over a column-mapped table is not "
-                    "supported by this source")
+                    "supported by this source — use the batch reader "
+                    "(read_delta_changes), which resolves physical "
+                    "names / field ids")
         start = options.get("starting_version")
         start_ts = options.get("starting_timestamp")
         if start is not None and start_ts is not None:

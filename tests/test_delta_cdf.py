@@ -356,3 +356,102 @@ def test_feed_commit_range_cap(spark, tmp_path, monkeypatch):
     with pytest.raises(DeltaProtocolError, match="bounded windows"):
         read_delta_changes(spark, table, 0, 2)
     assert read_delta_changes(spark, table, 1, 2).count() == 2
+
+
+def _mapped_schema(mode_cols):
+    """schemaString for a column-mapped table: [(logical, physical, id,
+    type)]."""
+    return json.dumps({"type": "struct", "fields": [
+        {"name": lname, "type": typ, "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": pname,
+                      "delta.columnMapping.id": cid}}
+        for lname, pname, cid, typ in mode_cols
+    ]})
+
+
+def _write_phys_file(table, name, cols, ids=None):
+    """A parquet data file keyed by PHYSICAL column names; ``ids`` stamps
+    parquet field ids (mode=id resolution)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    arrays, fields = [], []
+    for i, (pname, typ, vals) in enumerate(cols):
+        arrays.append(pa.array(vals, typ))
+        fid = ids[i] if ids and i < len(ids) else None
+        md = ({b"PARQUET:field_id": str(fid).encode()}
+              if fid is not None else None)
+        fields.append(pa.field(pname, typ, metadata=md))
+    rel = f"data/{name}.parquet"
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    pq.write_table(
+        pa.Table.from_arrays(arrays, schema=pa.schema(fields)),
+        os.path.join(table, rel))
+    return rel
+
+
+def test_feed_over_column_mapped_table(spark, tmp_path):
+    """CDF over column-mapped tables (previously refused): mode=name
+    resolves data columns and partitionValues by physicalName, mode=id
+    by parquet field id — both serve cdc commits and blind-append
+    reconstruction under LOGICAL names, like delta-spark."""
+    import pyarrow as pa
+
+    for mode in ("name", "id"):
+        table = str(tmp_path / f"mapped_{mode}")
+        os.makedirs(table)
+        schema_json = _mapped_schema([
+            ("id", "col-aaa", 1, "long"),
+            ("v", "col-bbb", 2, "double"),
+            ("region", "col-ccc", 3, "string"),
+        ])
+        ids = [1, 2] if mode == "id" else None
+        f0 = _write_phys_file(
+            table, "f0",
+            [("col-aaa", pa.int64(), [1, 2]),
+             ("col-bbb", pa.float64(), [1.0, 2.0])], ids=ids)
+        # cdc change file: physical names + literal _change_type
+        c0 = _write_phys_file(
+            table, "c0",
+            [("col-aaa", pa.int64(), [2]),
+             ("col-bbb", pa.float64(), [2.0]),
+             ("_change_type", pa.string(), ["delete"])], ids=ids)
+        _commit(table, 0, [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {"id": f"m-{mode}",
+                          "format": {"provider": "parquet",
+                                     "options": {}},
+                          "schemaString": schema_json,
+                          "partitionColumns": ["region"],
+                          "configuration": {
+                              "delta.enableChangeDataFeed": "true",
+                              "delta.columnMapping.mode": mode,
+                              "delta.columnMapping.maxColumnId": "3"}}},
+            # partitionValues keyed by the PHYSICAL name
+            {"add": {"path": f0, "partitionValues": {"col-ccc": "EU"},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True}},
+        ])
+        # v1: a cdc-bearing delete commit
+        _commit(table, 1, [
+            {"cdc": {"path": c0, "partitionValues": {"col-ccc": "EU"},
+                     "size": 1, "dataChange": False}},
+            {"remove": {"path": f0, "dataChange": True}},
+            {"add": {"path": _write_phys_file(
+                table, "f1",
+                [("col-aaa", pa.int64(), [1]),
+                 ("col-bbb", pa.float64(), [1.0])], ids=ids),
+                "partitionValues": {"col-ccc": "EU"}, "size": 1,
+                "modificationTime": 0, "dataChange": False}},
+        ])
+        feed = read_delta_changes(spark, table, 0, 1)
+        assert set(feed.columns) == {"id", "v", "region", "_change_type",
+                                     "_commit_version",
+                                     "_commit_timestamp"}
+        rows = {(r["id"], r["v"], r["region"], r["_change_type"],
+                 r["_commit_version"]) for r in feed.collect()}
+        assert rows == {
+            (1, 1.0, "EU", "insert", 0),
+            (2, 2.0, "EU", "insert", 0),
+            (2, 2.0, "EU", "delete", 1),
+        }, f"mode={mode}: {rows}"
