@@ -336,12 +336,11 @@ class DeltaStreamReader(DataSourceStreamReader):
                     "read_change_feed: delta.enableChangeDataFeed is not "
                     "set on this table — change files were never written"
                 )
-            if self.mode_id or self.phys:
-                raise DeltaProtocolError(
-                    "read_change_feed over a column-mapped table is not "
-                    "supported by this source — use the batch reader "
-                    "(read_delta_changes), which resolves physical "
-                    "names / field ids")
+            # column-mapped tables stream fine: the arrow read path
+            # resolves data columns by physicalName / field id and keys
+            # partitionValues physically (same as plain streams), and
+            # the cdc files' _change_type column is literal (it is not a
+            # table column and carries no mapping)
         start = options.get("starting_version")
         start_ts = options.get("starting_timestamp")
         if start is not None and start_ts is not None:

@@ -174,3 +174,60 @@ def test_change_feed_stream_refuses_pre_enablement_start(spark, tmp_path):
     assert {(r.id, r._change_type)
             for r in spark.read.parquet(out).collect()} \
         == {(2, "insert")}
+
+
+def test_change_feed_streams_column_mapped_table(spark, tmp_path):
+    """CDF streaming over a column-mapped table (previously refused):
+    the arrow read path resolves data columns by physicalName (and the
+    partition value by its physical key); cdc files' literal
+    _change_type column rides through untouched."""
+    import pyarrow as pa
+
+    from tests.test_delta_cdf import _mapped_schema, _write_phys_file
+
+    table = str(tmp_path / "mapped_stream")
+    os.makedirs(table)
+    schema_json = _mapped_schema([
+        ("id", "col-aaa", 1, "long"),
+        ("v", "col-bbb", 2, "double"),
+        ("region", "col-ccc", 3, "string"),
+    ])
+    f0 = _write_phys_file(
+        table, "f0",
+        [("col-aaa", pa.int64(), [1, 2]),
+         ("col-bbb", pa.float64(), [1.0, 2.0])])
+    c0 = _write_phys_file(
+        table, "c0",
+        [("col-aaa", pa.int64(), [2]),
+         ("col-bbb", pa.float64(), [2.0]),
+         ("_change_type", pa.string(), ["delete"])])
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "ms",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": schema_json,
+                      "partitionColumns": ["region"],
+                      "configuration": {
+                          "delta.enableChangeDataFeed": "true",
+                          "delta.columnMapping.mode": "name",
+                          "delta.columnMapping.maxColumnId": "3"}}},
+        {"add": {"path": f0, "partitionValues": {"col-ccc": "EU"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ])
+    _commit(table, 1, [
+        {"cdc": {"path": c0, "partitionValues": {"col-ccc": "EU"},
+                 "size": 1, "dataChange": False}},
+        {"remove": {"path": f0, "dataChange": True}},
+    ])
+    out = _drain(
+        spark,
+        stream_delta(spark, table, starting_version=0,
+                     read_change_feed=True),
+        str(tmp_path / "ck"))
+    rows = {(r.id, r.v, r.region, r._change_type, r._commit_version)
+            for r in spark.read.parquet(out).collect()}
+    assert rows == {
+        (1, 1.0, "EU", "insert", 0),
+        (2, 2.0, "EU", "insert", 0),
+        (2, 2.0, "EU", "delete", 1),
+    }
