@@ -41,6 +41,7 @@ from pyspark.sql.types import StringType, StructField, StructType
 
 from .delta_import import (
     DeltaProtocolError,
+    _checkpoint_at_or_below,
     _dv_pair_positions,
     _list_commits,
     _partition_literal,
@@ -180,20 +181,34 @@ def _check_cdf_enabled_over(spark, path: str, commits: dict[int, str],
     carry no change-data files, so serving them via add/remove
     reconstruction would over-report rewrites (a pre-enablement
     copy-on-write commit reads as delete+insert of every surviving row)
-    — delta-spark refuses such ranges. ``metaData`` actions carry the
-    full configuration, so the log replay tracks every transition; when
-    the log tail is checkpoint-truncated, the state at the earliest
-    retained version comes from that version's snapshot meta."""
-    versions = [v for v in sorted(commits) if v <= end_v]
-    if not versions:
-        return
-    if versions[0] == 0:
+    — delta-spark refuses such ranges.
+
+    Cost is O(range), NOT O(retained history): the enablement state is
+    SEEDED from the snapshot just below ``start_v`` (``_snapshot_state``
+    replays from the nearest checkpoint, the same bounded resolution
+    every read pays) and only the commits INSIDE ``[start_v, end_v]``
+    are opened to track ``metaData`` transitions — a 2-commit range at
+    the head of a 100k-commit log no longer walks the whole log."""
+    versions = [v for v in sorted(commits) if start_v <= v <= end_v]
+    floor = None
+    if start_v <= 0:
         enabled = False  # a new table starts with no configuration
     else:
-        base = _snapshot_state(spark, path, versions[0]).meta
-        conf = base.get("configuration") or {}
-        enabled = conf.get("delta.enableChangeDataFeed") == "true"
-    floor = None
+        seed_v = start_v - 1
+        if seed_v in commits or _checkpoint_at_or_below(
+                path, seed_v) is not None:
+            base = _snapshot_state(spark, path, seed_v).meta
+            conf = base.get("configuration") or {}
+            enabled = conf.get("delta.enableChangeDataFeed") == "true"
+        elif versions:
+            # seed version is vacuumed below the retained log AND below
+            # any checkpoint: the earliest retained version's snapshot
+            # is the best-known base state (the pre-r12 behavior)
+            base = _snapshot_state(spark, path, versions[0]).meta
+            conf = base.get("configuration") or {}
+            enabled = conf.get("delta.enableChangeDataFeed") == "true"
+        else:
+            return
     for v in versions:
         with open(commits[v]) as fh:
             for line in fh:
@@ -206,10 +221,10 @@ def _check_cdf_enabled_over(spark, path: str, commits: dict[int, str],
                     if now and not enabled:
                         floor = v
                     enabled = now
-        if v >= start_v and not enabled:
+        if not enabled:
             raise DeltaProtocolError(
                 f"change feed is off at version {v} (enabled "
-                f"{'at version ' + str(floor) if floor is not None else 'never in the retained log'}): "
+                f"{'at version ' + str(floor) if floor is not None else 'at no version in the range'}): "
                 f"commits written while CDF is disabled carry no "
                 "change-data files, so the range "
                 f"[{start_v}, {end_v}] cannot be served faithfully.")

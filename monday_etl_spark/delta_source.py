@@ -117,21 +117,49 @@ def _local_meta(path: str) -> dict:
 
 def _check_cdf_enabled_local(path: str, start_v: int, end_v: int) -> None:
     """SparkSession-free twin of ``delta_cdf._check_cdf_enabled_over``
-    for stream start: refuse when the retained JSON log PROVES a commit
-    in ``[start_v, end_v]`` was written while
+    for stream start: refuse when the log PROVES a commit in
+    ``[start_v, end_v]`` was written while
     ``delta.enableChangeDataFeed`` was off (its change-data files were
-    never written — reconstruction would over-report rewrites). When the
-    log tail is checkpoint-truncated the base state is unknown and only
-    transitions visible in retained commits are judged — the stream
-    under-refuses there; the batch reader (``read_delta_changes``) does
-    the full checkpoint-backed check."""
+    never written — reconstruction would over-report rewrites).
+
+    Cost is O(range + checkpoint interval), not O(retained history):
+    the state seeds from the nearest CLASSIC checkpoint's ``metaData``
+    at or below ``start_v - 1`` (a local parquet column read, no
+    session) and only commits above it are replayed. With no usable
+    checkpoint the replay starts at the earliest retained commit —
+    known-off when that is version 0, else unknown (None): only a
+    PROVEN off state refuses; the batch reader
+    (``read_delta_changes``) does the full checkpoint-backed check."""
     commits = _list_commits(path)
-    versions = [v for v in sorted(commits) if v <= end_v]
-    if not versions:
-        return
-    # a new table starts with no configuration; a truncated tail starts
-    # unknown (None) — only a PROVEN off state refuses
-    enabled: bool | None = False if versions[0] == 0 else None
+    ckpts = _list_checkpoints(path)
+    seed_cands = [c for c in ckpts if c <= start_v - 1]
+    enabled: bool | None
+    if start_v <= 0:
+        enabled = False  # a new table starts with no configuration
+        replay_from = 0
+    elif seed_cands:
+        c = max(seed_cands)
+        meta = None
+        for f in ckpts[c]:  # all parts of a multi-part checkpoint
+            if "metaData" not in pq.ParquetFile(f).schema_arrow.names:
+                continue
+            col = pq.read_table(f, columns=["metaData"]).column("metaData")
+            for m in col.to_pylist():
+                if m is not None:
+                    meta = m
+                    break
+            if meta is not None:
+                break
+        conf = (meta or {}).get("configuration") or {}
+        if not isinstance(conf, dict):
+            conf = dict(conf)  # pyarrow map columns pylist as pairs
+        enabled = conf.get("delta.enableChangeDataFeed") == "true"
+        replay_from = c + 1
+    else:
+        earliest = min(commits) if commits else 0
+        enabled = False if earliest == 0 else None
+        replay_from = earliest
+    versions = [v for v in sorted(commits) if replay_from <= v <= end_v]
     floor = None
     for v in versions:
         with open(commits[v]) as fh:

@@ -113,19 +113,35 @@ def _added_entries(meta: dict, snap: dict) -> tuple[list, list, list]:
     snapshot: status ADDED (1) for the additions, status DELETED (2) in
     DATA manifests for copy-on-write removals (a foreign engine's COW
     DELETE/UPDATE marks the rewritten files deleted). Removed DELETE
-    files change no logical rows and are ignored."""
+    files change no logical rows and are ignored.
+
+    Entries are counted only when the ENTRY's own snapshot_id is this
+    snapshot (null inherits the manifest's added_snapshot_id, which the
+    outer filter already pins): when a foreign writer merges manifests
+    (``commit.manifest.merge.enabled``, Iceberg's default), unexpired
+    ADDED/DELETED entries from OLDER snapshots ride into a manifest
+    added by a later snapshot and must not re-emit as that commit's
+    changes — iceberg-spark's changelog applies the same entry filter.
+
+    Each returned tuple is the decode tuple plus a trailing element:
+    the manifest's ``partition_spec_id`` (scoped equality deletes must
+    refuse on a spec mismatch instead of silently missing rows)."""
+    sid = snap["snapshot-id"]
     data, removed, dele = [], [], []
     for m in _manifest_paths(meta, snap):
-        if m.get("added_snapshot_id") != snap["snapshot-id"]:
+        if m.get("added_snapshot_id") != sid:
             continue
         pair = (m["manifest_path"],
                 int(m.get("sequence_number", 0) or 0))
         is_del = m.get("content", 0) == 1
+        spec_id = int(m.get("partition_spec_id", 0) or 0)
         for t in _decode_manifest(pair):
+            if t[10] is not None and t[10] != sid:
+                continue  # merged-manifest carry-over from an older commit
             if t[0] == 1:
-                (dele if is_del else data).append(t)
+                (dele if is_del else data).append(t + (spec_id,))
             elif t[0] == 2 and not is_del:
-                removed.append(t)
+                removed.append(t + (spec_id,))
     return data, removed, dele
 
 
@@ -300,6 +316,26 @@ def read_iceberg_changes(
             scoped = [t for t in eqs
                       if (json.loads(t[5]) if t[5] else {})]
             if scoped:
+                # a scoped delete written under a DIFFERENT partition
+                # spec than the parent's data manifests cannot be
+                # matched by tuple equality — refuse loudly instead of
+                # silently dropping the delete rows from the changelog
+                parent_spec_ids = {
+                    int(m.get("partition_spec_id", 0) or 0)
+                    for m in _manifest_paths(meta, parent)
+                    if m.get("content", 0) == 0
+                }
+                bad = sorted({t[11] for t in scoped} - parent_spec_ids
+                             if parent_spec_ids else set())
+                if bad or len(parent_spec_ids) > 1:
+                    raise IcebergProtocolError(
+                        f"snapshot {sid}: partition-scoped equality "
+                        f"deletes under spec id(s) "
+                        f"{sorted({t[11] for t in scoped})} cannot be "
+                        f"matched against parent data manifests under "
+                        f"spec id(s) {sorted(parent_spec_ids)} — "
+                        "partition tuples from different specs do not "
+                        "compare; compact the table to one spec first")
                 # partition-SCOPED equality deletes match only parent
                 # rows in the delete file's own partition tuple; tag each
                 # parent row with its file's tuple via a broadcast

@@ -283,17 +283,26 @@ def _decode_manifest(arg, want_bounds: bool = True) -> list[tuple]:
             for side in ("lower", "upper")
         }
         seq = e.get("sequence_number")
+        esnap = e.get("snapshot_id")
         out.append((
             int(e.get("status", 1)),
             d.get("file_path"),
             (d.get("file_format") or "PARQUET").upper(),
             int(d.get("record_count", 0)),
             int(d.get("content", 0)),
-            json.dumps(d.get("partition") or {}, default=str),
+            # sort_keys: partition tuples are COMPARED as strings across
+            # manifests (equality-delete scoping) — a foreign writer's
+            # field order must not defeat the match
+            json.dumps(d.get("partition") or {}, default=str,
+                       sort_keys=True),
             b64["lower"],
             b64["upper"],
             int(seq if seq is not None else mseq),
             json.dumps(sorted(d.get("equality_ids") or [])),
+            # the ENTRY's own snapshot_id (spec: null inherits the
+            # manifest's added_snapshot_id) — changelog readers need it
+            # to skip older entries riding in merged manifests
+            None if esnap is None else int(esnap),
         ))
     return out
 
@@ -308,7 +317,7 @@ def _live_entries_df(spark: SparkSession,
         "status int, file_path string, file_format string, "
         "record_count bigint, content int, partition_json string, "
         "lower_json string, upper_json string, seq bigint, "
-        "equality_json string"
+        "equality_json string, entry_snapshot_id bigint"
     )
     if len(data_manifests) <= _DRIVER_DECODE_MAX_MANIFESTS:
         rows = [t for m in data_manifests for t in _decode_manifest(m)]

@@ -206,7 +206,15 @@ def _xxhash64_py(values, dtypes, seed: int = 42) -> int | None:
     """Spark's ``xxhash64(cols...)`` over literal values: each child's
     hash seeds the next (Spark's chaining), NULLs leave the seed
     untouched. Returns the SIGNED 64-bit result, or None when a value's
-    type has no port here (caller falls back to the job path)."""
+    type has no port here (caller falls back to the job path).
+
+    Datetime values convert to internal micros EXACTLY as the job path
+    (``spark.createDataFrame`` → ``TimestampType.toInternal``) does:
+    aware datetimes via their own zone, NAIVE ones via the OS-LOCAL
+    zone (``time.mktime``) — NOT UTC and NOT
+    ``spark.sql.session.timeZone`` (measured: classic PySpark's
+    row-list conversion ignores the session zone). Anything else would
+    silently route a non-UTC host's lookup to the wrong bucket."""
     import datetime as _dt
 
     from pyspark.sql.types import (
@@ -236,11 +244,15 @@ def _xxhash64_py(values, dtypes, seed: int = 42) -> int | None:
             h = _xxh_int(days, h)
         elif isinstance(t, TimestampType):
             if isinstance(v, _dt.datetime):
-                epoch = _dt.datetime(1970, 1, 1,
-                                     tzinfo=_dt.timezone.utc)
-                vv = v if v.tzinfo else v.replace(
-                    tzinfo=_dt.timezone.utc)
-                micros = (vv - epoch) // _dt.timedelta(microseconds=1)
+                import calendar as _cal
+                import time as _time
+
+                # TimestampType.toInternal's formula, bit for bit
+                if v.tzinfo is not None:
+                    seconds = _cal.timegm(v.utctimetuple())
+                else:
+                    seconds = _time.mktime(v.timetuple())
+                micros = int(seconds) * 1_000_000 + v.microsecond
             else:
                 micros = int(v)
             h = _xxh_long(micros, h)

@@ -455,3 +455,58 @@ def test_feed_over_column_mapped_table(spark, tmp_path):
             (2, 2.0, "EU", "insert", 0),
             (2, 2.0, "EU", "delete", 1),
         }, f"mode={mode}: {rows}"
+
+
+def test_enablement_check_opens_only_range_commits(spark, tmp_path,
+                                                   monkeypatch):
+    """The enablement-floor check is O(range), not O(retained history):
+    with a checkpoint near the head, a 2-commit range at the head of a
+    long log opens only the range's commit JSONs (plus the bounded
+    post-checkpoint tail), never every retained commit (ADVICE r11 —
+    previously every commit <= end was opened and fully parsed)."""
+    import builtins
+
+    from monday_etl_spark.delta_cdf import _check_cdf_enabled_over
+    from monday_etl_spark.delta_import import (
+        _list_commits,
+        write_checkpoint,
+    )
+
+    table = _cdf_table(spark, tmp_path, "widehist")
+    n = 24
+    for i in range(1, n + 1):
+        f = _write_file(spark, table, f"a{i}", [(100 + i, float(i))])
+        _commit(table, i, [_add(f)])
+    write_checkpoint(spark, table)  # checkpoint at the head (v24)
+    f = _write_file(spark, table, "tail1", [(900, 9.0)])
+    _commit(table, n + 1, [_add(f)])
+    f = _write_file(spark, table, "tail2", [(901, 9.1)])
+    _commit(table, n + 2, [_add(f)])
+
+    commits = _list_commits(table)
+    opened: list[str] = []
+    real_open = builtins.open
+
+    def counting_open(file, *a, **kw):
+        s = str(file)
+        if s.endswith(".json") and "_delta_log" in s:
+            opened.append(s)
+        return real_open(file, *a, **kw)
+
+    monkeypatch.setattr(builtins, "open", counting_open)
+    _check_cdf_enabled_over(spark, table, commits, n + 1, n + 2)
+    monkeypatch.setattr(builtins, "open", real_open)
+
+    commit_opens = [s for s in opened
+                    if os.path.basename(s).rstrip(".json").isdigit()]
+    # the range's two commits (the seed replays from the v24 checkpoint,
+    # touching no commit JSON below it) — not the 24 history commits
+    assert len(commit_opens) <= 4, commit_opens
+    versions = {int(os.path.basename(s).split(".")[0])
+                for s in commit_opens}
+    assert versions <= {n + 1, n + 2}, versions
+
+    # and the full read still serves the head range exactly
+    got = {(r["id"], r["_change_type"], r["_commit_version"])
+           for r in read_delta_changes(spark, table, n + 1, n + 2).collect()}
+    assert got == {(900, "insert", n + 1), (901, "insert", n + 2)}

@@ -66,30 +66,31 @@ def test_changelog_inserts_deletes_and_compaction(spark, tmp_path):
 
 
 def _mlist(meta_dir, snap_id, items):
-    """Manifest list with per-item (manifest, content, seq, added_by) —
-    the shape foreign multi-snapshot histories need (manifests carried
-    forward keep their ORIGINAL added_snapshot_id)."""
+    """Manifest list with per-item (manifest, content, seq, added_by[,
+    spec_id]) — the shape foreign multi-snapshot histories need
+    (manifests carried forward keep their ORIGINAL added_snapshot_id)."""
     import os
 
     from monday_etl_spark.avro_ocf import write_ocf
     from monday_etl_spark.iceberg_export import _MANIFEST_FILE
 
+    items = [tuple(it) + (0,) * (5 - len(it)) for it in items]
     p = os.path.join(meta_dir, f"snap-{snap_id}-{snap_id}.avro")
     write_ocf(p, _MANIFEST_FILE, [
         {"manifest_path": "file://" + m,
          "manifest_length": os.path.getsize(m),
-         "partition_spec_id": 0, "content": content,
+         "partition_spec_id": spec_id, "content": content,
          "sequence_number": seq, "min_sequence_number": seq,
          "added_snapshot_id": added_by,
          "added_files_count": 1, "existing_files_count": 0,
          "deleted_files_count": 0, "added_rows_count": 1,
          "existing_rows_count": 0, "deleted_rows_count": 0,
          "partitions": None}
-        for m, content, seq, added_by in items
+        for m, content, seq, added_by, spec_id in items
     ], metadata={"format-version": "2",
                  "snapshot-id": str(snap_id),
                  "sequence-number": str(max(
-                     s for _m, _c, s, _a in items)),
+                     s for _m, _c, s, _a, _sp in items)),
                  "parent-snapshot-id": "null"})
     return p
 
@@ -429,3 +430,174 @@ def test_changelog_copy_on_write_overwrite(spark, tmp_path):
     assert got == {(2, 20, "delete", 0), (3, 30, "delete", 0),
                    (4, 40, "delete", 0),
                    (3, 30, "insert", 0), (4, 40, "insert", 0)}
+
+
+def test_changelog_merged_manifest_entries_not_recounted(spark, tmp_path):
+    """A foreign writer with commit.manifest.merge.enabled (Iceberg's
+    default) merges older manifests into the one its commit adds: the
+    merged manifest's added_snapshot_id is the NEW snapshot, but it
+    carries unexpired ADDED/DELETED entries stamped with OLDER
+    snapshot_ids. Those entries must not re-emit as the new commit's
+    changes — only entries whose own snapshot_id is the commit count
+    (iceberg-spark's changelog entry filter)."""
+    import os
+
+    from tests._iceberg_builders import entry, manifest, metadata, \
+        write_data_file
+
+    path = str(tmp_path / "merged")
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir)
+    os.makedirs(meta_dir)
+    schema = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "v", "required": False, "type": "long"},
+    ]}
+    f1 = write_data_file(os.path.join(data_dir, "f1.parquet"),
+                         ["id", "v"], [1, 2], [[1, 2], [10, 20]])
+    f2 = write_data_file(os.path.join(data_dir, "f2.parquet"),
+                         ["id", "v"], [1, 2], [[5], [50]])
+    f3 = write_data_file(os.path.join(data_dir, "f3.parquet"),
+                         ["id", "v"], [1, 2], [[7], [70]])
+
+    # snap 100: append f1. snap 200: COW delete removes f1, adds f2.
+    m1 = manifest(meta_dir, [entry(f1, 2, 100, seq=1)], schema)
+    m2 = manifest(meta_dir,
+                  [entry(f1, 2, 200, seq=1, status=2),
+                   entry(f2, 1, 200, seq=2)], schema)
+    # snap 300: appends f3 and MERGES manifests — its one manifest
+    # (added_snapshot_id=300) carries snap 200's unexpired DELETED entry
+    # for f1 and ADDED entry for f2, each stamped with snapshot_id=200
+    m3 = manifest(meta_dir,
+                  [entry(f3, 1, 300, seq=3),
+                   entry(f2, 1, 200, seq=2),
+                   entry(f1, 2, 200, seq=1, status=2)], schema)
+
+    mlist = lambda snap_id, items: _mlist(meta_dir, snap_id, items)  # noqa: E731
+    l1 = mlist(100, [(m1, 0, 1, 100)])
+    l2 = mlist(200, [(m2, 0, 2, 200)])
+    l3 = mlist(300, [(m3, 0, 3, 300)])
+    snaps = [
+        {"snapshot-id": 100, "sequence-number": 1, "timestamp-ms": 1000,
+         "manifest-list": "file://" + l1, "schema-id": 0,
+         "summary": {"operation": "append"}},
+        {"snapshot-id": 200, "sequence-number": 2, "timestamp-ms": 2000,
+         "parent-snapshot-id": 100,
+         "manifest-list": "file://" + l2, "schema-id": 0,
+         "summary": {"operation": "overwrite"}},
+        {"snapshot-id": 300, "sequence-number": 3, "timestamp-ms": 3000,
+         "parent-snapshot-id": 200,
+         "manifest-list": "file://" + l3, "schema-id": 0,
+         "summary": {"operation": "append"}},
+    ]
+    metadata(path, [schema], snaps,
+             [{"snapshot-id": 100, "timestamp-ms": 1000},
+              {"snapshot-id": 200, "timestamp-ms": 2000},
+              {"snapshot-id": 300, "timestamp-ms": 3000}], current=300)
+
+    # snap 300's window: ONLY f3's insert — the carried f1 DELETED entry
+    # must not re-emit f1's rows as snap-300 deletes, and the carried f2
+    # ADDED entry must not re-insert f2's row
+    got = _feed(spark, path, from_snapshot_id=200)
+    assert got == {(7, 70, "insert", 0)}
+
+    # full history stays the true story: snap 200 emitted the deletes
+    got = _feed(spark, path, from_snapshot_id=100)
+    assert got == {(1, 10, "delete", 0), (2, 20, "delete", 0),
+                   (5, 50, "insert", 0), (7, 70, "insert", 1)}
+
+
+def test_changelog_scoped_delete_partition_field_order(spark, tmp_path):
+    """Partition tuples compare CANONICALLY: a foreign writer whose
+    delete-file manifest stores the partition record's fields in a
+    different order than the data manifests must still match (raw
+    string comparison of as-written JSON silently missed — ADVICE
+    r11). And a scoped delete under a DIFFERENT partition spec id than
+    the parent's data manifests refuses loudly instead of silently
+    dropping the delete rows."""
+    import os
+
+    import pyarrow as pa
+
+    from tests._iceberg_builders import entry, manifest, metadata, \
+        write_data_file
+
+    path = str(tmp_path / "order")
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir)
+    os.makedirs(meta_dir)
+    schema = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "region", "required": False, "type": "string"},
+        {"id": 3, "name": "yr", "required": False, "type": "long"},
+    ]}
+    fa = write_data_file(
+        os.path.join(data_dir, "a.parquet"), ["id", "region", "yr"],
+        [1, 2, 3], [[1, 2], ["EU", "EU"], [2024, 2024]],
+        types=[pa.int64(), pa.string(), pa.int64()])
+    ed = write_data_file(
+        os.path.join(data_dir, "ed.parquet"), ["id"], [1], [[1]])
+    # data manifest partition record: (region, yr); delete manifest
+    # partition record: (yr, region) — same tuple, different field order
+    m_data = manifest(
+        meta_dir,
+        [entry(fa, 2, 100, seq=1,
+               partition={"region": "EU", "yr": 2024})],
+        schema, partition={"region": "string", "yr": "long"})
+    m_del = manifest(
+        meta_dir,
+        [entry(ed, 1, 200, seq=2, content=2, equality_ids=[1],
+               partition={"yr": 2024, "region": "EU"})],
+        schema, partition={"yr": "long", "region": "string"})
+
+    mlist = lambda snap_id, items: _mlist(meta_dir, snap_id, items)  # noqa: E731
+    l1 = mlist(100, [(m_data, 0, 1, 100)])
+    l2 = mlist(200, [(m_data, 0, 1, 100), (m_del, 1, 2, 200)])
+    spec = [{"spec-id": 0, "fields": [
+        {"name": "region", "transform": "identity",
+         "source-id": 2, "field-id": 1000},
+        {"name": "yr", "transform": "identity",
+         "source-id": 3, "field-id": 1001}]}]
+    snaps = [
+        {"snapshot-id": 100, "sequence-number": 1, "timestamp-ms": 1000,
+         "manifest-list": "file://" + l1, "schema-id": 0,
+         "summary": {"operation": "append"}},
+        {"snapshot-id": 200, "sequence-number": 2, "timestamp-ms": 2000,
+         "parent-snapshot-id": 100,
+         "manifest-list": "file://" + l2, "schema-id": 0,
+         "summary": {"operation": "overwrite"}},
+    ]
+    metadata(path, [schema], snaps,
+             [{"snapshot-id": 100, "timestamp-ms": 1000},
+              {"snapshot-id": 200, "timestamp-ms": 2000}],
+             current=200, specs=spec)
+
+    got = {
+        (r.id, r.region, r._change_type)
+        for r in read_iceberg_changes(
+            spark, path, from_snapshot_id=100).collect()
+    }
+    assert got == {(1, "EU", "delete")}
+
+    # now the same table but the delete manifest claims spec id 1 while
+    # the data manifests are spec 0: refuse loudly, never a silent miss
+    m_del_b = manifest(
+        meta_dir,
+        [entry(ed, 1, 201, seq=2, content=2, equality_ids=[1],
+               partition={"yr": 2024, "region": "EU"})],
+        schema, partition={"yr": "long", "region": "string"})
+    l2b = mlist(201, [(m_data, 0, 1, 100), (m_del_b, 1, 2, 201, 1)])
+    snaps_b = snaps[:1] + [
+        {"snapshot-id": 201, "sequence-number": 2, "timestamp-ms": 2000,
+         "parent-snapshot-id": 100,
+         "manifest-list": "file://" + l2b, "schema-id": 0,
+         "summary": {"operation": "overwrite"}},
+    ]
+    metadata(path, [schema], snaps_b,
+             [{"snapshot-id": 100, "timestamp-ms": 1000},
+              {"snapshot-id": 201, "timestamp-ms": 2000}],
+             current=201, specs=spec, version=2)
+    with pytest.raises(IcebergProtocolError, match="spec id"):
+        read_iceberg_changes(spark, path, from_snapshot_id=100).collect()

@@ -179,3 +179,51 @@ def test_python_xxhash64_matches_spark(spark):
     from pyspark.sql.types import DoubleType
 
     assert _xxhash64_py((1.5,), (DoubleType(),)) is None
+
+
+def test_python_xxhash64_datetime_non_utc_zones(spark):
+    """Naive datetimes must hash EXACTLY as the one-row-job path
+    converts them (TimestampType.toInternal: OS-LOCAL mktime — measured
+    to ignore spark.sql.session.timeZone in classic createDataFrame),
+    for any session zone AND any OS zone. The pre-r12 port assumed UTC
+    and silently routed non-UTC hosts' lookups to a wrong bucket
+    (ADVICE r11). Aware datetimes convert via their own zone."""
+    import datetime as dt
+    import os
+    import time
+    import zoneinfo
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    from monday_etl_spark.tableformat import _xxhash64_py
+
+    def want(v):
+        return spark.createDataFrame([(v,)], "c0 timestamp").select(
+            F.xxhash64(F.col("c0"))).collect()[0][0]
+
+    vals = [dt.datetime(2024, 6, 1, 12, 34, 56, 789012),
+            dt.datetime(1970, 1, 1),
+            dt.datetime(2024, 1, 15, 23, 59, 59),
+            # aware: converts via its own zone, both code paths
+            dt.datetime(2024, 6, 1, 12, 0, 0,
+                        tzinfo=zoneinfo.ZoneInfo("Asia/Kolkata"))]
+    prev_session = spark.conf.get("spark.sql.session.timeZone")
+    prev_tz = os.environ.get("TZ")
+    try:
+        # a non-UTC SESSION zone must not move either side
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        for v in vals:
+            assert _xxhash64_py((v,), (TimestampType(),)) == want(v), v
+        # a non-UTC OS zone moves BOTH sides together (mktime parity)
+        os.environ["TZ"] = "America/New_York"
+        time.tzset()
+        for v in vals:
+            assert _xxhash64_py((v,), (TimestampType(),)) == want(v), v
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_session)
+        if prev_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = prev_tz
+        time.tzset()
