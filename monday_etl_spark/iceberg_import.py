@@ -1764,6 +1764,174 @@ def delete_iceberg_where(spark: SparkSession, path: str, column: str,
     )
 
 
+def delete_iceberg_cow(spark: SparkSession, path: str, column: str,
+                       lo, hi) -> int:
+    """DELETE WHERE ``lo <= column <= hi`` COPY-ON-WRITE: one
+    ``overwrite`` snapshot that marks every data file containing a
+    matching row DELETED (status 2, the deleting snapshot's id) in
+    REWRITTEN manifests — unaffected entries carry forward as EXISTING
+    (status 0) with their original snapshot ids and EXPLICIT sequence
+    numbers, per the spec's manifest-rewrite rules — and appends the
+    affected files' SURVIVING rows as fresh files. This is the commit
+    shape engines without merge-on-read write (Spark on a v1 table,
+    Trino's delete), and exactly the foreign-COW shape
+    ``read_iceberg_changes`` and the streaming changelog emit as
+    delete+insert rows. Unaffected files are untouched. Requires an
+    UNPARTITIONED v2 table (partitioned survivors need per-tuple
+    routing; use :func:`delete_iceberg_where`'s merge-on-read path
+    there). Returns the new metadata version (current when nothing
+    matches)."""
+    from .avro_ocf import read_ocf as _read_ocf
+    from .avro_ocf import write_ocf as _write_ocf
+
+    versions = metadata_versions(path)
+    cur_v = max(versions)
+    meta = read_metadata(path, cur_v)
+    if meta.get("format-version", 1) != 2:
+        raise IcebergProtocolError("copy-on-write delete requires a "
+                                   "format-version 2 table")
+    snap = _select_snapshot(meta, None, None)
+    schema = _schema_for(meta, {})
+    fields = schema["fields"]
+    if column not in {f["name"] for f in fields}:
+        raise ValueError(f"column {column!r} not in table schema")
+    spec_id = meta.get("default-spec-id", 0)
+    spec_fields = next(
+        (s.get("fields", []) for s in meta.get("partition-specs", [])
+         if s.get("spec-id", 0) == spec_id),
+        [],
+    )
+    if spec_fields:
+        raise IcebergProtocolError(
+            "copy-on-write delete supports unpartitioned tables only "
+            "(survivor rows would need per-tuple routing); use "
+            "delete_iceberg_where's merge-on-read path")
+
+    data_mans, del_mans = _split_manifests(meta, snap)
+    entries = _live_entry_tuples(spark, data_mans)
+    del_entries = _live_entry_tuples(spark, del_mans)
+    live = _assemble_read(spark, meta, fields, entries, del_entries,
+                          keep_meta=True)
+    cond = F.col(f"`{column}`").between(lo, hi)
+    affected = {
+        r["__ice_src"]
+        for r in live.filter(cond).select("__ice_src").distinct().collect()
+    }
+    if not affected:
+        return cur_v  # nothing matched: no commit
+
+    token = uuid.uuid4().hex
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
+
+    # survivors: the affected files' live rows that do NOT match —
+    # NULL column values always survive (between() is null there)
+    surv = (
+        live.filter(F.col("__ice_src").isin(sorted(affected)))
+        .filter(~F.coalesce(cond, F.lit(False)))
+        .select(*[F.col(f"`{f['name']}`").cast(_spark_type(f["type"]))
+                  for f in fields])
+    )
+    rel_files = _write_data_files(surv, path, [], f"cowdel-{token}")
+
+    carried: list[dict] = []
+    rewritten: list[dict] = []
+    n_removed_files = n_removed_rows = 0
+    for i, m in enumerate(_manifest_paths(meta, snap)):
+        mpath = _from_uri(m["manifest_path"])
+        mseq = int(m.get("sequence_number", 0) or 0)
+        madded = m.get("added_snapshot_id")
+        if m.get("content", 0) == 1:
+            carried.append(m)  # delete manifests: still apply to carried
+            continue
+        oschema, ometa, oentries = _read_ocf(mpath)
+        touches = any(
+            _norm_path((e.get("data_file") or {}).get("file_path") or "")
+            in affected
+            for e in oentries if e.get("status", 1) != 2
+        )
+        if not touches:
+            carried.append(m)
+            continue
+        new_entries = []
+        n_exist = exist_rows = n_del = del_rows = 0
+        min_seq = seq
+        for e in oentries:
+            st = e.get("status", 1)
+            if st == 2:
+                continue  # prior tombstones: needed only by their snapshot
+            d = e["data_file"]
+            eseq = e.get("sequence_number")
+            eseq = int(eseq) if eseq is not None else mseq
+            efseq = e.get("file_sequence_number")
+            efseq = int(efseq) if efseq is not None else eseq
+            removed_here = _norm_path(d.get("file_path") or "") in affected
+            ne = dict(e)
+            ne["sequence_number"] = eseq  # explicit: no inheritance after
+            ne["file_sequence_number"] = efseq  # a rewrite, per the spec
+            if removed_here:
+                ne["status"] = 2
+                ne["snapshot_id"] = snapshot_id
+                n_del += 1
+                del_rows += int(d.get("record_count", 0))
+            else:
+                ne["status"] = 0
+                ne["snapshot_id"] = (int(e["snapshot_id"])
+                                     if e.get("snapshot_id") is not None
+                                     else madded)
+                n_exist += 1
+                exist_rows += int(d.get("record_count", 0))
+            min_seq = min(min_seq, eseq)
+            new_entries.append(ne)
+        new_mpath = os.path.join(_meta_dir(path), f"{token}-rw{i}.avro")
+        _write_ocf(new_mpath, oschema, new_entries,
+                   metadata={k: v.decode() if isinstance(v, bytes) else v
+                             for k, v in (ometa or {}).items()
+                             if not k.startswith("avro.")})
+        rewritten.append({
+            "manifest_path": "file://" + new_mpath.replace(os.sep, "/"),
+            "manifest_length": os.path.getsize(new_mpath),
+            "partition_spec_id": m.get("partition_spec_id", 0),
+            "content": 0,
+            "sequence_number": seq, "min_sequence_number": min_seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": 0, "existing_files_count": n_exist,
+            "deleted_files_count": n_del, "added_rows_count": 0,
+            "existing_rows_count": exist_rows,
+            "deleted_rows_count": del_rows,
+            "partitions": None,
+        })
+        n_removed_files += n_del
+        n_removed_rows += del_rows
+
+    records = carried + rewritten
+    n_added_files = added_rows = 0
+    if rel_files:
+        man_path, n_added_files, added_rows = _data_manifest(
+            path, rel_files, fields, [], spec_fields, spec_id, schema,
+            seq, snapshot_id, token, spark=spark)
+        records.append(_manifest_list_record(
+            man_path, spec_id, 0, seq, snapshot_id,
+            n_added_files, added_rows))
+    list_path = _write_manifest_list(
+        path, snapshot_id, seq, token, records, snap["snapshot-id"])
+    now_ms = (int(os.stat(rel_files[0][0]).st_mtime * 1000) if rel_files
+              else int(os.stat(list_path).st_mtime * 1000))
+    newmeta = json.loads(json.dumps(meta))
+    return _commit_snapshot(
+        path, newmeta, versions[cur_v], snapshot_id, seq, now_ms,
+        list_path,
+        {"operation": "overwrite",
+         "deleted-data-files": str(n_removed_files),
+         "deleted-records": str(n_removed_rows),
+         "added-data-files": str(n_added_files),
+         "added-records": str(added_rows)},
+        schema.get("schema-id", 0),
+        snap["snapshot-id"],
+        cur_v=cur_v,
+    )
+
+
 def _ensure_unpartitioned_spec(newmeta: dict) -> int:
     """Spec id of an UNPARTITIONED spec, registering one in
     ``partition-specs`` when the table lacks it. Global/position delete

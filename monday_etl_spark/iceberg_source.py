@@ -56,10 +56,14 @@ from pyspark.sql.types import StructField, StructType
 from .avro_ocf import read_ocf
 from .iceberg_import import (
     IcebergProtocolError,
+    _decode_manifest,
     _from_uri,
     _identity_sources,
+    _manifest_paths,
     _name_mapping,
+    _norm_path,
     _spark_type,
+    _split_manifests,
     read_metadata,
 )
 
@@ -134,55 +138,179 @@ def _added_files(path: str, snap: dict) -> tuple[list[tuple], bool]:
     return out, rewrites
 
 
-def _changelog_units(path: str, snap: dict) -> list[tuple]:
+def _changelog_units(path: str, snap: dict, meta: dict,
+                     fields: list[dict]) -> list[tuple]:
     """One snapshot's CHANGELOG units: ``[(kind, abs_path,
-    partition_json)]`` with kind ``"data"`` (added data file — insert
-    rows) or ``"posdel"`` (added position-delete file — the rows it
-    names, served as deletes). ``replace`` snapshots (compaction) emit
-    NOTHING — no logical rows changed. Equality-delete files and
-    copy-on-write overwrites (status-2 data entries) refuse loudly:
-    resolving them needs the parent snapshot's live set, which the batch
-    changelog (``iceberg_changes.read_iceberg_changes``) does and a
-    streaming source does not."""
+    partition_json, payload)]``, the streaming twin of
+    ``iceberg_changes.read_iceberg_changes``'s per-commit pieces. Kinds:
+
+    - ``data`` — an added data file; its rows stream as inserts, minus
+      positions a SAME-commit position delete names ("deleted at birth"
+      rows were never visible in any snapshot; payload ``birth_pos``).
+    - ``posdel`` — an added position-delete file; the PRIOR-file rows it
+      names stream as deletes (same-commit files skipped via payload
+      ``skip_files`` — those rows are the data units' birth mask).
+    - ``eqdel`` — ONE parent live data file an added equality delete
+      applies to; its live-at-parent rows MATCHING the delete keys
+      stream as deletes. Payload: ``pos``/``eq`` = the parent's own
+      delete files gated by the spec's sequence rules (pos ``>=``, eq
+      strictly ``>``) and partition scope — already-dead rows do not
+      re-die; ``commit_eq`` = the commit's delete groups
+      ``[(col_names, file_paths)]``.
+    - ``cowdel`` — ONE data file the commit removed (status 2, a
+      foreign copy-on-write DELETE/UPDATE); its live-at-parent rows
+      stream as deletes (gross emission, iceberg-spark's COW shape).
+
+    ``replace`` snapshots (compaction) emit NOTHING. Refusals remain
+    only for the truly unreconstructable: an EXPIRED parent under a
+    delete-bearing commit, and scoped equality deletes whose partition
+    spec differs from the parent data manifests'. Entries riding in
+    merged manifests with older snapshot_ids are skipped (the batch
+    reader's entry filter). The parent walk is one driver-side manifest
+    decode per delete-bearing commit — the same planning cost the batch
+    reader pays per commit."""
     sid = snap["snapshot-id"]
     if (snap.get("summary") or {}).get("operation") == "replace":
         return []
-    _, _, manifests = read_ocf(_from_uri(snap["manifest-list"]))
-    units: list[tuple] = []
-    for m in manifests:
+    added_data, added_pos, added_eq, removed = [], [], [], []
+    for m in _manifest_paths(meta, snap):
         if m.get("added_snapshot_id") != sid:
             continue
-        is_del_manifest = m.get("content", 0) == 1
-        _, _, entries = read_ocf(_from_uri(m["manifest_path"]))
-        for e in entries:
-            if e.get("status", 1) != 1:
-                if not is_del_manifest and e.get("status", 1) == 2:
+        pair = (m["manifest_path"],
+                int(m.get("sequence_number", 0) or 0))
+        is_del = m.get("content", 0) == 1
+        spec_id = int(m.get("partition_spec_id", 0) or 0)
+        for t in _decode_manifest(pair, want_bounds=False):
+            if t[10] is not None and t[10] != sid:
+                continue  # merged-manifest carry-over from an older commit
+            if t[0] == 1:
+                if t[2] != "PARQUET":
                     raise IcebergProtocolError(
-                        f"{path}: snapshot {sid} removes data files "
-                        "copy-on-write; the row diff needs the parent "
-                        "state — use read_iceberg_changes for this range"
-                    )
-                continue
-            d = e["data_file"]
-            if (d.get("file_format") or "PARQUET").upper() != "PARQUET":
+                        f"{t[1]}: only PARQUET streams")
+                if is_del:
+                    if t[4] == 1:
+                        added_pos.append(t)
+                    elif t[4] == 2:
+                        added_eq.append(t + (spec_id,))
+                    else:
+                        raise IcebergProtocolError(
+                            f"{path}: delete entry with content={t[4]}: "
+                            "unknown delete kind")
+                else:
+                    added_data.append(t)
+            elif t[0] == 2 and not is_del:
+                if t[2] != "PARQUET":
+                    raise IcebergProtocolError(
+                        f"{t[1]}: only PARQUET streams")
+                removed.append(t)
+
+    units: list[tuple] = []
+    birth_pos = sorted(_from_uri(t[1]) for t in added_pos)
+    data_abs = sorted(_from_uri(t[1]) for t in added_data)
+    for t in added_data:
+        units.append(("data", _from_uri(t[1]), t[5],
+                      {"birth_pos": birth_pos} if birth_pos else {}))
+    for t in added_pos:
+        units.append(("posdel", _from_uri(t[1]), "{}",
+                      {"skip_files": data_abs} if data_abs else {}))
+
+    if added_eq or removed:
+        parent_id = snap.get("parent-snapshot-id")
+        parent = next((s for s in meta.get("snapshots", [])
+                       if s["snapshot-id"] == parent_id), None)
+        if parent is None and parent_id is not None:
+            raise IcebergProtocolError(
+                f"{path}: snapshot {sid} deletes rows but its parent "
+                f"{parent_id} is expired: the deleted rows cannot be "
+                "reconstructed")
+        if parent is None:
+            parent_entries, parent_del = [], []
+        else:
+            data_mans, del_mans = _split_manifests(meta, parent)
+            parent_entries = [
+                t for m in data_mans
+                for t in _decode_manifest(m, want_bounds=False)
+                if t[0] in (0, 1)]
+            parent_del = [
+                t for m in del_mans
+                for t in _decode_manifest(m, want_bounds=False)
+                if t[0] in (0, 1)]
+        ppos = [t for t in parent_del if t[4] == 1]
+        peq = [t for t in parent_del if t[4] == 2]
+
+        id_of = {f["id"]: f for f in fields}
+
+        def eq_names(eq_json: str) -> list[str]:
+            ids = json.loads(eq_json)
+            missing = [i for i in ids if i not in id_of]
+            if missing:
                 raise IcebergProtocolError(
-                    f"{d.get('file_path')}: only PARQUET streams")
-            c = d.get("content", 0)
-            if c == 0:
-                units.append(("data", _from_uri(d["file_path"]),
-                              json.dumps(d.get("partition") or {},
-                                         default=str)))
-            elif c == 1:
-                units.append(("posdel", _from_uri(d["file_path"]), "{}"))
-            else:
+                    f"equality delete references field ids {missing} "
+                    "not in the current schema")
+            return [id_of[i]["name"] for i in ids]
+
+        def group_eq(ents: list[tuple], want_part: str,
+                     min_seq_excl: int) -> list[list]:
+            """[(col_names, sorted file paths)] of the eq entries whose
+            scope matches ``want_part`` (global entries always) and
+            whose sequence is strictly above ``min_seq_excl``."""
+            groups: dict[tuple, list[str]] = {}
+            for t in ents:
+                if t[8] <= min_seq_excl:
+                    continue
+                part = t[5] or "{}"
+                if json.loads(part) and part != want_part:
+                    continue
+                groups.setdefault(tuple(eq_names(t[9])), []).append(
+                    _from_uri(t[1]))
+            return [[list(k), sorted(v)] for k, v in sorted(groups.items())]
+
+        scoped = [t for t in added_eq if json.loads(t[5] or "{}")]
+        if scoped and parent is not None:
+            parent_spec_ids = {
+                int(m.get("partition_spec_id", 0) or 0)
+                for m in _manifest_paths(meta, parent)
+                if m.get("content", 0) == 0}
+            bad = sorted({t[11] for t in scoped} - parent_spec_ids
+                         if parent_spec_ids else set())
+            if bad or len(parent_spec_ids) > 1:
                 raise IcebergProtocolError(
-                    f"{path}: snapshot {sid} carries equality-delete "
-                    "files; the deleted rows live in the parent state — "
-                    "use read_iceberg_changes for this range"
-                )
+                    f"{path}: snapshot {sid}: partition-scoped equality "
+                    f"deletes under spec id(s) "
+                    f"{sorted({t[11] for t in scoped})} cannot be "
+                    f"matched against parent data manifests under spec "
+                    f"id(s) {sorted(parent_spec_ids)} — partition "
+                    "tuples from different specs do not compare")
+
+        def parent_deletes_for(t: tuple) -> dict:
+            pos_paths = sorted(_from_uri(p[1]) for p in ppos
+                               if p[8] >= t[8])
+            return {"pos": pos_paths,
+                    "eq": group_eq(peq, t[5] or "{}", t[8])}
+
+        if added_eq:
+            for t in sorted(parent_entries, key=lambda t: t[1] or ""):
+                commit_groups: dict[tuple, list[str]] = {}
+                for d in added_eq:
+                    part = d[5] or "{}"
+                    if json.loads(part) and part != (t[5] or "{}"):
+                        continue  # scoped to a different partition
+                    commit_groups.setdefault(
+                        tuple(eq_names(d[9])), []).append(_from_uri(d[1]))
+                if not commit_groups:
+                    continue
+                payload = parent_deletes_for(t)
+                payload["commit_eq"] = [
+                    [list(k), sorted(v)]
+                    for k, v in sorted(commit_groups.items())]
+                units.append(("eqdel", _from_uri(t[1]), t[5], payload))
+        for t in removed:
+            units.append(("cowdel", _from_uri(t[1]), t[5],
+                          parent_deletes_for(t)))
+
     # deletes first within a snapshot (old rows before new, the natural
     # order for a downstream CDC consumer)
-    units.sort(key=lambda u: (u[0] != "posdel", u[1]))
+    units.sort(key=lambda u: (u[0] == "data", u[0], u[1]))
     return units
 
 
@@ -191,15 +319,46 @@ _CHANGELOG_META = [("_change_type", "string"),
                    ("_commit_timestamp", "timestamp")]
 
 
+def _eq_key_array(cols: list) -> pa.Array:
+    """Null-safe join key for equality-delete matching: each column
+    value encodes LENGTH-PREFIXED (``"3:abc"``) so multi-column keys
+    concatenate unambiguously, with NULL as a distinct marker that
+    matches NULL (Iceberg equality deletes treat NULLs as equal — SQL
+    join semantics would drop them). Columns must already be cast to
+    the field's canonical arrow type on BOTH sides, so the string form
+    is identical for equal values."""
+    import pyarrow.compute as pc
+
+    parts = []
+    for col in cols:
+        if pa.types.is_binary(col.type) or pa.types.is_large_binary(
+                col.type):
+            raise IcebergProtocolError(
+                "binary equality-delete key columns are not supported "
+                "by the streaming changelog; use read_iceberg_changes")
+        s = pc.cast(col, pa.string())
+        ln = pc.cast(pc.utf8_length(s), pa.string())
+        item = pc.binary_join_element_wise(ln, s, ":")
+        item = pc.fill_null(item, "N")
+        parts.append(item)
+    out = parts[0]
+    for p in parts[1:]:
+        out = pc.binary_join_element_wise(out, p, "|")
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return out
+
+
 class IcebergFilePartition(InputPartition):
     def __init__(self, abs_path: str, part_json: str = "{}",
                  kind: str = "data", snap_id: int | None = None,
-                 ts_ms: int | None = None):
+                 ts_ms: int | None = None, payload: dict | None = None):
         self.kind = kind
         self.snap_id = snap_id
         self.ts_ms = ts_ms
         self.abs_path = abs_path
         self.part_json = part_json
+        self.payload = payload or {}
 
 
 class IcebergStreamReader(DataSourceStreamReader):
@@ -259,6 +418,7 @@ class IcebergStreamReader(DataSourceStreamReader):
             self._initial = {"seq": snaps[-1]["sequence-number"]}
         self._pos: tuple[int, int] | None = None
         self._hw: tuple[int, int] | None = None
+        self._units_cache: dict[int, list] = {}
 
     # -------------------------------------------------------- offsets
 
@@ -278,9 +438,18 @@ class IcebergStreamReader(DataSourceStreamReader):
         """The snapshot's micro-batch units — changelog units when
         streaming the changelog, plain added data files otherwise.
         Offsets index THIS list on both the rate-limit walk and
-        planning."""
+        planning. Changelog units are CACHED per snapshot id: a
+        committed snapshot's units never change, and delete-bearing
+        commits pay a parent manifest walk to plan."""
         if self.changelog:
-            return _changelog_units(self.path, snap)
+            sid = snap["snapshot-id"]
+            hit = self._units_cache.get(sid)
+            if hit is None:
+                hit = _changelog_units(
+                    self.path, snap, read_metadata(self.path),
+                    self.fields)
+                self._units_cache[sid] = hit
+            return hit
         files, _ = _added_files(self.path, snap)
         return files
 
@@ -353,14 +522,15 @@ class IcebergStreamReader(DataSourceStreamReader):
                 if seq == e[0] and e[1] == 0:
                     break
                 if self.changelog:
-                    units = _changelog_units(self.path, snap)
+                    units = self._snap_units(snap)
                     plo = lo[1] if seq == lo[0] else 0
                     phi = e[1] if seq == e[0] else len(units)
-                    for kind, absf, pj in units[plo:phi]:
+                    for kind, absf, pj, payload in units[plo:phi]:
                         parts.append(IcebergFilePartition(
                             absf, pj, kind=kind,
                             snap_id=snap["snapshot-id"],
-                            ts_ms=snap.get("timestamp-ms", 0)))
+                            ts_ms=snap.get("timestamp-ms", 0),
+                            payload=payload))
                     continue
                 files, rewrites = _added_files(self.path, snap)
                 if rewrites:
@@ -415,22 +585,28 @@ class IcebergStreamReader(DataSourceStreamReader):
             return [(f, footer_name(f), _ARROW_OF[f["type"]])
                     for f in fields]
 
-        def build(rb, plan):
+        def build(rb, plan, std: bool = False):
             n = rb.num_rows
-            cols = []
-            for f, src, at in plan:
-                if src is not None:
-                    cols.append(
-                        rb.column(rb.schema.get_field_index(src))
-                        .cast(at))
-                    continue
-                pname = id_part.get(f["id"])
-                if pname is not None and pname in pvals \
-                        and pvals[pname] is not None:
-                    cols.append(pa.array([pvals[pname]] * n).cast(at))
-                else:
-                    # pre-evolution file: NULLs, same as the batch read
-                    cols.append(pa.nulls(n, type=at))
+            if std:
+                # already standardized (delete-resolution paths): the
+                # columns ARE the schema, only the changelog meta appends
+                cols = [rb.column(i) for i in range(rb.num_columns)]
+            else:
+                cols = []
+                for f, src, at in plan:
+                    if src is not None:
+                        cols.append(
+                            rb.column(rb.schema.get_field_index(src))
+                            .cast(at))
+                        continue
+                    pname = id_part.get(f["id"])
+                    if pname is not None and pname in pvals \
+                            and pvals[pname] is not None:
+                        cols.append(
+                            pa.array([pvals[pname]] * n).cast(at))
+                    else:
+                        # pre-evolution file: NULLs, like the batch read
+                        cols.append(pa.nulls(n, type=at))
             names = [f["name"] for f in fields]
             if changelog:
                 cols += [
@@ -442,18 +618,146 @@ class IcebergStreamReader(DataSourceStreamReader):
                 names = names + [m[0] for m in _CHANGELOG_META]
             return pa.RecordBatch.from_arrays(cols, names=names)
 
+        payload = partition.payload or {}
+
+        def pos_mask(n: int, abs_path: str, pos_files: list) -> "object":
+            """Boolean keep-mask over a file's ``n`` rows: False where a
+            listed position-delete file names (this file, position)."""
+            import numpy as np
+
+            mask = np.ones(n, dtype=bool)
+            for pfile in pos_files:
+                dt = pq.read_table(pfile, columns=["file_path", "pos"])
+                for fp, p in zip(dt.column("file_path").to_pylist(),
+                                 dt.column("pos").to_pylist()):
+                    if _from_uri(fp) == abs_path and 0 <= p < n:
+                        mask[p] = False
+            return mask
+
+        def eq_keys_of(files: list, names: list) -> pa.Array:
+            """The (standardized, encoded) key set of a delete group's
+            files, resolved by footer field id / name mapping and cast
+            to the schema's canonical arrow types."""
+            by_name = {f["name"]: f for f in fields}
+            cols_all: list[list] = [[] for _ in names]
+            for path_ in files:
+                pf = pq.ParquetFile(path_)
+                plan = plan_for(pf.schema_arrow)
+                srcs = {f["name"]: (src, at) for f, src, at in plan}
+                t = pf.read()
+                for i, nm in enumerate(names):
+                    if nm not in by_name:
+                        raise IcebergProtocolError(
+                            f"equality delete column {nm!r} not in the "
+                            "current schema")
+                    src, at = srcs[nm]
+                    if src is None:
+                        raise IcebergProtocolError(
+                            f"{path_}: equality-delete file does not "
+                            f"carry key column {nm!r}")
+                    cols_all[i].append(
+                        t.column(t.schema.get_field_index(src)).cast(at))
+            cols = []
+            for pieces in cols_all:
+                chunks: list = []
+                for piece in pieces:
+                    if isinstance(piece, pa.ChunkedArray):
+                        chunks.extend(piece.chunks)
+                    else:
+                        chunks.append(piece)
+                cols.append(pa.concat_arrays(chunks))
+            return _eq_key_array(cols)
+
+        def std_full(abs_path: str):
+            """(standardized full-file pa.Table in field order, plan) —
+            the whole-file form delete resolution masks over."""
+            pf = pq.ParquetFile(abs_path)
+            plan = plan_for(pf.schema_arrow)
+            t = pf.read()
+            n = t.num_rows
+            cols = []
+            for f, src, at in plan:
+                if src is not None:
+                    cols.append(
+                        t.column(t.schema.get_field_index(src)).cast(at))
+                    continue
+                pname = id_part.get(f["id"])
+                if pname is not None and pname in pvals \
+                        and pvals[pname] is not None:
+                    cols.append(pa.array([pvals[pname]] * n).cast(at))
+                else:
+                    cols.append(pa.nulls(n, type=at))
+            return pa.table(cols, names=[f["name"] for f in fields])
+
+        def live_mask_for(tbl, abs_path: str):
+            """The parent-state keep-mask: parent position deletes and
+            parent equality deletes (both pre-gated by the planner on
+            sequence + partition scope) mask rows already dead at the
+            parent so they do not re-die."""
+            import numpy as np
+
+            import pyarrow.compute as pc
+
+            mask = pos_mask(tbl.num_rows, abs_path,
+                            payload.get("pos") or [])
+            for names, files in payload.get("eq") or []:
+                keys = eq_keys_of(files, names)
+                mine = _eq_key_array(
+                    [tbl.column(tbl.schema.get_field_index(nm))
+                     for nm in names])
+                dead = pc.is_in(mine, value_set=keys).to_numpy(
+                    zero_copy_only=False)
+                mask &= ~np.asarray(dead, dtype=bool)
+            return mask
+
+        def emit(tbl):
+            for rb in tbl.to_batches():
+                if rb.num_rows:
+                    yield build(rb, None, std=True)
+
+        if partition.kind in ("eqdel", "cowdel"):
+            def resolve_batches():
+                import numpy as np
+
+                import pyarrow.compute as pc
+
+                tbl = std_full(partition.abs_path)
+                mask = live_mask_for(tbl, partition.abs_path)
+                if partition.kind == "eqdel":
+                    hit = np.zeros(tbl.num_rows, dtype=bool)
+                    for names, files in payload.get("commit_eq") or []:
+                        keys = eq_keys_of(files, names)
+                        mine = _eq_key_array(
+                            [tbl.column(tbl.schema.get_field_index(nm))
+                             for nm in names])
+                        hit |= np.asarray(
+                            pc.is_in(mine, value_set=keys).to_numpy(
+                                zero_copy_only=False), dtype=bool)
+                    mask &= hit
+                yield from emit(tbl.filter(pa.array(mask)))
+
+            return resolve_batches()
+
         if partition.kind == "posdel":
             # a position-delete file names (data file, row position);
             # serve the NAMED ROWS as deletes: group positions by data
             # file, take() them from each — per-file bounded work, the
-            # streaming twin of the batch changelog's (file, pos) join
+            # streaming twin of the batch changelog's (file, pos) join.
+            # Positions in files THIS commit added are skipped: those
+            # rows are deleted at birth (never visible in any snapshot)
+            # and the data units exclude them from the inserts too.
+            skip = set(payload.get("skip_files") or [])
+
             def del_batches():
                 dt = pq.read_table(partition.abs_path,
                                    columns=["file_path", "pos"])
                 by_file: dict[str, list[int]] = {}
                 for fp, p in zip(dt.column("file_path").to_pylist(),
                                  dt.column("pos").to_pylist()):
-                    by_file.setdefault(_from_uri(fp), []).append(p)
+                    absd = _from_uri(fp)
+                    if absd in skip:
+                        continue
+                    by_file.setdefault(absd, []).append(p)
                 for dfp, positions in sorted(by_file.items()):
                     pf = pq.ParquetFile(dfp)
                     plan = plan_for(pf.schema_arrow)
@@ -463,6 +767,18 @@ class IcebergStreamReader(DataSourceStreamReader):
                             yield build(rb, plan)
 
             return del_batches()
+
+        birth = payload.get("birth_pos") or []
+        if changelog and birth:
+            # a same-commit position delete may name rows of THIS new
+            # file ("deleted at birth"): they were never visible in any
+            # snapshot, so they are neither inserts nor deletes
+            def born_batches():
+                tbl = std_full(partition.abs_path)
+                mask = pos_mask(tbl.num_rows, partition.abs_path, birth)
+                yield from emit(tbl.filter(pa.array(mask)))
+
+            return born_batches()
 
         def batches():
             pf = pq.ParquetFile(partition.abs_path)
@@ -520,12 +836,20 @@ def stream_iceberg(spark: SparkSession, path: str,
     ``changelog=True`` streams per-commit ROW-LEVEL CHANGES instead of
     the data (the streaming twin of
     ``iceberg_changes.read_iceberg_changes``): appended data files
-    stream as inserts, a delete snapshot's position-delete files are
-    RESOLVED to the rows they name and stream as deletes, replace
-    snapshots (compaction) stream nothing, and every row carries
-    ``_change_type`` / ``_commit_snapshot_id`` / ``_commit_timestamp``.
-    Equality deletes, copy-on-write overwrites, and identity-partitioned
-    tables refuse loudly with the batch changelog named as the remedy."""
+    stream as inserts (minus same-commit deleted-at-birth rows), a
+    delete snapshot's position-delete files are RESOLVED to the rows
+    they name, EQUALITY deletes (the Flink-CDC upsert shape) resolve to
+    the parent's live rows matching the delete keys, COPY-ON-WRITE
+    removals (a foreign engine's COW DELETE/UPDATE) emit the removed
+    files' live-at-parent rows as deletes — the parent's own delete
+    files gate what "live" means, so already-dead rows never re-die —
+    replace snapshots (compaction) stream nothing, and every row
+    carries ``_change_type`` / ``_commit_snapshot_id`` /
+    ``_commit_timestamp``. Refusals remain only for the genuinely
+    unreconstructable: an expired parent under a delete-bearing commit,
+    scoped equality deletes under a mismatched partition spec, and
+    identity-partitioned tables (position-delete targets omit the
+    partition column) — the batch changelog is named as the remedy."""
     from .session import ensure_session_confs
 
     meta = read_metadata(path)

@@ -865,7 +865,7 @@ def _maintenance_tables(spark: SparkSession, sf_dir: str) -> dict:
 @_fixture("lakehouse_stream_drains",
           {"delta_source_stream", "delta_stream_id_mapped",
            "iceberg_stream_pipe", "delta_cdf_stream",
-           "iceberg_changelog_stream"})
+           "iceberg_changelog_stream", "iceberg_changelog_stream_mor"})
 def _lakehouse_stream_drains(spark: SparkSession, sf_dir: str) -> dict:
     """The three lakehouse streaming pipes drained ONCE per process off
     one Spark session (r9 verdict task: reuse one runner): the Delta
@@ -932,7 +932,18 @@ def _lakehouse_stream_drains(spark: SparkSession, sf_dir: str) -> dict:
                          changelog=True),
           out["changelog_out"], os.path.join(root, "ck_changelog"))
 
-    # 5. Iceberg table-to-table pipe + the at-least-once replay hazard
+    # 5. the MoR-shape changelog stream (r12): equality deletes (the
+    # Flink-CDC upsert) resolve to the parent rows they match, the
+    # copy-on-write removal resolves to the removed file's
+    # live-at-parent rows
+    mor = shared(spark, sf_dir, "iceberg_mor_stream_table")
+    first_mor = iceberg_history(mor)[0]["snapshot_id"]
+    out["changelog_mor_out"] = os.path.join(root, "changelog_mor_rows")
+    drain(stream_iceberg(spark, mor, starting_snapshot_id=first_mor,
+                         changelog=True),
+          out["changelog_mor_out"], os.path.join(root, "ck_mor"))
+
+    # 6. Iceberg table-to-table pipe + the at-least-once replay hazard
     source = shared(spark, sf_dir, "iceberg_appended_table")
     sink = fresh_copy(shared(spark, sf_dir, "iceberg_pipe_base"))
     first = iceberg_history(source)[0]["snapshot_id"]
@@ -1246,6 +1257,46 @@ def _iceberg_dml_table(spark: SparkSession, sf_dir: str) -> str:
     export_iceberg(path)
     delete_iceberg_where(spark, path, "o_totalprice", 0.0, 50000.0)
     compact_iceberg(spark, path)
+    return path
+
+
+@_fixture("iceberg_mor_stream_table", {"iceberg_changelog_stream_mor"})
+def _iceberg_mor_stream_table(spark: SparkSession, sf_dir: str) -> str:
+    """The MoR delete shapes the r12 streaming changelog resolves, as
+    one chain: append (orders %16 == 15) -> Flink-CDC upsert (ONE
+    snapshot: global equality delete of keys %32 == 15 + the new rows)
+    -> copy-on-write DELETE. The upsert's rewritten prices are offset
+    past every real total price (2p + 1e9), so the COW predicate
+    ([5e8, inf)) removes EXACTLY the upsert's single data file — the
+    gross file-granular COW emission stays a deterministic row set at
+    every sf. Deterministic function of sf_dir; consumers only read."""
+    from ..iceberg_import import (
+        append_iceberg,
+        create_iceberg_table,
+        delete_iceberg_cow,
+        upsert_iceberg,
+    )
+
+    orders = _load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_mor_stream_fx_")
+    path = os.path.join(root, "orders_mor_stream")
+    create_iceberg_table(path, [("o_orderkey", "long"),
+                                ("o_orderstatus", "string"),
+                                ("o_totalprice", "double")])
+    append_iceberg(
+        spark,
+        orders.filter(F.col("o_orderkey") % 16 == 15).coalesce(1), path)
+    src = (
+        orders.filter(F.col("o_orderkey") % 32 == 15)
+        .withColumn("o_totalprice",
+                    F.col("o_totalprice") * 2 + F.lit(1000000000.0))
+    )
+    upsert_iceberg(spark, src.coalesce(1), path, key=["o_orderkey"])
+    delete_iceberg_cow(spark, path, "o_totalprice", 5e8, 1e18)
     return path
 
 

@@ -2042,3 +2042,68 @@ def iceberg_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("change_type", "o_orderstatus", "n_rows", "total_price")
     )
+
+
+@register(
+    "iceberg_changelog_stream_mor",
+    oracle=f"""
+    SELECT change_type, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_money_sum('p')} AS total_price
+    FROM (
+        SELECT 'insert' AS change_type, o_orderstatus,
+               CAST(o_totalprice AS DOUBLE) AS p
+        FROM orders WHERE o_orderkey % 16 = 15
+        UNION ALL
+        SELECT 'delete', o_orderstatus, CAST(o_totalprice AS DOUBLE)
+        FROM orders WHERE o_orderkey % 32 = 15
+        UNION ALL
+        SELECT 'insert', o_orderstatus,
+               CAST(o_totalprice AS DOUBLE) * 2 + 1000000000.0
+        FROM orders WHERE o_orderkey % 32 = 15
+        UNION ALL
+        SELECT 'delete', o_orderstatus,
+               CAST(o_totalprice AS DOUBLE) * 2 + 1000000000.0
+        FROM orders WHERE o_orderkey % 32 = 15
+    )
+    GROUP BY change_type, o_orderstatus
+    """,
+    doc="STREAMING the Iceberg changelog over MERGE-ON-READ delete "
+        "shapes (r12): stream_iceberg(changelog=True) drains a chain of "
+        "append -> Flink-CDC upsert (ONE snapshot: global equality "
+        "delete + new rows) -> copy-on-write DELETE. The equality "
+        "delete resolves worker-side against each parent live file "
+        "(null-safe length-prefixed key matching, the batch reader's "
+        "semantics), emitting the OLD row values as deletes and the "
+        "upsert's rows as inserts; the COW removal emits the removed "
+        "file's live-at-parent rows as deletes (gross emission, "
+        "iceberg-spark's changelog shape). The upsert's rewritten "
+        "prices are offset +1e9 so the COW predicate removes exactly "
+        "the upsert's file — the file-granular emission is a "
+        "deterministic row set at every sf. In-query assertion pins "
+        "exactly THREE stamped snapshots. Previously both shapes "
+        "refused, naming read_iceberg_changes as the remedy "
+        "(VERDICT r11 task #2). Reference scope: the day-over-day diff "
+        "consumer (monday_etl_automated.py:600-645) fed incrementally "
+        "by upstream engines that write CDC upserts or COW deletes.",
+)
+def iceberg_changelog_stream_mor(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from ..functions import money_sum
+    from .fixtures import shared
+
+    out = shared(spark, sf_dir, "lakehouse_stream_drains")
+    rows = spark.read.parquet(out["changelog_mor_out"])
+    sids = {r["_commit_snapshot_id"] for r in
+            rows.select("_commit_snapshot_id").distinct().collect()}
+    if len(sids) != 3:  # append + upsert + COW delete
+        raise AssertionError(f"changelog stamped {len(sids)} snapshots")
+    return (
+        rows.groupBy(
+            F.col("_change_type").alias("change_type"), "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select("change_type", "o_orderstatus", "n_rows", "total_price")
+    )

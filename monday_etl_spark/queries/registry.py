@@ -54,27 +54,36 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # already-green entries. Refreshed each round from CORRECTNESS_r{N}.json.
 # Purely an ordering hint; every query is still registered and runnable.
 _EVIDENCE_PRIORITY = [
-    # r11: the 24 queries whose newest official driver row is r07
-    # (this rotation clears the last evidence tail — VERDICT r10 #3)
-    "set_similarity_join", "snapshot_diff", "sql_correlated_subquery",
-    "streaming_daily_rollup", "streaming_decontaminate",
-    "streaming_delta_sink", "streaming_incremental_dedup",
-    "streaming_ivf_maintenance", "streaming_stateful_sessions",
-    "tableformat_cdc_diff", "tableformat_dataskip",
-    "tableformat_fieldid_reuse", "tableformat_health",
-    "tableformat_merge_history", "tableformat_point_lookup",
-    "tableformat_rename_evolution", "text_fingerprint", "text_lang_id",
-    "text_perplexity", "text_quality", "tfidf_top_terms", "token_stats",
-    "top_unshipped_orders", "triangle_census",
-    # r11: queries whose code paths CHANGED this round (Iceberg changelog
-    # rewrite: gated broadcasts, scoped equality deletes, consecutive
-    # ordinals; Delta CDF: timestamp addressing, enablement floor,
-    # vacuumed-CDC refusal, range cap; txn-stamped maintenance drains)
-    "iceberg_changelog", "iceberg_changelog_stream", "delta_cdc_diff",
-    "delta_cdf_stream", "delta_upsert_merge", "delta_lifecycle",
-    "rollup_maintenance_drain", "scd2_maintenance_drain",
-    # everything below here (unlisted) holds r08-or-newer official
-    # evidence, re-verified exact by the r10 judge's full 163-query
+    # r12: queries whose code paths CHANGED this round (streaming
+    # changelog resolves MoR deletes — equality deletes + COW removals;
+    # batch changelog merged-manifest entry filter + scoped-delete spec
+    # refusal; O(range) CDF enablement replay; xxhash64 datetime zone)
+    "iceberg_changelog_stream_mor", "iceberg_changelog_stream",
+    "iceberg_changelog", "delta_cdc_diff", "delta_cdf_stream",
+    "tableformat_point_lookup",
+    # r12: the 33 queries whose newest official driver row is r08 —
+    # exactly four rounds old, the rotation invariant's edge
+    "ann_brute_force", "ann_ivf", "ann_ivf_recall_sweep",
+    "ann_ivf_store", "ann_lsh_bucketed", "ann_recall_at_10",
+    "bigram_lm_build", "bm25_topk", "chunk_dedup", "chunk_dedup_rewrite",
+    "cohort_retention", "corpus_source_stats", "data_quality_audit",
+    "dedup_cluster_resolution", "dedup_minhash_quality", "dedup_simhash",
+    "dedup_simhash_near", "delta_column_mapping_roundtrip",
+    "doc_chunking", "embedding_near_dup", "embedding_quantize_int8",
+    "funnel_analysis", "hot_key_detection", "iceberg_export_roundtrip",
+    "iceberg_import_external", "mixture_token_allocation",
+    "pagerank_influence", "pivot_event_values",
+    "quality_classifier_score", "salted_join_skew", "scd2_history",
+    "tumbling_window_6h", "weighted_median_price",
+    # r12: the oldest r09 block starts the NEXT rotation (the driver's
+    # ~50-query budget reaches the head of this list first)
+    "collection_battery", "corpus_curation", "deterministic_sample",
+    "filter_daterange", "filter_high_revenue", "filter_inlist",
+    "hopping_window_6h_2h", "iceberg_append_pipeline",
+    "iceberg_delete_compact", "iceberg_merge_on_read",
+    "iceberg_partition_transforms",
+    # everything below here (unlisted) holds r09-or-newer official
+    # evidence, re-verified exact by the r11 judge's full 163-query
     # driver_sim run (FAILURES none)
 ]
 

@@ -1,6 +1,8 @@
 """Streaming the Iceberg changelog: inserts per append snapshot,
-position-delete files resolved to the rows they name, compaction
-invisible, equality deletes refused, exactly-once across drains."""
+position-delete files resolved to the rows they name, equality deletes
+resolved to the parent rows they match (the Flink-CDC upsert shape),
+copy-on-write removals resolved to live-at-parent rows, compaction
+invisible, exactly-once across drains."""
 
 from __future__ import annotations
 
@@ -70,18 +72,104 @@ def test_changelog_stream_inserts_deletes_compaction(spark, tmp_path):
     assert spark.read.parquet(out).count() == 8
 
 
-def test_changelog_stream_refuses_equality_deletes(spark, tmp_path):
+def test_changelog_stream_resolves_equality_deletes(spark, tmp_path):
+    """A Flink-CDC-shaped upsert (ONE snapshot: global equality delete
+    + appended rows) streams BOTH halves: the delete resolved against
+    the parent's live rows (old values) and the new rows as inserts —
+    exactly the batch changelog's emission (previously refused)."""
+    from monday_etl_spark.iceberg_changes import read_iceberg_changes
+
     path = str(tmp_path / "up")
     create_iceberg_table(path, [("id", "long"), ("v", "double")])
     append_iceberg(spark, spark.createDataFrame(
-        [(1, 1.0), (2, 2.0)], "id long, v double"), path)
+        [(1, 1.0), (2, 2.0), (3, 3.0)], "id long, v double"), path)
     first = iceberg_history(path)[0]["snapshot_id"]
     upsert_iceberg(spark, spark.createDataFrame(
+        [(2, 99.0), (50, 5.0)], "id long, v double"), path, key=["id"])
+    # a second upsert hits BOTH the base append and the first upsert's
+    # rows — parent state resolution must see the accumulated table
+    upsert_iceberg(spark, spark.createDataFrame(
+        [(50, 77.0)], "id long, v double"), path, key=["id"])
+
+    stream = stream_iceberg(spark, path, starting_snapshot_id=first,
+                            changelog=True)
+    out = _drain(spark, stream, str(tmp_path / "d_eq"))
+    rows = {(r.id, r.v, r._change_type)
+            for r in spark.read.parquet(out).collect()}
+    assert rows == {
+        (1, 1.0, "insert"), (2, 2.0, "insert"), (3, 3.0, "insert"),
+        (2, 2.0, "delete"), (2, 99.0, "insert"), (50, 5.0, "insert"),
+        (50, 5.0, "delete"), (50, 77.0, "insert"),
+    }
+    # stream/batch parity: identical multiset of (row, change, commit)
+    batch = {(r.id, r.v, r._change_type, r._commit_snapshot_id)
+             for r in read_iceberg_changes(spark, path).collect()}
+    streamed = {(r.id, r.v, r._change_type, r._commit_snapshot_id)
+                for r in spark.read.parquet(out).collect()}
+    assert streamed == batch
+
+
+def test_changelog_stream_resolves_cow_removals(spark, tmp_path):
+    """A copy-on-write DELETE (status-2 removals + rewritten survivors)
+    streams the removed files' live-at-parent rows as deletes and the
+    survivor files as inserts — the gross COW shape the batch changelog
+    emits. A row a parent MoR delete had already killed does not
+    resurrect."""
+    from monday_etl_spark.iceberg_changes import read_iceberg_changes
+    from monday_etl_spark.iceberg_import import delete_iceberg_cow
+
+    path = str(tmp_path / "cow")
+    create_iceberg_table(path, [("id", "long"), ("v", "double")])
+    append_iceberg(spark, spark.createDataFrame(
+        [(i, float(i)) for i in range(5)],
+        "id long, v double").coalesce(1), path)
+    first = iceberg_history(path)[0]["snapshot_id"]
+    # MoR delete kills id=0 first; the COW delete then rewrites the file
+    delete_iceberg_where(spark, path, "v", 0.0, 0.5)
+    delete_iceberg_cow(spark, path, "v", 3.0, 4.0)
+
+    stream = stream_iceberg(spark, path, starting_snapshot_id=first,
+                            changelog=True)
+    out = _drain(spark, stream, str(tmp_path / "d_cow"))
+    rows = {(r.id, r.v, r._change_type)
+            for r in spark.read.parquet(out).collect()}
+    assert rows == {
+        (0, 0.0, "insert"), (1, 1.0, "insert"), (2, 2.0, "insert"),
+        (3, 3.0, "insert"), (4, 4.0, "insert"),
+        (0, 0.0, "delete"),                       # the MoR posdel
+        # the COW removal: live-at-parent rows of the removed file (id=0
+        # already dead — it must NOT re-die) ...
+        (1, 1.0, "delete"), (2, 2.0, "delete"),
+        (3, 3.0, "delete"), (4, 4.0, "delete"),
+        # ... and the survivors re-inserted (gross emission)
+        (1, 1.0, "insert"), (2, 2.0, "insert"),
+    }
+    batch = {(r.id, r.v, r._change_type, r._commit_snapshot_id)
+             for r in read_iceberg_changes(spark, path).collect()}
+    streamed = {(r.id, r.v, r._change_type, r._commit_snapshot_id)
+                for r in spark.read.parquet(out).collect()}
+    assert streamed == batch
+
+
+def test_changelog_stream_refuses_expired_parent(spark, tmp_path):
+    """A delete-bearing commit whose parent snapshot has been expired is
+    genuinely unreconstructable: the stream must refuse loudly, not
+    serve a partial diff."""
+    from monday_etl_spark.iceberg_import import expire_iceberg_snapshots
+
+    path = str(tmp_path / "exp")
+    create_iceberg_table(path, [("id", "long"), ("v", "double")])
+    append_iceberg(spark, spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "id long, v double").coalesce(1), path)
+    upsert_iceberg(spark, spark.createDataFrame(
         [(2, 99.0)], "id long, v double"), path, key=["id"])
-    with pytest.raises(Exception, match="equality-delete"):
-        stream = stream_iceberg(spark, path, starting_snapshot_id=first,
+    up_snap = iceberg_history(path)[-1]["snapshot_id"]
+    expire_iceberg_snapshots(path, keep_last=1)
+    with pytest.raises(Exception, match="expired"):
+        stream = stream_iceberg(spark, path,
+                                starting_snapshot_id=up_snap,
                                 changelog=True)
-        _drain(spark, stream, str(tmp_path / "r1"))
+        _drain(spark, stream, str(tmp_path / "r_exp"))
 
 
 def test_changelog_stream_refuses_identity_partitioned(spark, tmp_path):
@@ -95,3 +183,67 @@ def test_changelog_stream_refuses_identity_partitioned(spark, tmp_path):
         stream = stream_iceberg(spark, path, starting_snapshot_id=first,
                                 changelog=True)
         _drain(spark, stream, str(tmp_path / "r2"))
+
+
+def test_changelog_stream_deleted_at_birth(spark, tmp_path):
+    """A commit adding a data file AND a position delete naming rows of
+    that same new file (valid Iceberg — same sequence number): the
+    deleted-at-birth rows were never visible in any snapshot, so the
+    stream emits them as NEITHER inserts nor deletes — matching the
+    batch changelog."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests._iceberg_builders import entry, manifest, metadata, \
+        write_data_file
+    from tests.test_iceberg_changes import _mlist
+
+    path = str(tmp_path / "birth")
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir)
+    os.makedirs(meta_dir)
+    schema = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "v", "required": False, "type": "long"},
+    ]}
+    f1 = write_data_file(os.path.join(data_dir, "f1.parquet"),
+                         ["id", "v"], [1, 2], [[1, 2], [10, 20]])
+    f2 = write_data_file(os.path.join(data_dir, "f2.parquet"),
+                         ["id", "v"], [1, 2], [[5, 6], [50, 60]])
+    pd1 = os.path.join(data_dir, "pd1.parquet")
+    pq.write_table(pa.table({
+        "file_path": pa.array(["file://" + f2, "file://" + f1],
+                              pa.string()),
+        "pos": pa.array([0, 0], pa.int64()),
+    }), pd1)
+    m1 = manifest(meta_dir, [entry(f1, 2, 100, seq=1)], schema)
+    m2 = manifest(meta_dir, [entry(f2, 2, 200, seq=2)], schema)
+    mp = manifest(meta_dir,
+                  [entry(pd1, 2, 200, seq=2, content=1)], schema)
+    l1 = _mlist(meta_dir, 100, [(m1, 0, 1, 100)])
+    l2 = _mlist(meta_dir, 200, [(m1, 0, 1, 100), (m2, 0, 2, 200),
+                                (mp, 1, 2, 200)])
+    snaps = [
+        {"snapshot-id": 100, "sequence-number": 1, "timestamp-ms": 1000,
+         "manifest-list": "file://" + l1, "schema-id": 0,
+         "summary": {"operation": "append"}},
+        {"snapshot-id": 200, "sequence-number": 2, "timestamp-ms": 2000,
+         "parent-snapshot-id": 100,
+         "manifest-list": "file://" + l2, "schema-id": 0,
+         "summary": {"operation": "overwrite"}},
+    ]
+    metadata(path, [schema], snaps,
+             [{"snapshot-id": 100, "timestamp-ms": 1000},
+              {"snapshot-id": 200, "timestamp-ms": 2000}], current=200)
+
+    stream = stream_iceberg(spark, path, starting_snapshot_id=100,
+                            changelog=True)
+    out = _drain(spark, stream, str(tmp_path / "d_birth"))
+    rows = {(r.id, r.v, r._change_type)
+            for r in spark.read.parquet(out).collect()}
+    # (5,50) was added AND position-deleted by snapshot 200: absent both
+    # ways. (6,60) survives as an insert; (1,10) is a real delete of a
+    # parent row; snapshot 100's own rows stream as inserts.
+    assert rows == {(1, 10, "insert"), (2, 20, "insert"),
+                    (6, 60, "insert"), (1, 10, "delete")}

@@ -601,3 +601,62 @@ def test_changelog_scoped_delete_partition_field_order(spark, tmp_path):
              current=201, specs=spec, version=2)
     with pytest.raises(IcebergProtocolError, match="spec id"):
         read_iceberg_changes(spark, path, from_snapshot_id=100).collect()
+
+
+def test_delete_iceberg_cow_writer(spark, tmp_path):
+    """delete_iceberg_cow commits ONE overwrite snapshot: affected files
+    marked DELETED in rewritten manifests (original snapshot ids and
+    explicit sequence numbers on carried EXISTING entries), survivors
+    rewritten as fresh files. The table reads right before/after, time
+    travel still serves the parent, and the changelog emits the gross
+    COW shape (removed live-at-parent rows as deletes + survivors as
+    inserts)."""
+    from monday_etl_spark.iceberg_import import (
+        delete_iceberg_cow,
+        read_iceberg_table,
+    )
+
+    path = str(tmp_path / "cowtbl")
+    create_iceberg_table(path, [("id", "long"), ("v", "double")])
+    append_iceberg(spark, spark.createDataFrame(
+        [(i, float(i)) for i in range(6)],
+        "id long, v double").coalesce(1), path)
+    append_iceberg(spark, spark.createDataFrame(
+        [(i, float(i)) for i in range(10, 13)],
+        "id long, v double").coalesce(1), path)
+    pre = read_metadata(path)["current-snapshot-id"]
+
+    # nothing matches: no commit
+    v0 = max(iceberg_history(path), key=lambda h: h["snapshot_id"])
+    before_v = delete_iceberg_cow(spark, path, "v", 500.0, 600.0)
+    assert read_metadata(path)["current-snapshot-id"] == pre
+
+    # kill v in [1, 4]: file 1 (ids 0-5) is affected, file 2 (10-12) not
+    delete_iceberg_cow(spark, path, "v", 1.0, 4.0)
+    got = sorted((r.id, r.v)
+                 for r in read_iceberg_table(spark, path).collect())
+    assert got == [(0, 0.0), (5, 5.0), (10, 10.0), (11, 11.0),
+                   (12, 12.0)]
+    meta = read_metadata(path)
+    snap = max(meta["snapshots"], key=lambda s: s["sequence-number"])
+    assert (snap["summary"]["operation"] == "overwrite"
+            and snap["summary"]["deleted-data-files"] == "1")
+    # time travel to the parent still serves the pre-delete rows
+    old = sorted(r.id for r in read_iceberg_table(
+        spark, path, snapshot_id=pre).collect())
+    assert old == [0, 1, 2, 3, 4, 5, 10, 11, 12]
+
+    # the changelog emits the gross COW shape for the overwrite commit
+    got = _feed(spark, path, from_snapshot_id=pre)
+    assert got == {(i, float(i), "delete", 0) for i in range(6)} \
+        | {(0, 0.0, "insert", 0), (5, 5.0, "insert", 0)}
+
+    # NULL column values survive a COW delete (between() is null there)
+    path2 = str(tmp_path / "cownull")
+    create_iceberg_table(path2, [("id", "long"), ("v", "double")])
+    append_iceberg(spark, spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 3.0)], "id long, v double"), path2)
+    delete_iceberg_cow(spark, path2, "v", 0.0, 2.0)
+    got = sorted((r.id, r.v)
+                 for r in read_iceberg_table(spark, path2).collect())
+    assert got == [(2, None), (3, 3.0)]

@@ -73,6 +73,37 @@ def _delta_cdf_table(spark, path: str) -> None:
         fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
 
 
+def delta_drain_loop(spark, path: str, n_commits: int,
+                     window: int) -> dict:
+    """A CDC consumer draining an n_commits backlog in bounded windows
+    (the cap's remedy): per-window plan+execute measured so the serial
+    drain's total can be compared against the one-shot full-range read
+    — does session warmth / plan reuse amortize the per-window planning
+    floor, and how much does each window's full commit_timestamps walk
+    cost as the loop repeats? (VERDICT r11 task #6)"""
+    out: dict = {"scenario": "delta_cdf_drain_loop",
+                 "n_commits": n_commits, "window": window}
+    per: list = []
+    rows = 0
+    t0 = time.monotonic()
+    lo = 1
+    while lo <= n_commits:
+        hi = min(lo + window - 1, n_commits)
+        fdf, plan_s = timed(
+            lambda lo=lo, hi=hi: read_delta_changes(spark, path, lo, hi))
+        n, count_s = timed(fdf.count)
+        per.append(round(plan_s + count_s, 3))
+        rows += n
+        lo = hi + 1
+    out["total_s"] = round(time.monotonic() - t0, 3)
+    out["windows"] = len(per)
+    out["per_window_s"] = per
+    out["first_window_s"] = per[0]
+    out["last_window_s"] = per[-1]
+    out["rows"] = rows
+    return out
+
+
 def delta_commit_scaling(spark, df, n_commits: int) -> dict:
     """The SAME rows served as n_commits append commits: the feed's wall
     should scale with commit count (one scan piece per commit), never
@@ -178,6 +209,10 @@ def main() -> int:
     )
     for n in (20, 200):
         print(json.dumps(delta_commit_scaling(spark, df, n)), flush=True)
+    # the 200-commit table doubles as the drain-loop backlog: 10
+    # bounded windows of 20 vs the one-shot read above
+    print(json.dumps(delta_drain_loop(
+        spark, os.path.join(ROOT, "delta_200"), 200, 20)), flush=True)
     for n in (20, 200):
         print(json.dumps(iceberg_commit_scaling(spark, df, n)),
               flush=True)
