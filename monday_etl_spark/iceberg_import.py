@@ -1776,11 +1776,10 @@ def delete_iceberg_cow(spark: SparkSession, path: str, column: str,
     shape engines without merge-on-read write (Spark on a v1 table,
     Trino's delete), and exactly the foreign-COW shape
     ``read_iceberg_changes`` and the streaming changelog emit as
-    delete+insert rows. Unaffected files are untouched. Requires an
-    UNPARTITIONED v2 table (partitioned survivors need per-tuple
-    routing; use :func:`delete_iceberg_where`'s merge-on-read path
-    there). Returns the new metadata version (current when nothing
-    matches)."""
+    delete+insert rows. Unaffected files are untouched. Partitioned
+    tables route survivors through the same per-tuple writer appends
+    use (identity Hive-style, transforms by computed column). Returns
+    the new metadata version (current when nothing matches)."""
     from .avro_ocf import read_ocf as _read_ocf
     from .avro_ocf import write_ocf as _write_ocf
 
@@ -1801,11 +1800,7 @@ def delete_iceberg_cow(spark: SparkSession, path: str, column: str,
          if s.get("spec-id", 0) == spec_id),
         [],
     )
-    if spec_fields:
-        raise IcebergProtocolError(
-            "copy-on-write delete supports unpartitioned tables only "
-            "(survivor rows would need per-tuple routing); use "
-            "delete_iceberg_where's merge-on-read path")
+    part_fields = _resolve_part_fields(spec_fields, fields)
 
     data_mans, del_mans = _split_manifests(meta, snap)
     entries = _live_entry_tuples(spark, data_mans)
@@ -1832,7 +1827,8 @@ def delete_iceberg_cow(spark: SparkSession, path: str, column: str,
         .select(*[F.col(f"`{f['name']}`").cast(_spark_type(f["type"]))
                   for f in fields])
     )
-    rel_files = _write_data_files(surv, path, [], f"cowdel-{token}")
+    rel_files = _write_data_files(surv, path, part_fields,
+                                  f"cowdel-{token}")
 
     carried: list[dict] = []
     rewritten: list[dict] = []
@@ -1908,8 +1904,8 @@ def delete_iceberg_cow(spark: SparkSession, path: str, column: str,
     n_added_files = added_rows = 0
     if rel_files:
         man_path, n_added_files, added_rows = _data_manifest(
-            path, rel_files, fields, [], spec_fields, spec_id, schema,
-            seq, snapshot_id, token, spark=spark)
+            path, rel_files, fields, part_fields, spec_fields, spec_id,
+            schema, seq, snapshot_id, token, spark=spark)
         records.append(_manifest_list_record(
             man_path, spec_id, 0, seq, snapshot_id,
             n_added_files, added_rows))

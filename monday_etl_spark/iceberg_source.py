@@ -97,7 +97,10 @@ def _added_files(path: str, snap: dict) -> tuple[list[tuple], bool]:
     """(files the snapshot ADDED in manifest order, snapshot-rewrites) —
     each file as (abs_path, partition_json); ``snapshot-rewrites`` is True
     when the snapshot also deleted/replaced files (not replayable as an
-    append)."""
+    append). Entries riding in MERGED manifests with an older
+    snapshot_id are not this snapshot's additions (they were delivered
+    when their own snapshot streamed) and are skipped — the same entry
+    filter the changelog readers apply."""
     sid = snap["snapshot-id"]
     _, _, manifests = read_ocf(_from_uri(snap["manifest-list"]))
     rewrites = (snap.get("summary") or {}).get("operation") not in (
@@ -115,6 +118,9 @@ def _added_files(path: str, snap: dict) -> tuple[list[tuple], bool]:
             rewrites = True
         _, _, entries = read_ocf(_from_uri(m["manifest_path"]))
         for e in entries:
+            esnap = e.get("snapshot_id")
+            if esnap is not None and esnap != sid:
+                continue  # merged-manifest carry-over: already streamed
             st = e.get("status", 1)
             if st == 2:
                 rewrites = True
@@ -210,61 +216,94 @@ def _changelog_units(path: str, snap: dict, meta: dict,
     for t in added_data:
         units.append(("data", _from_uri(t[1]), t[5],
                       {"birth_pos": birth_pos} if birth_pos else {}))
-    for t in added_pos:
-        units.append(("posdel", _from_uri(t[1]), "{}",
-                      {"skip_files": data_abs} if data_abs else {}))
 
-    if added_eq or removed:
-        parent_id = snap.get("parent-snapshot-id")
-        parent = next((s for s in meta.get("snapshots", [])
-                       if s["snapshot-id"] == parent_id), None)
-        if parent is None and parent_id is not None:
-            raise IcebergProtocolError(
-                f"{path}: snapshot {sid} deletes rows but its parent "
-                f"{parent_id} is expired: the deleted rows cannot be "
-                "reconstructed")
-        if parent is None:
-            parent_entries, parent_del = [], []
-        else:
-            data_mans, del_mans = _split_manifests(meta, parent)
-            parent_entries = [
-                t for m in data_mans
-                for t in _decode_manifest(m, want_bounds=False)
-                if t[0] in (0, 1)]
+    # ---- parent state: needed to RESOLVE eq deletes / COW removals,
+    # and to MASK rows already dead at the parent out of posdel units
+    parent_id = snap.get("parent-snapshot-id")
+    parent = next((s for s in meta.get("snapshots", [])
+                   if s["snapshot-id"] == parent_id), None)
+    if (added_eq or removed) and parent is None and parent_id is not None:
+        raise IcebergProtocolError(
+            f"{path}: snapshot {sid} deletes rows but its parent "
+            f"{parent_id} is expired: the deleted rows cannot be "
+            "reconstructed")
+    parent_entries: list[tuple] = []
+    parent_del: list[tuple] = []
+    if parent is not None and (added_eq or removed or added_pos):
+        data_mans, del_mans = _split_manifests(meta, parent)
+        if del_mans:
             parent_del = [
                 t for m in del_mans
                 for t in _decode_manifest(m, want_bounds=False)
                 if t[0] in (0, 1)]
-        ppos = [t for t in parent_del if t[4] == 1]
-        peq = [t for t in parent_del if t[4] == 2]
+        if added_eq or removed or parent_del:
+            parent_entries = [
+                t for m in data_mans
+                for t in _decode_manifest(m, want_bounds=False)
+                if t[0] in (0, 1)]
+    ppos = [t for t in parent_del if t[4] == 1]
+    peq = [t for t in parent_del if t[4] == 2]
 
-        id_of = {f["id"]: f for f in fields}
+    id_of = {f["id"]: f for f in fields}
 
-        def eq_names(eq_json: str) -> list[str]:
-            ids = json.loads(eq_json)
-            missing = [i for i in ids if i not in id_of]
-            if missing:
-                raise IcebergProtocolError(
-                    f"equality delete references field ids {missing} "
-                    "not in the current schema")
-            return [id_of[i]["name"] for i in ids]
+    def eq_names(eq_json: str) -> list[str]:
+        ids = json.loads(eq_json)
+        missing = [i for i in ids if i not in id_of]
+        if missing:
+            raise IcebergProtocolError(
+                f"equality delete references field ids {missing} "
+                "not in the current schema")
+        return [id_of[i]["name"] for i in ids]
 
-        def group_eq(ents: list[tuple], want_part: str,
-                     min_seq_excl: int) -> list[list]:
-            """[(col_names, sorted file paths)] of the eq entries whose
-            scope matches ``want_part`` (global entries always) and
-            whose sequence is strictly above ``min_seq_excl``."""
-            groups: dict[tuple, list[str]] = {}
-            for t in ents:
-                if t[8] <= min_seq_excl:
-                    continue
-                part = t[5] or "{}"
-                if json.loads(part) and part != want_part:
-                    continue
-                groups.setdefault(tuple(eq_names(t[9])), []).append(
-                    _from_uri(t[1]))
-            return [[list(k), sorted(v)] for k, v in sorted(groups.items())]
+    def group_eq(ents: list[tuple], want_part: str,
+                 min_seq_excl: int) -> list[list]:
+        """[(col_names, sorted file paths)] of the eq entries whose
+        scope matches ``want_part`` (global entries always) and
+        whose sequence is strictly above ``min_seq_excl``."""
+        groups: dict[tuple, list[str]] = {}
+        for t in ents:
+            if t[8] <= min_seq_excl:
+                continue
+            part = t[5] or "{}"
+            if json.loads(part) and part != want_part:
+                continue
+            groups.setdefault(tuple(eq_names(t[9])), []).append(
+                _from_uri(t[1]))
+        return [[list(k), sorted(v)] for k, v in sorted(groups.items())]
 
+    def parent_deletes_for(t: tuple) -> dict:
+        pos_paths = sorted(_from_uri(p[1]) for p in ppos
+                           if p[8] >= t[8])
+        return {"pos": pos_paths,
+                "eq": group_eq(peq, t[5] or "{}", t[8])}
+
+    by_parent_path = {_norm_path(t[1]): t for t in parent_entries}
+    for t in added_pos:
+        payload: dict = {"skip_files": data_abs} if data_abs else {}
+        if ppos or peq:
+            # rows this posdel names that were ALREADY dead at the
+            # parent must not re-die: attach each target file's
+            # applicable parent deletes (one small driver-side column
+            # read of the posdel file to learn its targets)
+            import pyarrow.parquet as _pq
+
+            targets: dict = {}
+            dt = _pq.read_table(_from_uri(t[1]), columns=["file_path"])
+            for fp in sorted(set(dt.column("file_path").to_pylist())):
+                absd = _from_uri(fp)
+                if absd in data_abs:
+                    continue  # same-commit target: skipped anyway
+                pe = by_parent_path.get(_norm_path(fp))
+                if pe is None:
+                    continue  # not a parent live file: leave unmasked
+                info = parent_deletes_for(pe)
+                if info["pos"] or info["eq"]:
+                    targets[absd] = info
+            if targets:
+                payload["targets"] = targets
+        units.append(("posdel", _from_uri(t[1]), "{}", payload))
+
+    if added_eq or removed:
         scoped = [t for t in added_eq if json.loads(t[5] or "{}")]
         if scoped and parent is not None:
             parent_spec_ids = {
@@ -281,12 +320,6 @@ def _changelog_units(path: str, snap: dict, meta: dict,
                     f"matched against parent data manifests under spec "
                     f"id(s) {sorted(parent_spec_ids)} — partition "
                     "tuples from different specs do not compare")
-
-        def parent_deletes_for(t: tuple) -> dict:
-            pos_paths = sorted(_from_uri(p[1]) for p in ppos
-                               if p[8] >= t[8])
-            return {"pos": pos_paths,
-                    "eq": group_eq(peq, t[5] or "{}", t[8])}
 
         if added_eq:
             for t in sorted(parent_entries, key=lambda t: t[1] or ""):
@@ -747,8 +780,13 @@ class IcebergStreamReader(DataSourceStreamReader):
             # rows are deleted at birth (never visible in any snapshot)
             # and the data units exclude them from the inserts too.
             skip = set(payload.get("skip_files") or [])
+            targets = payload.get("targets") or {}
 
             def del_batches():
+                import numpy as np
+
+                import pyarrow.compute as pc
+
                 dt = pq.read_table(partition.abs_path,
                                    columns=["file_path", "pos"])
                 by_file: dict[str, list[int]] = {}
@@ -761,7 +799,39 @@ class IcebergStreamReader(DataSourceStreamReader):
                 for dfp, positions in sorted(by_file.items()):
                     pf = pq.ParquetFile(dfp)
                     plan = plan_for(pf.schema_arrow)
-                    sub = pf.read().take(sorted(positions))
+                    named = sorted(positions)
+                    info = targets.get(dfp)
+                    if info and info.get("pos"):
+                        # named rows already position-deleted at the
+                        # parent do not re-die
+                        nrows = pf.metadata.num_rows
+                        keep = pos_mask(nrows, dfp, info["pos"])
+                        named = [p for p in named
+                                 if 0 <= p < nrows and keep[p]]
+                    sub = pf.read().take(named)
+                    if info and info.get("eq") and sub.num_rows:
+                        # ... nor rows a parent equality delete had
+                        # already matched
+                        srcs = {f["name"]: (src, at)
+                                for f, src, at in plan}
+                        keep = np.ones(sub.num_rows, dtype=bool)
+                        for names2, files2 in info["eq"]:
+                            keys = eq_keys_of(files2, names2)
+                            cols2 = []
+                            for nm in names2:
+                                src, at = srcs[nm]
+                                if src is not None:
+                                    cols2.append(sub.column(
+                                        sub.schema.get_field_index(src)
+                                    ).cast(at))
+                                else:  # pre-evolution file: null col
+                                    cols2.append(
+                                        pa.nulls(sub.num_rows, type=at))
+                            dead = pc.is_in(
+                                _eq_key_array(cols2), value_set=keys
+                            ).to_numpy(zero_copy_only=False)
+                            keep &= ~np.asarray(dead, dtype=bool)
+                        sub = sub.filter(pa.array(keep))
                     for rb in sub.to_batches():
                         if rb.num_rows:
                             yield build(rb, plan)

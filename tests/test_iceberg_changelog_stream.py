@@ -247,3 +247,84 @@ def test_changelog_stream_deleted_at_birth(spark, tmp_path):
     # parent row; snapshot 100's own rows stream as inserts.
     assert rows == {(1, 10, "insert"), (2, 20, "insert"),
                     (6, 60, "insert"), (1, 10, "delete")}
+
+
+def test_changelog_stream_posdel_already_dead_rows(spark, tmp_path):
+    """A position delete naming a row a PARENT posdel had already killed
+    must not re-emit it (the batch reader resolves posdels against the
+    parent's live state; the stream now masks the same way)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from monday_etl_spark.iceberg_changes import read_iceberg_changes
+    from tests._iceberg_builders import entry, manifest, metadata, \
+        write_data_file
+    from tests.test_iceberg_changes import _mlist
+
+    path = str(tmp_path / "redead")
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir)
+    os.makedirs(meta_dir)
+    schema = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "v", "required": False, "type": "long"},
+    ]}
+    f1 = write_data_file(os.path.join(data_dir, "f1.parquet"),
+                         ["id", "v"], [1, 2],
+                         [[1, 2, 3], [10, 20, 30]])
+    # commit 200: posdel naming row 0 (id=1)
+    pd1 = os.path.join(data_dir, "pd1.parquet")
+    pq.write_table(pa.table({
+        "file_path": pa.array(["file://" + f1], pa.string()),
+        "pos": pa.array([0], pa.int64())}), pd1)
+    # commit 300: posdel naming rows 0 AND 1 — row 0 is already dead
+    pd2 = os.path.join(data_dir, "pd2.parquet")
+    pq.write_table(pa.table({
+        "file_path": pa.array(["file://" + f1] * 2, pa.string()),
+        "pos": pa.array([0, 1], pa.int64())}), pd2)
+    m1 = manifest(meta_dir, [entry(f1, 3, 100, seq=1)], schema)
+    mp1 = manifest(meta_dir,
+                   [entry(pd1, 1, 200, seq=2, content=1)], schema)
+    mp2 = manifest(meta_dir,
+                   [entry(pd2, 2, 300, seq=3, content=1)], schema)
+    l1 = _mlist(meta_dir, 100, [(m1, 0, 1, 100)])
+    l2 = _mlist(meta_dir, 200, [(m1, 0, 1, 100), (mp1, 1, 2, 200)])
+    l3 = _mlist(meta_dir, 300, [(m1, 0, 1, 100), (mp1, 1, 2, 200),
+                                (mp2, 1, 3, 300)])
+    snaps = [
+        {"snapshot-id": 100, "sequence-number": 1, "timestamp-ms": 1000,
+         "manifest-list": "file://" + l1, "schema-id": 0,
+         "summary": {"operation": "append"}},
+        {"snapshot-id": 200, "sequence-number": 2, "timestamp-ms": 2000,
+         "parent-snapshot-id": 100,
+         "manifest-list": "file://" + l2, "schema-id": 0,
+         "summary": {"operation": "delete"}},
+        {"snapshot-id": 300, "sequence-number": 3, "timestamp-ms": 3000,
+         "parent-snapshot-id": 200,
+         "manifest-list": "file://" + l3, "schema-id": 0,
+         "summary": {"operation": "delete"}},
+    ]
+    metadata(path, [schema], snaps,
+             [{"snapshot-id": 100, "timestamp-ms": 1000},
+              {"snapshot-id": 200, "timestamp-ms": 2000},
+              {"snapshot-id": 300, "timestamp-ms": 3000}], current=300)
+
+    stream = stream_iceberg(spark, path, starting_snapshot_id=100,
+                            changelog=True)
+    out = _drain(spark, stream, str(tmp_path / "d_redead"))
+    rows = {(r.id, r.v, r._change_type, r._commit_snapshot_id)
+            for r in spark.read.parquet(out).collect()}
+    want = {(1, 10, "insert", 100), (2, 20, "insert", 100),
+            (3, 30, "insert", 100),
+            (1, 10, "delete", 200),   # the first posdel
+            (2, 20, "delete", 300)}   # row 0 must NOT re-die at 300
+    assert rows == want
+    # and the batch reader agrees exactly
+    batch = {(r.id, r.v, r._change_type, r._commit_snapshot_id)
+             for r in read_iceberg_changes(
+                 spark, path, from_snapshot_id=100).collect()} | {
+        (r.id, r.v, "insert", 100)
+        for r in read_iceberg_changes(spark, path,
+                                      to_snapshot_id=100).collect()}
+    assert rows == batch

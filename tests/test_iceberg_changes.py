@@ -660,3 +660,43 @@ def test_delete_iceberg_cow_writer(spark, tmp_path):
     got = sorted((r.id, r.v)
                  for r in read_iceberg_table(spark, path2).collect())
     assert got == [(2, None), (3, 3.0)]
+
+
+def test_delete_iceberg_cow_partitioned(spark, tmp_path):
+    """COW delete over an identity-partitioned table: survivors route
+    back through the per-tuple writer (Hive layout, typed tuples in the
+    manifest entries), untouched partitions carry, and the batch
+    changelog emits the gross shape with the partition column injected
+    from the tuples."""
+    from monday_etl_spark.iceberg_import import (
+        delete_iceberg_cow,
+        read_iceberg_table,
+    )
+
+    path = str(tmp_path / "cowpart")
+    create_iceberg_table(
+        path, [("id", "long"), ("cat", "string"), ("v", "double")],
+        partition_by=[("cat", "identity")])
+    append_iceberg(spark, spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0), (4, "b", 4.0)],
+        "id long, cat string, v double").coalesce(1), path)
+    pre = read_metadata(path)["current-snapshot-id"]
+
+    delete_iceberg_cow(spark, path, "v", 1.5, 3.5)  # kills ids 2, 3
+    got = sorted((r.id, r.cat, r.v)
+                 for r in read_iceberg_table(spark, path).collect())
+    assert got == [(1, "a", 1.0), (4, "b", 4.0)]
+    # time travel still serves the parent
+    old = sorted(r.id for r in read_iceberg_table(
+        spark, path, snapshot_id=pre).collect())
+    assert old == [1, 2, 3, 4]
+    # the changelog: both partitions' files were affected -> gross
+    # emission of their live rows as deletes + survivors as inserts
+    got = {(r.id, r.cat, r.v, r._change_type)
+           for r in read_iceberg_changes(
+               spark, path, from_snapshot_id=pre).collect()}
+    assert got == {
+        (1, "a", 1.0, "delete"), (2, "a", 2.0, "delete"),
+        (3, "b", 3.0, "delete"), (4, "b", 4.0, "delete"),
+        (1, "a", 1.0, "insert"), (4, "b", 4.0, "insert"),
+    }

@@ -298,3 +298,66 @@ def test_stream_checkpoint_below_retained_history_refuses(spark, tmp_path):
     # offset drives the resume and lands below the retained history
     with pytest.raises(Exception, match="expired"):
         _drain(spark, path, ckpt, got, max_files_per_batch=1)
+
+
+def test_stream_skips_merged_manifest_carryover(spark, tmp_path):
+    """A foreign writer with manifest merging carries OLDER ADDED entries
+    (stamped with their original snapshot_id) into the manifest a later
+    append adds: the plain data stream must deliver only the NEW
+    snapshot's own entries — re-delivering the carried ones would
+    duplicate rows an earlier micro-batch already served."""
+    import os
+
+    from tests._iceberg_builders import entry, manifest, metadata, \
+        write_data_file
+    from tests.test_iceberg_changes import _mlist
+
+    path = str(tmp_path / "mergedadd")
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir)
+    os.makedirs(meta_dir)
+    schema = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "v", "required": False, "type": "long"},
+    ]}
+    f1 = write_data_file(os.path.join(data_dir, "f1.parquet"),
+                         ["id", "v"], [1, 2], [[1, 2], [10, 20]])
+    f2 = write_data_file(os.path.join(data_dir, "f2.parquet"),
+                         ["id", "v"], [1, 2], [[5], [50]])
+    m1 = manifest(meta_dir, [entry(f1, 2, 100, seq=1)], schema)
+    # snapshot 200's MERGED manifest: its own f2 entry + f1's carried
+    # ADDED entry still stamped snapshot_id=100
+    m2 = manifest(meta_dir,
+                  [entry(f2, 1, 200, seq=2),
+                   entry(f1, 2, 100, seq=1)], schema)
+    l1 = _mlist(meta_dir, 100, [(m1, 0, 1, 100)])
+    l2 = _mlist(meta_dir, 200, [(m2, 0, 2, 200)])
+    snaps = [
+        {"snapshot-id": 100, "sequence-number": 1, "timestamp-ms": 1000,
+         "manifest-list": "file://" + l1, "schema-id": 0,
+         "summary": {"operation": "append"}},
+        {"snapshot-id": 200, "sequence-number": 2, "timestamp-ms": 2000,
+         "parent-snapshot-id": 100,
+         "manifest-list": "file://" + l2, "schema-id": 0,
+         "summary": {"operation": "append"}},
+    ]
+    metadata(path, [schema], snaps,
+             [{"snapshot-id": 100, "timestamp-ms": 1000},
+              {"snapshot-id": 200, "timestamp-ms": 2000}], current=200)
+
+    stream = stream_iceberg(spark, path, starting_snapshot_id=100)
+    root = str(tmp_path / "d_merged")
+    out = os.path.join(root, "rows")
+
+    def handle(batch, bid):
+        batch.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch={bid}"))
+
+    q = (stream.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", os.path.join(root, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted((r.id, r.v) for r in spark.read.parquet(out).collect())
+    # each row exactly once: f1 via snapshot 100, f2 via snapshot 200
+    assert got == [(1, 10), (2, 20), (5, 50)]
