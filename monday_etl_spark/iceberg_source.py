@@ -227,6 +227,7 @@ def _changelog_units(path: str, snap: dict, meta: dict,
             f"{path}: snapshot {sid} deletes rows but its parent "
             f"{parent_id} is expired: the deleted rows cannot be "
             "reconstructed")
+    needs_part = bool(_identity_sources(meta))
     parent_entries: list[tuple] = []
     parent_del: list[tuple] = []
     if parent is not None and (added_eq or removed or added_pos):
@@ -236,7 +237,8 @@ def _changelog_units(path: str, snap: dict, meta: dict,
                 t for m in del_mans
                 for t in _decode_manifest(m, want_bounds=False)
                 if t[0] in (0, 1)]
-        if added_eq or removed or parent_del:
+        if added_eq or removed or parent_del or (
+                needs_part and added_pos):
             parent_entries = [
                 t for m in data_mans
                 for t in _decode_manifest(m, want_bounds=False)
@@ -280,11 +282,12 @@ def _changelog_units(path: str, snap: dict, meta: dict,
     by_parent_path = {_norm_path(t[1]): t for t in parent_entries}
     for t in added_pos:
         payload: dict = {"skip_files": data_abs} if data_abs else {}
-        if ppos or peq:
+        if ppos or peq or needs_part:
             # rows this posdel names that were ALREADY dead at the
-            # parent must not re-die: attach each target file's
-            # applicable parent deletes (one small driver-side column
-            # read of the posdel file to learn its targets)
+            # parent must not re-die — and on identity-partitioned
+            # tables the targets' tuples carry the injected partition
+            # column. One small driver-side column read of the posdel
+            # file learns its targets.
             import pyarrow.parquet as _pq
 
             targets: dict = {}
@@ -296,8 +299,11 @@ def _changelog_units(path: str, snap: dict, meta: dict,
                 pe = by_parent_path.get(_norm_path(fp))
                 if pe is None:
                     continue  # not a parent live file: leave unmasked
-                info = parent_deletes_for(pe)
-                if info["pos"] or info["eq"]:
+                info = (parent_deletes_for(pe) if (ppos or peq)
+                        else {"pos": [], "eq": []})
+                if needs_part:
+                    info["part"] = pe[5]
+                if info["pos"] or info["eq"] or needs_part:
                     targets[absd] = info
             if targets:
                 payload["targets"] = targets
@@ -429,13 +435,6 @@ class IcebergStreamReader(DataSourceStreamReader):
                 )
         self.mapping = _name_mapping(meta)  # {id: [footer names]}
         self.id_part = _identity_sources(meta)  # {id: partition name}
-        if self.changelog and self.id_part:
-            raise IcebergProtocolError(
-                "changelog streaming over an identity-partitioned table "
-                "is not supported: position-delete resolution reads the "
-                "data files, which omit the partition column (Hive "
-                "layout) — use read_iceberg_changes for this table"
-            )
 
         start_sid = options.get("starting_snapshot_id")
         if start_sid is not None:
@@ -618,8 +617,9 @@ class IcebergStreamReader(DataSourceStreamReader):
             return [(f, footer_name(f), _ARROW_OF[f["type"]])
                     for f in fields]
 
-        def build(rb, plan, std: bool = False):
+        def build(rb, plan, std: bool = False, pv: dict | None = None):
             n = rb.num_rows
+            use_pvals = pvals if pv is None else pv
             if std:
                 # already standardized (delete-resolution paths): the
                 # columns ARE the schema, only the changelog meta appends
@@ -633,10 +633,10 @@ class IcebergStreamReader(DataSourceStreamReader):
                             .cast(at))
                         continue
                     pname = id_part.get(f["id"])
-                    if pname is not None and pname in pvals \
-                            and pvals[pname] is not None:
+                    if pname is not None and pname in use_pvals \
+                            and use_pvals[pname] is not None:
                         cols.append(
-                            pa.array([pvals[pname]] * n).cast(at))
+                            pa.array([use_pvals[pname]] * n).cast(at))
                     else:
                         # pre-evolution file: NULLs, like the batch read
                         cols.append(pa.nulls(n, type=at))
@@ -801,6 +801,8 @@ class IcebergStreamReader(DataSourceStreamReader):
                     plan = plan_for(pf.schema_arrow)
                     named = sorted(positions)
                     info = targets.get(dfp)
+                    tgt_pvals = json.loads(
+                        (info or {}).get("part") or "{}") or None
                     if info and info.get("pos"):
                         # named rows already position-deleted at the
                         # parent do not re-die
@@ -818,12 +820,23 @@ class IcebergStreamReader(DataSourceStreamReader):
                         for names2, files2 in info["eq"]:
                             keys = eq_keys_of(files2, names2)
                             cols2 = []
-                            for nm in names2:
+                            for nm, f2 in ((nm, f2) for nm in names2
+                                           for f2 in fields
+                                           if f2["name"] == nm):
                                 src, at = srcs[nm]
+                                pname = id_part.get(f2["id"])
                                 if src is not None:
                                     cols2.append(sub.column(
                                         sub.schema.get_field_index(src)
                                     ).cast(at))
+                                elif (tgt_pvals and pname is not None
+                                      and tgt_pvals.get(pname)
+                                      is not None):
+                                    # identity column: Hive layout omits
+                                    # it; the tuple carries the value
+                                    cols2.append(pa.array(
+                                        [tgt_pvals[pname]]
+                                        * sub.num_rows).cast(at))
                                 else:  # pre-evolution file: null col
                                     cols2.append(
                                         pa.nulls(sub.num_rows, type=at))
@@ -834,7 +847,7 @@ class IcebergStreamReader(DataSourceStreamReader):
                         sub = sub.filter(pa.array(keep))
                     for rb in sub.to_batches():
                         if rb.num_rows:
-                            yield build(rb, plan)
+                            yield build(rb, plan, pv=tgt_pvals)
 
             return del_batches()
 
@@ -915,11 +928,12 @@ def stream_iceberg(spark: SparkSession, path: str,
     files gate what "live" means, so already-dead rows never re-die —
     replace snapshots (compaction) stream nothing, and every row
     carries ``_change_type`` / ``_commit_snapshot_id`` /
-    ``_commit_timestamp``. Refusals remain only for the genuinely
-    unreconstructable: an expired parent under a delete-bearing commit,
-    scoped equality deletes under a mismatched partition spec, and
-    identity-partitioned tables (position-delete targets omit the
-    partition column) — the batch changelog is named as the remedy."""
+    ``_commit_timestamp``. Identity-partitioned tables serve too: each
+    delete target's partition tuple rides in the plan, so the
+    Hive-layout-omitted column injects per target file (r12). Refusals
+    remain only for the genuinely unreconstructable: an expired parent
+    under a delete-bearing commit and scoped equality deletes under a
+    mismatched partition spec — the batch changelog is the remedy."""
     from .session import ensure_session_confs
 
     meta = read_metadata(path)

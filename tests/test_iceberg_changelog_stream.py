@@ -172,17 +172,39 @@ def test_changelog_stream_refuses_expired_parent(spark, tmp_path):
         _drain(spark, stream, str(tmp_path / "r_exp"))
 
 
-def test_changelog_stream_refuses_identity_partitioned(spark, tmp_path):
+def test_changelog_stream_identity_partitioned(spark, tmp_path):
+    """Identity-partitioned changelog streaming (previously refused):
+    position-delete targets omit the partition column (Hive layout), so
+    each target's tuple rides in the plan and injects per file — the
+    delete rows carry the partition value exactly like the batch
+    reader's."""
+    from monday_etl_spark.iceberg_changes import read_iceberg_changes
+
     path = str(tmp_path / "pt")
-    create_iceberg_table(path, [("id", "long"), ("cat", "string")],
+    create_iceberg_table(path, [("id", "long"), ("cat", "string"),
+                                ("v", "double")],
                          partition_by=[("cat", "identity")])
     append_iceberg(spark, spark.createDataFrame(
-        [(1, "a")], "id long, cat string"), path)
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0), (4, "b", 4.0)],
+        "id long, cat string, v double").coalesce(1), path)
     first = iceberg_history(path)[0]["snapshot_id"]
-    with pytest.raises(Exception, match="identity-partitioned"):
-        stream = stream_iceberg(spark, path, starting_snapshot_id=first,
-                                changelog=True)
-        _drain(spark, stream, str(tmp_path / "r2"))
+    delete_iceberg_where(spark, path, "v", 1.5, 3.5)  # kills ids 2, 3
+
+    stream = stream_iceberg(spark, path, starting_snapshot_id=first,
+                            changelog=True)
+    out = _drain(spark, stream, str(tmp_path / "d_pt"))
+    rows = {(r.id, r.cat, r.v, r._change_type)
+            for r in spark.read.parquet(out).collect()}
+    assert rows == {
+        (1, "a", 1.0, "insert"), (2, "a", 2.0, "insert"),
+        (3, "b", 3.0, "insert"), (4, "b", 4.0, "insert"),
+        (2, "a", 2.0, "delete"), (3, "b", 3.0, "delete"),
+    }
+    batch = {(r.id, r.cat, r.v, r._change_type, r._commit_snapshot_id)
+             for r in read_iceberg_changes(spark, path).collect()}
+    streamed = {(r.id, r.cat, r.v, r._change_type, r._commit_snapshot_id)
+                for r in spark.read.parquet(out).collect()}
+    assert streamed == batch
 
 
 def test_changelog_stream_deleted_at_birth(spark, tmp_path):
@@ -328,3 +350,34 @@ def test_changelog_stream_posdel_already_dead_rows(spark, tmp_path):
         for r in read_iceberg_changes(spark, path,
                                       to_snapshot_id=100).collect()}
     assert rows == batch
+
+
+def test_changelog_stream_identity_partitioned_upsert(spark, tmp_path):
+    """Equality deletes over an identity-partitioned table stream with
+    the partition column injected from each parent file's tuple (the
+    eqdel/cowdel paths share std_full's injection)."""
+    from monday_etl_spark.iceberg_changes import read_iceberg_changes
+
+    path = str(tmp_path / "ptup")
+    create_iceberg_table(path, [("id", "long"), ("cat", "string"),
+                                ("v", "double")],
+                         partition_by=[("cat", "identity")])
+    append_iceberg(spark, spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)],
+        "id long, cat string, v double").coalesce(1), path)
+    first = iceberg_history(path)[0]["snapshot_id"]
+    upsert_iceberg(spark, spark.createDataFrame(
+        [(2, "b", 99.0)], "id long, cat string, v double"),
+        path, key=["id"])
+
+    stream = stream_iceberg(spark, path, starting_snapshot_id=first,
+                            changelog=True)
+    out = _drain(spark, stream, str(tmp_path / "d_ptup"))
+    streamed = {(r.id, r.cat, r.v, r._change_type, r._commit_snapshot_id)
+                for r in spark.read.parquet(out).collect()}
+    batch = {(r.id, r.cat, r.v, r._change_type, r._commit_snapshot_id)
+             for r in read_iceberg_changes(spark, path).collect()}
+    assert streamed == batch
+    assert {(r[0], r[1], r[2], r[3]) for r in streamed} == {
+        (1, "a", 1.0, "insert"), (2, "b", 2.0, "insert"),
+        (2, "b", 2.0, "delete"), (2, "b", 99.0, "insert")}
