@@ -150,11 +150,22 @@ def _check_cdf_enabled_local(path: str, start_v: int, end_v: int) -> None:
                     break
             if meta is not None:
                 break
-        conf = (meta or {}).get("configuration") or {}
-        if not isinstance(conf, dict):
-            conf = dict(conf)  # pyarrow map columns pylist as pairs
-        enabled = conf.get("delta.enableChangeDataFeed") == "true"
+        if meta is None:
+            # a checkpoint without a readable metaData row proves
+            # nothing: stay UNKNOWN, never "proven off"
+            enabled = None
+        else:
+            conf = meta.get("configuration") or {}
+            if not isinstance(conf, dict):
+                conf = dict(conf)  # pyarrow map columns pylist as pairs
+            enabled = conf.get("delta.enableChangeDataFeed") == "true"
         replay_from = c + 1
+        if any(v not in commits
+               for v in range(replay_from, start_v)):
+            # a hole between the checkpoint and the retained tail could
+            # hide a metaData transition: the seed degrades to unknown
+            # (the batch reader does the full checkpoint-backed check)
+            enabled = None
     else:
         earliest = min(commits) if commits else 0
         enabled = False if earliest == 0 else None

@@ -157,6 +157,25 @@ def _stamp(df: DataFrame, names: list[str], change: str | None,
     )
 
 
+def _scoped_spec_guard(label: str, sid: int, scoped_spec_ids: set,
+                       parent_spec_ids: set) -> None:
+    """Refuse when partition-SCOPED equality deletes were written under
+    a different partition spec than the parent's data manifests:
+    partition tuples from different specs do not compare, so a silent
+    tuple-equality match would drop delete rows. Shared by the batch
+    changelog and the streaming source."""
+    bad = sorted(scoped_spec_ids - parent_spec_ids
+                 if parent_spec_ids else set())
+    if bad or len(parent_spec_ids) > 1:
+        raise IcebergProtocolError(
+            f"{label}: snapshot {sid}: partition-scoped equality "
+            f"deletes under spec id(s) {sorted(scoped_spec_ids)} cannot "
+            f"be matched against parent data manifests under spec "
+            f"id(s) {sorted(parent_spec_ids)} — partition tuples from "
+            "different specs do not compare; compact the table to one "
+            "spec first")
+
+
 def _gated(ddf: DataFrame, n_rows: int) -> DataFrame:
     """Join-strategy gate for a delete set, sized for free from the
     manifests' ``record_count`` sums: broadcast under the cap (no
@@ -316,26 +335,11 @@ def read_iceberg_changes(
             scoped = [t for t in eqs
                       if (json.loads(t[5]) if t[5] else {})]
             if scoped:
-                # a scoped delete written under a DIFFERENT partition
-                # spec than the parent's data manifests cannot be
-                # matched by tuple equality — refuse loudly instead of
-                # silently dropping the delete rows from the changelog
-                parent_spec_ids = {
-                    int(m.get("partition_spec_id", 0) or 0)
-                    for m in _manifest_paths(meta, parent)
-                    if m.get("content", 0) == 0
-                }
-                bad = sorted({t[11] for t in scoped} - parent_spec_ids
-                             if parent_spec_ids else set())
-                if bad or len(parent_spec_ids) > 1:
-                    raise IcebergProtocolError(
-                        f"snapshot {sid}: partition-scoped equality "
-                        f"deletes under spec id(s) "
-                        f"{sorted({t[11] for t in scoped})} cannot be "
-                        f"matched against parent data manifests under "
-                        f"spec id(s) {sorted(parent_spec_ids)} — "
-                        "partition tuples from different specs do not "
-                        "compare; compact the table to one spec first")
+                _scoped_spec_guard(
+                    path, sid, {t[11] for t in scoped},
+                    {int(m.get("partition_spec_id", 0) or 0)
+                     for m in _manifest_paths(meta, parent)
+                     if m.get("content", 0) == 0})
                 # partition-SCOPED equality deletes match only parent
                 # rows in the delete file's own partition tuple; tag each
                 # parent row with its file's tuple via a broadcast

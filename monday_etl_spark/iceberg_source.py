@@ -54,6 +54,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructField, StructType
 
 from .avro_ocf import read_ocf
+from .iceberg_changes import _scoped_spec_guard
 from .iceberg_import import (
     IcebergProtocolError,
     _decode_manifest,
@@ -114,8 +115,11 @@ def _added_files(path: str, snap: dict) -> tuple[list[tuple], bool]:
             continue
         if m.get("added_snapshot_id") != sid:
             continue
-        if (m.get("deleted_files_count") or 0) > 0:
-            rewrites = True
+        # no manifest-level deleted_files_count shortcut: a MERGED
+        # manifest's count includes carried tombstones from older
+        # snapshots, which would falsely flag a pure append as a rewrite
+        # (and under skip_rewrites silently DROP its new files); the
+        # entry loop below detects this snapshot's own deletions exactly
         _, _, entries = read_ocf(_from_uri(m["manifest_path"]))
         for e in entries:
             esnap = e.get("snapshot_id")
@@ -222,7 +226,8 @@ def _changelog_units(path: str, snap: dict, meta: dict,
     parent_id = snap.get("parent-snapshot-id")
     parent = next((s for s in meta.get("snapshots", [])
                    if s["snapshot-id"] == parent_id), None)
-    if (added_eq or removed) and parent is None and parent_id is not None:
+    if (added_eq or removed or added_pos) and parent is None \
+            and parent_id is not None:
         raise IcebergProtocolError(
             f"{path}: snapshot {sid} deletes rows but its parent "
             f"{parent_id} is expired: the deleted rows cannot be "
@@ -237,12 +242,10 @@ def _changelog_units(path: str, snap: dict, meta: dict,
                 t for m in del_mans
                 for t in _decode_manifest(m, want_bounds=False)
                 if t[0] in (0, 1)]
-        if added_eq or removed or parent_del or (
-                needs_part and added_pos):
-            parent_entries = [
-                t for m in data_mans
-                for t in _decode_manifest(m, want_bounds=False)
-                if t[0] in (0, 1)]
+        parent_entries = [
+            t for m in data_mans
+            for t in _decode_manifest(m, want_bounds=False)
+            if t[0] in (0, 1)]
     ppos = [t for t in parent_del if t[4] == 1]
     peq = [t for t in parent_del if t[4] == 2]
 
@@ -280,52 +283,44 @@ def _changelog_units(path: str, snap: dict, meta: dict,
                 "eq": group_eq(peq, t[5] or "{}", t[8])}
 
     by_parent_path = {_norm_path(t[1]): t for t in parent_entries}
+    data_norm = {_norm_path(p) for p in data_abs}
     for t in added_pos:
-        payload: dict = {"skip_files": data_abs} if data_abs else {}
-        if ppos or peq or needs_part:
-            # rows this posdel names that were ALREADY dead at the
-            # parent must not re-die — and on identity-partitioned
-            # tables the targets' tuples carry the injected partition
-            # column. One small driver-side column read of the posdel
-            # file learns its targets.
-            import pyarrow.parquet as _pq
+        # targets: every named file LIVE AT THE PARENT, keyed by
+        # NORMALIZED path (URI spellings differ across writers), with
+        # the parent deletes that gate it (already-dead rows do not
+        # re-die) and — on identity-partitioned tables — its partition
+        # tuple for column injection. Named files NOT live at the
+        # parent (same-commit "deleted at birth" adds, stale deletes of
+        # already-removed files) contribute NOTHING, exactly like the
+        # batch reader's (file, pos) join against the parent read. One
+        # small driver-side column read of the posdel file per unit.
+        import pyarrow.parquet as _pq
 
-            targets: dict = {}
-            dt = _pq.read_table(_from_uri(t[1]), columns=["file_path"])
-            for fp in sorted(set(dt.column("file_path").to_pylist())):
-                absd = _from_uri(fp)
-                if absd in data_abs:
-                    continue  # same-commit target: skipped anyway
-                pe = by_parent_path.get(_norm_path(fp))
-                if pe is None:
-                    continue  # not a parent live file: leave unmasked
-                info = (parent_deletes_for(pe) if (ppos or peq)
-                        else {"pos": [], "eq": []})
-                if needs_part:
-                    info["part"] = pe[5]
-                if info["pos"] or info["eq"] or needs_part:
-                    targets[absd] = info
-            if targets:
-                payload["targets"] = targets
-        units.append(("posdel", _from_uri(t[1]), "{}", payload))
+        targets: dict = {}
+        dt = _pq.read_table(_from_uri(t[1]), columns=["file_path"])
+        for fp in sorted(set(dt.column("file_path").to_pylist())):
+            np_ = _norm_path(fp)
+            if np_ in data_norm:
+                continue  # same-commit target: deleted at birth
+            pe = by_parent_path.get(np_)
+            if pe is None:
+                continue  # not live at the parent: emits nothing
+            info = (parent_deletes_for(pe) if (ppos or peq)
+                    else {"pos": [], "eq": []})
+            if needs_part:
+                info["part"] = pe[5]
+            targets[np_] = info
+        units.append(("posdel", _from_uri(t[1]), "{}",
+                      {"parent_known": True, "targets": targets}))
 
     if added_eq or removed:
         scoped = [t for t in added_eq if json.loads(t[5] or "{}")]
         if scoped and parent is not None:
-            parent_spec_ids = {
-                int(m.get("partition_spec_id", 0) or 0)
-                for m in _manifest_paths(meta, parent)
-                if m.get("content", 0) == 0}
-            bad = sorted({t[11] for t in scoped} - parent_spec_ids
-                         if parent_spec_ids else set())
-            if bad or len(parent_spec_ids) > 1:
-                raise IcebergProtocolError(
-                    f"{path}: snapshot {sid}: partition-scoped equality "
-                    f"deletes under spec id(s) "
-                    f"{sorted({t[11] for t in scoped})} cannot be "
-                    f"matched against parent data manifests under spec "
-                    f"id(s) {sorted(parent_spec_ids)} — partition "
-                    "tuples from different specs do not compare")
+            _scoped_spec_guard(
+                path, sid, {t[11] for t in scoped},
+                {int(m.get("partition_spec_id", 0) or 0)
+                 for m in _manifest_paths(meta, parent)
+                 if m.get("content", 0) == 0})
 
         if added_eq:
             for t in sorted(parent_entries, key=lambda t: t[1] or ""):
@@ -375,6 +370,14 @@ def _eq_key_array(cols: list) -> pa.Array:
             raise IcebergProtocolError(
                 "binary equality-delete key columns are not supported "
                 "by the streaming changelog; use read_iceberg_changes")
+        if pa.types.is_floating(col.type):
+            # -0.0 vs 0.0 (and NaN) string forms diverge from the batch
+            # reader's eqNullSafe semantics; the spec bars float/double
+            # identifier fields anyway — refuse rather than mis-match
+            raise IcebergProtocolError(
+                "floating-point equality-delete key columns are not "
+                "supported by the streaming changelog; use "
+                "read_iceberg_changes")
         s = pc.cast(col, pa.string())
         ln = pc.cast(pc.utf8_length(s), pa.string())
         item = pc.binary_join_element_wise(ln, s, ":")
@@ -477,11 +480,11 @@ class IcebergStreamReader(DataSourceStreamReader):
             sid = snap["snapshot-id"]
             hit = self._units_cache.get(sid)
             if hit is None:
-                hit = _changelog_units(
+                hit = (snap["sequence-number"], _changelog_units(
                     self.path, snap, read_metadata(self.path),
-                    self.fields)
+                    self.fields))
                 self._units_cache[sid] = hit
-            return hit
+            return hit[1]
         files, _ = _added_files(self.path, snap)
         return files
 
@@ -653,19 +656,20 @@ class IcebergStreamReader(DataSourceStreamReader):
 
         payload = partition.payload or {}
 
-        def pos_mask(n: int, abs_path: str, pos_files: list) -> "object":
-            """Boolean keep-mask over a file's ``n`` rows: False where a
-            listed position-delete file names (this file, position)."""
-            import numpy as np
-
-            mask = np.ones(n, dtype=bool)
+        def dead_positions(abs_path: str, pos_files: list) -> set:
+            """Row positions of ``abs_path`` that the listed
+            position-delete files name. Paths compare NORMALIZED — URI
+            spellings (file:/, file:///, percent-quoting) differ across
+            writers."""
+            tgt = _norm_path(abs_path)
+            dead: set = set()
             for pfile in pos_files:
                 dt = pq.read_table(pfile, columns=["file_path", "pos"])
                 for fp, p in zip(dt.column("file_path").to_pylist(),
                                  dt.column("pos").to_pylist()):
-                    if _from_uri(fp) == abs_path and 0 <= p < n:
-                        mask[p] = False
-            return mask
+                    if _norm_path(fp) == tgt:
+                        dead.add(p)
+            return dead
 
         def eq_keys_of(files: list, names: list) -> pa.Array:
             """The (standardized, encoded) key set of a delete group's
@@ -701,52 +705,35 @@ class IcebergStreamReader(DataSourceStreamReader):
                 cols.append(pa.concat_arrays(chunks))
             return _eq_key_array(cols)
 
-        def std_full(abs_path: str):
-            """(standardized full-file pa.Table in field order, plan) —
-            the whole-file form delete resolution masks over."""
+        name_idx = {f["name"]: i for i, f in enumerate(fields)}
+
+        def std_batches(abs_path: str):
+            """Standardized RecordBatches of a file (columns in field
+            order, types canonical, identity columns injected from the
+            partition tuple) with each batch's GLOBAL row offset — the
+            whole file is never held in memory at once."""
             pf = pq.ParquetFile(abs_path)
             plan = plan_for(pf.schema_arrow)
-            t = pf.read()
-            n = t.num_rows
-            cols = []
-            for f, src, at in plan:
-                if src is not None:
-                    cols.append(
-                        t.column(t.schema.get_field_index(src)).cast(at))
-                    continue
-                pname = id_part.get(f["id"])
-                if pname is not None and pname in pvals \
-                        and pvals[pname] is not None:
-                    cols.append(pa.array([pvals[pname]] * n).cast(at))
-                else:
-                    cols.append(pa.nulls(n, type=at))
-            return pa.table(cols, names=[f["name"] for f in fields])
-
-        def live_mask_for(tbl, abs_path: str):
-            """The parent-state keep-mask: parent position deletes and
-            parent equality deletes (both pre-gated by the planner on
-            sequence + partition scope) mask rows already dead at the
-            parent so they do not re-die."""
-            import numpy as np
-
-            import pyarrow.compute as pc
-
-            mask = pos_mask(tbl.num_rows, abs_path,
-                            payload.get("pos") or [])
-            for names, files in payload.get("eq") or []:
-                keys = eq_keys_of(files, names)
-                mine = _eq_key_array(
-                    [tbl.column(tbl.schema.get_field_index(nm))
-                     for nm in names])
-                dead = pc.is_in(mine, value_set=keys).to_numpy(
-                    zero_copy_only=False)
-                mask &= ~np.asarray(dead, dtype=bool)
-            return mask
-
-        def emit(tbl):
-            for rb in tbl.to_batches():
-                if rb.num_rows:
-                    yield build(rb, None, std=True)
+            off = 0
+            for rb in pf.iter_batches():
+                n = rb.num_rows
+                cols = []
+                for f, src, at in plan:
+                    if src is not None:
+                        cols.append(
+                            rb.column(rb.schema.get_field_index(src))
+                            .cast(at))
+                        continue
+                    pname = id_part.get(f["id"])
+                    if pname is not None and pname in pvals \
+                            and pvals[pname] is not None:
+                        cols.append(
+                            pa.array([pvals[pname]] * n).cast(at))
+                    else:
+                        cols.append(pa.nulls(n, type=at))
+                yield pa.RecordBatch.from_arrays(
+                    cols, names=[f["name"] for f in fields]), off
+                off += n
 
         if partition.kind in ("eqdel", "cowdel"):
             def resolve_batches():
@@ -754,33 +741,54 @@ class IcebergStreamReader(DataSourceStreamReader):
 
                 import pyarrow.compute as pc
 
-                tbl = std_full(partition.abs_path)
-                mask = live_mask_for(tbl, partition.abs_path)
-                if partition.kind == "eqdel":
-                    hit = np.zeros(tbl.num_rows, dtype=bool)
-                    for names, files in payload.get("commit_eq") or []:
-                        keys = eq_keys_of(files, names)
+                # key sets load ONCE per unit, not per batch
+                dead_pos = dead_positions(partition.abs_path,
+                                          payload.get("pos") or [])
+                parent_eq = [(names, eq_keys_of(files, names))
+                             for names, files in payload.get("eq") or []]
+                commit_eq = [(names, eq_keys_of(files, names))
+                             for names, files
+                             in payload.get("commit_eq") or []]
+                for rb, off in std_batches(partition.abs_path):
+                    n = rb.num_rows
+                    mask = np.ones(n, dtype=bool)
+                    if dead_pos:
+                        mask &= ~np.isin(np.arange(off, off + n),
+                                         np.fromiter(dead_pos, "int64"))
+                    for names, keys in parent_eq:
                         mine = _eq_key_array(
-                            [tbl.column(tbl.schema.get_field_index(nm))
-                             for nm in names])
-                        hit |= np.asarray(
-                            pc.is_in(mine, value_set=keys).to_numpy(
-                                zero_copy_only=False), dtype=bool)
-                    mask &= hit
-                yield from emit(tbl.filter(pa.array(mask)))
+                            [rb.column(name_idx[nm]) for nm in names])
+                        dead = pc.is_in(mine, value_set=keys).to_numpy(
+                            zero_copy_only=False)
+                        mask &= ~np.asarray(dead, dtype=bool)
+                    if partition.kind == "eqdel":
+                        hit = np.zeros(n, dtype=bool)
+                        for names, keys in commit_eq:
+                            mine = _eq_key_array(
+                                [rb.column(name_idx[nm])
+                                 for nm in names])
+                            hit |= np.asarray(
+                                pc.is_in(mine, value_set=keys)
+                                .to_numpy(zero_copy_only=False),
+                                dtype=bool)
+                        mask &= hit
+                    out = rb.filter(pa.array(mask))
+                    if out.num_rows:
+                        yield build(out, None, std=True)
 
             return resolve_batches()
 
         if partition.kind == "posdel":
             # a position-delete file names (data file, row position);
-            # serve the NAMED ROWS as deletes: group positions by data
-            # file, take() them from each — per-file bounded work, the
-            # streaming twin of the batch changelog's (file, pos) join.
-            # Positions in files THIS commit added are skipped: those
-            # rows are deleted at birth (never visible in any snapshot)
-            # and the data units exclude them from the inserts too.
-            skip = set(payload.get("skip_files") or [])
+            # serve the NAMED ROWS as deletes, batch-iterated per target
+            # file — the streaming twin of the batch changelog's
+            # (file, pos) join. Only targets LIVE AT THE PARENT emit
+            # (planner-attached): same-commit files are deleted-at-birth
+            # rows (never visible), and a stale posdel naming an
+            # already-removed file contributes nothing, exactly like the
+            # batch reader's join against the parent read.
             targets = payload.get("targets") or {}
+            parent_known = bool(payload.get("parent_known"))
 
             def del_batches():
                 import numpy as np
@@ -790,64 +798,74 @@ class IcebergStreamReader(DataSourceStreamReader):
                 dt = pq.read_table(partition.abs_path,
                                    columns=["file_path", "pos"])
                 by_file: dict[str, list[int]] = {}
+                open_of: dict[str, str] = {}
                 for fp, p in zip(dt.column("file_path").to_pylist(),
                                  dt.column("pos").to_pylist()):
-                    absd = _from_uri(fp)
-                    if absd in skip:
-                        continue
-                    by_file.setdefault(absd, []).append(p)
-                for dfp, positions in sorted(by_file.items()):
-                    pf = pq.ParquetFile(dfp)
-                    plan = plan_for(pf.schema_arrow)
-                    named = sorted(positions)
-                    info = targets.get(dfp)
+                    np_ = _norm_path(fp)
+                    by_file.setdefault(np_, []).append(p)
+                    open_of.setdefault(np_, _from_uri(fp))
+                for npath, positions in sorted(by_file.items()):
+                    info = targets.get(npath)
+                    if info is None:
+                        if parent_known:
+                            continue  # deleted at birth / not parent-live
+                        info = {}
                     tgt_pvals = json.loads(
-                        (info or {}).get("part") or "{}") or None
-                    if info and info.get("pos"):
+                        info.get("part") or "{}") or None
+                    named = set(positions)
+                    if info.get("pos"):
                         # named rows already position-deleted at the
                         # parent do not re-die
-                        nrows = pf.metadata.num_rows
-                        keep = pos_mask(nrows, dfp, info["pos"])
-                        named = [p for p in named
-                                 if 0 <= p < nrows and keep[p]]
-                    sub = pf.read().take(named)
-                    if info and info.get("eq") and sub.num_rows:
-                        # ... nor rows a parent equality delete had
-                        # already matched
-                        srcs = {f["name"]: (src, at)
-                                for f, src, at in plan}
-                        keep = np.ones(sub.num_rows, dtype=bool)
-                        for names2, files2 in info["eq"]:
-                            keys = eq_keys_of(files2, names2)
-                            cols2 = []
-                            for nm, f2 in ((nm, f2) for nm in names2
-                                           for f2 in fields
-                                           if f2["name"] == nm):
-                                src, at = srcs[nm]
-                                pname = id_part.get(f2["id"])
-                                if src is not None:
-                                    cols2.append(sub.column(
-                                        sub.schema.get_field_index(src)
-                                    ).cast(at))
-                                elif (tgt_pvals and pname is not None
-                                      and tgt_pvals.get(pname)
-                                      is not None):
-                                    # identity column: Hive layout omits
-                                    # it; the tuple carries the value
-                                    cols2.append(pa.array(
-                                        [tgt_pvals[pname]]
-                                        * sub.num_rows).cast(at))
-                                else:  # pre-evolution file: null col
-                                    cols2.append(
-                                        pa.nulls(sub.num_rows, type=at))
-                            dead = pc.is_in(
-                                _eq_key_array(cols2), value_set=keys
-                            ).to_numpy(zero_copy_only=False)
-                            keep &= ~np.asarray(dead, dtype=bool)
-                        sub = sub.filter(pa.array(keep))
-                    for rb in sub.to_batches():
-                        if rb.num_rows:
-                            yield build(rb, plan, pv=tgt_pvals)
+                        named -= dead_positions(open_of[npath],
+                                                info["pos"])
+                    if not named:
+                        continue
+                    eq_sets = [(names2, eq_keys_of(files2, names2))
+                               for names2, files2 in info.get("eq") or []]
+                    pf = pq.ParquetFile(open_of[npath])
+                    plan = plan_for(pf.schema_arrow)
+                    srcs = {f["name"]: (src, at) for f, src, at in plan}
+                    fid = {f["name"]: f["id"] for f in fields}
+                    off = 0
+                    for rb in pf.iter_batches():
+                        n = rb.num_rows
+                        local = [p - off for p in named
+                                 if off <= p < off + n]
+                        off += n
+                        if not local:
+                            continue
+                        sub = rb.take(pa.array(sorted(local), pa.int64()))
+                        if eq_sets and sub.num_rows:
+                            # ... nor rows a parent equality delete had
+                            # already matched
+                            keep = np.ones(sub.num_rows, dtype=bool)
+                            for names2, keys in eq_sets:
+                                cols2 = []
+                                for nm in names2:
+                                    src, at = srcs[nm]
+                                    pname = id_part.get(fid[nm])
+                                    if src is not None:
+                                        cols2.append(sub.column(
+                                            sub.schema.get_field_index(
+                                                src)).cast(at))
+                                    elif (tgt_pvals and pname is not None
+                                          and tgt_pvals.get(pname)
+                                          is not None):
+                                        # identity column: Hive layout
+                                        # omits it; the tuple carries it
+                                        cols2.append(pa.array(
+                                            [tgt_pvals[pname]]
+                                            * sub.num_rows).cast(at))
+                                    else:  # pre-evolution: null col
+                                        cols2.append(pa.nulls(
+                                            sub.num_rows, type=at))
+                                dead = pc.is_in(
+                                    _eq_key_array(cols2), value_set=keys
+                                ).to_numpy(zero_copy_only=False)
+                                keep &= ~np.asarray(dead, dtype=bool)
+                            sub = sub.filter(pa.array(keep))
+                        if sub.num_rows:
+                            yield build(sub, plan, pv=tgt_pvals)
 
             return del_batches()
 
@@ -857,9 +875,17 @@ class IcebergStreamReader(DataSourceStreamReader):
             # file ("deleted at birth"): they were never visible in any
             # snapshot, so they are neither inserts nor deletes
             def born_batches():
-                tbl = std_full(partition.abs_path)
-                mask = pos_mask(tbl.num_rows, partition.abs_path, birth)
-                yield from emit(tbl.filter(pa.array(mask)))
+                import numpy as np
+
+                dead = dead_positions(partition.abs_path, birth)
+                for rb, off in std_batches(partition.abs_path):
+                    if dead:
+                        n = rb.num_rows
+                        mask = ~np.isin(np.arange(off, off + n),
+                                        np.fromiter(dead, "int64"))
+                        rb = rb.filter(pa.array(mask))
+                    if rb.num_rows:
+                        yield build(rb, None, std=True)
 
             return born_batches()
 
@@ -874,6 +900,14 @@ class IcebergStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         e = self._norm(end)
         self._pos = max(self._pos or e, e)
+        if self._units_cache:
+            # evict snapshots the stream has fully passed: a long-lived
+            # changelog stream must not hold every planned snapshot's
+            # unit payloads forever
+            self._units_cache = {
+                sid: v for sid, v in self._units_cache.items()
+                if v[0] >= e[0]
+            }
 
 
 class IcebergStreamDataSource(DataSource):

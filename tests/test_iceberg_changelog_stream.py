@@ -381,3 +381,23 @@ def test_changelog_stream_identity_partitioned_upsert(spark, tmp_path):
     assert {(r[0], r[1], r[2], r[3]) for r in streamed} == {
         (1, "a", 1.0, "insert"), (2, "b", 2.0, "insert"),
         (2, "b", 2.0, "delete"), (2, "b", 99.0, "insert")}
+
+
+def test_changelog_stream_refuses_expired_parent_posdel(spark, tmp_path):
+    """Position-delete commits need the parent too (masking + liveness):
+    an expired parent refuses exactly like the batch reader, instead of
+    serving unmasked rows."""
+    from monday_etl_spark.iceberg_import import expire_iceberg_snapshots
+
+    path = str(tmp_path / "expp")
+    create_iceberg_table(path, [("id", "long"), ("v", "double")])
+    append_iceberg(spark, spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "id long, v double").coalesce(1), path)
+    delete_iceberg_where(spark, path, "v", 0.0, 1.5)
+    del_snap = iceberg_history(path)[-1]["snapshot_id"]
+    expire_iceberg_snapshots(path, keep_last=1)
+    with pytest.raises(Exception, match="expired"):
+        stream = stream_iceberg(spark, path,
+                                starting_snapshot_id=del_snap,
+                                changelog=True)
+        _drain(spark, stream, str(tmp_path / "r_expp"))

@@ -325,12 +325,18 @@ def test_stream_skips_merged_manifest_carryover(spark, tmp_path):
                          ["id", "v"], [1, 2], [[1, 2], [10, 20]])
     f2 = write_data_file(os.path.join(data_dir, "f2.parquet"),
                          ["id", "v"], [1, 2], [[5], [50]])
+    f0 = write_data_file(os.path.join(data_dir, "f0.parquet"),
+                         ["id", "v"], [1, 2], [[9], [90]])
     m1 = manifest(meta_dir, [entry(f1, 2, 100, seq=1)], schema)
     # snapshot 200's MERGED manifest: its own f2 entry + f1's carried
-    # ADDED entry still stamped snapshot_id=100
+    # ADDED entry still stamped snapshot_id=100 + an unexpired carried
+    # TOMBSTONE (status 2, snapshot_id=90) from an older COW delete —
+    # which must NOT flag this pure append as a rewrite (that would
+    # silently drop f2 under skip_rewrites)
     m2 = manifest(meta_dir,
                   [entry(f2, 1, 200, seq=2),
-                   entry(f1, 2, 100, seq=1)], schema)
+                   entry(f1, 2, 100, seq=1),
+                   entry(f0, 1, 90, seq=1, status=2)], schema)
     l1 = _mlist(meta_dir, 100, [(m1, 0, 1, 100)])
     l2 = _mlist(meta_dir, 200, [(m2, 0, 2, 200)])
     snaps = [
@@ -346,7 +352,8 @@ def test_stream_skips_merged_manifest_carryover(spark, tmp_path):
              [{"snapshot-id": 100, "timestamp-ms": 1000},
               {"snapshot-id": 200, "timestamp-ms": 2000}], current=200)
 
-    stream = stream_iceberg(spark, path, starting_snapshot_id=100)
+    stream = stream_iceberg(spark, path, starting_snapshot_id=100,
+                            skip_rewrites=True)
     root = str(tmp_path / "d_merged")
     out = os.path.join(root, "rows")
 
