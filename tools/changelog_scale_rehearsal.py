@@ -198,6 +198,64 @@ def iceberg_gate_both_sides(spark, df) -> dict:
     return out
 
 
+def iceberg_stream_mor(spark, df) -> dict:
+    """The r12 streaming MoR resolution at sf scale: a multi-file table
+    takes a Flink-CDC upsert (global equality delete + new rows); the
+    changelog STREAM drains the full history and is compared against
+    the batch reader's wall for the same range — one eqdel unit per
+    parent file, per-unit delete-key reads, batch-iterated masking."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from monday_etl_spark.iceberg_import import upsert_iceberg
+    from monday_etl_spark.iceberg_source import stream_iceberg
+
+    out: dict = {"scenario": "iceberg_stream_mor"}
+    path = os.path.join(ROOT, "iceberg_stream_mor")
+    create_iceberg_table(
+        path, [("l_orderkey", "long"), ("l_quantity", "double")])
+    append_iceberg(spark, df.repartition(8), path)
+    first = read_metadata(path)["current-snapshot-id"]
+    src = (df.filter(F.col("l_orderkey") % 128 == 3)
+           .withColumn("l_quantity", F.col("l_quantity") + 1000.0))
+    n_upsert = src.count()
+    out["parent_rows"] = df.count()
+    out["upsert_rows"] = n_upsert
+    _, out["upsert_s"] = timed(
+        lambda: upsert_iceberg(spark, src.coalesce(2), path,
+                               key=["l_orderkey"]))
+
+    # the stream's starting_snapshot_id is INCLUSIVE; the batch twin of
+    # the same range is the full history (append + upsert commits)
+    bdf, out["batch_plan_s"] = timed(
+        lambda: read_iceberg_changes(spark, path))
+    n_batch, out["batch_count_s"] = timed(bdf.count)
+
+    drain_dir = tempfile.mkdtemp(prefix="mor_drain_")
+    rows_out = os.path.join(drain_dir, "rows")
+
+    def drain():
+        def handle(batch, bid):
+            batch.write.mode("overwrite").parquet(
+                os.path.join(rows_out, f"batch={bid}"))
+
+        q = (stream_iceberg(spark, path, starting_snapshot_id=first,
+                            changelog=True)
+             .writeStream.foreachBatch(handle)
+             .option("checkpointLocation",
+                     os.path.join(drain_dir, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    _, out["stream_drain_s"] = timed(drain)
+    n_stream = spark.read.parquet(rows_out).count()
+    assert n_stream == n_batch, f"parity broke: {n_stream} != {n_batch}"
+    out["change_rows"] = n_batch
+    shutil.rmtree(drain_dir, ignore_errors=True)
+    return out
+
+
 def main() -> int:
     shutil.rmtree(ROOT, ignore_errors=True)
     os.makedirs(ROOT)
@@ -217,6 +275,7 @@ def main() -> int:
         print(json.dumps(iceberg_commit_scaling(spark, df, n)),
               flush=True)
     print(json.dumps(iceberg_gate_both_sides(spark, df)), flush=True)
+    print(json.dumps(iceberg_stream_mor(spark, df)), flush=True)
     spark.stop()
     shutil.rmtree(ROOT, ignore_errors=True)
     return 0
