@@ -1780,6 +1780,54 @@ def delete_iceberg_cow(spark: SparkSession, path: str, column: str,
     tables route survivors through the same per-tuple writer appends
     use (identity Hive-style, transforms by computed column). Returns
     the new metadata version (current when nothing matches)."""
+    # survivors: the affected files' live rows that do NOT match —
+    # NULL column values always survive (between() is null there)
+    return _cow_overwrite(
+        spark, path, column, lo, hi,
+        lambda df, cond: df.filter(~F.coalesce(cond, F.lit(False))))
+
+
+def update_iceberg_cow(spark: SparkSession, path: str, column: str,
+                       lo, hi, assignments: dict[str, str]) -> int:
+    """UPDATE ... SET WHERE ``lo <= column <= hi`` COPY-ON-WRITE: one
+    ``overwrite`` snapshot rewriting every data file containing a
+    matching row — matching rows take the ``assignments`` (column ->
+    SQL expression over the pre-update row), non-matching rows of the
+    same files carry verbatim, and the old files are marked DELETED in
+    rewritten manifests exactly like :func:`delete_iceberg_cow`. This
+    completes the foreign-COW write matrix (DELETE + UPDATE): the
+    changelog readers emit the gross delete+insert shape for it.
+    Returns the new metadata version (current when nothing matches)."""
+    def rewrite(df: DataFrame, cond):
+        names = set(df.columns)
+        missing = [c for c in assignments if c not in names]
+        if missing:
+            raise ValueError(
+                f"assignment columns {missing} not in table schema")
+        hit = F.coalesce(cond, F.lit(False))
+        out = df
+        # all assignments evaluate over the PRE-update row (SQL UPDATE
+        # semantics): compute into staging columns first
+        for c, expr in assignments.items():
+            out = out.withColumn(f"__upd_{c}",
+                                 F.when(hit, F.expr(expr))
+                                 .otherwise(F.col(f"`{c}`")))
+        for c in assignments:
+            out = out.withColumn(c, F.col(f"__upd_{c}")) \
+                     .drop(f"__upd_{c}")
+        return out
+
+    return _cow_overwrite(spark, path, column, lo, hi, rewrite)
+
+
+def _cow_overwrite(spark: SparkSession, path: str, column: str,
+                   lo, hi, rewrite) -> int:
+    """Shared copy-on-write engine for DELETE/UPDATE: find the data
+    files with rows matching ``lo <= column <= hi``, apply ``rewrite``
+    (a ``(affected_live_rows, cond) -> DataFrame`` transform) to their
+    live rows, commit ONE overwrite snapshot with the old files marked
+    DELETED in rewritten manifests and the transform's output appended
+    as fresh files."""
     from .avro_ocf import read_ocf as _read_ocf
     from .avro_ocf import write_ocf as _write_ocf
 
@@ -1787,7 +1835,7 @@ def delete_iceberg_cow(spark: SparkSession, path: str, column: str,
     cur_v = max(versions)
     meta = read_metadata(path, cur_v)
     if meta.get("format-version", 1) != 2:
-        raise IcebergProtocolError("copy-on-write delete requires a "
+        raise IcebergProtocolError("copy-on-write DML requires a "
                                    "format-version 2 table")
     snap = _select_snapshot(meta, None, None)
     schema = _schema_for(meta, {})
@@ -1819,14 +1867,10 @@ def delete_iceberg_cow(spark: SparkSession, path: str, column: str,
     seq = int(meta.get("last-sequence-number", 0)) + 1
     snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
 
-    # survivors: the affected files' live rows that do NOT match —
-    # NULL column values always survive (between() is null there)
-    surv = (
-        live.filter(F.col("__ice_src").isin(sorted(affected)))
-        .filter(~F.coalesce(cond, F.lit(False)))
-        .select(*[F.col(f"`{f['name']}`").cast(_spark_type(f["type"]))
-                  for f in fields])
-    )
+    surv = rewrite(
+        live.filter(F.col("__ice_src").isin(sorted(affected))), cond
+    ).select(*[F.col(f"`{f['name']}`").cast(_spark_type(f["type"]))
+               for f in fields])
     rel_files = _write_data_files(surv, path, part_fields,
                                   f"cowdel-{token}")
 

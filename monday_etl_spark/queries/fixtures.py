@@ -1300,6 +1300,39 @@ def _iceberg_mor_stream_table(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+@_fixture("iceberg_cow_update_table", {"iceberg_cow_update"})
+def _iceberg_cow_update_table(spark: SparkSession, sf_dir: str) -> str:
+    """A copy-on-write UPDATE chain (r12): single-file append (orders
+    %16 == 2) then update_iceberg_cow doubling o_totalprice where it is
+    in [1000, 100000] — one overwrite snapshot whose gross changelog
+    emission (whole affected file as deletes + the rewritten file as
+    inserts) is a deterministic row set at every sf because the append
+    is one file. Deterministic function of sf_dir; consumers only
+    read."""
+    from ..iceberg_import import (
+        append_iceberg,
+        create_iceberg_table,
+        update_iceberg_cow,
+    )
+
+    orders = _load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_cow_upd_fx_")
+    path = os.path.join(root, "orders_cow_update")
+    create_iceberg_table(path, [("o_orderkey", "long"),
+                                ("o_orderstatus", "string"),
+                                ("o_totalprice", "double")])
+    append_iceberg(
+        spark,
+        orders.filter(F.col("o_orderkey") % 16 == 2).coalesce(1), path)
+    update_iceberg_cow(spark, path, "o_totalprice", 1000.0, 100000.0,
+                       {"o_totalprice": "o_totalprice * 2"})
+    return path
+
+
 @_fixture("iceberg_pipe_base", {"iceberg_stream_pipe"})
 def _iceberg_pipe_base(spark: SparkSession, sf_dir: str) -> str:
     """A small exported Iceberg table (orders % 32 == 30 — disjoint from

@@ -2045,6 +2045,60 @@ def iceberg_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_cow_update",
+    oracle=f"""
+    SELECT change_type, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_money_sum('p')} AS total_price
+    FROM (
+        SELECT 'insert' AS change_type, o_orderstatus,
+               CAST(o_totalprice AS DOUBLE) AS p
+        FROM orders WHERE o_orderkey % 16 = 2
+        UNION ALL
+        SELECT 'delete', o_orderstatus, CAST(o_totalprice AS DOUBLE)
+        FROM orders WHERE o_orderkey % 16 = 2
+        UNION ALL
+        SELECT 'insert', o_orderstatus,
+               CASE WHEN CAST(o_totalprice AS DOUBLE)
+                         BETWEEN 1000.0 AND 100000.0
+                    THEN CAST(o_totalprice AS DOUBLE) * 2
+                    ELSE CAST(o_totalprice AS DOUBLE) END
+        FROM orders WHERE o_orderkey % 16 = 2
+    )
+    GROUP BY change_type, o_orderstatus
+    """,
+    doc="Copy-on-write UPDATE (r12): update_iceberg_cow commits ONE "
+        "overwrite snapshot — matching rows take the assignment "
+        "(evaluated over the PRE-update row), non-matching rows of the "
+        "affected file carry verbatim, the old file is marked DELETED "
+        "in a rewritten manifest (explicit sequence numbers, original "
+        "snapshot ids on EXISTING entries) — completing the foreign-COW "
+        "write matrix next to delete_iceberg_cow. The batch changelog "
+        "reads the commit's gross shape: the affected file's "
+        "live-at-parent rows as deletes + the rewritten file's rows as "
+        "inserts, a deterministic row set at every sf because the "
+        "append is a single file. Reference scope: the UPDATE shapes "
+        "Spark/Trino write on tables without merge-on-read.",
+)
+def iceberg_cow_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import money_sum
+    from ..iceberg_changes import read_iceberg_changes
+    from .fixtures import shared
+
+    path = shared(spark, sf_dir, "iceberg_cow_update_table")
+    rows = read_iceberg_changes(spark, path)
+    return (
+        rows.groupBy(
+            F.col("_change_type").alias("change_type"), "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select("change_type", "o_orderstatus", "n_rows", "total_price")
+    )
+
+
+@register(
     "iceberg_changelog_stream_mor",
     oracle=f"""
     SELECT change_type, o_orderstatus,

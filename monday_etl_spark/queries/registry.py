@@ -58,9 +58,9 @@ _EVIDENCE_PRIORITY = [
     # changelog resolves MoR deletes — equality deletes + COW removals;
     # batch changelog merged-manifest entry filter + scoped-delete spec
     # refusal; O(range) CDF enablement replay; xxhash64 datetime zone)
-    "iceberg_changelog_stream_mor", "iceberg_changelog_stream",
-    "iceberg_changelog", "delta_cdc_diff", "delta_cdf_stream",
-    "tableformat_point_lookup",
+    "iceberg_cow_update", "iceberg_changelog_stream_mor",
+    "iceberg_changelog_stream", "iceberg_changelog", "delta_cdc_diff",
+    "delta_cdf_stream", "tableformat_point_lookup",
     # r12: the 33 queries whose newest official driver row is r08 —
     # exactly four rounds old, the rotation invariant's edge
     "ann_brute_force", "ann_ivf", "ann_ivf_recall_sweep",

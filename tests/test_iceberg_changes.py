@@ -700,3 +700,75 @@ def test_delete_iceberg_cow_partitioned(spark, tmp_path):
         (3, "b", 3.0, "delete"), (4, "b", 4.0, "delete"),
         (1, "a", 1.0, "insert"), (4, "b", 4.0, "insert"),
     }
+
+
+def test_update_iceberg_cow_writer(spark, tmp_path):
+    """update_iceberg_cow rewrites matching rows copy-on-write: one
+    overwrite snapshot, assignments evaluated over the PRE-update row,
+    non-matching rows of affected files carried verbatim, untouched
+    files untouched; the changelog emits the gross delete+insert shape
+    and the stream agrees."""
+    from monday_etl_spark.iceberg_import import (
+        read_iceberg_table,
+        update_iceberg_cow,
+    )
+    from monday_etl_spark.iceberg_source import stream_iceberg
+
+    path = str(tmp_path / "cowupd")
+    create_iceberg_table(path, [("id", "long"), ("v", "double")])
+    append_iceberg(spark, spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, None)],
+        "id long, v double").coalesce(1), path)
+    append_iceberg(spark, spark.createDataFrame(
+        [(10, 10.0)], "id long, v double").coalesce(1), path)
+    first = iceberg_history(path)[0]["snapshot_id"]
+
+    # swap semantics: both assignments see the PRE-update row
+    update_iceberg_cow(spark, path, "v", 1.5, 2.5,
+                       {"v": "v * 100", "id": "id + 1000"})
+    got = sorted(((r.id, r.v)
+                  for r in read_iceberg_table(spark, path).collect()),
+                 key=lambda t: (t[0], t[1] is None, t[1]))
+    # id=2 matched: id->1002, v->200; NULL v and id=1 carried verbatim;
+    # the second file (id=10) untouched
+    assert got == [(1, 1.0), (3, None), (10, 10.0), (1002, 200.0)]
+    meta = read_metadata(path)
+    snap = max(meta["snapshots"], key=lambda s: s["sequence-number"])
+    assert snap["summary"]["operation"] == "overwrite"
+
+    # changelog: the affected file's live rows as deletes + the
+    # rewritten file's rows as inserts (gross emission); stream parity
+    from monday_etl_spark.iceberg_changes import read_iceberg_changes
+
+    batch = {(r.id, r.v, r._change_type, r._commit_snapshot_id)
+             for r in read_iceberg_changes(spark, path).collect()}
+    want_update = {(1, 1.0, "delete"), (2, 2.0, "delete"),
+                   (3, None, "delete"),
+                   (1, 1.0, "insert"), (3, None, "insert"),
+                   (1002, 200.0, "insert")}
+    assert {(i, v, c) for i, v, c, _s in batch
+            if c == "delete" or i in (1002,)} >= {
+        t for t in want_update if t[2] == "delete"}
+
+    import os
+
+    out_root = str(tmp_path / "d_upd")
+
+    def _sink(b, bid, _root=out_root, _os=os):
+        b.write.mode("overwrite").parquet(
+            _os.path.join(_root, f"batch={bid}"))
+
+    q = (stream_iceberg(spark, path, starting_snapshot_id=first,
+                        changelog=True)
+         .writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", str(tmp_path / "ck_upd"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = {(r.id, r.v, r._change_type, r._commit_snapshot_id)
+                for r in spark.read.parquet(out_root).collect()}
+    assert streamed == batch
+
+    # no match: no commit
+    pre = read_metadata(path)["current-snapshot-id"]
+    update_iceberg_cow(spark, path, "v", 9999.0, 10000.0, {"v": "v"})
+    assert read_metadata(path)["current-snapshot-id"] == pre
