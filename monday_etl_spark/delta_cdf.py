@@ -47,7 +47,6 @@ from .delta_import import (
     _partition_literal,
     _snapshot_state,
     commit_timestamps,
-    version_at_or_after,
 )
 
 __all__ = ["read_delta_changes"]
@@ -279,7 +278,15 @@ def read_delta_changes(
             "table's native engine first."
         )
     commits = _list_commits(path)
-    ts = commit_timestamps(path)
+    # timestamp ADDRESSING resolves a cut of the whole monotone clock,
+    # so it (and only it) walks the retained tail — once per drain.
+    # Version-addressed windows never touch commits outside the range:
+    # stamping timestamps is O(range) via the bounded commit_timestamps
+    # below, so a windowed backlog drain pays no per-window full-log
+    # walk (SCALE.md drain-loop finding, r12).
+    ts_full: dict[int, int] | None = None
+    if starting_timestamp is not None or ending_timestamp is not None:
+        ts_full = commit_timestamps(path)
     if starting_version is not None and starting_timestamp is not None:
         raise ValueError(
             "give starting_version OR starting_timestamp, not both")
@@ -287,15 +294,23 @@ def read_delta_changes(
         raise ValueError(
             "give ending_version OR ending_timestamp, not both")
     if starting_timestamp is not None:
-        starting_version = version_at_or_after(path, int(starting_timestamp))
+        # version_at_or_after semantics, reusing the one walk above
+        at_or_after = [v for v, t in ts_full.items()
+                       if t >= int(starting_timestamp)]
+        if not at_or_after:
+            latest = max(ts_full.values()) if ts_full else None
+            raise ValueError(
+                f"{path}: {int(starting_timestamp)} is after the latest "
+                f"commit time ({latest})")
+        starting_version = min(at_or_after)
     if starting_version is None:
         raise ValueError(
             "give starting_version or starting_timestamp")
     if ending_timestamp is not None:
-        at_or_before = [v for v, t in ts.items()
+        at_or_before = [v for v, t in ts_full.items()
                         if t <= int(ending_timestamp)]
         if not at_or_before:
-            earliest = min(ts.values()) if ts else None
+            earliest = min(ts_full.values()) if ts_full else None
             raise ValueError(
                 f"{path}: ending_timestamp {ending_timestamp} is before "
                 f"the first commit time ({earliest})")
@@ -306,6 +321,8 @@ def read_delta_changes(
         raise ValueError(
             f"bad version range [{starting_version}, {ending_version}] "
             f"(table is at {snap.version})")
+    ts = (ts_full if ts_full is not None
+          else commit_timestamps(path, starting_version, ending_version))
     if ending_version - starting_version + 1 > _CDF_MAX_COMMITS:
         raise DeltaProtocolError(
             f"change-feed range spans "

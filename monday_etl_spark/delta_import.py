@@ -928,7 +928,9 @@ def _partition_literal(value: str | None, dtype):
     return F.lit(value).cast(dtype)
 
 
-def commit_timestamps(path: str) -> dict[int, int]:
+def commit_timestamps(path: str,
+                      start_version: int | None = None,
+                      end_version: int | None = None) -> dict[int, int]:
     """version -> commit time (epoch ms), monotone non-decreasing.
 
     Per the spec, a commit's time is its log file's modification time;
@@ -937,11 +939,33 @@ def commit_timestamps(path: str) -> dict[int, int]:
     do not survive copies. Like delta-spark, out-of-order raw times are
     clamped forward so the mapping is monotone — timestamp resolution is
     then a well-defined cut. Checkpoint-cleaned versions (no commit JSON
-    retained) are absent: timestamp addressing needs the retained tail."""
+    retained) are absent: timestamp addressing needs the retained tail.
+
+    With ``start_version``/``end_version`` given, cost is O(range), NOT
+    O(retained history): only commits in ``[start_version - 1,
+    end_version]`` are opened (the one extra commit below the range
+    seeds the monotone clamp), and only ``[start_version, end_version]``
+    entries are returned. The forward clamp is then applied within that
+    window — the same windowed adjustment delta-spark's history manager
+    performs over the commit range it actually reads — so a clock-skewed
+    commit far below the window does not drag the window's times, which
+    matches delta-spark when its search also starts above the skew.
+    Version-addressed change-feed windows use this bound (a 2-commit
+    window at the head of a 100k-commit retained log opens ~3 commit
+    JSONs, not 100k); only explicit timestamp ADDRESSING
+    (``version_at_or_before`` / ``version_at_or_after`` — a one-off cut
+    resolution per drain, never per window) walks the full retained
+    tail, because a timestamp cut is a property of the whole clock."""
     commits = _list_commits(path)
+    versions = sorted(commits)
+    if start_version is not None:
+        # one commit below the range seeds the monotone clamp
+        versions = [v for v in versions if v >= start_version - 1]
+    if end_version is not None:
+        versions = [v for v in versions if v <= end_version]
     out: dict[int, int] = {}
     prev = 0
-    for v in sorted(commits):
+    for v in versions:
         f = commits[v]
         t = None
         with open(f) as fh:
@@ -955,6 +979,8 @@ def commit_timestamps(path: str) -> dict[int, int]:
             t = int(os.path.getmtime(f) * 1000)
         prev = max(prev, int(t))
         out[v] = prev
+    if start_version is not None:
+        out.pop(start_version - 1, None)
     return out
 
 
