@@ -369,6 +369,7 @@ def read_iceberg_changes(
                     key = (t[9], t[5] or "{}")
                     groups.setdefault(key, []).append(_from_uri(t[1]))
                     group_rows[key] = group_rows.get(key, 0) + t[3]
+                eq_hits: list[DataFrame] = []
                 for (eq_json, part_json), files in sorted(groups.items()):
                     eq_ids = json.loads(eq_json)
                     missing = [i for i in eq_ids if i not in id_of]
@@ -393,10 +394,24 @@ def read_iceberg_changes(
                     if part_json != "{}":
                         left = left.filter(
                             F.col("__ice_part") == F.lit(part_json))
-                    hit = left.alias("l").join(
+                    eq_hits.append(left.alias("l").join(
                         _gated(edf.alias("r"),
                                group_rows[(eq_json, part_json)]),
-                        cond, "left_semi")
+                        cond, "left_semi"))
+                if eq_hits:
+                    hit = eq_hits[0]
+                    if len(eq_hits) > 1:
+                        # a parent ROW matched by several delete groups
+                        # (distinct equality_ids sets in one commit)
+                        # died once: dedupe on row identity (file, pos)
+                        # — the streaming changelog's hit|= semantics,
+                        # so batch and stream stay exact twins on
+                        # multi-group commits (ADVICE r12). Single-group
+                        # commits (the common shape) skip the shuffle.
+                        for h in eq_hits[1:]:
+                            hit = hit.unionByName(h)
+                        hit = hit.dropDuplicates(["__ice_src",
+                                                  "__ice_pos"])
                     pieces.append(
                         _stamp(hit, names, "delete", ordinal, sid))
                     emitted = True

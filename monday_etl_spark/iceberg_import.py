@@ -1895,25 +1895,38 @@ def _cow_overwrite(spark: SparkSession, path: str, column: str,
             continue
         new_entries = []
         n_exist = exist_rows = n_del = del_rows = 0
+        own_del = own_del_rows = 0
         min_seq = seq
         for e in oentries:
             st = e.get("status", 1)
-            if st == 2:
-                continue  # prior tombstones: needed only by their snapshot
             d = e["data_file"]
             eseq = e.get("sequence_number")
             eseq = int(eseq) if eseq is not None else mseq
             efseq = e.get("file_sequence_number")
             efseq = int(efseq) if efseq is not None else eseq
-            removed_here = _norm_path(d.get("file_path") or "") in affected
             ne = dict(e)
             ne["sequence_number"] = eseq  # explicit: no inheritance after
             ne["file_sequence_number"] = efseq  # a rewrite, per the spec
+            if st == 2:
+                # prior tombstones: this repo's readers only need them in
+                # their own snapshot's manifests, but iceberg-java keeps
+                # DELETED entries through manifest rewrites until their
+                # snapshot expires — carry them (every reader skips them
+                # via the entry snapshot_id filter) rather than dropping
+                # entries a stricter external engine expects to see
+                n_del += 1
+                del_rows += int(d.get("record_count", 0))
+                min_seq = min(min_seq, eseq)
+                new_entries.append(ne)
+                continue
+            removed_here = _norm_path(d.get("file_path") or "") in affected
             if removed_here:
                 ne["status"] = 2
                 ne["snapshot_id"] = snapshot_id
                 n_del += 1
                 del_rows += int(d.get("record_count", 0))
+                own_del += 1
+                own_del_rows += int(d.get("record_count", 0))
             else:
                 ne["status"] = 0
                 ne["snapshot_id"] = (int(e["snapshot_id"])
@@ -1941,8 +1954,10 @@ def _cow_overwrite(spark: SparkSession, path: str, column: str,
             "deleted_rows_count": del_rows,
             "partitions": None,
         })
-        n_removed_files += n_del
-        n_removed_rows += del_rows
+        # snapshot summary counts THIS commit's removals only — carried
+        # prior tombstones are in the manifest header counts, not here
+        n_removed_files += own_del
+        n_removed_rows += own_del_rows
 
     records = carried + rewritten
     n_added_files = added_rows = 0

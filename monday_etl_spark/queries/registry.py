@@ -54,36 +54,39 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # already-green entries. Refreshed each round from CORRECTNESS_r{N}.json.
 # Purely an ordering hint; every query is still registered and runnable.
 _EVIDENCE_PRIORITY = [
-    # r12: queries whose code paths CHANGED this round (streaming
-    # changelog resolves MoR deletes — equality deletes + COW removals;
-    # batch changelog merged-manifest entry filter + scoped-delete spec
-    # refusal; O(range) CDF enablement replay; xxhash64 datetime zone)
-    "iceberg_cow_update", "iceberg_changelog_stream_mor",
-    "iceberg_changelog_stream", "iceberg_changelog", "delta_cdc_diff",
-    "delta_cdf_stream", "tableformat_point_lookup",
-    # r12: the 33 queries whose newest official driver row is r08 —
-    # exactly four rounds old, the rotation invariant's edge
-    "ann_brute_force", "ann_ivf", "ann_ivf_recall_sweep",
-    "ann_ivf_store", "ann_lsh_bucketed", "ann_recall_at_10",
-    "bigram_lm_build", "bm25_topk", "chunk_dedup", "chunk_dedup_rewrite",
-    "cohort_retention", "corpus_source_stats", "data_quality_audit",
-    "dedup_cluster_resolution", "dedup_minhash_quality", "dedup_simhash",
-    "dedup_simhash_near", "delta_column_mapping_roundtrip",
-    "doc_chunking", "embedding_near_dup", "embedding_quantize_int8",
-    "funnel_analysis", "hot_key_detection", "iceberg_export_roundtrip",
-    "iceberg_import_external", "mixture_token_allocation",
-    "pagerank_influence", "pivot_event_values",
-    "quality_classifier_score", "salted_join_skew", "scd2_history",
-    "tumbling_window_6h", "weighted_median_price",
-    # r12: the oldest r09 block starts the NEXT rotation (the driver's
+    # r13: queries whose code paths CHANGED this round (NEW hybrid
+    # backfill query; streaming changelog ships decoded delete keys in
+    # unit payloads; batch changelog dedupes multi-group eq deletes on
+    # row identity; COW manifest rewrites carry prior tombstones;
+    # O(range) commit_timestamps in windowed CDF reads; xxhash64
+    # mktime-range guard)
+    "iceberg_backfill_hybrid", "iceberg_changelog_stream_mor",
+    "iceberg_changelog_stream", "iceberg_changelog",
+    "iceberg_cow_update", "delta_cdc_diff", "delta_cdf_stream",
+    "tableformat_point_lookup",
+    # r13: the 35 queries whose newest official driver row is r09 —
+    # four rounds old, the rotation invariant's edge
+    "iceberg_partition_transforms", "iceberg_wap_publish", "join_anti",
+    "join_full_outer", "join_left_composite", "join_left_single",
+    "join_semi", "latest_snapshot", "nested_bridge_roundtrip",
+    "normalize_personnel_costs", "normalize_projects",
+    "normalize_subitems", "normalize_supplier_costs",
+    "normalize_travel_costs", "price_quantity_corr",
+    "rank_topn_per_group", "revenue_equidepth_histogram",
+    "revenue_histogram", "revenue_percentiles", "running_total",
+    "search_index_build", "semantic_dedup", "semantic_dedup_auto",
+    "sequence_packing_sharded", "setop_except", "setop_intersect",
+    "source_temperature_resample", "streaming_enriched_rollup",
+    "streaming_trending_topk", "substring_dedup",
+    "substring_dedup_rolling", "table_profile", "timeseries_gap_fill",
+    "training_order_shuffle", "zorder_key",
+    # r13: the oldest r10 block starts the NEXT rotation (the driver's
     # ~50-query budget reaches the head of this list first)
-    "collection_battery", "corpus_curation", "deterministic_sample",
-    "filter_daterange", "filter_high_revenue", "filter_inlist",
-    "hopping_window_6h_2h", "iceberg_append_pipeline",
-    "iceberg_delete_compact", "iceberg_merge_on_read",
-    "iceberg_partition_transforms",
-    # everything below here (unlisted) holds r09-or-newer official
-    # evidence, re-verified exact by the r11 judge's full 163-query
+    "asof_join", "daily_metrics", "decontaminate",
+    "decontaminate_bloom", "delta_delete_where",
+    "delta_deletion_vectors", "delta_interop_roundtrip",
+    # everything below here (unlisted) holds r10-or-newer official
+    # evidence, re-verified exact by the r12 judge's full 165-query
     # driver_sim run (FAILURES none)
 ]
 

@@ -251,7 +251,14 @@ def _xxhash64_py(values, dtypes, seed: int = 42) -> int | None:
                 if v.tzinfo is not None:
                     seconds = _cal.timegm(v.utctimetuple())
                 else:
-                    seconds = _time.mktime(v.timetuple())
+                    try:
+                        seconds = _time.mktime(v.timetuple())
+                    except (OverflowError, ValueError):
+                        # platform localtime cannot represent the
+                        # instant (pre-epoch on some libcs, far
+                        # future): unsupported-literal contract —
+                        # None routes the caller to the job path
+                        return None
                 micros = int(seconds) * 1_000_000 + v.microsecond
             else:
                 micros = int(v)

@@ -401,3 +401,170 @@ def test_changelog_stream_refuses_expired_parent_posdel(spark, tmp_path):
                                 starting_snapshot_id=del_snap,
                                 changelog=True)
         _drain(spark, stream, str(tmp_path / "r_expp"))
+
+
+def test_changelog_multi_group_equality_deletes_once(spark, tmp_path):
+    """ONE commit carrying equality-delete files with DIFFERENT
+    equality_ids sets (two delete groups) kills an overlapping parent
+    row ONCE in BOTH readers: the batch changelog dedupes the per-group
+    semi-joins on row identity (file, pos), matching the streaming
+    resolver's hit-union semantics exactly (ADVICE r12 #1 — previously
+    the batch side emitted one delete per matching group)."""
+    import pyarrow  # noqa: F401  (builders need pyarrow installed)
+
+    from monday_etl_spark.iceberg_changes import read_iceberg_changes
+    from tests._iceberg_builders import (
+        entry,
+        manifest,
+        metadata,
+        write_data_file,
+    )
+    from tests.test_iceberg_changes import _mlist
+
+    path = str(tmp_path / "multigroup")
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir)
+    os.makedirs(meta_dir)
+    schema = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "k", "required": False, "type": "long"},
+    ]}
+    fa = write_data_file(os.path.join(data_dir, "a.parquet"),
+                         ["id", "k"], [1, 2],
+                         [[1, 2, 3, 4], [10, 20, 30, 40]])
+    # group 1 deletes by id (kills ids 2,3); group 2 deletes by k
+    # (kills k=30,40 -> ids 3,4): row id=3 is matched by BOTH groups
+    ed1 = write_data_file(os.path.join(data_dir, "ed1.parquet"),
+                          ["id"], [1], [[2, 3]])
+    ed2 = write_data_file(os.path.join(data_dir, "ed2.parquet"),
+                          ["k"], [2], [[30, 40]])
+    m_data = manifest(meta_dir, [entry(fa, 4, 100, seq=1)], schema)
+    m_del = manifest(meta_dir, [
+        entry(ed1, 2, 200, seq=2, content=2, equality_ids=[1]),
+        entry(ed2, 2, 200, seq=2, content=2, equality_ids=[2]),
+    ], schema)
+    l1 = _mlist(meta_dir, 100, [(m_data, 0, 1, 100)])
+    l2 = _mlist(meta_dir, 200, [(m_data, 0, 1, 100), (m_del, 1, 2, 200)])
+    snaps = [
+        {"snapshot-id": 100, "sequence-number": 1, "timestamp-ms": 1000,
+         "manifest-list": "file://" + l1, "schema-id": 0,
+         "summary": {"operation": "append"}},
+        {"snapshot-id": 200, "sequence-number": 2, "timestamp-ms": 2000,
+         "parent-snapshot-id": 100,
+         "manifest-list": "file://" + l2, "schema-id": 0,
+         "summary": {"operation": "overwrite"}},
+    ]
+    metadata(path, [schema], snaps,
+             [{"snapshot-id": 100, "timestamp-ms": 1000},
+              {"snapshot-id": 200, "timestamp-ms": 2000}],
+             current=200)
+
+    batch = sorted((r.id, r.k, r._change_type) for r in
+                   read_iceberg_changes(
+                       spark, path, from_snapshot_id=100).collect())
+    assert batch == [(2, 20, "delete"), (3, 30, "delete"),
+                     (4, 40, "delete")], batch
+
+    stream = stream_iceberg(spark, path, starting_snapshot_id=200,
+                            changelog=True)
+    out = _drain(spark, stream, str(tmp_path / "d_mg"))
+    streamed = sorted((r.id, r.k, r._change_type) for r in
+                      spark.read.parquet(out).collect())
+    assert streamed == batch, (streamed, batch)
+
+
+def test_changelog_units_decode_once_and_fallback(spark, tmp_path,
+                                                  monkeypatch):
+    """Under the payload cap the planner decodes each delete file ONCE
+    for the whole commit and ships positions/keys in the unit payloads
+    — read tasks open no delete file at all, so an upsert against an
+    N-file parent no longer re-reads the delete files N times (VERDICT
+    r12 next-round #2). Over the cap the units fall back to file-list
+    payloads (per-task reads, bounded payloads); both paths resolve to
+    identical rows."""
+    from monday_etl_spark import iceberg_source as isrc
+    from monday_etl_spark.iceberg_import import read_metadata
+    from monday_etl_spark.iceberg_source import (
+        IcebergFilePartition,
+        IcebergStreamReader,
+        _changelog_units,
+        _seq_snapshots,
+    )
+
+    path = str(tmp_path / "fanout")
+    create_iceberg_table(path, [("id", "long"), ("v", "double")])
+    # two appends -> (at least) two parent live data files
+    append_iceberg(spark, spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "id long, v double"), path)
+    append_iceberg(spark, spark.createDataFrame(
+        [(3, 3.0), (4, 4.0)], "id long, v double"), path)
+    # one upsert commit touching keys in BOTH parent files
+    upsert_iceberg(spark, spark.createDataFrame(
+        [(2, 22.0), (3, 33.0)], "id long, v double"), path, key=["id"])
+
+    meta = read_metadata(path)
+    snap = _seq_snapshots(meta)[-1]
+    reader = IcebergStreamReader({"path": path, "changelog": "true"})
+
+    opened: list[str] = []
+    real_pf = isrc.pq.ParquetFile
+    real_rt = isrc.pq.read_table
+
+    def count_pf(p, *a, **kw):
+        opened.append(str(p))
+        return real_pf(p, *a, **kw)
+
+    def count_rt(p, *a, **kw):
+        opened.append(str(p))
+        return real_rt(p, *a, **kw)
+
+    monkeypatch.setattr(isrc.pq, "ParquetFile", count_pf)
+    monkeypatch.setattr(isrc.pq, "read_table", count_rt)
+
+    units_ship = _changelog_units(path, snap, meta, reader.fields)
+    eq_ship = [u for u in units_ship if u[0] == "eqdel"]
+    assert len(eq_ship) >= 2  # one per parent live file
+    assert all(u[3].get("decoded") and "commit_eq_keys" in u[3]
+               for u in eq_ship)
+
+    def rows_of(units):
+        out = []
+        for kind, absf, pj, payload in units:
+            part = IcebergFilePartition(
+                absf, pj, kind=kind, snap_id=snap["snapshot-id"],
+                ts_ms=snap.get("timestamp-ms", 0), payload=payload)
+            for rb in reader.read(part):
+                out.extend((r["id"], r["v"], r["_change_type"])
+                           for r in rb.to_pylist())
+        return sorted(out)
+
+    expected = [(2, 2.0, "delete"), (2, 22.0, "insert"),
+                (3, 3.0, "delete"), (3, 33.0, "insert")]
+
+    plan_opens = list(opened)
+    assert rows_of(units_ship) == expected
+    read_opens = opened[len(plan_opens):]
+
+    # the delete files: every file in the fallback units' commit_eq
+    monkeypatch.setattr(isrc, "_PAYLOAD_KEYS_MAX_ROWS", -1)
+    units_fb = _changelog_units(path, snap, meta, reader.fields)
+    eq_fb = [u for u in units_fb if u[0] == "eqdel"]
+    assert all(not u[3].get("decoded") and "commit_eq" in u[3]
+               for u in eq_fb)
+    del_files = sorted({f for u in eq_fb
+                        for _n, files in u[3]["commit_eq"]
+                        for f in files})
+    assert del_files
+    # ship path: each delete file decoded ONCE at planning, and the
+    # unit reads open NO delete file despite >= 2 eqdel units
+    for f in del_files:
+        assert plan_opens.count(f) == 1, (f, plan_opens)
+        assert f not in read_opens, (f, read_opens)
+
+    # fallback path: same rows, delete files read per unit task
+    before = len(opened)
+    assert rows_of(units_fb) == expected
+    fb_opens = opened[before:]
+    for f in del_files:
+        assert fb_opens.count(f) == len(eq_fb), (f, fb_opens)

@@ -839,3 +839,70 @@ def test_delete_join_strategy_gated_on_manifest_counts(
     # the (3-row) file->sequence attach legitimately still does
     assert plan.count("BroadcastHashJoin") <= 1
     assert _rows(big) == [(2, 20), (3, 333), (4, 40)]
+
+
+def test_cow_rewrite_carries_prior_tombstones(spark, tmp_path):
+    """Rewriting a touched manifest in a COW commit RETAINS prior
+    status-2 (DELETED) entries instead of dropping them: iceberg-java
+    keeps DELETED entries through manifest rewrites until their
+    snapshot expires, and stricter external engines expect to see them
+    (ADVICE r12). This repo's readers skip them via the entry
+    snapshot_id filter, so reads, time travel and the changelog are
+    unchanged; the snapshot summary counts only the commit's OWN
+    removals."""
+    from monday_etl_spark.avro_ocf import read_ocf
+    from monday_etl_spark.iceberg_import import (
+        _from_uri,
+        _manifest_paths,
+        create_iceberg_table,
+        delete_iceberg_cow,
+        read_iceberg_table,
+        read_metadata,
+    )
+
+    path = str(tmp_path / "carry")
+    create_iceberg_table(path, [("id", "long"), ("v", "double")])
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(6)], "id long, v double")
+    # ONE commit, TWO data files split by v range -> one manifest
+    # holding both entries
+    append_iceberg(spark, df.repartitionByRange(2, "v"), path)
+
+    delete_iceberg_cow(spark, path, "v", 0.0, 0.5)   # kills id 0 (file A)
+    s1 = read_metadata(path)["current-snapshot-id"]
+    delete_iceberg_cow(spark, path, "v", 4.5, 5.0)   # kills id 5 (file B)
+    meta = read_metadata(path)
+    s2 = meta["current-snapshot-id"]
+    assert s1 != s2
+
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == s2)
+    assert snap["summary"]["deleted-data-files"] == "1"
+
+    # the manifest s2 rewrote still names s1's tombstone
+    tombs = []
+    for m in _manifest_paths(meta, snap):
+        if m.get("content", 0) == 1:
+            continue
+        _, _, entries = read_ocf(_from_uri(m["manifest_path"]))
+        tombs.extend(e for e in entries if e.get("status", 1) == 2)
+    by_snap = {}
+    for e in tombs:
+        by_snap.setdefault(e.get("snapshot_id"), 0)
+        by_snap[e.get("snapshot_id")] += 1
+    assert by_snap.get(s1, 0) >= 1, by_snap   # carried prior tombstone
+    assert by_snap.get(s2, 0) >= 1, by_snap   # this commit's own
+
+    # readers unaffected: current read, time travel, changelog
+    got = sorted((r.id, r.v)
+                 for r in read_iceberg_table(spark, path).collect())
+    assert got == [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)]
+    old = sorted(r.id for r in read_iceberg_table(
+        spark, path, snapshot_id=s1).collect())
+    assert old == [1, 2, 3, 4, 5]
+    from monday_etl_spark.iceberg_changes import read_iceberg_changes
+    # gross COW shape: removed file B's live rows (3,4,5) as deletes,
+    # its survivors (3,4) re-inserted; file A's rewrite is untouched
+    feed = {(r.id, r._change_type) for r in read_iceberg_changes(
+        spark, path, from_snapshot_id=s1).collect()}
+    assert feed == {(3, "delete"), (4, "delete"), (5, "delete"),
+                    (3, "insert"), (4, "insert")}

@@ -227,3 +227,24 @@ def test_python_xxhash64_datetime_non_utc_zones(spark):
         else:
             os.environ["TZ"] = prev_tz
         time.tzset()
+
+
+def test_timestamp_literal_outside_mktime_range_routes_to_job_path(
+        monkeypatch):
+    """A naive-datetime literal the platform's localtime cannot
+    represent returns None (the unsupported-literal job-path fallback),
+    never a crash — some libcs raise OverflowError/ValueError from
+    mktime for pre-epoch or far-future dates (ADVICE r12)."""
+    import time as _t
+    from datetime import datetime
+
+    from pyspark.sql.types import TimestampType
+
+    from monday_etl_spark.tableformat import _xxhash64_py
+
+    def boom(_tt):
+        raise OverflowError("mktime argument out of range")
+
+    monkeypatch.setattr(_t, "mktime", boom)
+    assert _xxhash64_py((datetime(1900, 1, 1),),
+                        (TimestampType(),)) is None
