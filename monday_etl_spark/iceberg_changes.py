@@ -38,7 +38,10 @@ as rows.
 Output: the requested (default current) schema plus ``_change_type`` /
 ``_change_ordinal`` (0-based position among the range's EMITTING
 commits) / ``_commit_snapshot_id`` — iceberg-spark's changelog column
-names.
+names — plus ``_commit_timestamp`` (the snapshot's timestamp-ms; Delta
+CDF carries the same column), so the batch reader and the streaming
+changelog emit the IDENTICAL column set and a windowed batch drain is
+column-for-column comparable with a stream drain over the same range.
 
 Scale shape: per-commit additions decode from exactly the manifests the
 commit added; delete resolution is one provenance-joined scan of the
@@ -146,7 +149,7 @@ def _added_entries(meta: dict, snap: dict) -> tuple[list, list, list]:
 
 
 def _stamp(df: DataFrame, names: list[str], change: str | None,
-           ordinal: int, snap_id: int) -> DataFrame:
+           ordinal: int, snap_id: int, ts_ms: int) -> DataFrame:
     ct = (F.lit(change) if change is not None
           else F.col("_change_type"))
     return df.select(
@@ -154,6 +157,7 @@ def _stamp(df: DataFrame, names: list[str], change: str | None,
         ct.alias("_change_type"),
         F.lit(ordinal).cast("int").alias("_change_ordinal"),
         F.lit(snap_id).cast("long").alias("_commit_snapshot_id"),
+        F.timestamp_millis(F.lit(ts_ms)).alias("_commit_timestamp"),
     )
 
 
@@ -269,6 +273,7 @@ def read_iceberg_changes(
     ordinal = 0  # consecutive over EMITTING commits (replace/no-op skip)
     for snap in chain:
         sid = snap["snapshot-id"]
+        tms = int(snap.get("timestamp-ms", 0) or 0)
         op = (snap.get("summary") or {}).get("operation")
         if op == "replace":
             continue  # compaction: no logical rows changed, no ordinal
@@ -299,7 +304,7 @@ def read_iceberg_changes(
                     & (F.col("__ice_pos") == F.col("__del_pos")),
                     "left_anti",
                 )
-            pieces.append(_stamp(ins, names, "insert", ordinal, sid))
+            pieces.append(_stamp(ins, names, "insert", ordinal, sid, tms))
             emitted = True
 
         parent_id = snap.get("parent-snapshot-id")
@@ -321,7 +326,7 @@ def read_iceberg_changes(
             _, prm = _split_manifests(meta, parent)
             rem = _assemble_read(spark, meta, fields, list(data_removed),
                                  _live_entry_tuples(spark, prm))
-            pieces.append(_stamp(rem, names, "delete", ordinal, sid))
+            pieces.append(_stamp(rem, names, "delete", ordinal, sid, tms))
             emitted = True
         if del_added and parent is not None:
             data_mans, del_mans = _split_manifests(meta, parent)
@@ -358,7 +363,7 @@ def read_iceberg_changes(
                     & (F.col("__ice_pos") == F.col("__del_pos")),
                 )
                 pieces.append(
-                    _stamp(hit, names, "delete", ordinal, sid))
+                    _stamp(hit, names, "delete", ordinal, sid, tms))
                 emitted = True
             if eqs:
                 # group delete files sharing (equality ids, partition):
@@ -413,7 +418,7 @@ def read_iceberg_changes(
                         hit = hit.dropDuplicates(["__ice_src",
                                                   "__ice_pos"])
                     pieces.append(
-                        _stamp(hit, names, "delete", ordinal, sid))
+                        _stamp(hit, names, "delete", ordinal, sid, tms))
                     emitted = True
         if emitted:
             ordinal += 1
@@ -425,6 +430,7 @@ def read_iceberg_changes(
             StringType,
             StructField,
             StructType,
+            TimestampType,
         )
 
         return spark.createDataFrame([], StructType(
@@ -432,7 +438,8 @@ def read_iceberg_changes(
              for f in fields]
             + [StructField("_change_type", StringType(), True),
                StructField("_change_ordinal", IntegerType(), True),
-               StructField("_commit_snapshot_id", LongType(), True)]
+               StructField("_commit_snapshot_id", LongType(), True),
+               StructField("_commit_timestamp", TimestampType(), True)]
         ))
     out = pieces[0]
     for p in pieces[1:]:

@@ -149,10 +149,18 @@ def _added_files(path: str, snap: dict) -> tuple[list[tuple], bool]:
 
 
 def _changelog_units(path: str, snap: dict, meta: dict,
-                     fields: list[dict]) -> list[tuple]:
-    """One snapshot's CHANGELOG units: ``[(kind, abs_path,
-    partition_json, payload)]``, the streaming twin of
-    ``iceberg_changes.read_iceberg_changes``'s per-commit pieces. Kinds:
+                     fields: list[dict]) -> tuple[list[tuple], bool]:
+    """One snapshot's CHANGELOG units plus its ORDINAL-CONSUMING flag:
+    ``([(kind, abs_path, partition_json, payload)], emits)``, the
+    streaming twin of ``iceberg_changes.read_iceberg_changes``'s
+    per-commit pieces. ``emits`` replicates the batch reader's
+    planner-level "emitting commit" predicate (added data, or a parent
+    plus removed files / position deletes / equality deletes) so the
+    stream's per-batch ``_change_ordinal`` numbering counts exactly the
+    commits the batch reader numbers — including the zero-unit edge (an
+    equality delete matching no parent live file consumes a batch
+    ordinal but plans no unit) and its converse (a parentless genesis
+    posdel plans a unit that emits nothing and consumes none). Kinds:
 
     - ``data`` — an added data file; its rows stream as inserts, minus
       positions a SAME-commit position delete names ("deleted at birth"
@@ -186,7 +194,7 @@ def _changelog_units(path: str, snap: dict, meta: dict,
     reader pays per commit."""
     sid = snap["snapshot-id"]
     if (snap.get("summary") or {}).get("operation") == "replace":
-        return []
+        return [], False
     added_data, added_pos, added_eq, removed = [], [], [], []
     for m in _manifest_paths(meta, snap):
         if m.get("added_snapshot_id") != sid:
@@ -429,10 +437,13 @@ def _changelog_units(path: str, snap: dict, meta: dict,
     # deletes first within a snapshot (old rows before new, the natural
     # order for a downstream CDC consumer)
     units.sort(key=lambda u: (u[0] == "data", u[0], u[1]))
-    return units
+    emits = bool(added_data) or (
+        parent is not None and bool(removed or added_pos or added_eq))
+    return units, emits
 
 
 _CHANGELOG_META = [("_change_type", "string"),
+                   ("_change_ordinal", "integer"),
                    ("_commit_snapshot_id", "long"),
                    ("_commit_timestamp", "timestamp")]
 
@@ -573,10 +584,12 @@ def _pos_targets(pos_file: str) -> dict[str, list[int]]:
 class IcebergFilePartition(InputPartition):
     def __init__(self, abs_path: str, part_json: str = "{}",
                  kind: str = "data", snap_id: int | None = None,
-                 ts_ms: int | None = None, payload: dict | None = None):
+                 ts_ms: int | None = None, ordinal: int | None = None,
+                 payload: dict | None = None):
         self.kind = kind
         self.snap_id = snap_id
         self.ts_ms = ts_ms
+        self.ordinal = ordinal
         self.abs_path = abs_path
         self.part_json = part_json
         self.payload = payload or {}
@@ -672,16 +685,21 @@ class IcebergStreamReader(DataSourceStreamReader):
         committed snapshot's units never change, and delete-bearing
         commits pay a parent manifest walk to plan."""
         if self.changelog:
-            sid = snap["snapshot-id"]
-            hit = self._units_cache.get(sid)
-            if hit is None:
-                hit = (snap["sequence-number"], _changelog_units(
-                    self.path, snap, read_metadata(self.path),
-                    self.fields))
-                self._units_cache[sid] = hit
-            return hit[1]
+            return self._snap_plan(snap)[0]
         files, _ = _added_files(self.path, snap)
         return files
+
+    def _snap_plan(self, snap: dict) -> tuple[list, bool]:
+        """Cached ``(units, emits)`` of a changelog snapshot — ``emits``
+        is the batch reader's ordinal-consuming predicate."""
+        sid = snap["snapshot-id"]
+        hit = self._units_cache.get(sid)
+        if hit is None:
+            units, emits = _changelog_units(
+                self.path, snap, read_metadata(self.path), self.fields)
+            hit = (snap["sequence-number"], units, emits)
+            self._units_cache[sid] = hit
+        return hit[1], hit[2]
 
     def _advance(self, pos: tuple[int, int], snaps: list[dict],
                  budget: int) -> tuple[int, int]:
@@ -745,6 +763,7 @@ class IcebergStreamReader(DataSourceStreamReader):
                     "history was expired; restart the stream from a "
                     "retained snapshot"
                 )
+            ord_ctr = -1  # dense per-batch ordinal over emitting commits
             for snap in snaps:
                 seq = snap["sequence-number"]
                 if seq < lo[0] or seq > e[0]:
@@ -752,14 +771,31 @@ class IcebergStreamReader(DataSourceStreamReader):
                 if seq == e[0] and e[1] == 0:
                     break
                 if self.changelog:
-                    units = self._snap_units(snap)
+                    units, emits = self._snap_plan(snap)
                     plo = lo[1] if seq == lo[0] else 0
                     phi = e[1] if seq == e[0] else len(units)
-                    for kind, absf, pj, payload in units[plo:phi]:
+                    window = units[plo:phi]
+                    # _change_ordinal: 0-based position among the BATCH's
+                    # emitting commits — each commit-aligned micro-batch
+                    # equals read_iceberg_changes over the same range,
+                    # ordinals included, and the numbering depends only
+                    # on (start, end), so a checkpoint replay re-derives
+                    # it exactly. A zero-unit emitting commit (equality
+                    # delete matching no parent live file) still consumes
+                    # a number, exactly like the batch reader's empty
+                    # piece; a unit-bearing NON-emitting commit (genesis
+                    # posdel) emits no rows, so its None ordinal is
+                    # unobservable.
+                    ordinal = None
+                    if emits and (window or not units):
+                        ord_ctr += 1
+                        ordinal = ord_ctr
+                    for kind, absf, pj, payload in window:
                         parts.append(IcebergFilePartition(
                             absf, pj, kind=kind,
                             snap_id=snap["snapshot-id"],
                             ts_ms=snap.get("timestamp-ms", 0),
+                            ordinal=ordinal,
                             payload=payload))
                     continue
                 files, rewrites = _added_files(self.path, snap)
@@ -795,6 +831,7 @@ class IcebergStreamReader(DataSourceStreamReader):
         changelog = self.changelog
         change_type = "insert" if partition.kind == "data" else "delete"
         snap_id, ts_ms = partition.snap_id, partition.ts_ms
+        ordinal = partition.ordinal
 
         def plan_for(arrow_schema):
             return _plan_for(arrow_schema, fields, mapping)
@@ -826,6 +863,7 @@ class IcebergStreamReader(DataSourceStreamReader):
             if changelog:
                 cols += [
                     pa.array([change_type] * n, pa.string()),
+                    pa.array([ordinal] * n, pa.int32()),
                     pa.array([snap_id] * n, pa.int64()),
                     pa.array([ts_ms * 1000] * n,
                              pa.timestamp("us", tz="UTC")),
@@ -1175,8 +1213,15 @@ def stream_iceberg(spark: SparkSession, path: str,
     files' live-at-parent rows as deletes — the parent's own delete
     files gate what "live" means, so already-dead rows never re-die —
     replace snapshots (compaction) stream nothing, and every row
-    carries ``_change_type`` / ``_commit_snapshot_id`` /
-    ``_commit_timestamp``. Identity-partitioned tables serve too: each
+    carries ``_change_type`` / ``_change_ordinal`` /
+    ``_commit_snapshot_id`` / ``_commit_timestamp`` — the batch
+    reader's exact column set. ``_change_ordinal`` is the 0-based
+    position among the MICRO-BATCH's emitting commits: numbering
+    depends only on the batch's (start, end) offsets, so a checkpoint
+    replay re-derives it exactly, and a commit-aligned batch equals
+    ``read_iceberg_changes`` over the same range ordinals included
+    (use ``_commit_snapshot_id`` for global commit identity across
+    batches). Identity-partitioned tables serve too: each
     delete target's partition tuple rides in the plan, so the
     Hive-layout-omitted column injects per target file (r12). Refusals
     remain only for the genuinely unreconstructable: an expired parent

@@ -208,14 +208,133 @@ def _delta_sink_base(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
-@_fixture("ivf_centroids_k8", {"streaming_ivf_maintenance"})
+@_fixture("ivf_centroids_k8",
+          {"streaming_ivf_maintenance", "ann_ivf_store",
+           "ann_ivf_recall_sweep"})
 def _ivf_centroids_k8(spark: SparkSession, sf_dir: str) -> list:
     """The frozen IVF quantizer (k=8, 3 Lloyd iterations) the streaming
     maintenance appends under — trained once per corpus release, exactly
-    the FAISS operational split."""
+    the FAISS operational split. Exact integer Lloyd is deterministic, so
+    every consumer sees the identical centroid list its oracle replays."""
     from ..extensions.ivf import kmeans_fit
 
     return kmeans_fit(_load(spark, sf_dir, "embeddings"), k=8, iterations=3)
+
+
+@_fixture("bpe_merges_4", {"bpe_tokenize_topk"})
+def _bpe_merges_4(spark: SparkSession, sf_dir: str) -> list:
+    """The 4-round learned BPE merge list — trained once per corpus
+    release (the real tokenizer-training cadence), applied by every
+    tokenization pass. Deterministic: integer counts with lexicographic
+    tie-breaks, so every consumer and the oracle's unrolled replay see
+    the identical merges."""
+    from ..extensions.bpe import bpe_learn
+
+    return bpe_learn(_load(spark, sf_dir, "documents"), rounds=4)
+
+
+def _sf_key(sf_dir: str) -> str:
+    """Deterministic short key for warehouse-table fixture names: the same
+    sf_dir always maps to the same table name, so a re-run in a later
+    process OVERWRITES the previous build instead of accumulating tables
+    in the warehouse."""
+    import hashlib
+
+    return hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+
+
+def _fresh_table(spark: SparkSession, table: str) -> str:
+    """Clear the way for a deterministic-name managed table: drop a
+    registered leftover, and remove the warehouse DIRECTORY a previous
+    PROCESS left behind (its in-memory catalog is gone, so saveAsTable
+    would refuse with LOCATION_ALREADY_EXISTS rather than overwrite)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            wh = wh[len(prefix):]
+            break
+    shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
+    return table
+
+
+@_fixture("minhash_signature_store", {"dedup_minhash_store"})
+def _minhash_signature_store(spark: SparkSession, sf_dir: str) -> str:
+    """The banded MinHash signature table, bucketed+sorted on the LSH join
+    key — the build-once full-corpus pass dedup_minhash_store amortizes
+    across runs; consumers only probe it (candidates_from_store)."""
+    from ..extensions.signature_store import build_signature_store
+
+    table = _fresh_table(spark, f"sigstore_fx_{_sf_key(sf_dir)}")
+    build_signature_store(_load(spark, sf_dir, "documents"), table=table)
+    return table
+
+
+@_fixture("ivf_index_table", {"ann_ivf_store"})
+def _ivf_index_table(spark: SparkSession, sf_dir: str) -> str:
+    """The cell-partitioned IVF index table under the frozen k=8 quantizer —
+    the corpus-linear assignment pass a vector index pays at build time;
+    consumers only query it (DPP-pruned probes)."""
+    from ..extensions.ivf_store import build_ivf_index
+
+    cents = shared(spark, sf_dir, "ivf_centroids_k8")
+    table = _fresh_table(spark, f"ivfidx_fx_{_sf_key(sf_dir)}")
+    build_ivf_index(_load(spark, sf_dir, "embeddings"), cents, table=table)
+    return table
+
+
+@_fixture("tfmt_cdc_table", {"tableformat_cdc_diff"})
+def _tfmt_cdc_table(spark: SparkSession, sf_dir: str) -> str:
+    """Versioned orders subset with a three-version history (commit, price
+    restatement MERGE, every-7th-key DELETE) — the immutable manifest
+    chain diff_versions reads; consumers never write to it."""
+    from ..tableformat import (
+        delete_versioned,
+        merge_versioned,
+        write_versioned,
+    )
+
+    orders = (
+        _load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter((F.col("o_orderkey") % 4).isin(1, 2))
+    )
+    root = tempfile.mkdtemp(prefix="tfmt_cdc_fx_")
+    path = os.path.join(root, "orders_cdc")
+    write_versioned(
+        orders.filter(F.col("o_orderkey") % 3 != 0), path,
+        key="o_orderkey", n_buckets=8,
+    )
+    merge_versioned(
+        spark, path,
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2),
+    )
+    delete_versioned(
+        spark, path,
+        orders.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+    )
+    return path
+
+
+@_fixture("tfmt_zorder_table", {"tableformat_dataskip"})
+def _tfmt_zorder_table(spark: SparkSession, sf_dir: str) -> str:
+    """Versioned orders subset OPTIMIZE-ZORDERed on (o_totalprice,
+    o_custkey) — the two-column-stats layout the pruned read probes;
+    consumers only read the manifest and the surviving files."""
+    from ..tableformat import optimize_zorder, write_versioned
+
+    orders = (
+        _load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter((F.col("o_orderkey") % 4).isin(1, 2))
+    )
+    root = tempfile.mkdtemp(prefix="tfmt_skip_fx_")
+    path = os.path.join(root, "orders_skip")
+    write_versioned(orders, path, key="o_orderkey", n_buckets=8)
+    optimize_zorder(spark, path, ["o_totalprice", "o_custkey"],
+                    files_per_bucket=4)
+    return path
 
 
 @_fixture("delta_mapped_table", {"delta_column_mapping_roundtrip"})

@@ -234,37 +234,16 @@ def zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "read, so CDC cost tracks the change set, not table size. Oracle "
         "re-derives both states relationally and full-outer-joins them. "
         "Demo builds on the same sf-proportional half of orders as "
-        "tableformat_merge_history (base filter mirrored in the oracle).",
+        "tableformat_merge_history (base filter mirrored in the oracle). "
+        "The table + its history are scaffolding (shared fixture, built "
+        "once per process, untimed under bench prewarm — the r06 "
+        "point-lookup doctrine); the operator under test is diff_versions.",
 )
 def tableformat_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..tableformat import (
-        delete_versioned,
-        diff_versions,
-        merge_versioned,
-        write_versioned,
-    )
+    from ..tableformat import diff_versions
+    from .fixtures import shared
 
-    orders = (
-        load_table(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_orderstatus", "o_totalprice")
-        .filter((F.col("o_orderkey") % 4).isin(1, 2))
-    )
-    root = tempfile.mkdtemp(prefix="tfmt_cdc_q_")
-    path = os.path.join(root, "orders_cdc")
-
-    write_versioned(
-        orders.filter(F.col("o_orderkey") % 3 != 0), path,
-        key="o_orderkey", n_buckets=8,
-    )
-    merge_versioned(
-        spark, path,
-        orders.filter(F.col("o_orderkey") % 2 == 0)
-        .withColumn("o_totalprice", F.col("o_totalprice") * 2),
-    )
-    delete_versioned(
-        spark, path,
-        orders.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
-    )
+    path = shared(spark, sf_dir, "tfmt_cdc_table")
     return diff_versions(spark, path, 1, 3)
 
 
@@ -288,29 +267,21 @@ def tableformat_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tight at once — the multiplicative win the test suite pins "
         "strictly on independent dims). Oracle = the plain conjunctive "
         "filter: skipping must never change results. Demo builds on the "
-        "same sf-proportional half of orders as tableformat_merge_history.",
+        "same sf-proportional half of orders as tableformat_merge_history. "
+        "The committed + z-ordered table is scaffolding (shared fixture, "
+        "built once per process, untimed under bench prewarm); the operator "
+        "under test is the manifest-pruned 2-D box read.",
 )
 def tableformat_dataskip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tableformat import (
         _files_for_ranges_man,
         _read_manifest,
         current_version,
-        optimize_zorder,
         read_where_all,
-        write_versioned,
     )
+    from .fixtures import shared
 
-    orders = (
-        load_table(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-        .filter((F.col("o_orderkey") % 4).isin(1, 2))
-    )
-    root = tempfile.mkdtemp(prefix="tfmt_skip_q_")
-    path = os.path.join(root, "orders_skip")
-    write_versioned(orders, path, key="o_orderkey", n_buckets=8)
-    optimize_zorder(spark, path, ["o_totalprice", "o_custkey"],
-                    files_per_bucket=4)
-
+    path = shared(spark, sf_dir, "tfmt_zorder_table")
     box = {"o_totalprice": (100000.0, 110000.0), "o_custkey": (101, 700)}
     man = _read_manifest(path, current_version(path))
     keep, pruned = _files_for_ranges_man(man, box)
@@ -2016,10 +1987,12 @@ def delta_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delete files RESOLVE to the rows they name executor-side (one "
         "partition per delete file, (file,pos) take), the compaction "
         "streams NOTHING, and every row carries _change_type/"
-        "_commit_snapshot_id/_commit_timestamp. Same oracle as the "
-        "batch changelog (iceberg_changelog): stream/batch parity IS "
-        "the hashed check. In-query assertions pin exactly TWO stamped "
-        "snapshots — append + delete, the replace absent. "
+        "_change_ordinal/_commit_snapshot_id/_commit_timestamp (r13: "
+        "the full batch-reader column set — per-batch ordinals dense "
+        "over emitting commits). Same oracle as the batch changelog "
+        "(iceberg_changelog): stream/batch parity IS the hashed check. "
+        "In-query assertions pin exactly TWO stamped snapshots — append "
+        "+ delete, the replace absent — and dense ordinals {0, 1}. "
         "Reference scope: the day-over-day diff consumer "
         "(monday_etl_automated.py:600-645) fed incrementally.",
 )
@@ -2029,10 +2002,16 @@ def iceberg_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = shared(spark, sf_dir, "lakehouse_stream_drains")
     rows = spark.read.parquet(out["changelog_out"])
-    sids = {r["_commit_snapshot_id"] for r in
-            rows.select("_commit_snapshot_id").distinct().collect()}
+    stamps = {(r["_commit_snapshot_id"], r["_change_ordinal"]) for r in
+              rows.select("_commit_snapshot_id", "_change_ordinal")
+              .distinct().collect()}
+    sids = {s for s, _o in stamps}
     if len(sids) != 2:  # append + delete; the replace must be absent
         raise AssertionError(f"changelog stamped {len(sids)} snapshots")
+    # one-batch drain: ordinals dense over the two emitting commits,
+    # the replace consuming none (the batch reader's numbering)
+    if {o for _s, o in stamps} != {0, 1}:
+        raise AssertionError(f"ordinals not dense: {sorted(stamps)}")
     return (
         rows.groupBy(
             F.col("_change_type").alias("change_type"), "o_orderstatus")
@@ -2148,10 +2127,14 @@ def iceberg_changelog_stream_mor(spark: SparkSession,
 
     out = shared(spark, sf_dir, "lakehouse_stream_drains")
     rows = spark.read.parquet(out["changelog_mor_out"])
-    sids = {r["_commit_snapshot_id"] for r in
-            rows.select("_commit_snapshot_id").distinct().collect()}
+    stamps = {(r["_commit_snapshot_id"], r["_change_ordinal"]) for r in
+              rows.select("_commit_snapshot_id", "_change_ordinal")
+              .distinct().collect()}
+    sids = {s for s, _o in stamps}
     if len(sids) != 3:  # append + upsert + COW delete
         raise AssertionError(f"changelog stamped {len(sids)} snapshots")
+    if {o for _s, o in stamps} != {0, 1, 2}:  # dense per-batch ordinals
+        raise AssertionError(f"ordinals not dense: {sorted(stamps)}")
     return (
         rows.groupBy(
             F.col("_change_type").alias("change_type"), "o_orderstatus")

@@ -54,16 +54,22 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # already-green entries. Refreshed each round from CORRECTNESS_r{N}.json.
 # Purely an ordering hint; every query is still registered and runnable.
 _EVIDENCE_PRIORITY = [
-    # r13: queries whose code paths CHANGED this round (NEW hybrid
-    # backfill query; streaming changelog ships decoded delete keys in
-    # unit payloads; batch changelog dedupes multi-group eq deletes on
-    # row identity; COW manifest rewrites carry prior tombstones;
-    # O(range) commit_timestamps in windowed CDF reads; xxhash64
-    # mktime-range guard)
+    # r13: queries whose code paths CHANGED this round (NEW: BPE merge
+    # learning + application, the hybrid backfill query, the stream's
+    # _change_ordinal / batch _commit_timestamp twin columns; streaming
+    # changelog ships decoded delete keys in unit payloads; batch
+    # changelog dedupes multi-group eq deletes on row identity; COW
+    # manifest rewrites carry prior tombstones; O(range)
+    # commit_timestamps in windowed CDF reads; xxhash64 mktime-range
+    # guard; store/scaffolding builds moved behind shared fixtures; the
+    # recall sweep's one-pass explode+window rewrite)
+    "bpe_learn", "bpe_tokenize_topk",
     "iceberg_backfill_hybrid", "iceberg_changelog_stream_mor",
     "iceberg_changelog_stream", "iceberg_changelog",
     "iceberg_cow_update", "delta_cdc_diff", "delta_cdf_stream",
-    "tableformat_point_lookup",
+    "tableformat_point_lookup", "tableformat_cdc_diff",
+    "tableformat_dataskip", "dedup_minhash_store", "ann_ivf_store",
+    "ann_ivf_recall_sweep",
     # r13: the 35 queries whose newest official driver row is r09 —
     # four rounds old, the rotation invariant's edge
     "iceberg_partition_transforms", "iceberg_wap_publish", "join_anti",

@@ -67,6 +67,9 @@ def backfill_iceberg(
     if changelog:
         batch = (
             batch.withColumn("_change_type", F.lit("insert"))
+            # one synthetic emitting commit: the boundary snapshot's
+            # full state, numbered 0 like the only commit of a batch
+            .withColumn("_change_ordinal", F.lit(0).cast("int"))
             .withColumn("_commit_snapshot_id",
                         F.lit(sid).cast("long"))
             .withColumn("_commit_timestamp", F.timestamp_millis(

@@ -88,7 +88,7 @@ def test_backfill_iceberg_changelog_stamped(spark, tmp_path):
         [(1, 1.0), (2, 2.0)], "id long, v double"), path)
 
     batch, tail, sid = backfill_iceberg(spark, path, changelog=True)
-    assert batch.columns == ["id", "v", "_change_type",
+    assert batch.columns == ["id", "v", "_change_type", "_change_ordinal",
                              "_commit_snapshot_id", "_commit_timestamp"]
     assert batch.columns == tail.columns
     assert _rows(batch, "id", "v", "_change_type",

@@ -48,7 +48,7 @@ def test_changelog_stream_inserts_deletes_compaction(spark, tmp_path):
 
     stream = stream_iceberg(spark, path, starting_snapshot_id=first,
                             changelog=True)
-    assert stream.columns == ["id", "v", "_change_type",
+    assert stream.columns == ["id", "v", "_change_type", "_change_ordinal",
                               "_commit_snapshot_id", "_commit_timestamp"]
     out = _drain(spark, stream, str(tmp_path / "d1"))
     rows = {(r.id, r.v, r._change_type)
@@ -522,7 +522,7 @@ def test_changelog_units_decode_once_and_fallback(spark, tmp_path,
     monkeypatch.setattr(isrc.pq, "ParquetFile", count_pf)
     monkeypatch.setattr(isrc.pq, "read_table", count_rt)
 
-    units_ship = _changelog_units(path, snap, meta, reader.fields)
+    units_ship, _ = _changelog_units(path, snap, meta, reader.fields)
     eq_ship = [u for u in units_ship if u[0] == "eqdel"]
     assert len(eq_ship) >= 2  # one per parent live file
     assert all(u[3].get("decoded") and "commit_eq_keys" in u[3]
@@ -548,7 +548,7 @@ def test_changelog_units_decode_once_and_fallback(spark, tmp_path,
 
     # the delete files: every file in the fallback units' commit_eq
     monkeypatch.setattr(isrc, "_PAYLOAD_KEYS_MAX_ROWS", -1)
-    units_fb = _changelog_units(path, snap, meta, reader.fields)
+    units_fb, _ = _changelog_units(path, snap, meta, reader.fields)
     eq_fb = [u for u in units_fb if u[0] == "eqdel"]
     assert all(not u[3].get("decoded") and "commit_eq" in u[3]
                for u in eq_fb)
@@ -568,3 +568,123 @@ def test_changelog_units_decode_once_and_fallback(spark, tmp_path,
     fb_opens = opened[before:]
     for f in del_files:
         assert fb_opens.count(f) == len(eq_fb), (f, fb_opens)
+
+
+def test_changelog_stream_ordinal_batch_parity(spark, tmp_path):
+    """A full one-batch drain carries the SAME _change_ordinal /
+    _commit_timestamp stamps as read_iceberg_changes over the same
+    range: ordinals dense over emitting commits, compaction consuming
+    none — the streaming twin is column-for-column exact."""
+    from monday_etl_spark.iceberg_changes import read_iceberg_changes
+
+    path = str(tmp_path / "tbl")
+    create_iceberg_table(path, [("id", "long"), ("v", "double")])
+    append_iceberg(spark, spark.createDataFrame(
+        [(i, float(i)) for i in range(4)], "id long, v double"), path)
+    first = iceberg_history(path)[0]["snapshot_id"]
+    append_iceberg(spark, spark.createDataFrame(
+        [(10, 10.0)], "id long, v double"), path)
+    upsert_iceberg(spark, spark.createDataFrame(
+        [(2, 22.0)], "id long, v double"), path, key=["id"])
+    delete_iceberg_where(spark, path, "v", 0.0, 0.5)  # kills id 0
+    compact_iceberg(spark, path)                      # no ordinal
+    append_iceberg(spark, spark.createDataFrame(
+        [(20, 20.0)], "id long, v double"), path)
+
+    def key(r):
+        return (r.id, r.v, r._change_type, r._change_ordinal,
+                r._commit_snapshot_id, r._commit_timestamp)
+
+    batch = {key(r) for r in read_iceberg_changes(spark, path).collect()}
+    stream = stream_iceberg(spark, path, starting_snapshot_id=first,
+                            changelog=True)
+    out = _drain(spark, stream, str(tmp_path / "d"))
+    streamed = {key(r) for r in spark.read.parquet(out).collect()}
+    assert streamed == batch
+    ords = sorted({r[3] for r in streamed})
+    assert ords == [0, 1, 2, 3, 4]  # dense; the replace consumed none
+
+
+def test_changelog_stream_zero_unit_commit_consumes_ordinal(spark,
+                                                            tmp_path):
+    """An equality delete SCOPED to a partition with no parent live
+    file plans ZERO stream units but still consumes a changelog ordinal
+    (the batch reader numbers its empty piece) — the following commit's
+    rows must carry the same ordinal on both surfaces."""
+    import pyarrow as pa
+
+    from monday_etl_spark.iceberg_changes import read_iceberg_changes
+    from tests._iceberg_builders import (
+        entry,
+        manifest,
+        metadata,
+        write_data_file,
+    )
+    from tests.test_iceberg_changes import _mlist
+
+    path = str(tmp_path / "scoped")
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir)
+    os.makedirs(meta_dir)
+
+    schema = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "region", "required": False, "type": "string"},
+    ]}
+    fa = write_data_file(
+        os.path.join(data_dir, "eu.parquet"), ["id", "region"], [1, 2],
+        [[1, 2], ["EU", "EU"]], types=[pa.int64(), pa.string()])
+    # S2: equality delete on id=1 scoped to AP — no parent file there
+    ed = write_data_file(
+        os.path.join(data_dir, "ed.parquet"), ["id"], [1], [[1]])
+    fb = write_data_file(
+        os.path.join(data_dir, "eu2.parquet"), ["id", "region"], [1, 2],
+        [[7], ["EU"]], types=[pa.int64(), pa.string()])
+    m1 = manifest(meta_dir, [entry(fa, 2, 100, seq=1,
+                                   partition={"region": "EU"})],
+                  schema, partition={"region": "string"})
+    m2 = manifest(meta_dir, [entry(ed, 1, 200, seq=2, content=2,
+                                   equality_ids=[1],
+                                   partition={"region": "AP"})],
+                  schema, partition={"region": "string"})
+    m3 = manifest(meta_dir, [entry(fb, 1, 300, seq=3,
+                                   partition={"region": "EU"})],
+                  schema, partition={"region": "string"})
+    l1 = _mlist(meta_dir, 100, [(m1, 0, 1, 100)])
+    l2 = _mlist(meta_dir, 200, [(m1, 0, 1, 100), (m2, 1, 2, 200)])
+    l3 = _mlist(meta_dir, 300, [(m1, 0, 1, 100), (m2, 1, 2, 200),
+                                (m3, 0, 3, 300)])
+    spec = [{"spec-id": 0, "fields": [
+        {"name": "region", "transform": "identity",
+         "source-id": 2, "field-id": 1000}]}]
+    snaps = [
+        {"snapshot-id": 100, "sequence-number": 1, "timestamp-ms": 1000,
+         "manifest-list": "file://" + l1, "schema-id": 0,
+         "summary": {"operation": "append"}},
+        {"snapshot-id": 200, "sequence-number": 2, "timestamp-ms": 2000,
+         "parent-snapshot-id": 100,
+         "manifest-list": "file://" + l2, "schema-id": 0,
+         "summary": {"operation": "overwrite"}},
+        {"snapshot-id": 300, "sequence-number": 3, "timestamp-ms": 3000,
+         "parent-snapshot-id": 200,
+         "manifest-list": "file://" + l3, "schema-id": 0,
+         "summary": {"operation": "append"}},
+    ]
+    metadata(path, [schema], snaps,
+             [{"snapshot-id": s["snapshot-id"],
+               "timestamp-ms": s["timestamp-ms"]} for s in snaps],
+             current=300, specs=spec)
+
+    def key(r):
+        return (r.id, r.region, r._change_type, r._change_ordinal,
+                r._commit_snapshot_id)
+
+    batch = {key(r) for r in read_iceberg_changes(spark, path).collect()}
+    # S2's empty piece consumed ordinal 1: S3's insert is ordinal 2
+    assert (7, "EU", "insert", 2, 300) in batch
+    stream = stream_iceberg(spark, path, starting_snapshot_id=100,
+                            changelog=True)
+    out = _drain(spark, stream, str(tmp_path / "d"))
+    streamed = {key(r) for r in spark.read.parquet(out).collect()}
+    assert streamed == batch

@@ -328,7 +328,7 @@ def iceberg_stream_mor(spark, df, scale: int = 1) -> dict:
     isrc.pq.read_table = lambda p, *a, **k: (
         opened.append(str(p)), real_rt(p, *a, **k))[1]
     try:
-        units, out["plan_units_s"] = timed(
+        (units, _emits), out["plan_units_s"] = timed(
             lambda: _changelog_units(path, snap, meta, fields))
     finally:
         isrc.pq.ParquetFile, isrc.pq.read_table = real_pf, real_rt
