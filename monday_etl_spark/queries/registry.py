@@ -63,6 +63,7 @@ _EVIDENCE_PRIORITY = [
     # commit_timestamps in windowed CDF reads; xxhash64 mktime-range
     # guard; store/scaffolding builds moved behind shared fixtures; the
     # recall sweep's one-pass explode+window rewrite)
+    "dsir_importance_select",  # NEW r13: DSIR importance resampling
     "bpe_learn", "bpe_tokenize_topk",
     "iceberg_backfill_hybrid", "iceberg_changelog_stream_mor",
     "iceberg_changelog_stream", "iceberg_changelog",

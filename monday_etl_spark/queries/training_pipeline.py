@@ -253,3 +253,77 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.ceil(F.col("n_stratum") * 0.2))
         .select("doc_id", "lang", "rn")
     )
+
+
+# DuckDB twin of int(hex, 16): left fold over hex nibbles (same helper the
+# extensions oracles use — duplicated here because oracles are literal SQL)
+_H2I = (
+    "list_reduce(list_transform(string_split(substr(md5(g), 1, 8), ''), "
+    "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+    "(a, b) -> a * 16 + b)"
+)
+_DSIR_B = 256
+_DSIR_K = 100
+
+
+@register(
+    "dsir_importance_select",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE string_split_regex(trim(text), '\\s+') END AS toks
+        FROM documents),
+    feats AS (
+        SELECT doc_id, lang,
+               list_concat(toks,
+                   CASE WHEN len(toks) >= 2 THEN
+                       list_transform(generate_series(1, len(toks) - 1),
+                                      i -> toks[i] || ' ' || toks[i+1])
+                   ELSE [] END) AS ngs
+        FROM t),
+    fb AS (
+        SELECT doc_id, lang, {_H2I} % {_DSIR_B} AS bucket
+        FROM feats, UNNEST(ngs) AS u(g)),
+    rawd AS (SELECT bucket, COUNT(*) AS rc FROM fb GROUP BY bucket),
+    tgtd AS (SELECT bucket, COUNT(*) AS tc FROM fb WHERE lang = 'en'
+             GROUP BY bucket),
+    tot AS (SELECT COUNT(*) AS rt,
+                   COUNT(*) FILTER (WHERE lang = 'en') AS tt
+            FROM fb),
+    ratio AS (
+        SELECT r.bucket,
+               (CAST(COALESCE(t.tc, 0) + 1 AS DOUBLE) / (r.rc + 1))
+               * (CAST(rt + {_DSIR_B} AS DOUBLE) / (tt + {_DSIR_B})) AS rb
+        FROM rawd r LEFT JOIN tgtd t USING (bucket) CROSS JOIN tot),
+    dc AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+           FROM fb GROUP BY doc_id, bucket),
+    scored AS (
+        SELECT dc.doc_id,
+               list_reduce(list(CAST(dc.c AS DOUBLE) * ratio.rb
+                                ORDER BY dc.bucket),
+                           (a, b) -> a + b) AS s,
+               CAST(SUM(dc.c) AS BIGINT) AS n_features
+        FROM dc JOIN ratio USING (bucket) GROUP BY dc.doc_id)
+    SELECT doc_id, n_features, s / n_features AS importance
+    FROM scored
+    ORDER BY importance DESC, doc_id
+    LIMIT {_DSIR_K}
+    """,
+    doc="DSIR importance resampling (Xie et al., NeurIPS 2023): hashed "
+        "unigram+bigram multinomials over target (lang='en') vs the raw "
+        "pool, add-one-smoothed per-bucket likelihood ratios, deterministic "
+        "top-k by mean per-ngram ratio. Log-free linear-domain scoring and "
+        "an ordered per-doc fold keep every double bit-identical across "
+        "engines (same contract as bm25_topk). Scale: two B-row (B=256) "
+        "bucket aggregates, a broadcast ratio table, ONE corpus-sized "
+        "(doc_id,bucket) shuffle, TakeOrderedAndProject top-k — linear, "
+        "no all-pairs, nothing driver-side.",
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dsir import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_select(
+        docs, F.col("lang") == "en", k=_DSIR_K, n_buckets=_DSIR_B
+    )
