@@ -478,22 +478,52 @@ def _name_mapping(meta: dict) -> dict[int, list[str]]:
 
 def _identity_sources(meta: dict) -> dict[int, str]:
     """{source field id: partition field NAME in the manifest's partition
-    tuple} for identity transforms of the default spec (the only transform
-    whose values inject losslessly as column constants)."""
+    tuple} for identity transforms across EVERY partition spec — not just
+    the default. After partition evolution (a new default spec) the live
+    file set mixes files written under old specs, and a file written
+    under an identity spec does NOT physically carry the source column
+    (it rides Hive-style in the manifest tuple): injection must therefore
+    know every identity field any spec ever defined. Safe to union
+    because injection only fires for file groups whose partition tuple
+    actually CARRIES the field name (``pname in pvals`` at every caller),
+    i.e. files written under that spec. Two cross-spec ambiguities have
+    no by-name resolution and refuse loudly: the same field name bound to
+    different (source, transform) pairs, and the same identity source
+    renamed across specs (both require per-manifest spec resolution,
+    which no file in a conforming evolution history needs — iceberg-java
+    reuses the historical field id AND name when a (source, transform)
+    reappears, as does evolve_iceberg_partition_spec)."""
     specs = meta.get("partition-specs")
     if specs is None and meta.get("partition-spec") is not None:
-        fields = meta["partition-spec"]
+        field_lists = [meta["partition-spec"]]
     else:
-        spec_id = meta.get("default-spec-id", 0)
-        fields = next(
-            (s.get("fields", []) for s in (specs or [])
-             if s.get("spec-id", 0) == spec_id),
-            [],
-        )
-    return {
-        f["source-id"]: f["name"]
-        for f in fields if f.get("transform") == "identity"
-    }
+        field_lists = [s.get("fields", []) for s in (specs or [])]
+    by_name: dict[str, tuple] = {}
+    out: dict[int, str] = {}
+    for flist in field_lists:
+        for f in flist:
+            key = (f.get("source-id"), f.get("transform"))
+            name = f["name"]
+            if name in by_name and by_name[name] != key:
+                raise IcebergProtocolError(
+                    f"partition field name {name!r} means {by_name[name]} "
+                    f"in one spec and {key} in another: by-name identity "
+                    "injection would be ambiguous — rewrite the older "
+                    "files (compact) under the current spec"
+                )
+            by_name[name] = key
+            if f.get("transform") != "identity":
+                continue
+            sid = f["source-id"]
+            if sid in out and out[sid] != name:
+                raise IcebergProtocolError(
+                    f"identity partition source id {sid} appears as "
+                    f"{out[sid]!r} and {name!r} across specs: injection "
+                    "keys on the tuple field name — rewrite the older "
+                    "files (compact) under the current spec"
+                )
+            out[sid] = name
+    return out
 
 
 # ------------------------------------------------------------------ read
@@ -2658,4 +2688,106 @@ def evolve_iceberg_schema(path: str,
     newmeta["current-schema-id"] = new_sid
     newmeta["last-column-id"] = last_id
     _ensure_name_mapping(newmeta, fields)
+    return _publish_metadata(path, newmeta, versions, cur_v)
+
+
+def evolve_iceberg_partition_spec(path: str,
+                                  partition_by: list[tuple]) -> int:
+    """Partition evolution, the Iceberg way: a METADATA-ONLY commit that
+    installs a new default partition spec (``ALTER TABLE ... ADD/DROP
+    PARTITION FIELD``). ``partition_by`` is the COMPLETE new spec as
+    ``[(source column, transform)]`` — same shape as
+    :func:`create_iceberg_table`; ``[]`` evolves to unpartitioned.
+
+    Per the v2 spec, no data moves: files already written keep the spec
+    they were written under (their manifests carry its spec-id), and only
+    appends AFTER the evolution route by the new spec. A (source,
+    transform) pair that appeared in ANY earlier spec re-uses its
+    historical partition-field id and name — the spec's field-id-reuse
+    rule, which is also what keeps by-name identity injection unambiguous
+    across the table's whole history (see :func:`_identity_sources`);
+    genuinely new fields allocate ids above ``last-partition-id``. A new
+    field whose derived name collides with a DIFFERENT historical
+    (source, transform) refuses loudly instead of shadowing it. Readers
+    handle the resulting mixed-spec file set already: identity values
+    inject per file group from each file's own manifest tuple, transform
+    values never materialize as columns, and manifest point/footer bounds
+    keep pruning working on both eras. Published through the LogStore
+    conditional put like every commit (racing evolutions: one winner)."""
+    from .iceberg_transforms import TransformError, parse_transform
+
+    versions = metadata_versions(path)
+    cur_v = max(versions)
+    meta = read_metadata(path, cur_v)
+    if meta.get("format-version", 1) != 2:
+        raise IcebergProtocolError(
+            "partition evolution requires a format-version 2 table "
+            "(v1 pins one spec for the table's life)"
+        )
+    schema = _schema_for(meta, {})
+    fields = schema["fields"]
+    by_name = {f["name"]: f for f in fields}
+    specs = meta.get("partition-specs") or [{"spec-id": 0, "fields": []}]
+
+    prior: dict[tuple, tuple[int, str]] = {}   # (src id, transform) -> (fid, name)
+    prior_names: dict[str, tuple] = {}         # name -> (src id, transform)
+    last_pid = int(meta.get("last-partition-id", 999))
+    for s in specs:
+        for pf in s.get("fields", []):
+            key = (pf["source-id"], pf["transform"])
+            prior[key] = (pf["field-id"], pf["name"])
+            prior_names.setdefault(pf["name"], key)
+            last_pid = max(last_pid, int(pf["field-id"]))
+
+    new_fields: list[dict] = []
+    for src_name, transform in partition_by:
+        src = by_name.get(src_name)
+        if src is None:
+            raise ValueError(f"partition source {src_name!r} not a column")
+        try:
+            kind, _param = parse_transform(transform)
+        except TransformError as e:
+            raise IcebergProtocolError(str(e)) from e
+        key = (src["id"], transform)
+        if key in prior:
+            fid, name = prior[key]  # spec rule: re-use id AND name
+        else:
+            suffix = {"identity": "", "bucket": "_bucket",
+                      "truncate": "_trunc"}.get(kind, f"_{kind}")
+            name = f"{src_name}{suffix}" if suffix else src_name
+            if name in prior_names and prior_names[name] != key:
+                raise IcebergProtocolError(
+                    f"partition field name {name!r} already means "
+                    f"{prior_names[name]} in an earlier spec: a second "
+                    "meaning would make by-name identity injection "
+                    "ambiguous for old files — pick a different source "
+                    "column or transform"
+                )
+            last_pid += 1
+            fid = last_pid
+        new_fields.append({"name": name, "transform": transform,
+                           "source-id": src["id"], "field-id": fid})
+    names = [f["name"] for f in new_fields]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate partition field names: {names}")
+    # validate transform/type pairings eagerly (same refusal appends give)
+    _resolve_part_fields(new_fields, fields)
+
+    def _canon(flist: list[dict]) -> list[tuple]:
+        return [(f["name"], f["transform"], f["source-id"], f["field-id"])
+                for f in flist]
+
+    newmeta = json.loads(json.dumps(meta))  # deep copy
+    for s in specs:
+        if _canon(s.get("fields", [])) == _canon(new_fields):
+            # identical spec already registered: just re-point the default
+            newmeta["default-spec-id"] = s.get("spec-id", 0)
+            break
+    else:
+        new_spec_id = max(s.get("spec-id", 0) for s in specs) + 1
+        newmeta["partition-specs"] = newmeta.get("partition-specs", []) + [
+            {"spec-id": new_spec_id, "fields": new_fields}
+        ]
+        newmeta["default-spec-id"] = new_spec_id
+    newmeta["last-partition-id"] = last_pid
     return _publish_metadata(path, newmeta, versions, cur_v)

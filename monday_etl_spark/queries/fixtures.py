@@ -1691,3 +1691,41 @@ def _iceberg_backfill_drain(spark: SparkSession, sf_dir: str) -> dict:
         raise AssertionError(
             f"backfill sides crossed: snapshot={snap_m} tail={tail_m}")
     return out
+
+
+@_fixture("iceberg_evolved_table", {"iceberg_partition_evolution"})
+def _iceberg_evolved_table(spark: SparkSession, sf_dir: str) -> str:
+    """An Iceberg table whose partition spec EVOLVED mid-history: era 1
+    (first half of 1995-03) appended unpartitioned, then
+    ``evolve_iceberg_partition_spec`` installed identity(o_orderstatus)
+    as the new default, then era 2 (second half) appended under it — so
+    the live file set mixes spec-0 files that physically carry
+    o_orderstatus with spec-1 files that carry it only in their manifest
+    tuples. Consumers only read; shared without copies."""
+    from ..iceberg_import import (
+        append_iceberg,
+        create_iceberg_table,
+        evolve_iceberg_partition_spec,
+    )
+
+    root = tempfile.mkdtemp(prefix="iceberg_evolved_fx_")
+    path = os.path.join(root, "orders_evolved")
+    create_iceberg_table(
+        path,
+        [("o_orderkey", "long"), ("o_orderstatus", "string"),
+         ("o_totalprice", "double"), ("o_orderdate", "date")],
+    )
+    base = (
+        _load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate")
+        .filter(F.col("o_orderkey") % 8 == 5)
+    )
+    era1 = base.filter(
+        F.col("o_orderdate").between("1995-03-01", "1995-03-15"))
+    era2 = base.filter(
+        F.col("o_orderdate").between("1995-03-16", "1995-03-31"))
+    append_iceberg(spark, era1.coalesce(2), path)
+    evolve_iceberg_partition_spec(path, [("o_orderstatus", "identity")])
+    append_iceberg(spark, era2.coalesce(2), path)
+    return path

@@ -2185,3 +2185,99 @@ def iceberg_backfill_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("l_quantity")).alias("sum_qty"),
         )
     )
+
+
+@register(
+    "iceberg_partition_evolution",
+    oracle=f"""
+    SELECT CAST(TRUE AS BOOLEAN) AS evolution_ok, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_orderkey % 8 = 5
+      AND o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'
+    GROUP BY o_orderstatus
+    """,
+    doc="Iceberg partition-spec EVOLUTION (r13): a table appended "
+        "unpartitioned (era 1), evolved to identity(o_orderstatus) via a "
+        "metadata-only commit, then appended under the new spec (era 2) "
+        "— no data moved. The read resolves the mixed-spec file set: "
+        "era-1 files carry the column physically, era-2 files carry it "
+        "only in their manifest tuples and inject it per file group "
+        "(_identity_sources unions identity fields across ALL specs, not "
+        "just the default). In-query invariants: default-spec-id moved "
+        "to the new spec with the old one retained; era-2 per-status "
+        "counts from the spec-1 manifests' record_count sums equal the "
+        "read-back era-2 rows; at least one era-2 data file physically "
+        "LACKS the partition column. Oracle: the plain relational "
+        "restatement over the raw parquet (evolution_ok surfaces the "
+        "checks). Reference scope: repartitioning a warehouse table as "
+        "its query patterns shift (monday_etl_automated.py:560-590) "
+        "without the full-rewrite the reference's CTAS would need.",
+)
+def iceberg_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow.parquet as _pq
+
+    from ..functions import money_sum
+    from ..iceberg_import import (
+        _decode_manifest,
+        _from_uri,
+        _select_snapshot,
+        _split_manifests,
+        read_iceberg_table,
+        read_metadata,
+    )
+    from .fixtures import shared
+
+    path = shared(spark, sf_dir, "iceberg_evolved_table")
+    df = read_iceberg_table(spark, path)
+
+    meta = read_metadata(path)
+    specs = {s["spec-id"]: s for s in meta["partition-specs"]}
+    if meta["default-spec-id"] != 1 or set(specs) != {0, 1}:
+        raise AssertionError(f"spec history wrong: {meta['partition-specs']}")
+    if specs[0]["fields"] or [
+        (f["name"], f["transform"]) for f in specs[1]["fields"]
+    ] != [("o_orderstatus", "identity")]:
+        raise AssertionError("evolved spec shape wrong")
+
+    # era-2 (spec-1) entries: partition tuple carries o_orderstatus
+    snap = _select_snapshot(meta, None, None)
+    data_mans, _ = _split_manifests(meta, snap)
+    era2_counts: dict[str, int] = {}
+    era2_files: list[str] = []
+    for m in data_mans:
+        for t in _decode_manifest(m, want_bounds=False):
+            if t[0] in (0, 1):
+                p = json.loads(t[5])
+                if "o_orderstatus" in p:
+                    era2_counts[p["o_orderstatus"]] = (
+                        era2_counts.get(p["o_orderstatus"], 0) + t[3])
+                    era2_files.append(_from_uri(t[1]))
+    got2 = {
+        r["o_orderstatus"]: r["n"]
+        for r in df.filter(F.col("o_orderdate") >= "1995-03-16")
+        .groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if got2 != era2_counts:
+        raise AssertionError(
+            f"era-2 manifest counts {era2_counts} != read {got2}")
+    if not era2_files or any(
+        "o_orderstatus" in _pq.ParquetFile(f).schema_arrow.names
+        for f in era2_files
+    ):
+        raise AssertionError(
+            "era-2 files must be identity-routed (no physical column)")
+
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            F.lit(True).alias("evolution_ok"), "o_orderstatus",
+            "n_rows", "total_price",
+        )
+    )

@@ -64,6 +64,7 @@ _EVIDENCE_PRIORITY = [
     # guard; store/scaffolding builds moved behind shared fixtures; the
     # recall sweep's one-pass explode+window rewrite)
     "dsir_importance_select",  # NEW r13: DSIR importance resampling
+    "iceberg_partition_evolution",  # NEW r13: mixed-spec reads
     "bpe_learn", "bpe_tokenize_topk",
     "iceberg_backfill_hybrid", "iceberg_changelog_stream_mor",
     "iceberg_changelog_stream", "iceberg_changelog",
