@@ -90,29 +90,53 @@ def bpe_learn(df: DataFrame, text_col: str = "text",
 
     Each round is one distributed pair-count job; the only driver
     traffic is the argmax row (metadata-plane, like the k-means
-    centroid fold). Stops early if no adjacent pair remains."""
+    centroid fold). Stops early if no adjacent pair remains.
+
+    Each round's sequence frame is PERSISTED (and the prior round's
+    dropped once its successor is materialized): without this, round
+    N's lazy lineage replays the corpus scan + word dedup + N-1
+    replaces — rounds would re-pay the corpus every iteration, the
+    exact cost the word-dedup trick exists to avoid. The cached frame
+    is the deduplicated VOCABULARY (Heaps-law sublinear in corpus
+    size), not the corpus, so MEMORY_AND_DISK stays cheap at scale;
+    every cache is dropped before return."""
+    from pyspark import StorageLevel
+
     seqs = (
         word_counts(df, text_col)
         .select(_char_seq(F.col("word")).alias("seq"), "cnt")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    prev: DataFrame | None = None
     merges: list[tuple[int, str, str, str, int]] = []
-    for i in range(1, rounds + 1):
-        top = (
-            _pair_counts(seqs)
-            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
-        merges.append((i, l, r, l + r, n))
-        seqs = seqs.select(
-            F.replace(
-                F.col("seq"), F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
-            ).alias("seq"),
-            "cnt",
-        )
+    try:
+        for i in range(1, rounds + 1):
+            top = (
+                _pair_counts(seqs)
+                .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            # the collect materialized seqs' cache: the previous
+            # round's frame can no longer be replayed through
+            if prev is not None:
+                prev.unpersist()
+                prev = None
+            if not top:
+                break
+            l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+            merges.append((i, l, r, l + r, n))
+            prev = seqs
+            seqs = seqs.select(
+                F.replace(
+                    F.col("seq"), F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
+                ).alias("seq"),
+                "cnt",
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+    finally:
+        if prev is not None:
+            prev.unpersist()
+        seqs.unpersist()
     return merges
 
 
