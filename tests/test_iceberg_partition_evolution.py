@@ -186,3 +186,55 @@ def test_unknown_column_and_bad_transform_refuse(spark, tmp_path):
         evolve_iceberg_partition_spec(path, [("nope", "identity")])
     with pytest.raises(IcebergProtocolError):
         evolve_iceberg_partition_spec(path, [("v", "zigzag[3]")])
+
+
+def test_changelog_stream_and_batch_across_evolution(spark, tmp_path):
+    """Commits on both sides of a partition evolution stream with each
+    era's identity values injected from its own spec's tuples, with
+    exact batch-changelog parity (the cross-spec _identity_sources
+    union feeds both surfaces)."""
+    import os
+
+    from monday_etl_spark.iceberg_changes import read_iceberg_changes
+    from monday_etl_spark.iceberg_import import iceberg_history
+    from monday_etl_spark.iceberg_source import stream_iceberg
+
+    path = _mk(spark, tmp_path, partition_by=[("region", "identity")])
+    append_iceberg(spark, spark.createDataFrame(
+        [("EU", "d1", 1), ("US", "d1", 2)],
+        "region string, day string, v long").coalesce(1), path)
+    first = iceberg_history(path)[0]["snapshot_id"]
+    evolve_iceberg_partition_spec(path, [("day", "identity")])
+    append_iceberg(spark, spark.createDataFrame(
+        [("EU", "d2", 3), ("AP", "d2", 4)],
+        "region string, day string, v long").coalesce(1), path)
+    delete_iceberg_where(spark, path, "v", 2, 3)  # one row per era
+
+    stream = stream_iceberg(spark, path, starting_snapshot_id=first,
+                            changelog=True)
+    out = os.path.join(str(tmp_path), "rows")
+
+    def handle(batch, bid):
+        batch.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch={bid}"))
+
+    q = (stream.writeStream.foreachBatch(handle)
+         .option("checkpointLocation",
+                 os.path.join(str(tmp_path), "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    streamed = {(r.region, r.day, r.v, r._change_type,
+                 r._commit_snapshot_id)
+                for r in spark.read.parquet(out).collect()}
+    batch_rows = {(r.region, r.day, r.v, r._change_type,
+                   r._commit_snapshot_id)
+                  for r in read_iceberg_changes(spark, path).collect()}
+    assert streamed == batch_rows
+    flat = {(r.region, r.day, r.v, r._change_type)
+            for r in spark.read.parquet(out).collect()}
+    assert flat == {
+        ("EU", "d1", 1, "insert"), ("US", "d1", 2, "insert"),
+        ("EU", "d2", 3, "insert"), ("AP", "d2", 4, "insert"),
+        ("US", "d1", 2, "delete"), ("EU", "d2", 3, "delete"),
+    }
