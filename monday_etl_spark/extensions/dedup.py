@@ -68,16 +68,35 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def let_bound(value: Column, body) -> Column:
+    """Evaluate ``value`` ONCE per row and pass the bound result to
+    ``body`` — ``element_at(transform(array(value), v -> body(v)), 1)``.
+
+    Why this exists (r13): higher-order functions are interpreted
+    (CodegenFallback) and interpreted evaluation has no common-
+    subexpression elimination, so a lambda body that references a derived
+    expression re-evaluates that whole expression on EVERY element. A
+    shingle transform whose lambda slices ``split(text)`` re-ran the
+    regex split once per shingle — O(words²) per document (measured 8×
+    on the DSIR feature pass). Binding the derived value to a lambda
+    variable first makes each reference a value lookup."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def raw_word_shingles(col: Column, k: int = 3) -> Column:
     """All k-word shingles of normalized text in order, repeats kept
     (array<string>) — the repetition-analysis view. Documents shorter than
-    k words contribute their whole text as one shingle."""
-    toks = F.split(_norm_text(col), _WS)
-    n = F.size(toks)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
+    k words contribute their whole text as one shingle. The token array is
+    let-bound so the slice lambda reads a bound value instead of
+    re-splitting the text per shingle (see let_bound)."""
+    def shingles(toks: Column) -> Column:
+        n = F.size(toks)
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+
+    return let_bound(F.split(_norm_text(col), _WS), shingles)
 
 
 def word_shingles(col: Column, k: int = 3) -> Column:

@@ -55,11 +55,16 @@ def _tokens(col: Column) -> Column:
     ).otherwise(F.split(F.trim(col), r"\s+"))
 
 
-def ngram_features(col: Column) -> Column:
-    """Word unigrams + bigrams of normalized text, repeats kept (counts
-    are the multinomial's sufficient statistic). One-word docs contribute
-    just their unigram; empty docs an empty array."""
-    toks = _tokens(col)
+def _ngrams_of_tokens(toks: Column) -> Column:
+    """Unigrams + bigrams from an (ideally already-materialized) token
+    array column. IMPORTANT: pass a plain column reference, not a derived
+    expression — higher-order functions are interpreted (CodegenFallback)
+    with NO common-subexpression elimination, so every ``element_at(toks,
+    i)`` in the bigram lambda re-evaluates whatever expression tree
+    ``toks`` is. With ``toks = split(text)`` inline that re-ran the regex
+    split of the whole document TWICE PER BIGRAM — O(words²) per doc
+    (measured: the feature pass alone was 6.6 s at sf0.1; 0.35 s with
+    tokens bound to a column first)."""
     bigrams = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -72,22 +77,47 @@ def ngram_features(col: Column) -> Column:
     return F.concat(toks, bigrams)
 
 
+def _bucket_of(g: Column, n_buckets: int) -> Column:
+    return F.pmod(
+        F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint"),
+        F.lit(n_buckets),
+    )
+
+
+def ngram_features(col: Column) -> Column:
+    """Word unigrams + bigrams of normalized text, repeats kept (counts
+    are the multinomial's sufficient statistic). One-word docs contribute
+    just their unigram; empty docs an empty array.
+
+    NOTE: inline form for one-off column use; the query path goes through
+    ``_exploded``, which materializes the token array as a column first —
+    see ``_ngrams_of_tokens`` for why that matters."""
+    return _ngrams_of_tokens(_tokens(col))
+
+
 def feature_buckets(col: Column, n_buckets: int = N_BUCKETS) -> Column:
     """Hashing trick: each ngram -> bucket id in [0, n_buckets) via the
     first 8 hex chars of md5 (md5, not murmur3, so every engine — and the
     DuckDB oracle — computes the identical bucket)."""
     return F.transform(
-        ngram_features(col),
-        lambda g: F.pmod(
-            F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint"),
-            F.lit(n_buckets),
-        ),
+        ngram_features(col), lambda g: _bucket_of(g, n_buckets)
     )
 
 
 def _exploded(df: DataFrame, text_col: str, n_buckets: int) -> DataFrame:
-    return df.select(
-        "*", F.explode(feature_buckets(F.col(text_col), n_buckets)).alias("bucket")
+    """One bucket per ngram occurrence, exploded. Tokens and ngrams are
+    bound to real columns stage by stage so each interpreted HOF lambda
+    reads a BoundReference instead of re-evaluating the upstream
+    expression per element (see _ngrams_of_tokens)."""
+    cols = df.columns
+    toks = df.select("*", _tokens(F.col(text_col)).alias("__toks"))
+    ngs = toks.select(
+        "*", _ngrams_of_tokens(F.col("__toks")).alias("__ngs"))
+    return ngs.select(
+        *cols,
+        F.explode(
+            F.transform(F.col("__ngs"), lambda g: _bucket_of(g, n_buckets))
+        ).alias("bucket"),
     )
 
 
@@ -115,26 +145,43 @@ def dsir_scores(
         F.col(id_col), target_filter.alias("__is_tgt"), "bucket"
     )
 
-    rawd = fb.groupBy("bucket").agg(F.count("*").alias("rc"))
-    tgtd = (
-        fb.filter(F.col("__is_tgt"))
-        .groupBy("bucket")
-        .agg(F.count("*").alias("tc"))
+    # ONE pass over the corpus (r13): the tokenize + ngram + md5 + explode
+    # subtree above is the expensive part, and the original shape read it
+    # FOUR times (raw distribution, target distribution, totals, per-doc
+    # counts) — Catalyst does no CSE across aggregate branches, so every
+    # branch re-ran the full feature pass (measured 6.6 s isolated at
+    # sf0.1; guide §1.2 "don't compute things twice"). Everything is a sum
+    # of exact integer counts, so all three distribution tables derive from
+    # the per-(doc, bucket) counts without recomputing features:
+    #   rc = SUM(c) per bucket, tc = SUM(c) over target docs per bucket,
+    #   rt/tt = SUM over those — bit-identical to counting fb directly.
+    # __is_tgt is functionally dependent on the doc, so grouping by it adds
+    # no groups. The persisted frame is (doc, bucket, c) — far smaller than
+    # the exploded features, and the only corpus-sized shuffle in the plan.
+    dc = (
+        fb.groupBy(F.col(id_col), F.col("__is_tgt"), "bucket")
+        .agg(F.count("*").alias("c"))
+        .persist()
     )
-    tot = fb.agg(
-        F.count("*").alias("rt"),
-        F.count(F.when(F.col("__is_tgt"), 1)).alias("tt"),
+    bucketd = dc.groupBy("bucket").agg(
+        F.sum("c").alias("rc"),
+        F.sum(F.when(F.col("__is_tgt"), F.col("c")).otherwise(F.lit(0))).alias("tc"),
+    )
+    tot = bucketd.agg(
+        F.sum("rc").alias("rt"),
+        F.sum("tc").alias("tt"),
     )
     b = F.lit(n_buckets).cast("bigint")
-    # tgt buckets are a subset of raw buckets, so raw LEFT JOIN tgt is total
+    # tc is 0 (never NULL) for target-free buckets — same value the old
+    # raw LEFT JOIN tgt + COALESCE produced; the ratio keeps the exact
+    # parenthesization of the docstring formula
     ratio = (
-        rawd.join(tgtd, "bucket", "left")
-        .crossJoin(F.broadcast(tot))
+        bucketd.crossJoin(F.broadcast(tot))
         .select(
             "bucket",
             (
                 (
-                    (F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double")
+                    (F.col("tc") + 1).cast("double")
                     / (F.col("rc") + 1)
                 )
                 * ((F.col("rt") + b).cast("double") / (F.col("tt") + b))
@@ -142,7 +189,6 @@ def dsir_scores(
         )
     )
 
-    dc = fb.groupBy(id_col, "bucket").agg(F.count("*").alias("c"))
     scored = (
         dc.join(F.broadcast(ratio), "bucket")
         .groupBy(id_col)
