@@ -349,7 +349,11 @@ def tableformat_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = tempfile.mkdtemp(prefix="tfmt_health_q_")
     path = os.path.join(root, "orders_health")
-    write_versioned(orders, path, key="o_orderkey", n_buckets=8)
+    # distribution="none" keeps the raw 4-task write layout: the pinned
+    # oracle counts 32 files / 4 per bucket — the fragmentation this health
+    # report exists to detect (the default hash distribution would write 8)
+    write_versioned(orders, path, key="o_orderkey", n_buckets=8,
+                    distribution="none")
     h1 = table_health(path)
     n_rows = read_version(spark, path).count()  # footer metadata count
     compact_versioned(spark, path)

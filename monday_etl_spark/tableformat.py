@@ -579,22 +579,48 @@ def _carry_stats(path: str, man_old: dict, new_buckets: dict,
     return keep
 
 
+def _distribute(bucketed: DataFrame, n_parts: int, distribution: str) -> DataFrame:
+    """Apply the commit's write distribution (the Iceberg
+    ``write.distribution-mode`` concept). ``"hash"`` shuffles by the bucket
+    column so each bucket lands in ONE write task → exactly one file per
+    touched bucket per commit, regardless of input parallelism; without it a
+    W-task write fragments every touched bucket into up to W files (the
+    small-files problem — at cluster scale W is thousands, and every merge
+    would need an immediate compaction). The shuffle carries only the
+    commit's own rows. File size within a task is bounded by
+    ``spark.sql.files.maxRecordsPerFile`` when set (the manifest handles >1
+    file per bucket fine). ``"none"`` keeps the input partitioning (write
+    parallelism over file count — the right trade for a one-shot bulk load
+    followed by compaction)."""
+    if distribution == "hash":
+        return bucketed.repartition(max(n_parts, 1), BUCKET_COL)
+    if distribution != "none":
+        raise ValueError(f"unknown distribution {distribution!r}; "
+                         "use 'hash' or 'none'")
+    return bucketed
+
+
 def write_versioned(df: DataFrame, path: str, key,
                     n_buckets: int = 64,
                     stats_cols: list[str] | None = None,
-                    txn: tuple | None = None) -> int:
+                    txn: tuple | None = None,
+                    distribution: str = "hash") -> int:
     """Commit the frame as the table's next version (full snapshot write,
     bucketed by the key hash). ``key`` may be one column name or a list
     (composite entity key). ``stats_cols`` declares columns whose per-file
     min/max travel in every manifest from here on (data skipping via
     ``read_where``); later commits keep collecting them. Returns the
-    committed version number."""
+    committed version number. ``distribution`` controls the write layout
+    (see ``_distribute``; default one file per bucket)."""
     prior_v = current_version(path)
     version = (prior_v or 0) + 1
     prior = _read_manifest(path, prior_v) if prior_v else None
     commit_dir = _new_commit_dir(path, version)
     (
-        df.withColumn(BUCKET_COL, _bucket_expr(key, n_buckets))
+        _distribute(
+            df.withColumn(BUCKET_COL, _bucket_expr(key, n_buckets)),
+            n_buckets, distribution,
+        )
         .write.mode("overwrite")
         .partitionBy(BUCKET_COL)
         .parquet(commit_dir)
@@ -1201,7 +1227,8 @@ def merge_versioned(spark: SparkSession, path: str,
                     updates: DataFrame,
                     allow_schema_evolution: bool = False,
                     retries: int = 0,
-                    txn: tuple | None = None) -> int:
+                    txn: tuple | None = None,
+                    distribution: str = "hash") -> int:
     """MERGE (upsert) as a new version: write ONLY the touched buckets'
     merged files; carry every untouched bucket's file list forward BY
     REFERENCE. Returns the new version number.
@@ -1225,7 +1252,7 @@ def merge_versioned(spark: SparkSession, path: str,
         return _retrying_commit(
             lambda: merge_versioned(spark, path, updates,
                                     allow_schema_evolution, retries=0,
-                                    txn=txn),
+                                    txn=txn, distribution=distribution),
             retries,
         )
     version = current_version(path)
@@ -1278,7 +1305,8 @@ def merge_versioned(spark: SparkSession, path: str,
 
     new_version = version + 1
     commit_dir = _new_commit_dir(path, new_version)
-    merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(commit_dir)
+    _distribute(merged, len(touched), distribution).write.mode(
+        "overwrite").partitionBy(BUCKET_COL).parquet(commit_dir)
 
     buckets = dict(man["buckets"])  # untouched entries carried by reference
     buckets.update(_bucket_files(commit_dir))
@@ -1539,7 +1567,8 @@ def vacuum(path: str, keep_last: int = 1,
 
 
 def delete_versioned(spark: SparkSession, path: str,
-                     keys_df: DataFrame, retries: int = 0) -> int:
+                     keys_df: DataFrame, retries: int = 0,
+                     distribution: str = "hash") -> int:
     """DELETE WHERE key IN (...) as a new version — the third leg of the
     MERGE DML triad. Same cost model as merge_versioned: only the buckets
     containing doomed keys are re-read and re-written (minus the deleted
@@ -1549,7 +1578,8 @@ def delete_versioned(spark: SparkSession, path: str,
     lost commit race (see merge_versioned)."""
     if retries:
         return _retrying_commit(
-            lambda: delete_versioned(spark, path, keys_df, retries=0),
+            lambda: delete_versioned(spark, path, keys_df, retries=0,
+                                     distribution=distribution),
             retries,
         )
     version = current_version(path)
@@ -1575,7 +1605,8 @@ def delete_versioned(spark: SparkSession, path: str,
     )
     new_version = version + 1
     commit_dir = _new_commit_dir(path, new_version)
-    kept.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(commit_dir)
+    _distribute(kept, len(touched), distribution).write.mode(
+        "overwrite").partitionBy(BUCKET_COL).parquet(commit_dir)
 
     buckets = dict(man["buckets"])
     # a bucket whose every row was deleted writes no directory: record it

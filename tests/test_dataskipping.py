@@ -109,12 +109,15 @@ def test_table_health_reports_fragmentation(spark, tmp_path):
     from monday_etl_spark.tableformat import compact_versioned, table_health
 
     path = str(tmp_path / "tbl")
+    # distribution="none" keeps raw write fragmentation — the condition
+    # table_health must detect (hash-distributed commits never fragment)
     write_versioned(_df(spark), path, key="id", n_buckets=4,
-                    stats_cols=["v"])
+                    stats_cols=["v"], distribution="none")
     merge_versioned(
         spark, path,
         spark.createDataFrame([(1, 11, "sA"), (2, 21, "sB")],
                               "id bigint, v bigint, s string"),
+        distribution="none",
     )
     h = table_health(path)
     assert h["version"] == 2
@@ -174,7 +177,11 @@ def test_read_where_after_evolution_keeps_widened_schema(spark, tmp_path):
         [(5001, 999_999, "sZ", "the_note")],
         "id bigint, v bigint, s string, note string",
     )
-    merge_versioned(spark, path, widened, allow_schema_evolution=True)
+    # distribution="none" keeps the outlier row in its own file so the old-
+    # domain range read prunes it (hash distribution packs the touched
+    # bucket into one file whose min/max would span the outlier)
+    merge_versioned(spark, path, widened, allow_schema_evolution=True,
+                    distribution="none")
 
     keep, pruned = files_for_range(path, "v", 5000, 6000)
     assert pruned >= 1, "the post-evolution file must be prunable"
@@ -403,7 +410,10 @@ def test_maintenance_ops_retry_after_lost_race(spark, tmp_path, monkeypatch):
     import monday_etl_spark.tableformat as tf
 
     path = str(tmp_path / "tbl")
-    write_versioned(_df(spark), path, key="id", n_buckets=4)
+    # distribution="none" leaves fragmented buckets so compact_versioned has
+    # real work (a hash-distributed table returns early, never racing)
+    write_versioned(_df(spark), path, key="id", n_buckets=4,
+                    distribution="none")
     racer = spark.createDataFrame([(0, -1, "R")], "id bigint, v bigint, s string")
 
     real_dir = tf._new_commit_dir

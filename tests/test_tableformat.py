@@ -132,7 +132,11 @@ def test_compact_packs_fragmented_buckets(spark, tmp_path):
     import json
 
     path = str(tmp_path / "tbl")
-    write_versioned(_base_df(spark), path, key="id", n_buckets=N_BUCKETS)
+    # distribution="none" keeps the raw per-(input partition, bucket) write
+    # layout — the fragmented table this test needs (the default "hash"
+    # distribution writes one file per bucket and leaves nothing to compact)
+    write_versioned(_base_df(spark), path, key="id", n_buckets=N_BUCKETS,
+                    distribution="none")
 
     from monday_etl_spark.tableformat import compact_versioned
 
@@ -155,6 +159,39 @@ def test_compact_packs_fragmented_buckets(spark, tmp_path):
 
     # idempotent: nothing left to compact
     assert compact_versioned(spark, path, max_files_per_bucket=1) == 2
+
+
+def test_hash_distribution_one_file_per_bucket(spark, tmp_path):
+    """Default ("hash") write distribution: one file per touched bucket per
+    commit regardless of input parallelism — a write and a merge from a
+    many-partition input leave nothing for compaction to do, and rows are
+    identical to the distribution='none' layout."""
+    import json
+
+    from monday_etl_spark.tableformat import compact_versioned
+
+    path = str(tmp_path / "tbl")
+    wide = _base_df(spark).repartition(16)  # 16 write tasks
+    write_versioned(wide, path, key="id", n_buckets=N_BUCKETS)
+    merge_versioned(spark, path, _updates(spark).repartition(4))
+
+    for v in (1, 2):
+        with open(os.path.join(path, "_manifests", f"v{v:05d}.json")) as fh:
+            m = json.load(fh)["buckets"]
+        assert all(len(fs) <= 1 for fs in m.values()), (v, m)
+
+    # already compact: no new version committed
+    assert compact_versioned(spark, path, max_files_per_bucket=1) == 2
+
+    # same rows as the unshuffled layout
+    path2 = str(tmp_path / "tbl_none")
+    write_versioned(wide, path2, key="id", n_buckets=N_BUCKETS,
+                    distribution="none")
+    merge_versioned(spark, path2, _updates(spark).repartition(4),
+                    distribution="none")
+    a = {tuple(r) for r in read_version(spark, path).collect()}
+    b = {tuple(r) for r in read_version(spark, path2).collect()}
+    assert a == b
 
 
 def test_empty_version_readable_and_mergeable(spark, tmp_path):
@@ -273,9 +310,12 @@ def test_history_as_of_and_retention_window(spark, tmp_path):
     )
 
     path = str(tmp_path / "tbl")
-    write_versioned(_base_df(spark), path, key="id", n_buckets=N_BUCKETS)
+    # distribution="none" leaves fragmented buckets so the compact below
+    # commits a real 4th version (hash-distributed commits need no compact)
+    write_versioned(_base_df(spark), path, key="id", n_buckets=N_BUCKETS,
+                    distribution="none")
     t_after_v1 = time.time()
-    merge_versioned(spark, path, _updates(spark))
+    merge_versioned(spark, path, _updates(spark), distribution="none")
     rename_column(path, "v", "val")
     compact_versioned(spark, path)
 
