@@ -32,7 +32,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import _to_double, _topk_merge, cosine
+from .similarity import _to_double, _topk_merge, cosine_hoisted, norm
 
 #: fixed-point scale for the quantized training/assignment space.
 SCALE = 1_000_000
@@ -68,7 +68,15 @@ def _nearest_centroid(qvec, centroids: list[tuple[int, list[int]]]):
     distance; ties break toward the lower centroid id (first occurrence of
     the min — argmin over a scores ARRAY, not a chain of F.when: a when-chain
     that re-embeds the running best twice per step grows the expression tree
-    2^k-fold)."""
+    2^k-fold).
+
+    r13 note: ``array_position(scores, array_min(scores))`` references the
+    scores subtree twice at the TOP level of the projection — measured A/B
+    (100k rows, noop sink) shows codegen subexpression elimination already
+    dedupes it (let-binding via transform(array(...)) was 0.40 s vs 0.32 s
+    — strictly slower). The interpreted-HOF re-evaluation bug class (dsir,
+    shingles) applies only to derived expressions referenced INSIDE a
+    lambda body, not to top-level duplicates. Left as is."""
     scores = _int_scores(qvec, centroids)
     pos = F.array_position(scores, F.array_min(scores)).cast("int")
     return F.element_at(F.lit([cid for cid, _ in centroids]), pos)
@@ -173,12 +181,16 @@ def topk_against_cells(c: DataFrame, queries: DataFrame,
         probe.withColumn("cr", F.row_number().over(wq))
         .filter(F.col("cr") <= nprobe)
         .select("query_id", "qv", "cell")
+        .withColumn("__qn", norm(F.col("qv")))
     )
 
-    scored = c.join(
+    # per-ROW norms below the join: one fold per scored pair, not three
+    scored = c.withColumn("__cn", norm(F.col("cv"))).join(
         F.broadcast(probe),
         (c.cell == probe.cell) & (F.col("neighbor_id") != F.col("query_id")),
-    ).select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    ).select("query_id", "neighbor_id",
+             cosine_hoisted(F.col("qv"), F.col("cv"),
+                            F.col("__qn"), F.col("__cn")).alias("sim"))
     return _topk_merge(scored, k)
 
 
@@ -214,13 +226,15 @@ def scored_cells(c: DataFrame, queries: DataFrame,
     wq = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cell"))
     probe = probe.withColumn("cell_rank", F.row_number().over(wq)).select(
         "query_id", "qv", "cell", "cell_rank"
-    )
-    return c.join(
+    ).withColumn("__qn", norm(F.col("qv")))
+    # per-ROW norms below the join: one fold per scored pair, not three
+    return c.withColumn("__cn", norm(F.col("cv"))).join(
         F.broadcast(probe),
         (c.cell == probe.cell) & (F.col("neighbor_id") != F.col("query_id")),
     ).select(
         "query_id",
         "neighbor_id",
         "cell_rank",
-        cosine(F.col("qv"), F.col("cv")).alias("sim"),
+        cosine_hoisted(F.col("qv"), F.col("cv"),
+                       F.col("__qn"), F.col("__cn")).alias("sim"),
     )

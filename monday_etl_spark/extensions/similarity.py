@@ -55,6 +55,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_hoisted(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine`` with the two norms precomputed as per-ROW columns instead
+    of per PAIR (r13): a scorer that joins Q queries against C candidates
+    evaluates 3 interpreted array folds per pair under ``cosine`` — dot(a,b),
+    dot(a,a), dot(b,b) — but the norms depend on one side each, so hoisting
+    them to projections below the join leaves ONE fold per pair. The final
+    expression is the same ``Divide(dot, Multiply(na, nb))`` tree over
+    identically-computed norm values — bit-identical results."""
+    return dot(a, b) / (na * nb)
+
+
 def _topk_merge(scored: DataFrame, k: int, fanout: int = 32) -> DataFrame:
     """Exact top-k per query from a (query_id, neighbor_id, sim) stream via a
     two-level tree merge, all JVM-side:
@@ -101,15 +112,16 @@ def brute_force_topk(
     Returns (query_id, neighbor_id, rank, cosine_sim)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("__qn", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("__cn", norm(F.col("cv")))
     # queries are few: broadcast them so the corpus never shuffles
     scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qv"), F.col("cv")).alias("sim"),
+        cosine_hoisted(F.col("qv"), F.col("cv"),
+                       F.col("__qn"), F.col("__cn")).alias("sim"),
     )
     return _topk_merge(scored, k)
 
@@ -155,14 +167,18 @@ def lsh_bucket_topk(
     brute-force result with tunable recall."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
-    ).withColumn("bucket", bucket_bits(F.col("cv"), dim, bits))
+    ).withColumn("bucket", bucket_bits(F.col("cv"), dim, bits)) \
+        .withColumn("__cn", norm(F.col("cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
-    ).withColumn("bucket", bucket_bits(F.col("qv"), dim, bits))
+    ).withColumn("bucket", bucket_bits(F.col("qv"), dim, bits)) \
+        .withColumn("__qn", norm(F.col("qv")))
 
     scored = c.join(
         F.broadcast(q), (c.bucket == q.bucket) & (F.col("neighbor_id") != F.col("query_id"))
-    ).select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    ).select("query_id", "neighbor_id",
+             cosine_hoisted(F.col("qv"), F.col("cv"),
+                            F.col("__qn"), F.col("__cn")).alias("sim"))
     return _topk_merge(scored, k)
 
 
