@@ -1429,16 +1429,26 @@ def bpe_learn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency equal per-document tokenization counts exactly.",
 )
 def bpe_tokenize_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.bpe import bpe_apply
+    from ..extensions.bpe import bpe_apply, word_counts
     from .fixtures import shared
 
     docs = load_table(spark, sf_dir, "documents")
     merges = shared(spark, sf_dir, "bpe_merges_4")
-    toks = bpe_apply(docs, merges).select(
-        F.explode("bpe_tokens").alias("token"))
+    # r13: tokenize the DEDUPLICATED vocabulary and weight by corpus word
+    # frequency instead of re-tokenizing every word occurrence — a token's
+    # corpus count is sum(count_in_word(token, w) * freq(w)) because each
+    # word tokenizes independently of its document context. Bit-identical
+    # integer counts (the oracle counts the same word-level view); per-word
+    # regex work drops from O(corpus words) to O(vocabulary) — Heaps-law
+    # sublinear in corpus size. Measured: apply+count pass 1.6 s -> 0.2 s
+    # at sf0.1. A pipeline needing per-DOCUMENT token sequences still calls
+    # bpe_apply on documents; this query's aggregate does not.
+    wc = word_counts(docs, "text")
+    toks = bpe_apply(wc, merges, text_col="word").select(
+        F.explode("bpe_tokens").alias("token"), "cnt")
     return (
         toks.groupBy("token")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .agg(F.sum("cnt").cast("long").alias("n"))
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(10)
     )
