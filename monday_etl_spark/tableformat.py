@@ -1356,9 +1356,33 @@ def compact_versioned(spark: SparkSession, path: str,
     key = _keys(man["spec"]["key"])
     n_buckets = man["spec"]["n_buckets"]
 
+    # a bucket needs rewriting when it is file-count fragmented OR when any
+    # of its files was written under a stale naming epoch (physical names
+    # that no longer match the live schema after a rename). The second
+    # condition is compaction's documented epoch-collapse role — before the
+    # hash write distribution (r13) it was implied by the first (every
+    # multi-commit bucket was also multi-file), but a hash-distributed
+    # merge leaves one file per bucket and the rename-then-write table
+    # would otherwise never become exportable (test_delta_export's
+    # rename-then-append contract).
+    fid = man.get("field_ids") or {}
+    epochs = man.get("epochs") or {}
+    live_map = {
+        f["name"]: fid[f["name"]]
+        for f in json.loads(man.get("schema") or '{"fields": []}')["fields"]
+        if f["name"] in fid
+    } if fid else {}
+
+    def stale(fs: list[str]) -> bool:
+        if not fid:
+            return False
+        return any(
+            epochs.get(_commit_dir_of(f), live_map) != live_map for f in fs
+        )
+
     fragmented = sorted(
         int(b) for b, fs in man["buckets"].items()
-        if len(fs) > max_files_per_bucket
+        if len(fs) > max_files_per_bucket or stale(fs)
     )
     if not fragmented:
         return version
