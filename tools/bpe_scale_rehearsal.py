@@ -52,6 +52,20 @@ def measure(spark, docs_path: str) -> dict:
     )
     out["apply_distinct_tokens"] = n
     out["apply_count_s"] = round(time.time() - t, 3)
+
+    # r13: the corpus-count QUERY path (bpe_tokenize_topk) tokenizes the
+    # DEDUPLICATED vocabulary weighted by word frequency instead — exact
+    # same integer counts, O(vocabulary) regex work. This row evidences
+    # that the counting path is flat in corpus size (the per-document
+    # bpe_apply row above remains the intentionally row-linear API).
+    t = time.time()
+    n2 = (
+        bpe_apply(word_counts(docs), merges, text_col="word")
+        .select(F.explode("bpe_tokens").alias("t"), "cnt")
+        .groupBy("t").agg(F.sum("cnt").alias("n")).count()
+    )
+    assert n2 == n, (n2, n)
+    out["vocab_count_s"] = round(time.time() - t, 3)
     return out
 
 
