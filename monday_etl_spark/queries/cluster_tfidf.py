@@ -290,11 +290,19 @@ def _semantic_dedup_auto_oracle() -> str:
         "runs.",
 )
 def semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.similarity import embedding_near_dup
+    from ..extensions.similarity import auto_lsh_bits, embedding_near_dup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # bits=None -> auto_lsh_bits(corpus count): the linear-scored-pairs path
-    pairs = embedding_near_dup(emb, dim=64, threshold=0.4).select(
+    # ONE corpus count serves both the LSH sizing and the coverage
+    # invariant below (r14): bits=None would make embedding_near_dup run
+    # its own count() — the same metadata-count job twice per invocation.
+    # auto_lsh_bits(n) here is the identical integer function of the
+    # identical count, so the produced plan (and result) is unchanged.
+    n_corpus = emb.count()  # parquet metadata count — no data pages
+    # auto bits from the corpus count: the linear-scored-pairs path
+    pairs = embedding_near_dup(
+        emb, dim=64, threshold=0.4, bits=auto_lsh_bits(n_corpus)
+    ).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
     comp = (
@@ -330,7 +338,6 @@ def semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]  # ONE job materializes the persist AND both checks
     )
     n_bad, n_rows = stats.n_bad, stats.n_rows
-    n_corpus = emb.count()  # parquet metadata count — no data pages
     if n_bad or n_rows != n_corpus:
         raise AssertionError(
             f"semantic_dedup_auto invariants violated: {n_bad} bad clusters, "

@@ -102,3 +102,43 @@ def test_dsir_target_subset_ranks_target_like_higher(spark):
          for r in dsir_scores(df, F.col("lang") == "en").collect()}
     # doc 4 matches the en-target text exactly -> beats the de-only docs
     assert s[4] > s[3] and s[4] == s[1]
+
+
+def test_dsir_scores_releases_cached_frame(spark):
+    """r14 (judged advice): dsir_scores must not leak a session-lifetime
+    cached frame per invocation. The per-(doc,bucket) counts are an eager
+    localCheckpoint whose blocks the ContextCleaner releases once the
+    returned frame is garbage-collected — unlike the r13 persist(), which
+    stayed in the CacheManager forever."""
+    import gc
+    import time
+
+    def persistent_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+
+    before = persistent_ids()
+    df = _docs(spark, [(1, "a b", "en"), (2, "c d", "de")])
+    scored = dsir_scores(df, F.col("lang") == "en")
+    scored.collect()
+    # the checkpointed counts frame is alive while the result is referenced
+    del scored
+    gc.collect()
+    deadline = time.time() + 30
+    while persistent_ids() - before and time.time() < deadline:
+        # ContextCleaner triggers on JVM GC of the dropped RDD handle
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
+    assert persistent_ids() - before == set(), (
+        "dsir_scores left cached RDDs behind after the result was dropped"
+    )
+
+
+def test_dsir_helper_columns_do_not_collide(spark):
+    """_exploded stages helper columns onto select('*', ...); an input that
+    already carries __toks/__ngs must not produce ambiguous references."""
+    df = spark.createDataFrame(
+        [(1, "a b", "en", "x", "y"), (2, "c", "de", "x", "y")],
+        "doc_id long, text string, lang string, __toks string, __ngs string",
+    )
+    got = {r.doc_id for r in dsir_scores(df, F.col("lang") == "en").collect()}
+    assert got == {1, 2}

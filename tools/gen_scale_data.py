@@ -105,6 +105,22 @@ def gen_documents(out_dir: str) -> None:
     _write(out_dir, "documents", parts)
 
 
+def gen_events(out_dir: str) -> None:
+    """10 replicas with REPLICA-DISJOINT event_id/user_id and the SAME
+    timestamps (r14): the streaming rehearsals (sessions, interval join,
+    dedup) scale with per-user event density held constant — disjoint
+    users add state cardinality without exploding any single user's join
+    fan-out, the TPC-H-style scaling model the other tables use. ts is
+    untouched so watermark horizons and window math match sf0.1."""
+    base = _read("events")
+    parts = []
+    for r in range(REPLICAS):
+        t = _offset(base, "event_id", r * 100_000_000)
+        t = _offset(t, "user_id", r * 10_000_000)
+        parts.append(t)
+    _write(out_dir, "events", parts)
+
+
 def gen_embeddings(out_dir: str) -> None:
     base = _read("embeddings")
     vecs = np.array(base.column("embedding").to_pylist(), dtype=np.float32)
@@ -211,13 +227,18 @@ def main() -> None:
         # documents-only zipfian corpus at the requested replica count
         gen_documents_zipf(out_dir, int(zipf.split("=")[1]))
         return
+    if next((a for a in sys.argv[1:] if a.startswith("--events-only")),
+            None) is not None:
+        # refresh just the scaled events table into an existing rehearsal dir
+        gen_events(out_dir)
+        return
     gen_lineitem(out_dir)
     gen_orders(out_dir)
     gen_documents(out_dir)
     gen_embeddings(out_dir)
+    gen_events(out_dir)
     # small dims copied verbatim: queries only need them present
-    for name in ("region", "nation", "customer", "supplier", "part",
-                 "events"):
+    for name in ("region", "nation", "customer", "supplier", "part"):
         src = os.path.join(SRC, f"{name}.parquet")
         if os.path.exists(src):
             _write(out_dir, name, [_read(name)])

@@ -10,6 +10,8 @@ Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 
 from __future__ import annotations
 
+import contextlib
+import io
 import os
 import sys
 from pathlib import Path
@@ -21,6 +23,9 @@ from monday_etl_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
+    if len(sys.argv) < 3:
+        print(__doc__, file=sys.stderr)
+        raise SystemExit(2)
     suffix = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -32,8 +37,13 @@ def main() -> None:
     for name in names:
         try:
             df = REGISTRY[name].fn(spark, sf_dir)
-            txt = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted")
+            # public-API capture: df.explain prints the formatted plan, so
+            # redirect stdout instead of hopping through the private
+            # _sc._jvm.PythonSQLUtils surface (breaks across versions)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            txt = buf.getvalue()
         except Exception as exc:  # noqa: BLE001
             txt = f"ERROR: {type(exc).__name__}: {exc}\n"
         p = out_dir / f"{name}_{suffix}.txt"
